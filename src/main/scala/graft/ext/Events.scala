@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` feed (extension surface,
+  * SURVEY.md §2.10/§2.12). The reference's only "streaming" is inline
+  * base64 payloads on `online` jobs (cubicerpetl/cubicerpetl.py:204-214);
+  * here the same pipeline shapes run as batch windows AND as Structured
+  * Streaming (same column expressions both ways).
+  */
+object Events {
+
+  /** Tumbling event-time aggregation. Batch form; streaming is identical
+    * with `readStream` + `withWatermark` upstream.
+    */
+  def tumbling(df: DataFrame, ts: Column, every: String, aggs: Seq[Column], keys: Seq[Column] = Nil): DataFrame =
+    df.groupBy((window(ts, every) +: keys): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Gap-based sessionization, batch form (gaps-and-islands): a new session
+    * starts when the gap from the previous event of the same user exceeds
+    * `gapMinutes`. Shuffles once on user, then two in-partition window
+    * passes — the classic scalable form (each user's history must be
+    * co-partitioned; skewed users are the caveat, salting applies).
+    */
+  def sessionizeBatch(df: DataFrame, userCol: String, tsCol: String, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val gapSec = gapMinutes * 60L
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Per-session rollup on top of [[sessionizeBatch]]. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String, gapMinutes: Int): DataFrame =
+    sessionizeBatch(df, userCol, tsCol, gapMinutes)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** Structured Streaming sessionization with the native `session_window`
+    * operator + watermark — the streaming twin of [[sessionStats]]. Used by
+    * the streaming spec; takes any (streaming or batch) DataFrame.
+    */
+  def sessionWindowed(df: DataFrame, userCol: String, tsCol: String, gap: String): DataFrame =
+    df.withWatermark(tsCol, "10 minutes")
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** JSON props extraction (`from_json`-style typed access; the fixture's
+    * `props` carries {"k": int}).
+    */
+  def propsField(props: Column, field: String): Column =
+    get_json_object(props, s"$$.$field")
+}

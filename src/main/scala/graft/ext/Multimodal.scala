@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (extension surface,
+  * SURVEY.md §2.12): media as opaque `binary` columns + typed metadata,
+  * with decode/feature-extraction as batched per-partition functions.
+  *
+  * The Spark-side shapes (schema, partition sizing, batch iteration) are
+  * real and tested; the codec itself is STUBBED deterministically because
+  * this container has no image/audio libraries — swap [[decodeStub]]'s body
+  * for an actual decoder (e.g. javax.imageio / ffmpeg bindings) in a real
+  * deployment. Binary payloads are the scale hazard: size partitions by
+  * bytes (`spark.sql.files.maxPartitionBytes`), never collect blobs, and
+  * keep metadata in separate (pruned) columns so metadata-only queries
+  * never touch the blob column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** Typed row for the decode stage. */
+  final case class MediaBlob(media_id: Long, blob: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      features: Array[Double])
+
+  /** Metadata over an opaque binary column — pure expressions, no decode:
+    * byte length, content digest, magic prefix (format sniffing).
+    */
+  def withMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(binCol)).cast("long"))
+      .withColumn("digest", md5(col(binCol)))
+      .withColumn("magic", upper(hex(substring(col(binCol), 1, 4))))
+
+  /** Batched decode / feature-extract over partitions — the mapInPandas
+    * analogue in Scala: one iterator pass per partition, constant memory,
+    * codec state reusable across the batch. STUB: emits deterministic fake
+    * dimensions/features derived from the bytes so tests are reproducible.
+    */
+  def decodeStub(ds: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    ds.mapPartitions { it =>
+      // real impl: initialize the codec ONCE here, reuse across rows
+      it.map { m =>
+        val len = m.blob.length.toLong
+        // deterministic fake "decode": dims from length, features = bytewise
+        // moments — replace with actual pixel decode in production
+        val width = (len % 640 + 1).toInt
+        val height = (len % 480 + 1).toInt
+        val sums = new Array[Double](4)
+        var i = 0
+        while (i < m.blob.length) {
+          val b = m.blob(i) & 0xff
+          sums(i % 4) += b.toDouble
+          i += 1
+        }
+        val feats = sums.map(s => if (len == 0) 0.0 else s / len.toDouble)
+        MediaFeatures(m.media_id, len, width, height, feats)
+      }
+    }
+  }
+
+  /** Frame-sampling shape for video-like payloads: split a blob into fixed
+    * windows ("frames") and emit one row per sampled frame — the explode
+    * pattern that keeps frame rows independent (and thus redistributable)
+    * downstream. Stub: frames are byte slices.
+    */
+  def sampleFrames(df: DataFrame, binCol: String, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = ceil(length(col(binCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0)))
+      .withColumn("frame_bytes",
+        expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+  }
+}

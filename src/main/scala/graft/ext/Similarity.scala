@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (extension surface, SURVEY.md §2.12). Expression-only vector math —
+  * `zip_with` + `aggregate` compile to codegen'd loops; no UDF, no MLlib.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k, query set broadcast against the full
+  *    corpus — the baseline, O(|Q|·N) but embarrassingly parallel (each
+  *    corpus partition scores independently; the only shuffle is the final
+  *    per-query top-k, and partial top-k prunes it map-side).
+  *  - [[ivfTopK]]: IVF-style — corpus pre-assigned to nearest centroid;
+  *    a query probes only the `nprobe` nearest centroid buckets, cutting
+  *    scored candidates by ~|centroids|/nprobe. At 100 TB the assignment is
+  *    a write-time partition key, so probing prunes whole partitions.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine with precomputed norms (compute norms once per side, not per pair). */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param data    corpus: (`idCol`, `vecCol`)
+    * @param queries query set: (`idCol`, `vecCol`) — must be broadcastable
+    * @return (query_id, neighbor_id, rank, cosine) with rank 1..k by
+    *         (cosine desc, neighbor_id) — a total order, so results are
+    *         deterministic under ties.
+    */
+  def bruteForceTopK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = data.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("dv"))
+      .withColumn("dn", norm(col("dv")))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("dv"), col("qv"), col("dn"), col("qn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (IVF build step).
+    * Centroids must be small (broadcast); returns data + `centroid_id`.
+    * At scale this runs once at ingest and becomes the partition key.
+    */
+  def ivfAssign(data: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val v = data.withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__n", norm(col("__v")))
+    val scored = v.join(broadcast(cents), lit(true))
+      .withColumn("__sim", cosine(col("__v"), col("cv"), col("__n"), col("cn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "cv", "cn", "__v", "__n")
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroid buckets per query,
+    * exact-rerank within them. Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def ivfTopK(
+      assigned: DataFrame, // corpus with centroid_id (from ivfAssign)
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    // nearest nprobe centroids per query (small × small)
+    val qProbes = bruteForceTopK(
+      centroids.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .join(qProbes, "query_id")
+    val corpus = assigned.select(col(idCol).as("neighbor_id"), col("centroid_id"),
+      col(vecCol).cast("array<double>").as("dv"))
+      .withColumn("dn", norm(col("dv")))
+    // bucket-pruned join: only vectors in probed buckets get scored
+    val scored = corpus.join(broadcast(qs), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("dv"), col("qv"), col("dn"), col("qn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

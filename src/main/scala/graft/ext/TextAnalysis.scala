@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension surface,
+  * SURVEY.md §2.12): quality scoring, token counting, language ID,
+  * document fingerprinting. All expression-only (whole-stage codegen);
+  * every op is a narrow per-row map — zero shuffles, linear scale-out.
+  */
+object TextAnalysis {
+
+  /** Word-ish tokens: runs of letters/digits, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** BPE-ish subword count approximation: alnum runs count ceil(len/4)
+    * pieces (a 4-chars-per-token heuristic), punctuation runs count 1 each.
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val alnumPieces = aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0d).cast("long"))
+    val punct = size(filter(split(text, ""), c => c.rlike("[^A-Za-z0-9\\s]")))
+    (alnumPieces + punct.cast("long")).as("approx_bpe_tokens")
+  }
+
+  def wordCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0d)).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0d)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with",
+    "as", "by", "at", "be", "this", "that", "it", "from", "or", "are", "was")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val t = tokens(text)
+    val swCount = size(filter(t, x => x.isin(stopwords: _*)))
+    when(size(t) === 0, lit(0.0d))
+      .otherwise(swCount.cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, presence of
+    * stopwords, low punctuation density. A deterministic heuristic in the
+    * spirit of C4/Gopher quality filters (public recipes), not a model.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0d, lit(1.0d))
+    val swScore = least(stopwordRatio(text) * 4.0d, lit(1.0d))
+    val punctPenalty = greatest(lit(0.0d), lit(1.0d) - punctRatio(text) * 5.0d)
+    round((lenScore + swScore + punctPenalty) / 3.0d, 6)
+  }
+
+  /** Language-ID by marker-token voting: score = |tokens ∩ markers(lang)|
+    * per language; argmax wins, ties broken by language code, docs with no
+    * marker hit → "und". N-gram/stopword heuristics in the public-langid
+    * tradition; marker sets are deliberately tiny and auditable.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with", "this", "are"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "del", "las", "es"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "que", "sur", "avec"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val t = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(size(array_intersect(t, array(ms.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // struct max: by score then lang
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Order-insensitive (bag-of-words) fingerprint: md5 over sorted tokens —
+    * catches shuffled/near-identical docs that exact md5 misses.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+
+  /** 64-bit-ish polynomial rolling hash (mod 2^61-1 to stay in long range
+    * without ANSI overflow): h = Σ h*31 + ascii(char). Deterministic,
+    * locality-free content hash usable as a shard key.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(2305843009213693951L)))
+
+  /** One-call document profile used by pipeline pruning. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("word_count", wordCount(col(textCol)))
+      .withColumn("avg_word_len", avgWordLen(col(textCol)))
+      .withColumn("punct_ratio", punctRatio(col(textCol)))
+      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
+      .withColumn("quality_score", qualityScore(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

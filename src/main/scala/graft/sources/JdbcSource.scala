@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.expr.DateMacros
+import graft.spec.Specs.SqlResource
+
+/** SQL database source/sink — reference `etl_type='db'`
+  * (cubicerpetl/cubicerpetl.py:288-313 extract, :466-492 load).
+  *
+  * Reference behavior re-expressed:
+  *  - `sql_begin` / `sql_end` are side-effecting session statements around
+  *    the main query (:293-302). They are driver-side JDBC statements here —
+  *    NOT DataFrame ops — run once, not per executor.
+  *  - the main `sql_query` ships whole to the database (opaque pushdown,
+  *    :299-302) via the JDBC `query` option; date macros are substituted
+  *    first (:200-201). The reference's `%`-string interpolation of row
+  *    values into per-row DML (:479) is SQL injection by design — replaced
+  *    with batched `PreparedStatement` parameters in [[JdbcSink]]/Spark's
+  *    own JDBC writer.
+  *  - the reference loads one row per statement (:468-490); `df.write.jdbc`
+  *    batches per partition instead.
+  */
+object JdbcSource {
+
+  /** Run a side-effecting statement on the driver (sql_begin/sql_end). */
+  def execStatement(url: String, sql: String, props: Map[String, String] = Map.empty): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** Extract: begin → read query as DataFrame → end. */
+  def read(spark: SparkSession, res: SqlResource, jobDate: LocalDate): DataFrame = {
+    res.sqlBegin.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+    val reader = spark.read.format("jdbc")
+      .option("url", res.url)
+      .option("query", DateMacros.substitute(res.sqlQuery, jobDate))
+    val withProps = res.properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+    val df = withProps.load()
+    res.sqlEnd.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+    df
+  }
+
+  /** Load: append a DataFrame to a table with batched writes. */
+  def write(df: DataFrame, res: SqlResource, jobDate: LocalDate): Unit = {
+    res.sqlBegin.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+    val table = res.table.getOrElse(
+      throw new IllegalArgumentException("JdbcSource.write needs SqlResource.table"))
+    val p = new java.util.Properties()
+    res.properties.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode("append").option("batchsize", "1000").jdbc(res.url, table, p)
+    res.sqlEnd.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+  }
+}
