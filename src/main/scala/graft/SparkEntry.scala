@@ -1,13 +1,89 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{CoreQueries => C, ExtQueries => X}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface: q01–q20 cover reference parity
+  * (SURVEY.md §2 extract/transform/load, value mapping, domain filters,
+  * fixed-width/CSV/JDBC round-trips, upsert routing, log-state recovery),
+  * x01–x12 cover the extension surface (§2.12: dedup, similarity search,
+  * text analysis, event-time, multimodal). Each key has a DuckDB oracle in
+  * `oracleSql` unless the op is non-deterministically approximate
+  * (x06 simhash / x11 ivf — rows-only checks).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    C.q02TopOrders(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> (C.q01PricingSummary(_, _)),
+    "q02_top_orders"         -> (C.q02TopOrders(_, _)),
+    "q03_region_rollup"      -> (C.q03RegionRollup(_, _)),
+    "q04_value_mapping"      -> (C.q04ValueMapping(_, _)),
+    "q05_domain_filter"      -> (C.q05DomainFilter(_, _)),
+    "q06_transform_pipeline" -> (C.q06TransformPipeline(_, _)),
+    "q07_fixedwidth_render"  -> (C.q07FixedWidthRender(_, _)),
+    "q08_fixedwidth_roundtrip" -> (C.q08FixedWidthRoundtrip(_, _)),
+    "q09_csv_roundtrip"      -> (C.q09CsvRoundtrip(_, _)),
+    "q10_break_on"           -> (C.q10BreakOn(_, _)),
+    "q11_merge_insert"       -> (C.q11MergeInsert(_, _)),
+    "q12_merge_update"       -> (C.q12MergeUpdate(_, _)),
+    "q13_merge_noupdate"     -> (C.q13MergeNoUpdate(_, _)),
+    "q14_merge_onlyupdate"   -> (C.q14MergeOnlyUpdate(_, _)),
+    "q15_merge_delete"       -> (C.q15MergeDelete(_, _)),
+    "q16_log_state_recovery" -> (C.q16LogStateRecovery(_, _)),
+    "q17_date_macro"         -> (C.q17DateMacroFilter(_, _)),
+    "q18_rollup"             -> (C.q18Rollup(_, _)),
+    "q19_window_topk"        -> (C.q19WindowTopK(_, _)),
+    "q20_jdbc_roundtrip"     -> (C.q20JdbcRoundtrip(_, _)),
+    "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
+    "x02_text_profile"       -> (X.x02TextProfile(_, _)),
+    "x03_lang_id"            -> (X.x03LangId(_, _)),
+    "x04_minhash_pairs"      -> (X.x04MinhashPairs(_, _)),
+    "x05_ngram_jaccard_pairs" -> (X.x05NgramJaccardPairs(_, _)),
+    "x06_simhash_pairs"      -> (X.x06SimhashPairs(_, _)),
+    "x07_ann_bruteforce"     -> (X.x07AnnBruteForce(_, _)),
+    "x08_session_stats"      -> (X.x08SessionStats(_, _)),
+    "x09_tumbling_window"    -> (X.x09TumblingWindow(_, _)),
+    "x10_multimodal_meta"    -> (X.x10MultimodalMeta(_, _)),
+    "x11_ann_ivf"            -> (X.x11AnnIvf(_, _)),
+    "x12_embedding_pairs"    -> (X.x12EmbeddingPairs(_, _)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"    -> C.q01Sql,
+    "q02_top_orders"         -> C.q02Sql,
+    "q03_region_rollup"      -> C.q03Sql,
+    "q04_value_mapping"      -> C.q04Sql,
+    "q05_domain_filter"      -> C.q05Sql,
+    "q06_transform_pipeline" -> C.q06Sql,
+    "q07_fixedwidth_render"  -> C.q07Sql,
+    "q08_fixedwidth_roundtrip" -> C.q08Sql,
+    "q09_csv_roundtrip"      -> C.q09Sql,
+    "q10_break_on"           -> C.q10Sql,
+    "q11_merge_insert"       -> C.q11Sql,
+    "q12_merge_update"       -> C.q12Sql,
+    "q13_merge_noupdate"     -> C.q13Sql,
+    "q14_merge_onlyupdate"   -> C.q14Sql,
+    "q15_merge_delete"       -> C.q15Sql,
+    "q16_log_state_recovery" -> C.q16Sql,
+    "q17_date_macro"         -> C.q17Sql,
+    "q18_rollup"             -> C.q18Sql,
+    "q19_window_topk"        -> C.q19Sql,
+    "q20_jdbc_roundtrip"     -> C.q20Sql,
+    "x01_exact_dedup"        -> X.x01Sql,
+    "x02_text_profile"       -> X.x02Sql,
+    "x03_lang_id"            -> X.x03Sql,
+    "x04_minhash_pairs"      -> X.x04Sql,
+    "x05_ngram_jaccard_pairs" -> X.x05Sql,
+    "x07_ann_bruteforce"     -> X.x07Sql,
+    "x08_session_stats"      -> X.x08Sql,
+    "x09_tumbling_window"    -> X.x09Sql,
+    "x10_multimodal_meta"    -> X.x10Sql,
+    "x12_embedding_pairs"    -> X.x12Sql)
 }

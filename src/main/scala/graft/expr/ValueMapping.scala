@@ -30,7 +30,9 @@ object ValueMapping {
       if (spec.entries.isEmpty) lit(null).cast("string")
       else {
         val kvs = spec.entries.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
-        element_at(map(kvs: _*), src.cast("string"))
+        // try_element_at: missing key ⇒ null (plain element_at throws under
+        // ANSI mode, and "not in the dictionary" is a NORMAL case here)
+        try_element_at(map(kvs: _*), src.cast("string"))
       }
     val fallback = spec.default match {
       case Some(d) => lit(d)

@@ -38,11 +38,16 @@ object Dedup {
   /** Whitespace tokens, lowercased. */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles as array<string>. */
+  /** Distinct word n-gram shingles as array<string>. Docs shorter than n
+    * words yield an empty array (guard needed: Spark's `sequence(1, 0)`
+    * DESCENDS rather than being empty, which would feed slice() a 0 index).
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val w = words(text)
-    val count = greatest(size(w) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count), i => concat_ws(" ", slice(w, i, lit(n)))))
+    val count = size(w) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
   }
 
   /** Exact Jaccard similarity of two shingle arrays. */
@@ -52,6 +57,26 @@ object Dedup {
     when(union === 0d, lit(0d)).otherwise(inter / union)
   }
 
+  /** DISTINCT word n-gram shingles as ROWS `(id, s)` — the scalable twin of
+    * [[wordShingles]]. Higher-order functions (transform/aggregate) are
+    * CodegenFallback in Spark — interpreted, ~10ms/row on mid-size docs —
+    * so the hot path builds shingles relationally instead: explode words
+    * (codegen), window `lead` for the n-gram (one shuffle on id), then
+    * distinct-per-doc. The groupBy reuses the window's hash partitioning
+    * on id, so dedup adds NO extra shuffle; every stage is whole-stage
+    * codegen. Downstream per-id aggregations (minhash, sizes, collect)
+    * also reuse the same partitioning.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ws = df.select(col(idCol).as("id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNext = (1 until n).foldLeft(ws)((d, i) =>
+      d.withColumn(s"__w$i", lead(col("w"), i).over(byId)))
+    val parts = col("w") +: (1 until n).map(i => col(s"__w$i"))
+    val filtered = if (n > 1) withNext.filter(col(s"__w${n - 1}").isNotNull) else withNext
+    filtered.select(col("id"), concat_ws(" ", parts: _*).as("s")).distinct()
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature: k minimums of per-shingle seeded xxhash64. */
@@ -59,22 +84,35 @@ object Dedup {
     transform(sequence(lit(1), lit(k)),
       h => array_min(transform(shingles, s => xxhash64(s, h))))
 
-  /** LSH band keys: hash each r-row band of the signature. */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+  /** LSH band keys computed DIRECTLY from the shingle array: band b hashes
+    * its r minhashes, and each minhash sub-expression appears exactly once
+    * in the output expression tree. (The obvious alternative — slice() over
+    * a [[minhashSignature]] column from a previous projection — duplicates
+    * the whole signature computation into every band when the optimizer
+    * collapses projections: 32× recompute, observed 93s → ~2s on 500 docs.)
+    */
+  def minhashBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column = {
+    val mins = (0 until bands * rowsPerBand).map(h =>
+      array_min(transform(shingles, s => xxhash64(s, lit(h + 1)))))
     array((0 until bands).map(b =>
-      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand))): _*)
+      xxhash64(mins.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)): _*)
+  }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     *
-    * Pipeline: shingle → minhash(bands×rowsPerBand) → band-bucket self-join
-    * (the ONLY shuffle that touches pairs, and only same-bucket pairs) →
-    * distinct candidates → exact-Jaccard verify ≥ threshold.
+    * Pipeline: [[shingleRows]] → k=bands×rowsPerBand min-aggregated seeded
+    * hashes per doc (ONE groupBy(id) with k `min` columns — whole-stage
+    * codegen with map-side partial aggregation, reusing the shingle stage's
+    * id-partitioning so no extra shuffle) → band keys from the k mins →
+    * band-bucket self-join (the ONLY shuffle that touches pairs, and only
+    * same-bucket pairs) → distinct candidates → exact-Jaccard verify.
     *
     * Scale notes: bucket join keys are (band index, 64-bit band hash), so
     * candidate volume ≈ true-duplicate volume; rowsPerBand=2, bands=32
     * gives P(candidate | jaccard=s) = 1-(1-s²)³² — ≥ 1-4e-10 at s ≥ 0.7,
     * so recall at any verify threshold ≥ 0.7 is effectively exact.
-    * Shingle arrays ride along only into the final verify join.
+    * Shingle arrays are only materialized (collect_list) for the verify
+    * join against the (few) candidate pairs.
     */
   def minhashPairs(
       df: DataFrame,
@@ -84,18 +122,22 @@ object Dedup {
       bands: Int = 32,
       rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("bands", bandKeys(minhashSignature(col("sh"), bands * rowsPerBand), bands, rowsPerBand))
-    val buckets = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val k = bands * rowsPerBand
+    val posts = shingleRows(df, idCol, textCol, shingleN)
+    val minCols = (0 until k).map(h => min(xxhash64(col("s"), lit(h + 1))).as(s"__m$h"))
+    val sig = posts.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
+    val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val shArr = posts.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
     cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shArr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shArr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -116,10 +158,8 @@ object Dedup {
       shingleN: Int,
       threshold: Double,
       maxPostingLen: Long = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val posts = sh.select(col("id"), explode(col("sh")).as("s"))
+    val posts = shingleRows(df, idCol, textCol, shingleN)
+    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val kept = posts.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("__df") <= maxPostingLen).drop("__df")
     val inter = kept.as("a").join(kept.as("b"),
@@ -153,6 +193,22 @@ object Dedup {
     bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
   }
 
+  /** Relational SimHash: same fingerprint as [[simhash64]] but computed
+    * via explode + 64 codegen'd vote-sum aggregates (one shuffle on id,
+    * map-side partial aggregation) instead of 64 interpreted per-row
+    * `aggregate()` passes. Returns (id, fp).
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val h = xxhash64(col("w"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__v$b"))
+    val v = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(b => when(col(s"__v$b") > 0, lit(1L)).otherwise(lit(0L)))
+    val fp = bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+    v.select(col("id"), fp.as("fp"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist (default 3).
     * Blocking: split the 64-bit fingerprint into maxDist+1 chunks — by
     * pigeonhole, any pair within maxDist matches on ≥1 whole chunk, so
@@ -162,7 +218,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val f = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val f = simhashDf(df, idCol, textCol)
     val blocked = f.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map(i =>
         shiftrightunsigned(col("fp"), i * bitsPer)

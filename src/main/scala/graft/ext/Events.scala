@@ -20,26 +20,29 @@ object Events {
 
   /** Gap-based sessionization, batch form (gaps-and-islands): a new session
     * starts when the gap from the previous event of the same user exceeds
-    * `gapMinutes`. Shuffles once on user, then two in-partition window
-    * passes — the classic scalable form (each user's history must be
+    * `gap` (measured on `orderCol`, a NUMERIC epoch column — nanos, micros,
+    * seconds — so gap math is exact integer arithmetic, immune to timestamp
+    * truncation differences). Shuffles once on user, then two in-partition
+    * window passes — the classic scalable form (each user's history must be
     * co-partitioned; skewed users are the caveat, salting applies).
     */
-  def sessionizeBatch(df: DataFrame, userCol: String, tsCol: String, gapMinutes: Int): DataFrame = {
-    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val gapSec = gapMinutes * 60L
-    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+  def sessionizeBatch(df: DataFrame, userCol: String, orderCol: String, gap: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(orderCol))
+    df.withColumn("__prev", lag(col(orderCol), 1).over(byUser))
       .withColumn("__new_session",
-        when(col("__prev_ts").isNull ||
-          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSec, 1L)
+        when(col("__prev").isNull || col(orderCol) - col("__prev") > gap, 1L)
           .otherwise(0L))
       .withColumn("session_seq",
         sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("__prev_ts", "__new_session")
+      .drop("__prev", "__new_session")
   }
 
-  /** Per-session rollup on top of [[sessionizeBatch]]. */
-  def sessionStats(df: DataFrame, userCol: String, tsCol: String, gapMinutes: Int): DataFrame =
-    sessionizeBatch(df, userCol, tsCol, gapMinutes)
+  /** Per-session rollup on top of [[sessionizeBatch]]; `tsCol` is the
+    * display timestamp (min/max per session), `orderCol`/`gap` drive the
+    * gap logic.
+    */
+  def sessionStats(df: DataFrame, userCol: String, orderCol: String, gap: Long, tsCol: String): DataFrame =
+    sessionizeBatch(df, userCol, orderCol, gap)
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         min(col(tsCol)).as("session_start"),

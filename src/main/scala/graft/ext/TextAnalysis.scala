@@ -14,14 +14,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Count of punctuation characters (non-alnum, non-whitespace). */
+  def punctCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+
   /** BPE-ish subword count approximation: alnum runs count ceil(len/4)
-    * pieces (a 4-chars-per-token heuristic), punctuation runs count 1 each.
+    * pieces (a 4-chars-per-token heuristic), punctuation chars count 1 each.
     */
   def approxBpeTokenCount(text: Column): Column = {
     val alnumPieces = aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0d).cast("long"))
-    val punct = size(filter(split(text, ""), c => c.rlike("[^A-Za-z0-9\\s]")))
-    (alnumPieces + punct.cast("long")).as("approx_bpe_tokens")
+    alnumPieces + punctCharCount(text)
   }
 
   def wordCount(text: Column): Column = size(tokens(text)).cast("long")

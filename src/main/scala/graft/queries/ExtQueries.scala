@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
+  * text analysis, event-time windows, multimodal plumbing — each with a
+  * DuckDB oracle unless the op is inherently approximate (x06/x11: the
+  * blocking key depends on xxhash64, which DuckDB can't replicate — those
+  * get rows-only checks).
+  *
+  * Determinism conventions shared with the oracles:
+  *  - ratios are single divisions of exactly-computed integer counts
+  *    (bit-identical across engines);
+  *  - cosines are rounded to 6 dp AFTER identical-order double arithmetic;
+  *  - event time is integer NANOSECONDS (`spark.sql.legacy.parquet
+  *    .nanosAsLong=true` — Spark 4 can't read parquet TIMESTAMP(NANOS)
+  *    natively, and integers make gap/bucket math exact in both engines).
+  */
+object ExtQueries {
+
+  import CoreQueries.t
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // --- x01: exact-duplicate clusters via normalized content fingerprint --
+  def x01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(
+      t(spark, dir, "documents"),
+      TextAnalysis.fingerprint(col("text")),
+      col("doc_id"))
+
+  val x01Sql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dup_key,
+       min(doc_id) AS keeper_id, count(*) AS dup_count
+       FROM documents GROUP BY 1"""
+
+  // --- x02: text quality profile (counts, ratios, fingerprint) ----------
+  def x02TextProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("word_count"),
+      TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val x02Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents)
+       SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS word_count,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_word_len,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','from','or','are','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+       FROM t"""
+
+  // --- x03: language ID by marker voting --------------------------------
+  def x03LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val x03Sql: String =
+    """WITH t AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents),
+       sc AS (
+         SELECT doc_id, 'en' AS lang, len(list_filter(['the','and','of','to','is','that','for','with','this','are'], m -> list_contains(toks, m))) AS score FROM t
+         UNION ALL SELECT doc_id, 'es', len(list_filter(['el','la','de','que','los','una','por','del','las','es'], m -> list_contains(toks, m))) FROM t
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(['le','les','des','une','est','dans','pour','que','sur','avec'], m -> list_contains(toks, m))) FROM t
+         UNION ALL SELECT doc_id, 'de', len(list_filter(['der','die','das','und','ist','nicht','mit','ein','für','auf'], m -> list_contains(toks, m))) FROM t
+         UNION ALL SELECT doc_id, 'zh', 0 FROM t),
+       r AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+       SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+       FROM r WHERE rn = 1"""
+
+  // --- x04: MinHash+LSH near-dup pairs (verified with exact Jaccard) ----
+  // The oracle is the EXACT all-pairs Jaccard (inverted index) — valid
+  // because at threshold 0.7 with 32 bands × 2 rows the per-pair miss
+  // probability is (1-s²)^32 ≤ 1e-23 for the fixture's s ≥ 0.9 dup pairs.
+  def x04MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+
+  private def jaccardOracle(n: Int, threshold: Double): String = {
+    val sliceHi = n - 1
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - $sliceHi, 0) + 1), i -> array_to_string(ws[i:i+$sliceHi], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+       SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+       FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+       WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= $threshold"""
+  }
+
+  val x04Sql: String = jaccardOracle(3, 0.7)
+
+  // --- x05: exact n-gram Jaccard pairs (inverted index) ------------------
+  // 4-grams, not bigrams: the fixture vocabulary is ~30 words, so the
+  // bigram universe is ~900 keys and every posting list is huge (the
+  // inverted-index join would be quadratic); 4-gram postings are sparse.
+  def x05NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 4, threshold = 0.5, maxPostingLen = 1000000L)
+
+  val x05Sql: String = jaccardOracle(4, 0.5)
+
+  // --- x06: SimHash near-dup pairs (xxhash64-based — rows-only check) ----
+  def x06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
+
+  // --- x07: brute-force ANN top-k over embeddings ------------------------
+  def x07AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(data, data.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val x07Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.ve[i])) / (q.qn * c.nrm) AS cos
+         FROM n c JOIN q ON c.vec_id <> q.query_id),
+       r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"""
+
+  // --- x08: gap sessionization over the events feed ----------------------
+  // ts is LONG nanos (see class doc) but the math runs on MICROS, because
+  // DuckDB truncates parquet TIMESTAMP(NANOS) to µs on read — `ts div 1000`
+  // here ≡ `epoch_us(ts)` there (both truncate toward zero for positives).
+  def x08SessionStats(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(
+      t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", gap = 30L * 60 * 1000000L, tsCol = "ts_us")
+
+  val x08Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800000000
+              THEN 1 ELSE 0 END AS ns FROM x),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              min(e) AS session_start, max(e) AS session_end,
+              count(*) AS n_events
+       FROM g GROUP BY user_id, session_seq"""
+
+  // --- x09: tumbling event-time window (hour buckets, exact int math) ----
+  def x09TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+
+  val x09Sql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  // --- x10: multimodal metadata over an opaque binary column -------------
+  def x10MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMeta(
+      t(spark, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+      "blob")
+      .select(col("doc_id"), col("byte_len"), col("digest"), col("magic"))
+
+  val x10Sql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS digest,
+       upper(substr(hex(encode(text)), 1, 8)) AS magic
+       FROM documents"""
+
+  // --- x11: IVF-style ANN (bucket-pruned; approximate — rows-only) -------
+  def x11AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val centroids = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, centroids, "vec_id", "embedding")
+    Similarity.ivfTopK(assigned, centroids, data.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10, nprobe = 3)
+  }
+
+  // --- x12: embedding cosine near-dup pairs within label blocks ----------
+  def x12EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      blockKey = col("label"), threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  val x12Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, label, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i])) / (a.nrm * b.nrm) AS cos
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4"""
+}

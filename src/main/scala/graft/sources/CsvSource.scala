@@ -22,7 +22,9 @@ object CsvSource {
         case "long" => "long"
         case "double" => "double"
         case "date" => "date"
-        case "timestamp" => "timestamp"
+        // engine-internal timestamps are NTZ with a pinned-UTC session
+        // (SURVEY.md §7.4 timezone rule; matches parquet fixtures)
+        case "timestamp" => "timestamp_ntz"
       }
       s"${c.outName} $dt"
     }
@@ -36,6 +38,7 @@ object CsvSource {
       .option("header", dialect.header.toString)
       .option("encoding", dialect.encoding)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
       .schema(schemaOf(cols))
       .csv(path)
 
@@ -46,6 +49,7 @@ object CsvSource {
       .option("header", dialect.header.toString)
       .option("encoding", dialect.encoding)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
       .mode("overwrite")
       .csv(path)
 }

@@ -36,15 +36,28 @@ object FixedWidth {
     stripped.as(c.outName)
   }
 
-  /** Cast a parsed (string) field to its declared logical type. */
-  def typed(c: Column, fw: FwColumn): Column = fw.dataType match {
-    case "string" => c
-    case "int"    => c.cast("int")
-    case "long"   => c.cast("long")
-    case "double" => c.cast("double")
-    case "date"   => to_date(c, fw.format.getOrElse("yyyy-MM-dd"))
-    case "timestamp" => to_timestamp(c, fw.format.getOrElse("yyyy-MM-dd HH:mm:ss"))
-    case other => throw new IllegalArgumentException(s"fw type: $other")
+  /** Cast a parsed (string) field to its declared logical type.
+    * Numeric edge: a zero-filled right-justified field whose VALUE is zero
+    * strips to "" — restore the zero; otherwise empty ⇒ null (nullif keeps
+    * ANSI-mode casts from throwing on blank fields).
+    */
+  def typed(c: Column, fw: FwColumn): Column = {
+    def num(target: String): Column = {
+      val base =
+        if (fw.align == "rjust" && fw.fillChar == "0")
+          when(c === "", lit("0")).otherwise(c)
+        else nullif(c, lit(""))
+      base.cast(target)
+    }
+    fw.dataType match {
+      case "string" => c
+      case "int"    => num("int")
+      case "long"   => num("long")
+      case "double" => num("double")
+      case "date"   => to_date(nullif(c, lit("")), fw.format.getOrElse("yyyy-MM-dd"))
+      case "timestamp" => to_timestamp(nullif(c, lit("")), fw.format.getOrElse("yyyy-MM-dd HH:mm:ss"))
+      case other => throw new IllegalArgumentException(s"fw type: $other")
+    }
   }
 
   /** Parse fixed-width lines into typed columns.
