@@ -37,14 +37,23 @@ object Similarity {
     *         (cosine desc, neighbor_id) — a total order, so results are
     *         deterministic under ties.
     */
-  def bruteForceTopK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    topK(data, queries, idCol, vecCol, k, excludeSelf = true)
+
+  /** Core scored top-k; `excludeSelf=false` keeps pairs with equal ids —
+    * needed when the two id spaces are unrelated (e.g. centroid probing,
+    * where centroid ids incidentally collide with query ids).
+    */
+  private def topK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, excludeSelf: Boolean): DataFrame = {
     val corpus = data.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("dv"))
       .withColumn("dn", norm(col("dv")))
     val qs = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+    val joinCond = if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
+    val scored = corpus.join(broadcast(qs), joinCond)
       .withColumn("cosine", cosine(col("dv"), col("qv"), col("dn"), col("qn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -80,10 +89,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
-    // nearest nprobe centroids per query (small × small)
-    val qProbes = bruteForceTopK(
+    // nearest nprobe centroids per query (small × small; NO self-id
+    // exclusion — centroid ids and query ids are different namespaces)
+    val qProbes = topK(
       centroids.select(col(idCol), col(vecCol)),
-      queries.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe,
+      excludeSelf = false)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
     val qs = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))

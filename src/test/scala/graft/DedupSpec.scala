@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Dedup operators: shingles, MinHash/LSH recall, SimHash, exact paths. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different text with nothing shared whatsoever here friends"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "short doc"))
+    .toDF("doc_id", "text")
+
+  test("shingleRows matches wordShingles (relational vs HOF formulation)") {
+    for (n <- Seq(1, 2, 3)) {
+      val rel = Dedup.shingleRows(docs, "doc_id", "text", n)
+        .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
+      val hof = docs.select(col("doc_id").as("id"),
+        sort_array(Dedup.wordShingles(col("text"), n)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      assert(sortedRows(rel) == sortedRows(hof), s"n=$n")
+    }
+  }
+
+  test("shingleRows: docs shorter than n yield no rows") {
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    assert(!sh.select("id").as[Long].collect().contains(5L) ||
+      sh.filter(col("id") === 5L).count() == 0)
+    val sh5 = Dedup.shingleRows(Seq((9L, "one two")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(sh5.count() == 0)
+  }
+
+  test("exact dedup keeps deterministic keeper") {
+    val out = Dedup.exact(docs, Seq("text"), col("doc_id"))
+    assert(out.count() == 4)
+    assert(out.filter(col("text").contains("today")).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val clusters = Dedup.exactClusters(docs, col("text"), col("doc_id"))
+    assert(clusters.filter(col("dup_count") === 2).select("keeper_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("minhash pairs finds near+exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 2,
+      bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash agrees with exact ngram jaccard on the fixture") {
+    val fix = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mh = Dedup.minhashPairs(fix, "doc_id", "text", shingleN = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(fix, "doc_id", "text", 3, 0.7, 1000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == exact)
+  }
+
+  test("simhashDf matches the per-row simhash64 expression") {
+    val rel = Dedup.simhashDf(docs, "doc_id", "text")
+    val hof = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("fp"))
+    assert(sortedRows(rel) == sortedRows(hof))
+  }
+
+  test("simhash pairs: exact dup at hamming 0; blocking finds it") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+  }
+
+  test("ngram jaccard posting cutoff drops ubiquitous shingles") {
+    val rep = Seq(
+      (1L, "x x x x x x"), (2L, "x x x x x x"), (3L, "x x x x x x"))
+      .toDF("doc_id", "text")
+    // every 1-gram posting has length 3 > maxPostingLen=2 → no candidates
+    val none = Dedup.ngramJaccardPairs(rep, "doc_id", "text", 1, 0.1, maxPostingLen = 2)
+    assert(none.count() == 0)
+  }
+
+  test("embedding pairs within blocks honor the threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(-1.0f, 0.0f), "a"), (4L, Array(1.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "blk")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", col("blk"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 is opposite, 4 is another block
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Events, Multimodal, Similarity, TextAnalysis}
+
+/** Similarity search, text analysis, event-time, multimodal plumbing. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ similarity
+
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.8f, 0.2f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 4L, 2L)) // by cosine desc: 0.994, 0.970, 0.0
+  }
+
+  test("ivf with all centroids probed equals brute force") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val assigned = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding")
+    assert(assigned.count() == 5)
+    val ivf = Similarity.ivfTopK(assigned, centroids, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == bf)
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  test("text metrics on a crafted doc") {
+    val df = Seq("The quick brown fox, it jumps!").toDF("text").select(
+      TextAnalysis.wordCount(col("text")).as("wc"),
+      TextAnalysis.punctCharCount(col("text")).as("pc"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.bagFingerprint(col("text")).as("bfp"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 6)
+    assert(r.getLong(1) == 2) // comma + bang
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // the, it
+    assert(r.getString(3).length == 32)
+  }
+
+  test("bag fingerprint is word-order insensitive, exact fingerprint is not") {
+    val df = Seq(("alpha beta gamma", "gamma beta alpha")).toDF("a", "b")
+    val r = df.select(
+      (TextAnalysis.bagFingerprint(col("a")) === TextAnalysis.bagFingerprint(col("b"))).as("bagEq"),
+      (TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b"))).as("exactEq"))
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("language id votes with deterministic tie-break and und fallback") {
+    val df = Seq(
+      ("d1", "the cat and the dog is that for with this are"),
+      ("d2", "el la de que los una por del las es"),
+      ("d3", "zzz qqq www")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+    assert(sortedRows(out) == Seq(Seq("d1", "en"), Seq("d2", "es"), Seq("d3", "und")))
+  }
+
+  test("quality score is bounded and favors clean prose") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and runs to the hills " * 8),
+      ("junk", "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))")).toDF("id", "text")
+    val m = df.select(col("id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("clean") > 0.8 && m("junk") < 0.4)
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // ------------------------------------------------------------- event time
+
+  test("gap sessionization splits on gap, counts events") {
+    // user 1: events at 0s, 60s, 4000s, 4030s (gap 1800s) → 2 sessions
+    val ev = Seq((1L, 0L), (1L, 60L), (1L, 4000L), (1L, 4030L), (2L, 10L))
+      .toDF("user_id", "ts")
+    val out = Events.sessionStats(ev, "user_id", "ts", gap = 1800L, tsCol = "ts")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set((1L, 1L, 0L, 60L, 2L), (1L, 2L, 4000L, 4030L, 2L), (2L, 1L, 10L, 10L, 1L)))
+  }
+
+  test("session_window streaming twin aggregates per gap session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L))
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Events.sessionWindowed(df, "user_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM sess_test").collect().head.getLong(0)
+      assert(n == 2) // two sessions for user 1
+    } finally q.stop()
+  }
+
+  test("props JSON extraction") {
+    val df = Seq("""{"k": 42}""").toDF("props")
+      .select(Events.propsField(col("props"), "k").as("k"))
+    assert(rowsOf(df) == Seq(Seq("42")))
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("binary metadata: byte_len, digest, magic") {
+    val df = Seq(("a", Array[Byte](0x25, 0x50, 0x44, 0x46, 0x2d))).toDF("id", "blob")
+    val out = Multimodal.withMeta(df, "blob").select("byte_len", "magic").collect().head
+    assert(out.getLong(0) == 5L)
+    assert(out.getString(1) == "25504446") // %PDF
+  }
+
+  test("decode stub emits deterministic features per blob") {
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaBlob(1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)))
+      .toDS()
+    val out = Multimodal.decodeStub(ds).collect().head
+    assert(out.byte_len == 8L && out.features.length == 4)
+    assert(out.features(0) == (1 + 5) / 8.0)
+  }
+
+  test("frame sampling explodes every nth frame with byte slices") {
+    val blob = Array.tabulate[Byte](10)(_.toByte)
+    val df = Seq((1L, blob)).toDF("id", "blob")
+    val frames = Multimodal.sampleFrames(df, "blob", frameBytes = 4, everyNth = 2)
+    val idx = frames.select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(idx == Seq(0, 2)) // frames 0,1,2 exist; every 2nd → 0 and 2
+    val f0 = frames.filter(col("frame_idx") === 0).select("frame_bytes").as[Array[Byte]].collect().head
+    assert(f0.toSeq == Seq[Byte](0, 1, 2, 3))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.FixedWidthSink
+import graft.sources.{CsvSource, FixedWidth}
+import graft.spec.Specs.{CsvDialect, FwColumn}
+
+/** Fixed-width + CSV parse/render round-trips through real files. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cols = Seq(
+    FwColumn("id", position = 1, length = 6, align = "rjust", fillChar = "0", dataType = "long"),
+    FwColumn("name", position = 7, length = 10),
+    FwColumn("amt", position = 17, length = 8, align = "rjust", dataType = "double"),
+    FwColumn("d", position = 25, length = 10, dataType = "date"))
+
+  val data = Seq(
+    (7L, "alpha", 12.5, "2024-01-02"),
+    (0L, "beta x", 0.25, "2024-11-30"),
+    (123456L, "truncatedname", 99.0, "2024-06-15"))
+    .toDF("id", "name", "amt", "d")
+    .withColumn("d", col("d").cast("date"))
+
+  test("fixed-width render: alignment, fill, truncation, gaps") {
+    val lines = FixedWidth.renderLines(data, cols).as[String].collect()
+    assert(lines(0) == "000007alpha         12.52024-01-02")
+    assert(lines(1) == "000000beta x        0.252024-11-30")
+    // name truncated to 10 chars
+    assert(lines(2) == "123456truncatedn    99.02024-06-15")
+  }
+
+  test("fixed-width file round-trip with header/footer lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString + "/out"
+    val hCols = Seq(FwColumn("id", fieldName = Some("first_id"), position = 1, length = 6,
+      align = "rjust", fillChar = "0", dataType = "long"))
+    val fCols = Seq(FwColumn("id", fieldName = Some("last_id"), position = 1, length = 6,
+      align = "rjust", fillChar = "0", dataType = "long"))
+    FixedWidthSink.write(data, dir, cols, orderCol = "id",
+      headerCols = hCols.map(_.copy(fieldName = None)),
+      footerCols = fCols.map(_.copy(fieldName = None)))
+    val back = FixedWidth.readFile(spark, dir, cols, hCols, fCols)
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "name", "amt", "d", "first_id", "last_id"))
+    assert(back.select("first_id").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(back.select("last_id").distinct().as[Long].collect().toSeq == Seq(123456L))
+    val ids = back.select("id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(0L, 7L, 123456L))
+  }
+
+  test("fixed-width parse: zero-filled zero value and center align") {
+    val c = Seq(FwColumn("v", position = 1, length = 5, align = "center", fillChar = "*"))
+    val lines = Seq(("*ab**", 0L)).toDF("value", "__line_no")
+    val parsed = FixedWidth.parseLines(lines, c).drop("__line_no")
+    assert(rowsOf(parsed) == Seq(Seq("ab")))
+    val zc = Seq(FwColumn("n", position = 1, length = 4, align = "rjust", fillChar = "0", dataType = "long"))
+    val zl = Seq(("0000", 0L)).toDF("value", "__line_no")
+    assert(rowsOf(FixedWidth.parseLines(zl, zc).drop("__line_no")) == Seq(Seq(0L)))
+  }
+
+  test("csv round-trip with custom dialect (sep/quote/no header)") {
+    val dialect = CsvDialect(separator = ";", quote = "'", header = false)
+    val schema = Seq(
+      FwColumn("id", dataType = "long"),
+      FwColumn("txt", dataType = "string"),
+      FwColumn("amt", dataType = "double"))
+    val df = Seq((1L, "has;sep", 1.5), (2L, "plain", 2.5)).toDF("id", "txt", "amt")
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    CsvSource.write(df, path, dialect)
+    val back = CsvSource.read(spark, path, dialect, schema)
+    assert(sortedRows(back) == Seq(Seq(1L, "has;sep", 1.5), Seq(2L, "plain", 2.5)))
+  }
+}
