@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd dot product (custom expression —
+    * [[org.apache.spark.sql.graftfn.DotProductF64]]); the HOF spelling
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` is orders of magnitude
+    * slower (CodegenFallback) with identical results.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graftfn.VectorExpressions.dotProduct(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
