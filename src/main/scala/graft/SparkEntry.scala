@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries => C, ExtQueries => X}
+import graft.queries.{CoreQueries => C, ExtQueries => X, SurfaceQueries => S}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,10 @@ object SparkEntry {
     "q18_rollup"             -> (C.q18Rollup(_, _)),
     "q19_window_topk"        -> (C.q19WindowTopK(_, _)),
     "q20_jdbc_roundtrip"     -> (C.q20JdbcRoundtrip(_, _)),
+    "q21_inline_payload"     -> (S.q21InlinePayload(_, _)),
+    "q22_row_defaults"       -> (S.q22RowDefaults(_, _)),
+    "q23_csv_sink_lines"     -> (S.q23CsvSinkLines(_, _)),
+    "q24_runner_routing"     -> (S.q24RunnerRouting(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -76,6 +80,10 @@ object SparkEntry {
     "q18_rollup"             -> C.q18Sql,
     "q19_window_topk"        -> C.q19Sql,
     "q20_jdbc_roundtrip"     -> C.q20Sql,
+    "q21_inline_payload"     -> S.q21Sql,
+    "q22_row_defaults"       -> S.q22Sql,
+    "q23_csv_sink_lines"     -> S.q23Sql,
+    "q24_runner_routing"     -> S.q24Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,

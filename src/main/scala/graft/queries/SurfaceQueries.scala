@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.runner.JobRunner
+import graft.sinks.{CsvSink, MergeRouter}
+import graft.sources.InlinePayload
+import graft.spec.Specs._
+
+/** Driver-gated queries for the orchestration + payload surfaces added on
+  * top of CoreQueries: inline base64 payloads (S6), row defaults (S8),
+  * CSV sink layout (K2), and the JobRunner end-to-end path (§3.1).
+  */
+object SurfaceQueries {
+
+  import CoreQueries.t
+
+  // --- q21: inline base64 payload parse (reference online-job input) -----
+  def q21InlinePayload(spark: SparkSession, dir: String): DataFrame = {
+    // The payload arrives on the driver by definition (job['input_file']);
+    // here it is built from the nation table for a self-contained check.
+    val rows = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+      .collect()
+      .map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}")
+    val payload = java.util.Base64.getEncoder.encodeToString(
+      ("key|name|region\n" + rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    InlinePayload.readCsv(spark, payload,
+      Seq(FwColumn("n_nationkey", dataType = "int"), FwColumn("n_name"),
+        FwColumn("n_regionkey", dataType = "int")),
+      CsvDialect(separator = "|", header = true))
+  }
+
+  val q21Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  // --- q22: row defaults (S8: defaults seed, data wins) -------------------
+  def q22RowDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val masked = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio"))
+    InlinePayload.withRowDefaults(masked, Map("prio" -> "DEFAULTED", "batch_tag" -> "B1"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'DEFAULTED' ELSE o_orderpriority END AS prio,
+       'B1' AS batch_tag
+       FROM orders"""
+
+  // --- q23: CSV sink layout (K2: writeheader + forced + header/footer) ----
+  def q23CsvSinkLines(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    CsvSink.assemble(df,
+      Seq(FwColumn("o_orderkey"), FwColumn("o_orderstatus"), FwColumn("tag", forced = Some("T"))),
+      CsvDialect(header = true), orderCol = "o_orderkey",
+      headerCols = Seq(FwColumn("o_orderkey")),
+      footerCols = Seq(FwColumn("o_orderkey")))
+      .select(col("value"))
+  }
+
+  val q23Sql: String =
+    """SELECT 'o_orderkey,o_orderstatus,tag' AS value
+       UNION ALL SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders
+       UNION ALL SELECT CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',T' FROM orders
+       UNION ALL SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders"""
+
+  // --- q24: JobRunner end-to-end routing (extract→transform→route) --------
+  def q24RunnerRouting(spark: SparkSession, dir: String): DataFrame = {
+    val job = JobSpec(
+      name = "orders_job",
+      date = java.time.LocalDate.of(1998, 6, 15),
+      extract = Left(FileResource(s"$dir/orders.parquet", "parquet")),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("o_orderkey", fieldName = Some("okey"), fieldType = "int"),
+          FieldSpec("o_orderdate", fieldName = Some("odate"), fieldType = "date"),
+          FieldSpec("o_totalprice", fieldName = Some("price"), fieldType = "float")),
+        reprocess = ReprocessMode.NoUpdate,
+        pkField = Some("o_orderkey")))
+    val res = JobRunner.run(spark, job, logPath = None)
+    // no log state → everything inserts; project a stable column set
+    res.routed.select(col("okey"), col("odate"), col("price"),
+      col(MergeRouter.ActionCol).as("action"))
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey AS okey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       o_totalprice AS price, 'insert' AS action FROM orders"""
+}
