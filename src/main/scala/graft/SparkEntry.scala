@@ -43,6 +43,9 @@ object SparkEntry {
     "q22_row_defaults"       -> (S.q22RowDefaults(_, _)),
     "q23_csv_sink_lines"     -> (S.q23CsvSinkLines(_, _)),
     "q24_runner_routing"     -> (S.q24RunnerRouting(_, _)),
+    "q25_connector_extract"  -> (S.q25ConnectorExtract(_, _)),
+    "q26_hook_pipeline"      -> (S.q26HookPipeline(_, _)),
+    "q27_dbf_roundtrip"      -> (S.q27DbfRoundtrip(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -54,7 +57,11 @@ object SparkEntry {
     "x09_tumbling_window"    -> (X.x09TumblingWindow(_, _)),
     "x10_multimodal_meta"    -> (X.x10MultimodalMeta(_, _)),
     "x11_ann_ivf"            -> (X.x11AnnIvf(_, _)),
-    "x12_embedding_pairs"    -> (X.x12EmbeddingPairs(_, _)))
+    "x12_embedding_pairs"    -> (X.x12EmbeddingPairs(_, _)),
+    "x13_sliding_window"     -> (X.x13SlidingWindow(_, _)),
+    "x14_term_frequency"     -> (X.x14TermFrequency(_, _)),
+    "x15_source_cube"        -> (X.x15SourceCube(_, _)),
+    "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -84,6 +91,9 @@ object SparkEntry {
     "q22_row_defaults"       -> S.q22Sql,
     "q23_csv_sink_lines"     -> S.q23Sql,
     "q24_runner_routing"     -> S.q24Sql,
+    "q25_connector_extract"  -> S.q25Sql,
+    "q26_hook_pipeline"      -> S.q26Sql,
+    "q27_dbf_roundtrip"      -> S.q27Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,
@@ -93,5 +103,9 @@ object SparkEntry {
     "x08_session_stats"      -> X.x08Sql,
     "x09_tumbling_window"    -> X.x09Sql,
     "x10_multimodal_meta"    -> X.x10Sql,
-    "x12_embedding_pairs"    -> X.x12Sql)
+    "x12_embedding_pairs"    -> X.x12Sql,
+    "x13_sliding_window"     -> X.x13Sql,
+    "x14_term_frequency"     -> X.x14Sql,
+    "x15_source_cube"        -> X.x15Sql,
+    "x16_ivf_assign"         -> X.x16Sql)
 }

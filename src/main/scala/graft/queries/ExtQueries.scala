@@ -208,4 +208,75 @@ object ExtQueries {
            list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i])) / (a.nrm * b.nrm) AS cos
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
        SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4"""
+
+  // --- x13: sliding event-time window (2h window, 1h slide) ---------------
+  // Spark's window() needs a timestamp: reconstruct µs timestamps from the
+  // long nanos, emit window starts back as integer µs for exact compare.
+  def x13SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_t"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("n_events"), col("total_value"))
+
+  val x13Sql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS eus, value FROM events),
+       b AS (
+         SELECT (eus // 3600000000) * 3600000000 AS win_start, value FROM e
+         UNION ALL
+         SELECT ((eus // 3600000000) - 1) * 3600000000 AS win_start, value FROM e)
+       SELECT win_start, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM b GROUP BY 1"""
+
+  // --- x14: term frequency — top-5 terms per source (explode+topk) --------
+  def x14TermFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+  }
+
+  val x14Sql: String =
+    """WITH toks AS (SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       FROM documents),
+       c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       r AS (SELECT source, term, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk FROM c)
+       SELECT source, term, cnt, rnk FROM r WHERE rnk <= 5"""
+
+  // --- x15: CUBE rollup over (lang, source) -------------------------------
+  def x15SourceCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  val x15Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY CUBE (lang, source)"""
+
+  // --- x16: IVF assignment (the ANN build step, fully oracled) ------------
+  def x16IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val centroids = data.filter(col("vec_id") % 50 === 0)
+    Similarity.ivfAssign(data, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  val x16Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       c AS (SELECT vec_id AS centroid_id, ve AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       s AS (SELECT n.vec_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(n.ve) + 1), i -> n.ve[i] * c.cv[i])) / (n.nrm * c.cn) AS sim
+         FROM n CROSS JOIN c),
+       r AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
+       SELECT vec_id, centroid_id FROM r WHERE rn = 1"""
 }

@@ -88,4 +88,64 @@ object SurfaceQueries {
   val q24Sql: String =
     """SELECT o_orderkey AS okey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
        o_totalprice AS price, 'insert' AS action FROM orders"""
+
+  // --- q25: connector extract with pushed domain + projection (S5/F1) -----
+  def q25ConnectorExtract(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_model")
+    val job = JobSpec(
+      name = "connector_job",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Right(ConnectorResource(
+        model = "orders_model",
+        domain = Seq("&",
+          graft.expr.OdooDomain.Term("o_orderstatus", "=", "F"),
+          graft.expr.OdooDomain.Term("o_totalprice", ">", 200000.0)),
+        fields = Seq("o_orderkey", "o_orderstatus", "o_totalprice"))),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("o_orderkey", fieldType = "int"),
+          FieldSpec("o_orderstatus"),
+          FieldSpec("o_totalprice", fieldType = "float")),
+        pkField = Some("o_orderkey")))
+    JobRunner.run(spark, job, None).routed
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  val q25Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0"""
+
+  // --- q26: prev/post hook surface (§2.9 — Scala DataFrame hooks) ----------
+  def q26HookPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Transformer
+    val spec = TransformSpec(Seq(
+      FieldSpec("o_orderkey", fieldName = Some("okey"), fieldType = "int"),
+      FieldSpec("o_orderpriority", fieldName = Some("prio"))))
+    Transformer.withHooks(t(spark, dir, "orders"), spec,
+      prev = df => df.filter(col("o_orderkey") % 7 === 0), // continue_on analogue
+      post = df => df.withColumn("hooked", upper(col("prio"))))
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderkey AS okey, o_orderpriority AS prio,
+       upper(o_orderpriority) AS hooked
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
+  // --- q27: DBF round-trip (S3/K3, from-scratch dBase III) -----------------
+  def q27DbfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dbf
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft/dbf_$tag.dbf"
+    new java.io.File("/tmp/graft").mkdirs()
+    // DBF field names are 10 chars max (dBase III descriptor layout) —
+    // use short aliases rather than silently truncating.
+    Dbf.write(t(spark, dir, "nation")
+      .select(col("n_nationkey").as("nkey"), col("n_name").as("nname"),
+        col("n_regionkey").as("rkey")), path, charLen = 32)
+    Dbf.read(spark, path)
+  }
+
+  val q27Sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+       CAST(n_regionkey AS BIGINT) AS rkey FROM nation"""
 }
