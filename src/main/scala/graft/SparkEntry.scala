@@ -61,7 +61,8 @@ object SparkEntry {
     "x13_sliding_window"     -> (X.x13SlidingWindow(_, _)),
     "x14_term_frequency"     -> (X.x14TermFrequency(_, _)),
     "x15_source_cube"        -> (X.x15SourceCube(_, _)),
-    "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)))
+    "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)),
+    "x17_asof_join"          -> (X.x17AsofJoin(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -107,5 +108,6 @@ object SparkEntry {
     "x13_sliding_window"     -> X.x13Sql,
     "x14_term_frequency"     -> X.x14Sql,
     "x15_source_cube"        -> X.x15Sql,
-    "x16_ivf_assign"         -> X.x16Sql)
+    "x16_ivf_assign"         -> X.x16Sql,
+    "x17_asof_join"          -> X.x17Sql)
 }

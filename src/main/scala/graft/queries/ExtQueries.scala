@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -279,4 +279,23 @@ object ExtQueries {
        r AS (SELECT vec_id, centroid_id,
              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s)
        SELECT vec_id, centroid_id FROM r WHERE rn = 1"""
+
+  // --- x17: as-of join — each event to the user's latest signup ≤ t -------
+  // (union+window formulation, AsofJoin; µs domain for DuckDB parity)
+  def x17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    AsofJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts_us")),
+      signups, keyCol = "user_id", leftTs = "ts_us", rightTs = "ts_us",
+      rightCols = Map("event_id" -> "signup_event_id", "ts_us" -> "signup_ts"))
+  }
+
+  val x17Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+       s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'signup')
+       SELECT e.event_id, e.user_id, e.ts_us,
+              s.event_id AS signup_event_id, s.ts_us AS signup_ts
+       FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts_us >= s.ts_us"""
 }
