@@ -4,12 +4,14 @@ import graft.queries.{CoreQueries => C, ExtQueries => X, SurfaceQueries => S}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the full operator surface: q01–q20 cover reference parity
-  * (SURVEY.md §2 extract/transform/load, value mapping, domain filters,
-  * fixed-width/CSV/JDBC round-trips, upsert routing, log-state recovery),
-  * x01–x12 cover the extension surface (§2.12: dedup, similarity search,
-  * text analysis, event-time, multimodal). Each key has a DuckDB oracle in
-  * `oracleSql` unless the op is non-deterministically approximate
+  * `queries` is the full operator surface: q01–q29 cover reference parity
+  * (SURVEY.md §2: extract/transform/load, value mapping, domain filters,
+  * fixed-width/CSV/JDBC/DBF round-trips, upsert routing, log-state
+  * recovery, inline payloads, row defaults, runner orchestration, hooks,
+  * xml_id + name-search FK resolution), x01–x18 cover the extension
+  * surface (§2.12: dedup, similarity search, text analysis, event-time
+  * incl. as-of join, multimodal). Each key has a DuckDB oracle in
+  * `oracleSql` except the hash-blocking approximate ops
   * (x06 simhash / x11 ivf — rows-only checks).
   */
 object SparkEntry {
@@ -46,6 +48,8 @@ object SparkEntry {
     "q25_connector_extract"  -> (S.q25ConnectorExtract(_, _)),
     "q26_hook_pipeline"      -> (S.q26HookPipeline(_, _)),
     "q27_dbf_roundtrip"      -> (S.q27DbfRoundtrip(_, _)),
+    "q28_xmlid_resolve"      -> (S.q28XmlIdResolve(_, _)),
+    "q29_name_search"        -> (S.q29NameSearch(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -62,7 +66,8 @@ object SparkEntry {
     "x14_term_frequency"     -> (X.x14TermFrequency(_, _)),
     "x15_source_cube"        -> (X.x15SourceCube(_, _)),
     "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)),
-    "x17_asof_join"          -> (X.x17AsofJoin(_, _)))
+    "x17_asof_join"          -> (X.x17AsofJoin(_, _)),
+    "x18_frame_sample"       -> (X.x18FrameSample(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -95,6 +100,8 @@ object SparkEntry {
     "q25_connector_extract"  -> S.q25Sql,
     "q26_hook_pipeline"      -> S.q26Sql,
     "q27_dbf_roundtrip"      -> S.q27Sql,
+    "q28_xmlid_resolve"      -> S.q28Sql,
+    "q29_name_search"        -> S.q29Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,
@@ -109,5 +116,6 @@ object SparkEntry {
     "x14_term_frequency"     -> X.x14Sql,
     "x15_source_cube"        -> X.x15Sql,
     "x16_ivf_assign"         -> X.x16Sql,
-    "x17_asof_join"          -> X.x17Sql)
+    "x17_asof_join"          -> X.x17Sql,
+    "x18_frame_sample"       -> X.x18Sql)
 }

@@ -70,8 +70,11 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, binCol: String, frameBytes: Int, everyNth: Int): DataFrame = {
     val nFrames = ceil(length(col(binCol)).cast("double") / frameBytes).cast("int")
-    df.withColumn("frame_idx",
-        explode(filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0)))
+    // empty-blob guard: Spark's sequence(0, -1) DESCENDS instead of being
+    // empty, which would emit bogus frames for zero-length payloads
+    val idxs = when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), greatest(nFrames, lit(1)) - 1), i => i % everyNth === 0))
+    df.withColumn("frame_idx", explode(idxs))
       .withColumn("frame_bytes",
         expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
   }

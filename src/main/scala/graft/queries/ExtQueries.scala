@@ -298,4 +298,19 @@ object ExtQueries {
        SELECT e.event_id, e.user_id, e.ts_us,
               s.event_id AS signup_event_id, s.ts_us AS signup_ts
        FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts_us >= s.ts_us"""
+
+  // --- x18: frame sampling over binary payloads (multimodal) --------------
+  def x18FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      t(spark, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+      "blob", frameBytes = 16, everyNth = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        col("frame_bytes").cast("string").as("frame"))
+
+  val x18Sql: String =
+    """WITH f AS (SELECT doc_id, text, CAST(ceil(length(text) / 16.0) AS INT) AS nf FROM documents),
+       i AS (SELECT doc_id, text, unnest(range(0, nf)) AS frame_idx FROM f)
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+              substr(text, CAST(frame_idx AS INT) * 16 + 1, 16) AS frame
+       FROM i WHERE frame_idx % 2 = 0"""
 }

@@ -148,4 +148,42 @@ object SurfaceQueries {
   val q27Sql: String =
     """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
        CAST(n_regionkey AS BIGINT) AS rkey FROM nation"""
+
+  // --- q28: xml_id FK resolution (J2) with miss channel --------------------
+  def q28XmlIdResolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.FkResolve
+    // registry: nation keys < 20 resolvable; destination ids differ from
+    // the source keys (×100) so the join is observable
+    val registry = t(spark, dir, "nation").filter(col("n_nationkey") < 20)
+      .select(lit("nation").as("module"),
+        col("n_nationkey").cast("string").as("name"),
+        (col("n_nationkey") * 100).cast("long").as("res_id"))
+    val fact = t(spark, dir, "customer").select(col("c_custkey"),
+      concat(lit("nation."), col("c_nationkey").cast("string")).as("nation_ref"))
+    FkResolve.xmlId(fact, "nation_ref", registry, "nation_id")
+      .withColumnRenamed(FkResolve.MissCol, "fk_miss")
+  }
+
+  val q28Sql: String =
+    """SELECT c_custkey, 'nation.' || CAST(c_nationkey AS VARCHAR) AS nation_ref,
+       CASE WHEN c_nationkey < 20 THEN CAST(c_nationkey * 100 AS BIGINT) END AS nation_id,
+       c_nationkey >= 20 AS fk_miss
+       FROM customer"""
+
+  // --- q29: name-search FK resolution (J3) with first-match pick -----------
+  def q29NameSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.FkResolve
+    val dim = t(spark, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    val fact = t(spark, dir, "orders").select(col("o_orderkey"),
+      concat(lit("Customer#"), lpad(col("o_custkey").cast("string"), 9, "0")).as("cust_name"))
+    FkResolve.nameSearch(fact, "cust_name", dim, "c_name", "c_custkey", "resolved_id")
+      .withColumnRenamed(FkResolve.MissCol, "fk_miss")
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderkey,
+       'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cust_name,
+       CASE WHEN o_custkey % 10 <> 0 THEN o_custkey END AS resolved_id,
+       o_custkey % 10 = 0 AS fk_miss
+       FROM orders"""
 }
