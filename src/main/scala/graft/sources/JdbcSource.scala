@@ -17,7 +17,7 @@ import graft.spec.Specs.SqlResource
   *    :299-302) via the JDBC `query` option; date macros are substituted
   *    first (:200-201). The reference's `%`-string interpolation of row
   *    values into per-row DML (:479) is SQL injection by design — replaced
-  *    with batched `PreparedStatement` parameters in [[JdbcSink]]/Spark's
+  *    with batched `PreparedStatement` parameters in [[graft.sinks.JdbcSink]]/Spark's
   *    own JDBC writer.
   *  - the reference loads one row per statement (:468-490); `df.write.jdbc`
   *    batches per partition instead.

@@ -98,4 +98,21 @@ class EtlOpsSpec extends SparkSpec {
     assert(back.count() == 1)
     assert(LogStore.stateFor(back, "j1").count() == 1)
   }
+  test("jdbc templated DML sink: batched upsert-shaped statements") {
+    import graft.sinks.JdbcSink
+    import graft.sources.JdbcSource
+    val url = "jdbc:derby:memory:graft_sink;create=true"
+    JdbcSource.execStatement(url, "CREATE TABLE t (k INT PRIMARY KEY, v VARCHAR(20))")
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    JdbcSink.writeTemplated(df, url, "INSERT INTO t (k, v) VALUES (?, ?)", Seq("k", "v"), batchSize = 2)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("query", "SELECT k, v FROM t").load()
+    assert(sortedRows(back) == Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // templated UPDATE with reordered column binding
+    JdbcSink.writeTemplated(Seq((1, "A")).toDF("k", "v"), url,
+      "UPDATE t SET v = ? WHERE k = ?", Seq("v", "k"))
+    val after = spark.read.format("jdbc").option("url", url)
+      .option("query", "SELECT v FROM t WHERE k = 1").load()
+    assert(rowsOf(after) == Seq(Seq("A")))
+  }
 }
