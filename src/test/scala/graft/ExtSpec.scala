@@ -146,4 +146,28 @@ class ExtSpec extends SparkSpec {
     val f0 = frames.filter(col("frame_idx") === 0).select("frame_bytes").as[Array[Byte]].collect().head
     assert(f0.toSeq == Seq[Byte](0, 1, 2, 3))
   }
+  test("flatMapGroupsWithState sessionization carries state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.{Event => SEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    val q = StatefulSessions.sessionize(mem.toDS(), gap = 100L)
+      .writeStream.format("memory").queryName("stateful_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a session (ts 0..50)
+      mem.addData(SEvent(1L, 0L), SEvent(1L, 50L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM stateful_sess").collect().head.getLong(0) == 0)
+      // batch 2: ts 400 exceeds the gap → the OPEN session from batch 1
+      // closes (state crossed the batch boundary), new one opens
+      mem.addData(SEvent(1L, 400L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, session_start, session_end, n_events FROM stateful_sess")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, 0L, 50L, 2L)))
+    } finally q.stop()
+  }
 }
