@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation — the two standard shapes, as reusable operators.
+  * AQE's skew-join handles sort-merge cases automatically at runtime;
+  * these are for the cases AQE can't fix: a single hot GROUP BY key, and
+  * broadcast-ineligible joins with a known-skewed key column.
+  */
+object Skew {
+
+  /** Two-phase ("salted") aggregation for hot grouping keys: phase 1
+    * aggregates on (key, salt) — spreading each hot key over `buckets`
+    * reducers — phase 2 merges the partials per key. Correct only for
+    * decomposable aggregates (sum/count/min/max); the caller passes the
+    * partial and merge forms.
+    *
+    * Example: saltedAgg(df, Seq("k"), 32,
+    *   partial = Seq(count(lit(1)).as("c")),
+    *   merge   = Seq(sum("c").as("c")))
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted join for a skewed fact against a dimension too big to
+    * broadcast: the fact side gets a random salt in [0, buckets); the dim
+    * side is replicated `buckets` times (explode), so each (key, salt)
+    * bucket joins independently. Replication factor = buckets × |dim| —
+    * pick the smallest `buckets` that tames the hot keys.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(pmod(hash(monotonically_increasing_id(), spark_partition_id()), lit(buckets)) + lit(buckets), lit(buckets)))
+    val replicatedDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim,
+        saltedFact(key) === replicatedDim(key) && saltedFact("__salt") === replicatedDim("__salt"))
+      .drop(replicatedDim(key)).drop("__salt")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** Scale-mechanics: salted aggregation/join correctness, bucketed
+  * co-located joins with plan-level shuffle assertions.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
+      .withColumn("v", lit(1L))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("c"), sum("v").as("s"))
+    val salted = Skew.saltedAgg(df, Seq("k"), buckets = 8,
+      partial = Seq(count(lit(1)).as("c"), sum("v").as("s")),
+      merge = Seq(sum("c").as("c"), sum("s").as("s")))
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("salted join equals plain join") {
+    val fact = (Seq.fill(300)(1) ++ Seq(2, 3)).toDF("k").withColumn("fv", col("k") * 10)
+    val dim = Seq((1, "one"), (2, "two"), (4, "four")).toDF("k", "dv")
+    val plain = fact.join(dim, "k").select("k", "fv", "dv")
+    val salted = Skew.saltedJoin(fact, dim, "k", buckets = 4).select("k", "fv", "dv")
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a killed JVM can leave warehouse dirs the (in-memory) catalog
+    // no longer knows about — clear the locations too
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4, Some("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4, Some("l_orderkey"))
+    // disable auto-broadcast: at test scale orders would broadcast, which
+    // also avoids the shuffle but isn't the property under test (at real
+    // scale neither side broadcasts — the bucketing is what saves the
+    // shuffle there)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum("l_quantity").as("q"))
+      // execute first so AQE finalizes the physical plan
+      joined.collect()
+      // AQE echoes the pre-adaptive plan after "== Initial Plan ==";
+      // assert on the final plan section only
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin, got:\n$plan")
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // and it is still correct
+      val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).agg(sum("l_quantity").as("q"))
+      assert(sortedRows(joined) == sortedRows(expected))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
