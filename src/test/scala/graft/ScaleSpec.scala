@@ -71,4 +71,53 @@ class ScaleSpec extends SparkSpec {
       assert(sortedRows(joined) == sortedRows(expected))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+  test("partitioned store prunes non-matching partition directories") {
+    import graft.sources.PartitionedStore
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    PartitionedStore.write(orders, path, Seq("order_year"))
+    val all = PartitionedStore.read(spark, path)
+    val years = all.select("order_year").distinct().count()
+    assert(years > 1)
+    val pruned = all.filter(col("order_year") === 1995)
+    pruned.collect()
+    assert(PartitionedStore.selectedPartitionCount(pruned).contains(1L),
+      s"expected 1 selected partition of $years")
+    assert(PartitionedStore.selectedPartitionCount(all.filter(col("o_totalprice") > 0))
+      .exists(_ == years)) // non-partition filter prunes nothing
+  }
+
+  test("watermark drops late events in append-mode windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // advance event time far past the window + watermark → it finalizes
+      mem.addData((ts("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      // LATE event for the already-finalized window: behind the watermark
+      mem.addData((ts("2024-01-01 10:02:00"), 4L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), 5L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT date_format(window.start, 'HH:mm') s, n FROM wm_test ORDER BY s")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // the 10:00 window emitted exactly once with 2 events — the late
+      // 10:02 arrival was dropped, not re-emitted
+      assert(rows.count(_._1 == "10:00") == 1)
+      assert(rows.find(_._1 == "10:00").get._2 == 2L)
+    } finally q.stop()
+  }
 }
