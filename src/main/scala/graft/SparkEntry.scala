@@ -50,6 +50,9 @@ object SparkEntry {
     "q27_dbf_roundtrip"      -> (S.q27DbfRoundtrip(_, _)),
     "q28_xmlid_resolve"      -> (S.q28XmlIdResolve(_, _)),
     "q29_name_search"        -> (S.q29NameSearch(_, _)),
+    "q30_semi_join"          -> (S.q30SemiJoin(_, _)),
+    "q31_anti_join"          -> (S.q31AntiJoin(_, _)),
+    "q32_scalar_functions"   -> (S.q32ScalarFunctions(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -102,6 +105,9 @@ object SparkEntry {
     "q27_dbf_roundtrip"      -> S.q27Sql,
     "q28_xmlid_resolve"      -> S.q28Sql,
     "q29_name_search"        -> S.q29Sql,
+    "q30_semi_join"          -> S.q30Sql,
+    "q31_anti_join"          -> S.q31Sql,
+    "q32_scalar_functions"   -> S.q32Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,

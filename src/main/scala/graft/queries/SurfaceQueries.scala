@@ -186,4 +186,52 @@ object SurfaceQueries {
        CASE WHEN o_custkey % 10 <> 0 THEN o_custkey END AS resolved_id,
        o_custkey % 10 = 0 AS fk_miss
        FROM orders"""
+
+  // --- q30: left-semi join (EXISTS — the K8 insert-missing probe shape) ---
+  def q30SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val late = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+    t(spark, dir, "orders")
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate >= TIMESTAMP '1998-01-01')"""
+
+  // --- q31: left-anti join (NOT EXISTS — the K8 insert-missing shape) ------
+  def q31AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"""
+
+  // --- q32: scalar function breadth (§2.11 mapping table) ------------------
+  def q32ScalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      format_string("ORD-%08d/%s", col("o_orderkey"), col("o_orderstatus")).as("ref"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).cast("int").as("prio_num"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+      datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"),
+      base64(col("o_orderstatus").cast("binary")).as("status_b64"),
+      substring(upper(col("o_orderpriority")), 3, 6).as("prio_word"))
+
+  val q32Sql: String =
+    """SELECT o_orderkey,
+       printf('ORD-%08d/%s', o_orderkey, o_orderstatus) AS ref,
+       CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS INT) AS prio_num,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS age_days,
+       to_base64(encode(o_orderstatus)) AS status_b64,
+       substring(upper(o_orderpriority), 3, 6) AS prio_word
+       FROM orders"""
 }
