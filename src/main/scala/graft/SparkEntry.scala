@@ -70,7 +70,8 @@ object SparkEntry {
     "x15_source_cube"        -> (X.x15SourceCube(_, _)),
     "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)),
     "x17_asof_join"          -> (X.x17AsofJoin(_, _)),
-    "x18_frame_sample"       -> (X.x18FrameSample(_, _)))
+    "x18_frame_sample"       -> (X.x18FrameSample(_, _)),
+    "x19_quantize_int8"      -> (X.x19QuantizeInt8(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -123,5 +124,6 @@ object SparkEntry {
     "x15_source_cube"        -> X.x15Sql,
     "x16_ivf_assign"         -> X.x16Sql,
     "x17_asof_join"          -> X.x17Sql,
-    "x18_frame_sample"       -> X.x18Sql)
+    "x18_frame_sample"       -> X.x18Sql,
+    "x19_quantize_int8"      -> X.x19Sql)
 }

@@ -67,6 +67,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Symmetric int8 quantization of an embedding (the storage-compression
+    * leg of the ANN scale path: 4× smaller than float32, 8× smaller than
+    * the double working form; at 100 TB the embedding column dominates
+    * storage and scan cost). Returns struct(scale double, q array<int>)
+    * with q[i] = round(v[i] / scale × 127); dequantize as q[i]×scale/127.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val dv = v.cast("array<double>")
+    val scale = array_max(transform(dv, x => abs(x)))
+    struct(scale.as("scale"),
+      transform(dv, x => round(x / scale * 127).cast("int")).as("q"))
+  }
+
   /** Assign each corpus vector to its nearest centroid (IVF build step).
     * Centroids must be small (broadcast); returns data + `centroid_id`.
     * At scale this runs once at ingest and becomes the partition key.

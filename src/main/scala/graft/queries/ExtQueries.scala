@@ -313,4 +313,25 @@ object ExtQueries {
        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
               substr(text, CAST(frame_idx AS INT) * 16 + 1, 16) AS frame
        FROM i WHERE frame_idx % 2 = 0"""
+
+  // --- x19: int8 embedding quantization (storage-compression leg) ---------
+  def x19QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(col("embedding"))
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      round(q.getField("scale"), 6).as("scale"),
+      aggregate(q.getField("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(q.getField("q")).as("q_min"),
+      array_max(q.getField("q")).as("q_max"))
+  }
+
+  val x19Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       s AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS scale FROM v),
+       q AS (SELECT vec_id, scale,
+             list_transform(ve, x -> CAST(round(x / scale * 127) AS INT)) AS qv FROM s)
+       SELECT vec_id, round(scale, 6) AS scale,
+              CAST(list_sum(qv) AS BIGINT) AS q_sum,
+              list_min(qv) AS q_min, list_max(qv) AS q_max
+       FROM q"""
 }

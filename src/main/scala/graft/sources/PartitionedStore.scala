@@ -17,6 +17,24 @@ object PartitionedStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a partitioned dataset in place: rewrite each partition's
+    * many small files into ~`targetFiles` per partition. The small-files
+    * problem is the classic failure mode of incremental partitioned
+    * ingest (each micro-batch appends a file per partition per task);
+    * compaction restores scan efficiency. Rewrites through a temp
+    * directory so a crash mid-compact never truncates the source.
+    */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String], targetFiles: Int = 1): Unit = {
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path)
+      .repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Partition directories actually selected by `df`'s plan (from the
     * FileSourceScan's partition filters) — lets tests and ops verify
     * pruning happened instead of trusting it.

@@ -120,4 +120,19 @@ class ScaleSpec extends SparkSpec {
       assert(rows.find(_._1 == "10:00").get._2 == 2L)
     } finally q.stop()
   }
+  test("compaction collapses small files per partition, preserving data") {
+    import graft.sources.PartitionedStore
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    // simulate fragmented incremental ingest: many tiny files per partition
+    orders.repartition(8).write.partitionBy("order_year").parquet(path)
+    def parquetFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = parquetFiles
+    val checksum = spark.read.parquet(path).agg(sum("o_orderkey")).collect().head.getLong(0)
+    PartitionedStore.compact(spark, path, Seq("order_year"))
+    assert(parquetFiles < before)
+    assert(spark.read.parquet(path).agg(sum("o_orderkey")).collect().head.getLong(0) == checksum)
+  }
 }
