@@ -362,6 +362,7 @@ object CoreQueries {
   // --- q20: JDBC roundtrip through embedded Derby (S4/K4) ----------------
   def q20JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    new java.io.File("/tmp/graft").mkdirs() // Derby won't create parents
     val url = s"jdbc:derby:/tmp/graft/derby_$tag;create=true"
     // Spark's JDBC writer quotes column identifiers at CREATE, so an
     // unquoted column list would fold to upper case in Derby — SELECT *
