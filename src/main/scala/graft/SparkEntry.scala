@@ -10,9 +10,11 @@ import graft.queries.{CoreQueries => C, ExtQueries => X, SurfaceQueries => S}
   * recovery, inline payloads, row defaults, runner orchestration, hooks,
   * xml_id + name-search FK resolution), x01–x18 cover the extension
   * surface (§2.12: dedup, similarity search, text analysis, event-time
-  * incl. as-of join, multimodal). Each key has a DuckDB oracle in
-  * `oracleSql` except the hash-blocking approximate ops
-  * (x06 simhash / x11 ivf — rows-only checks).
+  * incl. as-of join, multimodal). Every key has a DuckDB oracle in
+  * `oracleSql` — including the approximate ops: x06 simhash uses a
+  * portable md5-nibble token hash and exact-recall pigeonhole blocking;
+  * x11 IVF is approximate-but-deterministic, so the oracle replicates the
+  * full assignment→probe→rerank pipeline.
   */
 object SparkEntry {
 
@@ -114,10 +116,12 @@ object SparkEntry {
     "x03_lang_id"            -> X.x03Sql,
     "x04_minhash_pairs"      -> X.x04Sql,
     "x05_ngram_jaccard_pairs" -> X.x05Sql,
+    "x06_simhash_pairs"      -> X.x06Sql,
     "x07_ann_bruteforce"     -> X.x07Sql,
     "x08_session_stats"      -> X.x08Sql,
     "x09_tumbling_window"    -> X.x09Sql,
     "x10_multimodal_meta"    -> X.x10Sql,
+    "x11_ann_ivf"            -> X.x11Sql,
     "x12_embedding_pairs"    -> X.x12Sql,
     "x13_sliding_window"     -> X.x13Sql,
     "x14_term_frequency"     -> X.x14Sql,

@@ -124,8 +124,16 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
     val posts = shingleRows(df, idCol, textCol, shingleN)
-    val minCols = (0 until k).map(h => min(xxhash64(col("s"), lit(h + 1))).as(s"__m$h"))
-    val sig = posts.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    // Hash the shingle STRING once to a long, then derive the k seeded
+    // variants by hashing (long, seed) pairs — an 8-byte hash each, vs
+    // re-traversing the string k times. Aggregate expressions get no
+    // common-subexpression elimination, so hashing the string inside each
+    // min() would cost k string hashes per posting row (observed ~4× total
+    // query slowdown at sf0.1). Blocking quality is unchanged: xxhash64 of
+    // a well-mixed 64-bit value composes into independent-enough minhashes.
+    val hashed = posts.select(col("id"), xxhash64(col("s")).as("__h0"))
+    val minCols = (0 until k).map(h => min(xxhash64(col("__h0"), lit(h + 1))).as(s"__m$h"))
+    val sig = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map(b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
     val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
@@ -197,13 +205,48 @@ object Dedup {
     * via explode + 64 codegen'd vote-sum aggregates (one shuffle on id,
     * map-side partial aggregation) instead of 64 interpreted per-row
     * `aggregate()` passes. Returns (id, fp).
+    *
+    * Two token-hash backends:
+    *  - xxhash64 (default): fastest, Spark-only — use in production.
+    *  - portable (md5 nibbles): bit b is bit (b%4) of hex digit b/4 of
+    *    md5(token) — computable identically in any engine with md5
+    *    (DuckDB, Trino, …), which makes simhash results cross-engine
+    *    verifiable at the cost of a crypto hash per token.
+    *
+    * Perf note: the token hash is materialized ONCE per token in a
+    * projection BEFORE the aggregate. Aggregate expressions get no
+    * common-subexpression elimination, so referencing md5/xxhash64 of the
+    * token string inside each of the 64 vote sums would hash every token
+    * 64× (observed ~15× slowdown at sf0.1).
     */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashDf(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-    val h = xxhash64(col("w"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__v$b"))
-    val v = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val v =
+      if (portable) {
+        // one md5 per token, parsed as two 32-bit halves (2 convs, not 16):
+        // hex char j of a half contributes digit << 4*(7-j), so bit b =
+        // (half >> (4*(7 - (b%32)/4) + b%4)) & 1 — same numbering as the
+        // per-digit oracle definition.
+        val hx = md5(col("w"))
+        val halves = toks.select(col("id"),
+          conv(substring(hx, 1, 8), 16, 10).cast("long").as("__ha"),
+          conv(substring(hx, 9, 8), 16, 10).cast("long").as("__hb"))
+        val votes = (0 until 64).map { b =>
+          val half = if (b < 32) col("__ha") else col("__hb")
+          val shift = 4 * (7 - (b % 32) / 4) + b % 4
+          sum(when(shiftright(half, shift).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"__v$b")
+        }
+        halves.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      } else {
+        // one string hash per token; vote bits are long shifts of it
+        val hashed = toks.select(col("id"), xxhash64(col("w")).as("__h"))
+        val votes = (0 until 64).map(b =>
+          sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"__v$b"))
+        hashed.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      }
     val bits = (0 until 64).map(b => when(col(s"__v$b") > 0, lit(1L)).otherwise(lit(0L)))
     val fp = bits.foldLeft(lit(0L))((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
     v.select(col("id"), fp.as("fp"))
@@ -215,10 +258,11 @@ object Dedup {
     * recall is EXACT while the join key (chunk index, chunk value) prunes
     * candidates to near-duplicate volume.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      portable: Boolean = false): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val f = simhashDf(df, idCol, textCol)
+    val f = simhashDf(df, idCol, textCol, portable)
     val blocked = f.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map(i =>
         shiftrightunsigned(col("fp"), i * bitsPer)

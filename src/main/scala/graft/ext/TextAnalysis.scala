@@ -95,13 +95,17 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
 
-  /** 64-bit-ish polynomial rolling hash (mod 2^61-1 to stay in long range
-    * without ANSI overflow): h = Σ h*31 + ascii(char). Deterministic,
-    * locality-free content hash usable as a shard key.
+  /** Polynomial rolling hash h = Σ h*31 + codepoint(char), mod the largest
+    * prime below 2^57 (2^57-13). The modulus bound is what makes the step
+    * overflow-safe under ANSI mode: acc < 2^57 after each pmod, so
+    * acc*31 + c ≤ 31·(2^57-14) + c < 2^62 never overflows Long.
+    * Deterministic, locality-free content hash usable as a shard key.
     */
+  val RollingHashMod = 144115188075855859L // largest prime < 2^57
+
   def rollingHash(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(2305843009213693951L)))
+    aggregate(filter(split(text, ""), ch => ch =!= ""), lit(0L),
+      (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(RollingHashMod)))
 
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =

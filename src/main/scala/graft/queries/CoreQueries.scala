@@ -199,10 +199,14 @@ object CoreQueries {
       ordersForFw(spark, dir), OrdersFwCols, orderCol = "o_orderkey",
       headerCols = FwHeaderCols.map(c => c.copy(fieldName = None)),
       footerCols = FwFooterCols.map(c => c.copy(fieldName = None)))
-    // __sec ∈ {0 header, 1 data, 2 footer}; __ord orders within section —
-    // combine into one explicit line number for the order-aware parser
+    // __sec ∈ {0 header, 1 data, 2 footer}; __ord orders within section.
+    // The line number is the ORDERED STRUCT (__sec, __ord), not an
+    // arithmetic combination: __ord comes from monotonically_increasing_id
+    // (partitionId·2^33 + offset), so any fixed stride overflows once the
+    // data has enough partitions — struct comparison is stride-free and
+    // holds at any partition count.
     val lines = body.select(
-      (col("__sec") * lit(1L << 40) + col("__ord")).as("__line_no"), col("value"))
+      struct(col("__sec"), col("__ord")).as("__line_no"), col("value"))
     FixedWidth.parseLines(lines, OrdersFwParseCols, FwHeaderCols, FwFooterCols)
       .drop("__line_no")
   }

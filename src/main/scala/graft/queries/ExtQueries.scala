@@ -115,9 +115,31 @@ object ExtQueries {
 
   val x05Sql: String = jaccardOracle(4, 0.5)
 
-  // --- x06: SimHash near-dup pairs (xxhash64-based — rows-only check) ----
+  // --- x06: SimHash near-dup pairs (portable md5-nibble token hash) ------
+  // Pigeonhole blocking has EXACT recall at maxDist=3, so the Spark result
+  // is precisely "all pairs with hamming ≤ 3" — which the oracle computes
+  // brute-force from the same md5-nibble simhash definition.
   def x06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 3,
+      portable = true)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+
+  val x06Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+       FROM documents),
+       h AS (SELECT doc_id, md5(w) AS hx FROM toks),
+       votes AS (SELECT doc_id, t.b,
+           sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + CAST(t.b // 4 AS INT), 1)) - 1)
+                          >> CAST(t.b % 4 AS INT)) & 1 = 1
+               THEN 1 ELSE -1 END) AS v
+         FROM h CROSS JOIN range(0, 64) t(b) GROUP BY 1, 2),
+       bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
 
   // --- x07: brute-force ANN top-k over embeddings ------------------------
   def x07AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -186,14 +208,48 @@ object ExtQueries {
        upper(substr(hex(encode(text)), 1, 8)) AS magic
        FROM documents"""
 
-  // --- x11: IVF-style ANN (bucket-pruned; approximate — rows-only) -------
+  // --- x11: IVF ANN (bucket-pruned). Approximate relative to brute force,
+  // but DETERMINISTIC: assignment, probing, and ranking are all exact
+  // argmax/top-k with total-order tie-breaks, so DuckDB can replicate the
+  // whole pipeline and the result is fully oracled.
   def x11AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val data = t(spark, dir, "embeddings")
     val centroids = data.filter(col("vec_id") % 50 === 0)
     val assigned = Similarity.ivfAssign(data, centroids, "vec_id", "embedding")
     Similarity.ivfTopK(assigned, centroids, data.filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
   }
+
+  val x11Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       c AS (SELECT vec_id AS centroid_id, ve AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       asg0 AS (SELECT n.vec_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(n.ve) + 1), i -> n.ve[i] * c.cv[i])) / (n.nrm * c.cn) AS sim
+         FROM n CROSS JOIN c),
+       asg AS (SELECT vec_id, centroid_id FROM (
+           SELECT vec_id, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM asg0) WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       pr0 AS (SELECT q.query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
+         FROM q CROSS JOIN c),
+       pr AS (SELECT query_id, centroid_id FROM (
+           SELECT query_id, centroid_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM pr0) WHERE rn <= 3),
+       sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.ve[i])) / (q.qn * n.nrm) AS cos
+         FROM n JOIN asg ON n.vec_id = asg.vec_id
+         JOIN pr ON asg.centroid_id = pr.centroid_id
+         JOIN q ON pr.query_id = q.query_id
+         WHERE n.vec_id <> q.query_id),
+       r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+       SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"""
 
   // --- x12: embedding cosine near-dup pairs within label blocks ----------
   def x12EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =

@@ -53,11 +53,11 @@ object JobRunner {
   def run(spark: SparkSession, job: JobSpec, logPath: Option[String] = None): JobResult = {
     val extracted = extract(spark, job)
     val transformed = Transformer(extracted, job.transform)
+    // First run (missing log path) ⇒ empty state; real read errors
+    // propagate (see LogStore.readOrEmpty).
     val state = logPath match {
-      case Some(p) =>
-        try LogStore.stateFor(LogStore.read(spark, p), job.name)
-        catch { case _: Throwable => emptyState(spark) }
-      case None => emptyState(spark)
+      case Some(p) => LogStore.stateFor(LogStore.readOrEmpty(spark, p), job.name)
+      case None    => emptyState(spark)
     }
     val pkCol = if (transformed.columns.contains("pk")) "pk"
       else job.transform.pkField.getOrElse(

@@ -38,12 +38,21 @@ object ConnectorSink {
     * [[LogStore.append]]. Deletes run before inserts within a partition
     * (the reference's delete-then-insert refresh, :506-517); `skip` rows
     * are dropped.
+    *
+    * `pkCol` co-locates all actions for one pk in one partition
+    * (hash repartition on the key). REQUIRED for ReprocessMode.Delete:
+    * MergeRouter emits the delete row and the re-insert row for the same
+    * pk from different branches of a union, so without co-location two
+    * concurrent tasks could apply the insert before the delete at the
+    * destination, inverting the reference's delete-then-insert order.
+    * Other modes emit at most one action per pk and may skip the shuffle.
     */
-  def apply(routed: DataFrame, handler: Handler): DataFrame = {
+  def apply(routed: DataFrame, handler: Handler, pkCol: Option[String] = None): DataFrame = {
     val spark = routed.sparkSession
     import spark.implicits._
-    val actionIdx = routed.schema.fieldIndex(MergeRouter.ActionCol)
-    routed.mapPartitions { it =>
+    val colocated = pkCol.fold(routed)(k => routed.repartition(col(k)))
+    val actionIdx = colocated.schema.fieldIndex(MergeRouter.ActionCol)
+    colocated.mapPartitions { it =>
       val (deletes, rest) = it.partition(_.getString(actionIdx) == "delete")
       val byAction = rest.toSeq.groupBy(_.getString(actionIdx))
       handler.delete(deletes) ++

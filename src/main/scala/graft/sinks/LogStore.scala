@@ -24,6 +24,20 @@ object LogStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(Schema)).parquet(path)
 
+  /** Read the log if the path exists; a missing path (first run) is an
+    * empty log. Any other failure — corrupt files, transient IO — must
+    * PROPAGATE: swallowing it would route every row as insert and load
+    * duplicates at the destination instead of failing the job.
+    */
+  def readOrEmpty(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) read(spark, path)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(Schema))
+  }
+
   /** The reference's id-recovery lookup (:664-671): first (min) model_id per
     * (job, pk) at level 'info'. Returns columns (pk, model_id) for one job —
     * partition pruning on `job` keeps the scan to one partition.

@@ -45,12 +45,9 @@ object OnlineJob {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val transformed = Transformer(batch, job.transform)
-        val state =
-          try LogStore.stateFor(LogStore.read(spark, logPath), job.name)
-          catch { case _: Throwable =>
-            import spark.implicits._
-            Seq.empty[(String, Long)].toDF("pk", "model_id")
-          }
+        // Missing path (nothing loaded yet) ⇒ empty state; read errors
+        // propagate and fail the batch (LogStore.readOrEmpty).
+        val state = LogStore.stateFor(LogStore.readOrEmpty(spark, logPath), job.name)
         val pkCol = if (transformed.columns.contains("pk")) "pk"
           else job.transform.pkField.getOrElse("pk")
         val routed = MergeRouter.route(transformed, state, pkCol, job.transform.reprocess)

@@ -62,6 +62,18 @@ class ExtSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("rolling hash matches the scalar definition on long strings (no ANSI overflow)") {
+    // >13 chars: with the old 2^61-1 modulus the accumulator overflowed Long
+    // by the 13th character and ANSI mode threw ArithmeticException
+    val s = "The quick brown fox jumps over the lazy dog 0123456789!?"
+    val expected = s.foldLeft(0L)((acc, ch) =>
+      java.lang.Math.floorMod(acc * 31L + ch.toLong, TextAnalysis.RollingHashMod))
+    val got = Seq(s, s * 20).toDF("text")
+      .select(TextAnalysis.rollingHash(col("text")).as("h")).collect()
+    assert(got.head.getLong(0) == expected)
+    assert(got(1).getLong(0) >= 0L) // 1140-char input computes without throwing
+  }
+
   test("language id votes with deterministic tie-break and und fallback") {
     val df = Seq(
       ("d1", "the cat and the dog is that for with this are"),

@@ -95,6 +95,23 @@ class RunnerSpec extends SparkSpec {
     assert(levels == Map("info" -> 2L, "error" -> 1L))
   }
 
+  test("delete mode: pk co-location applies delete before re-insert") {
+    FakeDest.clear()
+    // destination pre-loaded with old ids for every pk
+    (1 to 200).foreach(k => FakeDest.store.put(k.toString, k.toLong))
+    val incoming = (1 to 200).toDF("pk")
+    val state = (1 to 200).map(k => (k.toString, k.toLong)).toDF("pk", "model_id")
+    val routed = MergeRouter.route(incoming, state, "pk", ReprocessMode.Delete)
+    // the union puts a pk's delete and insert rows in different partitions;
+    // pkCol co-location + partition-local delete-first makes the order safe.
+    ConnectorSink(routed, new MapHandler(routed.columns.indexOf("pk")),
+      pkCol = Some("pk")).count()
+    // if any insert had run before its delete, the delete would have
+    // removed the NEW row and the pk would be missing from the store
+    assert(FakeDest.store.size() == 200)
+    assert((1 to 200).forall(k => FakeDest.store.get(k.toString) >= 1000L))
+  }
+
   test("online streaming job: availableNow drains files through transform+merge") {
     FakeDest.clear()
     val base = java.nio.file.Files.createTempDirectory("graft_online").toString
