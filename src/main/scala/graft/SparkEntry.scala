@@ -55,6 +55,9 @@ object SparkEntry {
     "q30_semi_join"          -> (S.q30SemiJoin(_, _)),
     "q31_anti_join"          -> (S.q31AntiJoin(_, _)),
     "q32_scalar_functions"   -> (S.q32ScalarFunctions(_, _)),
+    "q33_set_ops"            -> (S.q33SetOps(_, _)),
+    "q34_pivot"              -> (S.q34Pivot(_, _)),
+    "q35_stats_moments"      -> (S.q35StatsMoments(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -73,7 +76,10 @@ object SparkEntry {
     "x16_ivf_assign"         -> (X.x16IvfAssign(_, _)),
     "x17_asof_join"          -> (X.x17AsofJoin(_, _)),
     "x18_frame_sample"       -> (X.x18FrameSample(_, _)),
-    "x19_quantize_int8"      -> (X.x19QuantizeInt8(_, _)))
+    "x19_quantize_int8"      -> (X.x19QuantizeInt8(_, _)),
+    "x20_rolling_fingerprint" -> (X.x20RollingFingerprint(_, _)),
+    "x21_tfidf"              -> (X.x21Tfidf(_, _)),
+    "x22_sequence_pack"      -> (X.x22SequencePack(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -111,6 +117,9 @@ object SparkEntry {
     "q30_semi_join"          -> S.q30Sql,
     "q31_anti_join"          -> S.q31Sql,
     "q32_scalar_functions"   -> S.q32Sql,
+    "q33_set_ops"            -> S.q33Sql,
+    "q34_pivot"              -> S.q34Sql,
+    "q35_stats_moments"      -> S.q35Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,
@@ -129,5 +138,8 @@ object SparkEntry {
     "x16_ivf_assign"         -> X.x16Sql,
     "x17_asof_join"          -> X.x17Sql,
     "x18_frame_sample"       -> X.x18Sql,
-    "x19_quantize_int8"      -> X.x19Sql)
+    "x19_quantize_int8"      -> X.x19Sql,
+    "x20_rolling_fingerprint" -> X.x20Sql,
+    "x21_tfidf"              -> X.x21Sql,
+    "x22_sequence_pack"      -> X.x22Sql)
 }

@@ -390,4 +390,87 @@ object ExtQueries {
               CAST(list_sum(qv) AS BIGINT) AS q_sum,
               list_min(qv) AS q_min, list_max(qv) AS q_max
        FROM q"""
+
+  // --- x20: rolling-hash document fingerprint (shard-key content hash) ----
+  // ASCII-sanitized input keeps codepoint semantics identical across
+  // engines (Spark ascii() vs DuckDB ascii() agree on ASCII).
+  def x20RollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.rollingHash(
+        regexp_replace(col("text"), "[^\\x20-\\x7E]", "")).as("rhash"))
+
+  val x20Sql: String =
+    s"""WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents)
+       SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % ${TextAnalysis.RollingHashMod}) AS BIGINT) AS rhash
+       FROM s"""
+
+  // --- x21: TF-IDF top-3 terms per document ------------------------------
+  // Classic keyword extraction: score = tf · ln(N/df). Counts are exact
+  // integers; N is a broadcast scalar; ln + multiply is identical double
+  // math in both engines, rounded to 6 dp on output (rank uses the
+  // unrounded score with a term tiebreak).
+  def x21Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        round(col("score"), 6).as("score"))
+  }
+
+  val x21Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+       FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       sc AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+              tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         FROM tf JOIN df USING (term) CROSS JOIN n),
+       r AS (SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
+       SELECT doc_id, rnk, term, tf, round(score, 6) AS score FROM r WHERE rnk <= 3"""
+
+  // --- x22: sequence packing (context-window binning for training) --------
+  // Greedy in-order packing: within each source, docs in doc_id order are
+  // assigned pack_id = ⌊exclusive-prefix-token-sum / capacity⌋. One window
+  // cumsum per source partition — exact integer math, linear scale-out
+  // (the 100 TB form packs within date/source partitions independently).
+  def x22SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capacity = 2048L
+    val docs = t(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      TextAnalysis.wordCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("prev_tokens") / capacity).cast("long").as("pack_id"))
+  }
+
+  val x22Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+         FROM d)
+       SELECT doc_id, source, n_tokens,
+              CAST(prev_tokens // 2048 AS BIGINT) AS pack_id
+       FROM c"""
 }

@@ -234,4 +234,74 @@ object SurfaceQueries {
        to_base64(encode(o_orderstatus)) AS status_b64,
        substring(upper(o_orderpriority), 3, 6) AS prio_word
        FROM orders"""
+
+  // --- q33: set operations (EXCEPT / INTERSECT distinct semantics) --------
+  def q33SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val c98 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    c97.except(c98).withColumn("status", lit("churned"))
+      .unionByName(c97.intersect(c98).withColumn("status", lit("retained")))
+  }
+
+  val q33Sql: String =
+    """SELECT o_custkey, 'churned' AS status FROM (
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+       UNION ALL
+       SELECT o_custkey, 'retained' AS status FROM (
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)"""
+
+  // --- q34: pivot (status columns per priority) ---------------------------
+  // Spark's pivot leaves empty cells null where conditional counts give 0 —
+  // coalesce to match SQL FILTER semantics.
+  def q34Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  val q34Sql: String =
+    """SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+       FROM orders GROUP BY o_orderpriority"""
+
+  // --- q35: statistical moments from EXACT sums + interpolated quantiles --
+  // stddev via the textbook two-pass-free form, but with n/Σx/Σx² carried
+  // as exact integers/decimals and the final arithmetic done identically
+  // in double on both engines — order-independent, so it hash-matches
+  // where a naive stddev_samp (partial-merge double accumulation) wouldn't.
+  def q35StatsMoments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,2)")).cast("double").as("sum_qty2"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+      .withColumn("stddev_qty",
+        round(sqrt((col("sum_qty2") - col("sum_qty") * col("sum_qty") / col("n"))
+          / (col("n") - 1)), 6))
+
+  val q35Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty2,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1)), 6) AS stddev_qty
+       FROM lineitem GROUP BY l_returnflag"""
 }
