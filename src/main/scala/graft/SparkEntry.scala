@@ -79,7 +79,10 @@ object SparkEntry {
     "x19_quantize_int8"      -> (X.x19QuantizeInt8(_, _)),
     "x20_rolling_fingerprint" -> (X.x20RollingFingerprint(_, _)),
     "x21_tfidf"              -> (X.x21Tfidf(_, _)),
-    "x22_sequence_pack"      -> (X.x22SequencePack(_, _)))
+    "x22_sequence_pack"      -> (X.x22SequencePack(_, _)),
+    "x23_dup_clusters"       -> (X.x23DupClusters(_, _)),
+    "x24_hash_sample"        -> (X.x24HashSample(_, _)),
+    "x25_histogram"          -> (X.x25Histogram(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -141,5 +144,8 @@ object SparkEntry {
     "x19_quantize_int8"      -> X.x19Sql,
     "x20_rolling_fingerprint" -> X.x20Sql,
     "x21_tfidf"              -> X.x21Sql,
-    "x22_sequence_pack"      -> X.x22Sql)
+    "x22_sequence_pack"      -> X.x22Sql,
+    "x23_dup_clusters"       -> X.x23Sql,
+    "x24_hash_sample"        -> X.x24Sql,
+    "x25_histogram"          -> X.x25Sql)
 }

@@ -276,6 +276,58 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over an undirected pair list — the step that
+    * turns pairwise near-dup output ([[minhashPairs]] / [[simhashPairs]] /
+    * [[embeddingPairs]]) into duplicate CLUSTERS: each node's cluster id is
+    * the MIN id reachable from it (deterministic, iteration-independent).
+    * Returns (id, label) for every id appearing in ≥1 pair; isolated docs
+    * are their own trivial cluster and need no row.
+    *
+    * Algorithm: iterative min-label propagation — per round, one join of
+    * edges to labels + one min-aggregate (both shuffle on the node id, so
+    * AQE coalesces them onto the same partitioning) until a fixpoint;
+    * converges in graph-diameter rounds. Near-dup graphs are forests of
+    * tiny cliques (diameter ~2-4), so rounds stay in single digits at any
+    * data size; for adversarial long-chain graphs swap the inner step for
+    * the alternating large-star/small-star rounds of Kiveris et al.
+    * ("Connected Components in MapReduce", SoCC'14 — public) with the same
+    * join shape.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 30): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("__dst"), col("label")), col("dst") === col("__dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("__id"), col("__nbr")), col("id") === col("__id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("id").as("__id"), col("label").as("__old")), col("id") === col("__id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    require(done, s"duplicateClusters: not converged after $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold within blocking groups.

@@ -107,6 +107,13 @@ object TextAnalysis {
     aggregate(filter(split(text, ""), ch => ch =!= ""), lit(0L),
       (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(RollingHashMod)))
 
+  /** Deterministic 16-bit bucket from md5 of a key — reproducible sampling
+    * and sharding (sample = bucket < fraction·65536) that any engine with
+    * md5 can replicate, unlike rand()/TABLESAMPLE. Narrow per-row map.
+    */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

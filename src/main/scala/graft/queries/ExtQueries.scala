@@ -89,19 +89,26 @@ object ExtQueries {
     Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
       shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
 
-  private def jaccardOracle(n: Int, threshold: Double): String = {
+  /** Shared CTE chain computing exact all-pairs shingle Jaccard (inverted
+    * index) — reused by the x04/x05 pair oracles and the x23 cluster
+    * oracle. Ends with CTEs `inter` (id_a, id_b, i) and `sizes`.
+    */
+  private def jaccardCtes(n: Int): String = {
     val sliceHi = n - 1
-    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
        sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - $sliceHi, 0) + 1), i -> array_to_string(ws[i:i+$sliceHi], ' '))) AS sh FROM w),
        sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
        posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
                  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sh)"""
+  }
+
+  private def jaccardOracle(n: Int, threshold: Double): String =
+    s"""WITH ${jaccardCtes(n)}
        SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
        FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= $threshold"""
-  }
 
   val x04Sql: String = jaccardOracle(3, 0.7)
 
@@ -391,6 +398,32 @@ object ExtQueries {
               list_min(qv) AS q_min, list_max(qv) AS q_max
        FROM q"""
 
+  // --- x23: duplicate clusters (connected components over near-dup pairs) -
+  // The minhash pair list (exact recall at threshold 0.7, see x04) becomes
+  // clusters via iterative min-label propagation; the oracle computes the
+  // same exact-Jaccard edge set and closes it with a recursive CTE.
+  def x23DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+    Dedup.duplicateClusters(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val x23Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id)
+       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+
   // --- x20: rolling-hash document fingerprint (shard-key content hash) ----
   // ASCII-sanitized input keeps codepoint semantics identical across
   // engines (Spark ascii() vs DuckDB ascii() agree on ASCII).
@@ -473,4 +506,36 @@ object ExtQueries {
        SELECT doc_id, source, n_tokens,
               CAST(prev_tokens // 2048 AS BIGINT) AS pack_id
        FROM c"""
+
+  // --- x24: reproducible ~10% corpus sample by md5 bucket -----------------
+  // Hash-sampling instead of rand(): the SAME rows are selected on every
+  // engine and every run — the reproducibility a training corpus needs.
+  def x24HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket", TextAnalysis.md5Bucket(col("doc_id")))
+      .filter(col("bucket") < 6554) // 6554/65536 ≈ 10%
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+
+  val x24Sql: String =
+    """WITH h AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+       b AS (SELECT doc_id, lang, source,
+           CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS bucket
+         FROM h)
+       SELECT doc_id, lang, source, bucket FROM b WHERE bucket < 6554"""
+
+  // --- x25: fixed-range histogram (data profiling) ------------------------
+  def x25Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 30000.0), lit(19.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+
+  val x25Sql: String =
+    """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY 1"""
 }

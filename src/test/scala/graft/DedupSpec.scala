@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    // chain 1-2-3 (via 2), pair 10-11, chain 20-21-22-23 (path, diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("ngram jaccard posting cutoff drops ubiquitous shingles") {
     val rep = Seq(
       (1L, "x x x x x x"), (2L, "x x x x x x"), (3L, "x x x x x x"))
