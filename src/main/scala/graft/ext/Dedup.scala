@@ -301,25 +301,50 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 30): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    val edges0 = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // Size round-partitioning to the graph, not the session default: an
+    // iterative loop pays per-round scheduling on every partition, so tiny
+    // pair graphs run single-partition while 100 TB graphs spread on dst.
+    val nEdges = edges0.cache().count()
+    val parts = math.max(1, math.min(
+      edges0.sparkSession.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val edges = edges0.repartition(parts, col("dst")).cache()
+    edges.count(); edges0.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
+      .select(col("id"), col("id").as("label"))
+    var prevCache: Option[DataFrame] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
+      // step 1 — neighbor min: l1(v) = min(l(v), min_{u~v} l(u)).
+      // Alone this needs graph-diameter rounds — near-dup chains (doc i ~
+      // doc i+1 ~ …) make the diameter linear in chain length.
       val nbrMin = edges
         .join(labels.select(col("id").as("__dst"), col("label")), col("dst") === col("__dst"))
         .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
-      val next = labels
+      val l1 = labels
         .join(nbrMin.select(col("src").as("__id"), col("__nbr")), col("id") === col("__id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
-        .cache()
-      val changed = next
-        .join(labels.select(col("id").as("__id"), col("label").as("__old")), col("id") === col("__id"))
-        .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+      // step 2 — pointer jump (path halving): l2(v) = l1(l1(v)). Labels are
+      // node ids, so following the label's own label halves the distance to
+      // the component min each round → O(log diameter) rounds total.
+      //
+      // localCheckpoint, not cache: the self-join doubles the LOGICAL plan
+      // every round, and caching short-circuits execution but not analysis —
+      // Catalyst re-analyzes the exponentially growing tree each round
+      // (observed 2.5s → 4.5s per round on a 477-pair graph). Checkpointing
+      // truncates the lineage to the materialized partitions.
+      val next = l1
+        .join(l1.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("label") === col("__lid"), "left")
+        .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      prevCache.foreach(_.unpersist())
+      prevCache = None
+      labels = next.select(col("id"), col("label"))
       done = changed == 0
       iter += 1
     }
