@@ -71,6 +71,34 @@ class ScaleSpec extends SparkSpec {
       assert(sortedRows(joined) == sortedRows(expected))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+  test("plan shapes: pushdown, pruning, broadcast, single-shuffle window") {
+    // q05: the Odoo-domain predicate (OR of LIKE / AND) reaches the scan
+    val q05 = graft.queries.CoreQueries.q05DomainFilter(spark, sfDir)
+    val p05 = q05.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p05.contains("PushedFilters: [Or(StringContains(o_orderpriority,URGENT)"),
+      s"domain filter not pushed:\n$p05")
+
+    // q02: the customer dim is broadcast, never shuffled
+    val q02 = graft.queries.CoreQueries.q02TopOrders(spark, sfDir)
+    q02.collect()
+    val p02 = q02.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p02.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p02")
+
+    // x24: projection pruning — the scan reads only the 3 needed columns,
+    // not the (wide) text column
+    val x24 = graft.queries.ExtQueries.x24HashSample(spark, sfDir)
+    val p24 = x24.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p24.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"expected pruned scan:\n$p24")
+
+    // x22: the packing cumsum is ONE shuffle (partition by source), not two
+    val x22 = graft.queries.ExtQueries.x22SequencePack(spark, sfDir)
+    x22.collect()
+    val p22 = x22.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p22).length == 1,
+      s"expected exactly one exchange:\n$p22")
+  }
+
   test("partitioned store prunes non-matching partition directories") {
     import graft.sources.PartitionedStore
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
