@@ -58,6 +58,8 @@ object SparkEntry {
     "q33_set_ops"            -> (S.q33SetOps(_, _)),
     "q34_pivot"              -> (S.q34Pivot(_, _)),
     "q35_stats_moments"      -> (S.q35StatsMoments(_, _)),
+    "q36_grouping_sets"      -> (S.q36GroupingSets(_, _)),
+    "q37_above_avg"          -> (S.q37AboveAvg(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -82,7 +84,8 @@ object SparkEntry {
     "x22_sequence_pack"      -> (X.x22SequencePack(_, _)),
     "x23_dup_clusters"       -> (X.x23DupClusters(_, _)),
     "x24_hash_sample"        -> (X.x24HashSample(_, _)),
-    "x25_histogram"          -> (X.x25Histogram(_, _)))
+    "x25_histogram"          -> (X.x25Histogram(_, _)),
+    "x26_dedup_keeper"       -> (X.x26DedupKeeper(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -123,6 +126,8 @@ object SparkEntry {
     "q33_set_ops"            -> S.q33Sql,
     "q34_pivot"              -> S.q34Sql,
     "q35_stats_moments"      -> S.q35Sql,
+    "q36_grouping_sets"      -> S.q36Sql,
+    "q37_above_avg"          -> S.q37Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,
@@ -147,5 +152,6 @@ object SparkEntry {
     "x22_sequence_pack"      -> X.x22Sql,
     "x23_dup_clusters"       -> X.x23Sql,
     "x24_hash_sample"        -> X.x24Sql,
-    "x25_histogram"          -> X.x25Sql)
+    "x25_histogram"          -> X.x25Sql,
+    "x26_dedup_keeper"       -> X.x26Sql)
 }

@@ -538,4 +538,25 @@ object ExtQueries {
        count(*) AS n,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders GROUP BY 1"""
+
+  // --- x26: dedup keeper selection (deterministic best-doc-per-group) -----
+  // The final leg of the dedup story (pairs → clusters → KEEPER): one row
+  // per content fingerprint, longest text wins, doc_id breaks ties.
+  // Exercises Dedup.exact — Spark's dropDuplicates keeps an arbitrary row,
+  // which a reproducible corpus can't use.
+  def x26DedupKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    Dedup.exact(docs, Seq("fp"),
+      struct((-length(col("text"))).as("neg_len"), col("doc_id")))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val x26Sql: String =
+    """WITH d AS (SELECT doc_id, length(text) AS len,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       FROM documents),
+       r AS (SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rn FROM d)
+       SELECT doc_id, fp FROM r WHERE rn = 1"""
 }

@@ -304,4 +304,54 @@ object SurfaceQueries {
                * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
              / (count(*) - 1)), 6) AS stddev_qty
        FROM lineitem GROUP BY l_returnflag"""
+
+  // --- q36: explicit GROUPING SETS with grouping_id -----------------------
+  // Rollup (q18) and cube (x15) cover the uniform lattices; this is the
+  // irregular one: totals by (status), by (priority), and grand total —
+  // but NOT by (status, priority).
+  // Spark's DataFrame API has no groupingSets; express it in SQL over a
+  // temp view — the same engine path (Catalyst expands to Expand exactly
+  // as rollup/cube do).
+  def q36GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping_id(o_orderstatus, o_orderpriority) AS gid,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM graft_q36_orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+  // --- q37: correlated-subquery shape (orders above their customer's avg) -
+  // The correlated scalar subquery decorrelates to a groupBy + join; the
+  // avg is sum(DECIMAL)/count so both engines compare against the
+  // identical double.
+  def q37AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val avgs = o.groupBy(col("o_custkey").as("__ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("__avg"))
+    o.join(avgs, col("o_custkey") === col("__ck"))
+      .filter(col("o_totalprice") > col("__avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("__avg"), 6).as("cust_avg"))
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+       round(cust_avg, 6) AS cust_avg FROM (
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                  / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+         FROM orders)
+       WHERE o_totalprice > cust_avg"""
 }
