@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_stats_moments"      -> (S.q35StatsMoments(_, _)),
     "q36_grouping_sets"      -> (S.q36GroupingSets(_, _)),
     "q37_above_avg"          -> (S.q37AboveAvg(_, _)),
+    "q38_partitioned_merge"  -> (S.q38PartitionedMerge(_, _)),
     "x01_exact_dedup"        -> (X.x01ExactDedup(_, _)),
     "x02_text_profile"       -> (X.x02TextProfile(_, _)),
     "x03_lang_id"            -> (X.x03LangId(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q35_stats_moments"      -> S.q35Sql,
     "q36_grouping_sets"      -> S.q36Sql,
     "q37_above_avg"          -> S.q37Sql,
+    "q38_partitioned_merge"  -> S.q38Sql,
     "x01_exact_dedup"        -> X.x01Sql,
     "x02_text_profile"       -> X.x02Sql,
     "x03_lang_id"            -> X.x03Sql,

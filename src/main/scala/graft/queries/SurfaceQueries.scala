@@ -354,4 +354,36 @@ object SurfaceQueries {
                   / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
          FROM orders)
        WHERE o_totalprice > cust_avg"""
+
+  // --- q38: copy-on-write parquet MERGE (incremental partitioned ingest) --
+  // Build a year-partitioned table, merge a batch of updates (doubled
+  // price for key%100=0) + inserts (new keys in a new 2024 partition),
+  // read the merged table back. Exercises PartitionedStore.merge — only
+  // touched partition directories are rewritten (see ScaleSpec).
+  def q38PartitionedMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/pstore_$tag"
+    val orders = t(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+    PartitionedStore.write(orders, base, Seq("order_year"))
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("order_year", lit(2024))
+    PartitionedStore.merge(spark, base, updates.unionByName(inserts),
+      Seq("o_orderkey"), "order_year")
+    PartitionedStore.read(spark, base)
+      .select(col("o_orderkey"), col("o_totalprice"), col("order_year").cast("int").as("order_year"))
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderkey,
+       CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+       CAST(year(o_orderdate) AS INT) AS order_year
+       FROM orders
+       UNION ALL
+       SELECT o_orderkey + 10000000, o_totalprice, 2024
+       FROM orders WHERE o_orderkey % 1000 = 0"""
 }

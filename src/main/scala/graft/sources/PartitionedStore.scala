@@ -35,6 +35,47 @@ object PartitionedStore {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Copy-on-write MERGE (upsert) into a partitioned parquet table — the
+    * at-scale form of the reference's update/insert reprocess against file
+    * storage: cost is O(partitions the batch touches), not O(table).
+    *
+    * Steps: (1) read ONLY the touched partitions (the batch's distinct
+    * partition values become a pushable IN-filter, so directory pruning
+    * applies); (2) anti-join old rows against batch keys, union the batch;
+    * (3) stage the rewritten partitions to a temp dir; (4) swap just those
+    * partition directories into place. Untouched partitions are never
+    * read, rewritten, or moved. Batch rows must carry the partition
+    * columns; single-level partitioning (the common date-partition case).
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val touched = batch.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affected = read(spark, path).filter(col(partitionCol).isin(touched: _*))
+    val keyed = batch.select(keyCols.map(c => batch(c).as(s"__k_$c")): _*)
+    val keep = affected.join(keyed,
+      keyCols.map(c => affected(c) === col(s"__k_$c")).reduce(_ && _), "left_anti")
+    val out = keep.unionByName(batch.select(keep.columns.map(col): _*))
+    val tmp = path + "__merge_tmp"
+    out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (p <- touched) {
+      val dirName = s"$partitionCol=$p"
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$dirName")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$dirName")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Partition directories actually selected by `df`'s plan (from the
     * FileSourceScan's partition filters) — lets tests and ops verify
     * pruning happened instead of trusting it.

@@ -148,6 +148,44 @@ class ScaleSpec extends SparkSpec {
       assert(rows.find(_._1 == "10:00").get._2 == 2L)
     } finally q.stop()
   }
+  test("copy-on-write merge rewrites only the touched partitions") {
+    import graft.sources.PartitionedStore
+    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+    PartitionedStore.write(orders, path, Seq("order_year"))
+    def files(year: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/order_year=$year")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val years = orders.select("order_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val (touchYear, quietYear) = (years.head, years.last)
+    val before = files(quietYear)
+    assert(before.nonEmpty)
+    // batch: update some keys in touchYear + insert a brand-new 2024 row
+    val updates = orders.filter(col("order_year") === touchYear && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val insert = orders.limit(1)
+      .withColumn("o_orderkey", lit(999999999L))
+      .withColumn("order_year", lit(2024))
+    PartitionedStore.merge(spark, path, updates.unionByName(insert),
+      Seq("o_orderkey"), "order_year")
+    // untouched partition: identical files, byte-level (names + mtimes)
+    assert(files(quietYear) == before)
+    // touched + new partitions materialized correctly
+    val merged = PartitionedStore.read(spark, path)
+    assert(files(2024).nonEmpty)
+    assert(merged.filter(col("o_orderkey") === 999999999L).count() == 1)
+    val expectTouched = orders.filter(col("order_year") === touchYear)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    assert(sortedRows(merged.filter(col("order_year") === touchYear)) ==
+      sortedRows(expectTouched))
+  }
+
   test("compaction collapses small files per partition, preserving data") {
     import graft.sources.PartitionedStore
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
