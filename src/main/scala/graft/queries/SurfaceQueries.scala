@@ -386,4 +386,52 @@ object SurfaceQueries {
        UNION ALL
        SELECT o_orderkey + 10000000, o_totalprice, 2024
        FROM orders WHERE o_orderkey % 1000 = 0"""
+
+  // --- q39: the streaming online-job path, end-to-end in the gate ---------
+  // Orders subset exported as a CSV drop-directory, drained by OnlineJob
+  // (Structured Streaming, Trigger.AvailableNow) through the SAME
+  // transform + log-state recovery + merge routing as the batch path;
+  // keys pre-loaded in the log store must route as updates, the rest as
+  // inserts. The oracle is the equivalent batch SQL — streaming and batch
+  // must agree exactly.
+  def q39OnlineDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{LogStore, MergeRouter}
+    import graft.streaming.OnlineJob
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/online_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run: checkpoint must not carry over
+    val (srcDir, logDir, ckpt, outDir) = (s"$base/in", s"$base/log", s"$base/ckpt", s"$base/out")
+    val subset = t(spark, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    subset.coalesce(1).write.csv(srcDir)
+    LogStore.append(spark, logDir, subset.filter(col("o_orderkey") % 14 === 0).select(
+      lit("online_q39").as("job"), col("o_orderkey").cast("string").as("pk"),
+      (col("o_orderkey") * 7).as("model_id"), lit("info").as("level"),
+      lit("preloaded").as("message"), current_timestamp().as("ts")))
+    val job = JobSpec(
+      name = "online_q39",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Left(FileResource(srcDir, "csv")),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("o_orderkey", fieldName = Some("okey")),
+          FieldSpec("o_totalprice", fieldName = Some("price"), fieldType = "float")),
+        reprocess = ReprocessMode.Update,
+        pkField = Some("o_orderkey")))
+    val source = spark.readStream.schema("o_orderkey long, o_totalprice double").csv(srcDir)
+    val q = OnlineJob.start(spark, job, source, logDir, ckpt,
+      (routed, _) => routed.write.mode("append").parquet(outDir))
+    q.awaitTermination(120000)
+    spark.read.parquet(outDir).select(
+      col("okey").cast("long").as("okey"),
+      col(MergeRouter.ActionCol).as("action"),
+      col(MergeRouter.IdCol).as("model_id"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 14 = 0 THEN 'update' ELSE 'insert' END AS action,
+       CASE WHEN o_orderkey % 14 = 0 THEN o_orderkey * 7 END AS model_id
+       FROM orders WHERE o_orderkey % 7 = 0"""
 }
