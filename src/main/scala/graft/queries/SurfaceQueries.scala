@@ -434,4 +434,30 @@ object SurfaceQueries {
        CASE WHEN o_orderkey % 14 = 0 THEN 'update' ELSE 'insert' END AS action,
        CASE WHEN o_orderkey % 14 = 0 THEN o_orderkey * 7 END AS model_id
        FROM orders WHERE o_orderkey % 7 = 0"""
+
+  // --- q40: analytic window-function breadth ------------------------------
+  // lag/lead/first_value/ntile/cume_dist per customer over a TOTAL order
+  // (o_orderdate then o_orderkey — unique, so every function is
+  // deterministic; cume_dist is an exact integer ratio).
+  def q40AnalyticFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"),
+      first_value(col("o_orderkey")).over(w).as("first_key"),
+      ntile(4).over(w).as("quartile"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_custkey, o_orderkey,
+       lag(o_orderkey, 1) OVER w AS prev_key,
+       lead(o_orderkey, 1) OVER w AS next_key,
+       first_value(o_orderkey) OVER w AS first_key,
+       ntile(4) OVER w AS quartile,
+       cume_dist() OVER w AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 }
