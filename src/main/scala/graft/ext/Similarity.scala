@@ -61,8 +61,19 @@ object Similarity {
     val joinCond = if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
     val scored = corpus.join(broadcast(qs), joinCond)
       .withColumn("cosine", cosine(col("dv"), col("qv"), col("dn"), col("qn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // Two-stage top-k: a window partitioned only by query_id funnels ALL
+    // N×|Q| scored rows through |Q| reducers — the skew bottleneck at
+    // scale. Stage 1 takes the top-k per (query, input partition) — |Q|×P
+    // way parallel — shrinking the global stage to |Q|×P×k rows. Exact:
+    // the global top-k is a subset of the union of per-partition top-ks,
+    // and both stages share the (cosine desc, neighbor_id) total order.
+    val ord = Seq(col("cosine").desc, col("neighbor_id"))
+    val withPid = scored.withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
+    val pruned = withPid.withColumn("__lrn", row_number().over(local))
+      .filter(col("__lrn") <= k).drop("__lrn", "__pid")
+    val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
