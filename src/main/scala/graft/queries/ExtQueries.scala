@@ -44,6 +44,7 @@ object ExtQueries {
       TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
       TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.approxBpeTokenCount(col("text")).as("bpe_tokens"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
   val x02Sql: String =
@@ -58,6 +59,8 @@ object ExtQueries {
              ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
         CASE WHEN len(toks) = 0 THEN 0.0
              ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','from','or','are','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
+             + length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS bpe_tokens,
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
        FROM t"""
 
@@ -229,8 +232,12 @@ object ExtQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  val x11Sql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+  /** Shared CTE chain: normalized vectors `n`, centroids `c`, and the
+    * argmax-cosine centroid assignment `asg` — reused by the x11 probe
+    * oracle and the x27 blocked-dedup oracle.
+    */
+  private val ivfCtes: String =
+    """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
        c AS (SELECT vec_id AS centroid_id, ve AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
        asg0 AS (SELECT n.vec_id, c.centroid_id,
@@ -239,7 +246,10 @@ object ExtQueries {
        asg AS (SELECT vec_id, centroid_id FROM (
            SELECT vec_id, centroid_id,
                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-           FROM asg0) WHERE rn = 1),
+           FROM asg0) WHERE rn = 1)"""
+
+  val x11Sql: String =
+    s"""WITH $ivfCtes,
        q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
        pr0 AS (SELECT q.query_id, c.centroid_id,
            list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
@@ -559,4 +569,28 @@ object ExtQueries {
        r AS (SELECT doc_id, fp,
              row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rn FROM d)
        SELECT doc_id, fp FROM r WHERE rn = 1"""
+
+  // --- x27: embedding near-dup pairs blocked by IVF centroid --------------
+  // The production-shaped blocking for embedding dedup at 100 TB: block =
+  // nearest-centroid cell (x12's label blocking needs trusted metadata;
+  // this derives the block from the vectors themselves). Approximate —
+  // pairs straddling a cell boundary are missed — but DETERMINISTIC, so
+  // the oracle replicates the same assignment and the check is exact.
+  def x27EmbeddingDedupIvf(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val centroids = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, centroids, "vec_id", "embedding")
+    Dedup.embeddingPairs(assigned, "vec_id", "embedding",
+      blockKey = col("centroid_id"), threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val x27Sql: String =
+    s"""WITH $ivfCtes,
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.ve) + 1), i -> a.ve[i] * b.ve[i])) / (a.nrm * b.nrm) AS cos
+         FROM n a JOIN asg aa ON a.vec_id = aa.vec_id
+         JOIN asg ab ON aa.centroid_id = ab.centroid_id
+         JOIN n b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id)
+       SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4"""
 }

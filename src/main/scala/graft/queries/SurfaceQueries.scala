@@ -460,4 +460,49 @@ object SurfaceQueries {
        cume_dist() OVER w AS cd
        FROM orders
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  // --- q41: date/time scalar-function breadth -----------------------------
+  def q41DateFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"),
+      add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+      unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+
+  val q41Sql: String =
+    """SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+       FROM orders"""
+
+  // --- q42: string scalar-function breadth (incl. edit distance) ----------
+  def q42StringFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      reverse(col("c_name")).as("rev_name"),
+      translate(col("c_name"), "#", "-").as("dashed"),
+      split(col("c_name"), "#").getItem(1).as("name_num"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      repeat(substring(col("c_mktsegment"), 1, 2), 2).as("seg2x"),
+      levenshtein(col("c_name"), col("c_mktsegment"))
+        .cast("long").as("edit_dist"))
+
+  val q42Sql: String =
+    """SELECT c_custkey,
+       reverse(c_name) AS rev_name,
+       translate(c_name, '#', '-') AS dashed,
+       split_part(c_name, '#', 2) AS name_num,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       repeat(substring(c_mktsegment, 1, 2), 2) AS seg2x,
+       CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS edit_dist
+       FROM customer"""
 }
