@@ -505,4 +505,66 @@ object SurfaceQueries {
        repeat(substring(c_mktsegment, 1, 2), 2) AS seg2x,
        CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS edit_dist
        FROM customer"""
+
+  // --- q43: template-mode extract (model_ids instead of domain search) ----
+  // Reference template_run_from: the job carries explicit ids and the
+  // extract reads exactly those records (cubicerpetl.py:321-324). The id
+  // list lives on the driver by definition; it reaches the scan as a
+  // pushable IN filter.
+  def q43ModelIds(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_model_q43")
+    val ids = t(spark, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val job = JobSpec(
+      name = "template_job",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Right(ConnectorResource(
+        model = "orders_model_q43",
+        ids = Some(ids),
+        idField = "o_orderkey",
+        fields = Seq("o_orderkey", "o_orderstatus"))),
+      transform = TransformSpec(
+        fields = Seq(FieldSpec("o_orderkey", fieldType = "int"), FieldSpec("o_orderstatus")),
+        pkField = Some("o_orderkey")))
+    JobRunner.run(spark, job, None).routed
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  val q43Sql: String =
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 97 = 0"
+
+  // --- q44: per-row error channel through the connector sink --------------
+  // The reference's core load property: a failing row becomes an error
+  // log entry instead of aborting the job (try/except per create/write,
+  // cubicerpetl.py:738-745/:757-765).
+  final case class FlakyHandler(pkIdx: Int) extends graft.sinks.ConnectorSink.Handler {
+    import graft.sinks.ConnectorSink.LoadResult
+    def create(rows: Iterator[org.apache.spark.sql.Row]): Iterator[LoadResult] =
+      rows.map { r =>
+        val pk = String.valueOf(r.get(pkIdx))
+        if (pk.toLong % 10 == 0) LoadResult(pk, "insert", None, Some("boom"))
+        else LoadResult(pk, "insert", Some(pk.toLong + 5000), None)
+      }
+    def update(rows: Iterator[org.apache.spark.sql.Row]): Iterator[LoadResult] = Iterator.empty
+    def delete(rows: Iterator[org.apache.spark.sql.Row]): Iterator[LoadResult] = Iterator.empty
+  }
+
+  def q44ErrorChannel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ConnectorSink
+    import spark.implicits._
+    val routed = MergeRouter.route(
+      t(spark, dir, "orders").select(col("o_orderkey")),
+      Seq.empty[(String, Long)].toDF("pk", "model_id"),
+      "o_orderkey", ReprocessMode.Insert)
+    val results = ConnectorSink(routed, FlakyHandler(routed.columns.indexOf("o_orderkey")))
+    ConnectorSink.toLog(results, "q44")
+      .select(col("pk"), col("model_id"), col("level"), col("message"))
+  }
+
+  val q44Sql: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS pk,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey + 5000 END AS model_id,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'error' ELSE 'info' END AS level,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'boom' ELSE 'loaded insert' END AS message
+       FROM orders"""
 }

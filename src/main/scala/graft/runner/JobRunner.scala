@@ -38,9 +38,16 @@ object JobRunner {
     case Right(c) =>
       // connector extract: table registered in the session catalog, with
       // the Odoo domain pushed as a Catalyst predicate and the field list
-      // as a projection — Catalyst carries both into the scan.
+      // as a projection — Catalyst carries both into the scan. Template
+      // mode (reference template_run_from + model_ids, cubicerpetl.py:
+      // 321-324): an explicit id list replaces the domain search, pushed
+      // as an IN filter.
       var df = spark.table(c.model)
-      if (c.domain.nonEmpty) df = df.filter(graft.expr.OdooDomain.compile(c.domain))
+      df = c.ids match {
+        case Some(ids) => df.filter(col(c.idField).isin(ids: _*))
+        case None if c.domain.nonEmpty => df.filter(graft.expr.OdooDomain.compile(c.domain))
+        case None => df
+      }
       if (c.fields.nonEmpty) df = df.select(c.fields.map(col): _*)
       InlinePayload.withRowDefaults(df, job.rowDefaults)
   }

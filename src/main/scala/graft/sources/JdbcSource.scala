@@ -36,6 +36,10 @@ object JdbcSource {
   /** Extract: begin → read query as DataFrame → end. */
   def read(spark: SparkSession, res: SqlResource, jobDate: LocalDate): DataFrame = {
     res.sqlBegin.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+    // the reference's deliberate extract stall between sql_begin and the
+    // main query (sleep(sql_begin_delay), cubicerpetl.py:295-298) — used
+    // to let source-side triggers/materializations settle
+    if (res.beginDelayMillis > 0) Thread.sleep(res.beginDelayMillis)
     val reader = spark.read.format("jdbc")
       .option("url", res.url)
       .option("query", DateMacros.substitute(res.sqlQuery, jobDate))

@@ -85,7 +85,12 @@ object SpecLoader {
             }
             case _ => Nil
           },
-          fields = strSeq(c \ "fields")))
+          fields = strSeq(c \ "fields"),
+          ids = (c \ "ids") match {
+            case JArray(items) => Some(items.map(anyOf))
+            case _ => None
+          },
+          idField = str(c \ "idField").getOrElse("id")))
       case _ => fail("extract.file | extract.connector")
     }
 

@@ -85,16 +85,24 @@ object Specs {
       sqlQuery: String = "",
       sqlEnd: Option[String] = None,
       table: Option[String] = None,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      beginDelayMillis: Long = 0L) // reference sql_begin_delay (:295-298)
 
   /** Connector resource (reference etl_type='rpc', cubicerpetl.py:314-328):
     * a named model/table plus an Odoo-style domain filter that is pushed
     * to the source, and an explicit field list (projection pushdown).
     */
+  /** `ids`/`idField` model the reference's template mode
+    * (`template_run_from` ∈ {single, multiple}, cubicerpetl.py:321-324):
+    * the job supplies explicit `model_ids` and the extract reads exactly
+    * those records instead of searching a domain.
+    */
   final case class ConnectorResource(
       model: String,
       domain: Seq[Any] = Nil,
-      fields: Seq[String] = Nil)
+      fields: Seq[String] = Nil,
+      ids: Option[Seq[Any]] = None,
+      idField: String = "id")
 
   /** Value-mapping dictionary (reference `etl.mapping` + lines,
     * cubicerpetl.py:624-649): src→dst entries, optional default line
