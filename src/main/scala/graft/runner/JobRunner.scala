@@ -77,4 +77,58 @@ object JobRunner {
     import spark.implicits._
     Seq.empty[(String, Long)].toDF("pk", "model_id")
   }
+
+  /** Outcome of one job in a [[runAll]] batch: state ∈ done | failed |
+    * skipped (skipped = an upstream dependency did not finish `done`).
+    */
+  final case class JobOutcome(job: String, state: String, error: Option[String])
+
+  /** Run a batch of jobs in dependency order — the engine form of the
+    * reference's cron loop (etl_cron.py:43-55 runs every ready batch job
+    * sequentially; `deps` generalizes the ordering users there encode by
+    * hand in job states). Kahn topological order with a deterministic
+    * name tiebreak; a job failure marks its transitive dependents
+    * `skipped` instead of aborting the batch (per-job isolation, like the
+    * reference's per-job try/except). `load` applies each routed result
+    * to its sink — returning control to the caller keeps the plan lazy
+    * until the sink acts.
+    */
+  def runAll(
+      spark: SparkSession,
+      jobs: Seq[JobSpec],
+      deps: Map[String, Seq[String]] = Map.empty,
+      logPath: Option[String] = None,
+      load: JobResult => Unit): Seq[JobOutcome] = {
+    val byName = jobs.map(j => j.name -> j).toMap
+    deps.foreach { case (j, ds) =>
+      require(byName.contains(j), s"deps reference unknown job: $j")
+      ds.foreach(d => require(byName.contains(d), s"job $j depends on unknown job: $d"))
+    }
+    // Kahn's algorithm, smallest name first for determinism
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val remaining = scala.collection.mutable.Set(jobs.map(_.name): _*)
+    val pending = scala.collection.mutable.Map(
+      jobs.map(j => j.name -> deps.getOrElse(j.name, Nil).toSet): _*)
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(j => pending(j).forall(d => !remaining.contains(d))).toSeq.sorted
+      require(ready.nonEmpty, s"dependency cycle among: ${remaining.toSeq.sorted.mkString(", ")}")
+      val next = ready.head
+      order += next
+      remaining -= next
+    }
+    val notDone = scala.collection.mutable.Set.empty[String]
+    order.toSeq.map { name =>
+      val blockedBy = deps.getOrElse(name, Nil).filter(notDone.contains)
+      if (blockedBy.nonEmpty) {
+        notDone += name
+        JobOutcome(name, "skipped", Some(s"upstream not done: ${blockedBy.sorted.mkString(", ")}"))
+      } else {
+        try { load(run(spark, byName(name), logPath)); JobOutcome(name, "done", None) }
+        catch { case e: Exception =>
+          notDone += name
+          JobOutcome(name, "failed", Some(e.toString))
+        }
+      }
+    }
+  }
 }

@@ -142,6 +142,32 @@ class RunnerSpec extends SparkSpec {
     assert(actions == Map("update" -> 1L, "insert" -> 1L))
   }
 
+  test("runAll: dependency order, failure isolation, dependent skip") {
+    def job(name: String, path: String) = jobSpec.copy(name = name,
+      extract = Left(FileResource(path, "parquet")))
+    val good = s"$sfDir/orders.parquet"
+    val jobs = Seq(
+      job("c_leaf", good), // depends on broken b → skipped
+      job("b_broken", "/nonexistent/nope.parquet"),
+      job("a_root", good), // independent → runs
+      job("d_after_a", good)) // depends on a → runs
+    val deps = Map("c_leaf" -> Seq("b_broken"), "d_after_a" -> Seq("a_root"))
+    var loaded = Vector.empty[String]
+    val outcomes = JobRunner.runAll(spark, jobs, deps, None,
+      load = r => { r.routed.count(); loaded :+= r.job })
+    val byJob = outcomes.map(o => o.job -> o.state).toMap
+    assert(byJob == Map("a_root" -> "done", "b_broken" -> "failed",
+      "c_leaf" -> "skipped", "d_after_a" -> "done"))
+    // a ran before its dependent d; the failed job never reached load
+    assert(loaded.indexOf("a_root") < loaded.indexOf("d_after_a"))
+    assert(!loaded.contains("b_broken") && !loaded.contains("c_leaf"))
+    // cycles are rejected eagerly
+    intercept[IllegalArgumentException] {
+      JobRunner.runAll(spark, Seq(job("x", good), job("y", good)),
+        Map("x" -> Seq("y"), "y" -> Seq("x")), None, load = _ => ())
+    }
+  }
+
   test("inline base64 payload: txt and csv with header") {
     val txt = java.util.Base64.getEncoder.encodeToString("0001alpha\n0002beta \n".getBytes)
     val cols = Seq(
