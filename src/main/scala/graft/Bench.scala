@@ -20,17 +20,21 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    // Two timed passes, report the per-query MIN: single-pass numbers in a
-    // shared JVM are GC/JIT-noise-dominated (observed 3-10x spread on the
-    // same query), and the min of two warm runs is the stable estimate of
-    // what the engine actually costs.
+    // Two timed passes, report the per-query MIN over SUCCESSFUL runs:
+    // single-pass numbers in a shared JVM are GC/JIT-noise-dominated
+    // (observed 3-10x spread on the same query). A failed run must never
+    // contribute its (fast) elapsed time — a query that failed both
+    // passes reports -1 so the breakage is visible in the JSON.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      val times = Seq(v, p2(k)).filterNot(_.isNaN)
+      k -> (if (times.isEmpty) -1.0 else times.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -79,10 +79,18 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash signature: k minimums of per-shingle seeded xxhash64. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash signature: k minimums of seeded hashes, where seed variant i
+    * is xxhash64(xxhash64(shingle), i) — the string is hashed ONCE and the
+    * k variants derive from the 8-byte value. MUST stay the same scheme as
+    * [[minhashPairs]]: signatures/band keys precomputed at ingest with
+    * these helpers have to bucket-match pairs produced by the relational
+    * pipeline.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashed = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(1), lit(k)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+      h => array_min(transform(hashed, s => xxhash64(s, h))))
+  }
 
   /** LSH band keys computed DIRECTLY from the shingle array: band b hashes
     * its r minhashes, and each minhash sub-expression appears exactly once
@@ -90,10 +98,12 @@ object Dedup {
     * a [[minhashSignature]] column from a previous projection — duplicates
     * the whole signature computation into every band when the optimizer
     * collapses projections: 32× recompute, observed 93s → ~2s on 500 docs.)
+    * Same xxhash64(xxhash64(s), seed) scheme as [[minhashPairs]].
     */
   def minhashBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column = {
+    val hashed = transform(shingles, s => xxhash64(s))
     val mins = (0 until bands * rowsPerBand).map(h =>
-      array_min(transform(shingles, s => xxhash64(s, lit(h + 1)))))
+      array_min(transform(hashed, s => xxhash64(s, lit(h + 1)))))
     array((0 until bands).map(b =>
       xxhash64(mins.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)): _*)
   }
@@ -313,7 +323,6 @@ object Dedup {
     edges.count(); edges0.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    var prevCache: Option[DataFrame] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -341,9 +350,9 @@ object Dedup {
           col("label") === col("__lid"), "left")
         .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
         .localCheckpoint(true)
+      // previous rounds' checkpointed RDDs become unreachable once labels
+      // rebinds; the ContextCleaner unpersists them via weak references
       val changed = next.filter(col("label") =!= col("__old")).count()
-      prevCache.foreach(_.unpersist())
-      prevCache = None
       labels = next.select(col("id"), col("label"))
       done = changed == 0
       iter += 1

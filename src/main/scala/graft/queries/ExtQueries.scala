@@ -454,9 +454,12 @@ object ExtQueries {
 
   // --- x21: TF-IDF top-3 terms per document ------------------------------
   // Classic keyword extraction: score = tf · ln(N/df). Counts are exact
-  // integers; N is a broadcast scalar; ln + multiply is identical double
-  // math in both engines, rounded to 6 dp on output (rank uses the
-  // unrounded score with a term tiebreak).
+  // integers; N is a broadcast scalar. ln is NOT IEEE-correctly-rounded,
+  // so JVM Math.log and DuckDB's libm may differ in the last ulp — the
+  // rank therefore uses the 6-dp ROUNDED score (+ term tiebreak): a flip
+  // now needs two engines to round across a 1e-6 boundary from values
+  // that differ by <1 ulp, instead of any two terms scoring within 1 ulp
+  // of each other.
   def x21Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
@@ -466,11 +469,11 @@ object ExtQueries {
     val df_ = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
-      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
-        round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("score"))
   }
 
   val x21Sql: String =
@@ -481,11 +484,11 @@ object ExtQueries {
        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
        n AS (SELECT count(*) AS n_docs FROM documents),
        sc AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
-              tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+              round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
          FROM tf JOIN df USING (term) CROSS JOIN n),
        r AS (SELECT doc_id, term, tf, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
-       SELECT doc_id, rnk, term, tf, round(score, 6) AS score FROM r WHERE rnk <= 3"""
+       SELECT doc_id, rnk, term, tf, score FROM r WHERE rnk <= 3"""
 
   // --- x22: sequence packing (context-window binning for training) --------
   // Greedy in-order packing: within each source, docs in doc_id order are

@@ -422,7 +422,10 @@ object SurfaceQueries {
     val source = spark.readStream.schema("o_orderkey long, o_totalprice double").csv(srcDir)
     val q = OnlineJob.start(spark, job, source, logDir, ckpt,
       (routed, _) => routed.write.mode("append").parquet(outDir))
-    q.awaitTermination(120000)
+    if (!q.awaitTermination(120000)) {
+      q.stop() // never read partial output from a still-running drain
+      throw new IllegalStateException("q39: streaming drain did not finish in 120s")
+    }
     spark.read.parquet(outDir).select(
       col("okey").cast("long").as("okey"),
       col(MergeRouter.ActionCol).as("action"),

@@ -39,13 +39,13 @@ object ConnectorSink {
     * (the reference's delete-then-insert refresh, :506-517); `skip` rows
     * are dropped.
     *
-    * `pkCol` co-locates all actions for one pk in one partition
-    * (hash repartition on the key). REQUIRED for ReprocessMode.Delete:
-    * MergeRouter emits the delete row and the re-insert row for the same
-    * pk from different branches of a union, so without co-location two
-    * concurrent tasks could apply the insert before the delete at the
-    * destination, inverting the reference's delete-then-insert order.
-    * Other modes emit at most one action per pk and may skip the shuffle.
+    * `pkCol` optionally re-co-locates all actions for one pk in one
+    * partition (hash repartition on the key). [[MergeRouter.route]]
+    * already repartitions Delete-mode output on the pk, so routed frames
+    * are safe by default; pass `pkCol` as defense-in-depth when the
+    * routed frame was transformed in a way that may have re-shuffled it
+    * (a plain select/filter between route and sink preserves
+    * partitioning; joins and repartitions do not).
     */
   def apply(routed: DataFrame, handler: Handler, pkCol: Option[String] = None): DataFrame = {
     val spark = routed.sparkSession

@@ -54,7 +54,13 @@ object MergeRouter {
         val deletes = joined.filter(matched).withColumn(ActionCol, lit("delete"))
         val inserts = joined.withColumn(ActionCol, lit("insert"))
           .withColumn(IdCol, lit(null).cast(joined.schema(IdCol).dataType))
-        deletes.unionByName(inserts)
+        // The union puts a pk's delete row and re-insert row in DIFFERENT
+        // partitions; repartition on the pk here — where the mode is
+        // known — so any partition-local sink (ConnectorSink orders
+        // deletes first) applies delete-then-insert correctly without the
+        // caller having to remember a co-location flag. Other modes emit
+        // one action per pk and skip the extra shuffle.
+        deletes.unionByName(inserts).repartition(col(pkCol))
     }
     routed
   }

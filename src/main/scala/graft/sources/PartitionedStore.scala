@@ -44,8 +44,21 @@ object PartitionedStore {
     * applies); (2) anti-join old rows against batch keys, union the batch;
     * (3) stage the rewritten partitions to a temp dir; (4) swap just those
     * partition directories into place. Untouched partitions are never
-    * read, rewritten, or moved. Batch rows must carry the partition
-    * columns; single-level partitioning (the common date-partition case).
+    * read, rewritten, or moved. The swap enumerates the partition
+    * directories Spark actually WROTE under the staging dir (never
+    * re-derives names by string-formatting values — Spark hive-escapes
+    * special characters and nulls, and a name mismatch would silently
+    * drop the partition).
+    *
+    * Contract: batch rows carry the partition column; single-level
+    * partitioning; partition values must be non-null; and a key's
+    * partition value must be STABLE across upserts — a row that moves
+    * partitions would leave its old copy behind (detecting that requires
+    * a global key scan, which defeats O(touched); route such changes as
+    * an explicit delete+insert instead). The per-partition swap is
+    * delete-then-rename: not atomic under a crash between the two calls
+    * (the staged copy still exists under `path+"__merge_tmp"` for manual
+    * recovery); full atomicity needs a manifest/transaction-log layout.
     */
   def merge(
       spark: SparkSession,
@@ -56,6 +69,7 @@ object PartitionedStore {
     import org.apache.spark.sql.functions._
     val touched = batch.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
+    require(!touched.contains(null), s"merge: null $partitionCol in batch")
     val affected = read(spark, path).filter(col(partitionCol).isin(touched: _*))
     val keyed = batch.select(keyCols.map(c => batch(c).as(s"__k_$c")): _*)
     val keep = affected.join(keyed,
@@ -64,14 +78,14 @@ object PartitionedStore {
     val tmp = path + "__merge_tmp"
     out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    for (p <- touched) {
-      val dirName = s"$partitionCol=$p"
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$dirName")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/$dirName")
-      if (fs.exists(src)) {
-        fs.delete(dst, true)
-        fs.rename(src, dst)
-      }
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    for (s <- staged) {
+      val dst = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"merge: cannot replace $dst")
+      if (!fs.rename(s.getPath, dst))
+        throw new java.io.IOException(s"merge: rename ${s.getPath} -> $dst failed")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
   }
 
+  test("minhash helpers share the hash-of-hash scheme with the pair pipeline") {
+    // signatures precomputed at ingest (minhashSignature) must equal the
+    // relational pipeline's min-aggregated seeded hashes, or ingest-time
+    // band keys would never bucket-match minhashPairs
+    val k = 8
+    val sig = docs.filter(size(Dedup.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hashed = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("s")).as("h0"))
+    val minCols = (0 until k).map(h => min(xxhash64(col("h0"), lit(h + 1))).as(s"m$h"))
+    val rel = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(sig.keySet == rel.keySet)
+    sig.foreach { case (id, s) => assert(s == rel(id), s"doc $id") }
+  }
+
   test("duplicate clusters: min-label propagation finds connected components") {
     // chain 1-2-3 (via 2), pair 10-11, chain 20-21-22-23 (path, diameter 3)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))

@@ -74,20 +74,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    rows_only = set()  # every gated query currently has a full oracle
-    for name in sorted(rows_only):
-        try:
-            n = con.execute(
-                f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
-        except Exception as e:
-            print(f"FAIL {name}: exec error {e}")
-            n_fail += 1
-            continue
-        if n > 0:
-            print(f"PASS {name} (rows-only: {n} rows)")
-        else:
-            print(f"FAIL {name} (rows-only: 0 rows)")
-            n_fail += 1
+    # every gated query has a full oracle — no rows-only checks remain
     print(f"== {n_pass} pass / {n_fail} fail (of {len(oracle)} oracled)")
     return 1 if n_fail else 0
 
