@@ -596,4 +596,28 @@ object ExtQueries {
          JOIN asg ab ON aa.centroid_id = ab.centroid_id
          JOIN n b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id)
        SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4"""
+
+  // --- x28: incremental dedup (new batch vs historical fingerprints) ------
+  // The daily-ingest pattern at 100 TB: dedup the INCREMENT against the
+  // persisted fingerprint set (keys-only join) instead of re-deduping the
+  // corpus. History here is the non-increment docs; the fingerprint store
+  // side carries only distinct fps — never document payloads.
+  def x28IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("fp")).distinct().withColumn("__seen", lit(1))
+    docs.filter(col("doc_id") % 5 === 0)
+      .join(seen, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("__seen").isNotNull.as("is_dup"))
+  }
+
+  val x28Sql: String =
+    """WITH d AS (SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       FROM documents),
+       h AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 <> 0)
+       SELECT d.doc_id, d.fp, h.fp IS NOT NULL AS is_dup
+       FROM d LEFT JOIN h ON d.fp = h.fp
+       WHERE d.doc_id % 5 = 0"""
 }

@@ -186,6 +186,29 @@ class ScaleSpec extends SparkSpec {
       sortedRows(expectTouched))
   }
 
+  test("streaming dedup drops repeats within the watermark window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:02:00"), 1L)) // repeat inside the window
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dd_test").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L)) // the 10:02 repeat of id 1 was dropped
+    } finally q.stop()
+  }
+
   test("compaction collapses small files per partition, preserving data") {
     import graft.sources.PartitionedStore
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
