@@ -100,6 +100,47 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("duplicate clusters: funnel merges chains spanning many partitions") {
+    // one 400-node path (worst case for local contraction: edges of the
+    // same component scattered across partitions) + noise cliques; spread
+    // over 16 partitions so correctness cannot come from single-partition
+    // luck, and shuffle the edge order so it cannot come from sortedness
+    val chain = (1L until 400L).map(i => (i, i + 1))
+    val cliques = (0 until 50).flatMap { c =>
+      val base = 1000L + c * 10
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }
+    val pairs = new scala.util.Random(7).shuffle(chain ++ cliques)
+      .toDF("id_a", "id_b").repartition(16)
+    val out = Dedup.duplicateClusters(pairs, fanIn = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 400L).foreach(i => assert(out(i) == 1L, s"chain node $i"))
+    (0 until 50).foreach { c =>
+      val base = 1000L + c * 10
+      (0 to 2).foreach(o => assert(out(base + o) == base, s"clique $c node $o"))
+    }
+    assert(out.size == 400 + 150)
+  }
+
+  test("duplicate clusters: generic over non-long id types") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("duplicate clusters: propagate variant agrees with the funnel") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val funnel = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.duplicateClustersPropagate(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(funnel == prop)
+    assert(prop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("ngram jaccard posting cutoff drops ubiquitous shingles") {
     val rep = Seq(
       (1L, "x x x x x x"), (2L, "x x x x x x"), (3L, "x x x x x x"))
