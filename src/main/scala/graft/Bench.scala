@@ -37,8 +37,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}""")
+    // the -1 failure sentinel stays visible per query but must not deflate
+    // the headline total; broken queries surface as an explicit count
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

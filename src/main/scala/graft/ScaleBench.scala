@@ -1,0 +1,105 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup/ANN family (x01–x06, x23, x27, x28): stages a
+  * replica-scaled corpus from the sf0.1 tables and times the family at 1×
+  * and N× in one JVM, so the growth CURVE (not the absolute number) is the
+  * result. A linear-time operator shows ~N× wall growth at N× rows; a
+  * pair-generator that degenerated to all-pairs would show ~N²×.
+  *
+  * Replication is built to keep pair volume scaling linearly, the way a
+  * genuinely 10×-larger corpus would:
+  *  - documents: replica i ≥ 1 suffixes every token with a replica tag, so
+  *    replicas share NO shingles — near-dup structure repeats per replica
+  *    (10× pairs), instead of every replica pairing with every other
+  *    (100× pairs, which would measure the fixture, not the engine);
+  *  - embeddings: replica i cyclically rotates each vector by i positions —
+  *    rotation preserves the norm and within-replica geometry but makes
+  *    cross-replica cosines incoherent, so IVF blocks don't fill with
+  *    cross-replica near-1.0 duplicates.
+  * Ids remap by a replica offset that is a multiple of 50, preserving the
+  * `vec_id % 50` centroid pattern x27 derives per replica.
+  */
+object ScaleBench {
+
+  val Family: Seq[String] = Seq(
+    "x01_exact_dedup", "x02_text_profile", "x03_lang_id", "x04_minhash_pairs",
+    "x05_ngram_jaccard_pairs", "x06_simhash_pairs", "x23_dup_clusters",
+    "x27_embedding_dedup_ivf", "x28_incremental_dedup")
+
+  private val IdOffset = 100000000L // > any generator id; multiple of 50
+
+  def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until reps).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1" + s"z$i")
+      docs.select(
+        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until reps).map { i =>
+      val e = col("embedding")
+      val sh = pmod(lit(i), size(e))
+      val rotated = when(sh === 0, e)
+        .otherwise(concat(slice(e, sh + lit(1), size(e) - sh), slice(e, lit(1), sh)))
+      embs.select(
+        (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def time(spark: SparkSession, dir: String): Map[String, Double] = {
+    def pass(): Map[String, Double] = Family.map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+      catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
+    }.toMap
+    val (p1, p2) = (pass(), pass())
+    p1.map { case (k, v) =>
+      val ts = Seq(v, p2(k)).filterNot(_.isNaN)
+      k -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = "/tmp/graft_scalebench"
+    val (d1, dN) = (s"$root/x1", s"$root/x$reps")
+    stage(spark, baseDir, d1, 1)
+    stage(spark, baseDir, dN, reps)
+    // JIT/codegen warm-up on the small SF, as Bench does
+    Family.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    val t1 = time(spark, d1)
+    val tN = time(spark, dN)
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val ratio = Family.map { n =>
+      val r = if (t1(n) > 0 && tN(n) > 0) tN(n) / t1(n) else -1.0
+      s"\"" + n + "\":" + f"$r%.2f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"dedup_scale","reps":$reps,"unit":"sec","base":"$baseDir","x1":${js(t1)},"x$reps":${js(tN)},"growth":$ratio}""")
+    spark.stop()
+  }
+}

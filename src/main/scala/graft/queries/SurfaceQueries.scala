@@ -570,4 +570,31 @@ object SurfaceQueries {
        CASE WHEN o_orderkey % 10 = 0 THEN 'error' ELSE 'info' END AS level,
        CASE WHEN o_orderkey % 10 = 0 THEN 'boom' ELSE 'loaded insert' END AS message
        FROM orders"""
+
+  // --- q45: DBF extract with pushed Odoo domain (F2) ------------------------
+  // Reference dbf_domain: the extract filters the DBF table with an eval'd
+  // domain before rows enter the pipeline (cubicerpetl.py:281-282). The
+  // engine composes the from-scratch DBF reader with the same domain
+  // compiler the RPC/parquet paths use.
+  def q45DbfDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.OdooDomain
+    import graft.sources.Dbf
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft/dbf_dom_$tag.dbf"
+    new java.io.File("/tmp/graft").mkdirs()
+    Dbf.write(t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("skey"), col("s_name").as("sname"),
+        col("s_nationkey").as("nkey")), path, charLen = 32)
+    val domain: Seq[Any] = Seq(
+      "|", OdooDomain.Term("nkey", "=", 5L),
+      "&", OdooDomain.Term("skey", "<=", 50L),
+      OdooDomain.Term("sname", "like", "Supplier"))
+    Dbf.read(spark, path, domain)
+  }
+
+  val q45Sql: String =
+    """SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name AS sname,
+       CAST(s_nationkey AS BIGINT) AS nkey
+       FROM supplier
+       WHERE s_nationkey = 5 OR (s_suppkey <= 50 AND s_name LIKE '%Supplier%')"""
 }

@@ -19,6 +19,11 @@ import graft.spec.Specs._
   */
 object JobRunner {
 
+  /** Largest template-mode id list inlined as an IN literal; larger lists
+    * route through a broadcast semi-join (see extract).
+    */
+  val MaxInlineIds: Int = 1000
+
   final case class JobResult(job: String, routed: DataFrame, state: DataFrame)
 
   /** Extract per the job's resource spec (SURVEY.md §2.1 dispatch,
@@ -44,7 +49,23 @@ object JobRunner {
       // as an IN filter.
       var df = spark.table(c.model)
       df = c.ids match {
-        case Some(ids) => df.filter(col(c.idField).isin(ids: _*))
+        // A short id list pushes down as an IN filter (reaches the scan as
+        // PushedFilters). Above the threshold an IN literal tree stops
+        // being a pushdown win and starts being an analyzer hazard — 15k
+        // ids at sf0.1 is already a 15k-node expression; at 100× it would
+        // be 1.5M literals. Large lists become a broadcast semi-join
+        // against a local ids relation instead: one broadcast of exactly
+        // the id column, no shuffle of the fact side.
+        case Some(ids) if ids.size <= MaxInlineIds =>
+          df.filter(col(c.idField).isin(ids: _*))
+        case Some(ids) =>
+          val dt = df.schema(c.idField).dataType
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.size)
+          ids.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+          val idsDf = spark.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__graft_id", dt))))
+          df.join(broadcast(idsDf.distinct()), col(c.idField) === col("__graft_id"), "left_semi")
         case None if c.domain.nonEmpty => df.filter(graft.expr.OdooDomain.compile(c.domain))
         case None => df
       }

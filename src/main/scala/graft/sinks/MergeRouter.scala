@@ -34,9 +34,20 @@ object MergeRouter {
     *                then every row → insert (:506-517)
     */
   def route(incoming: DataFrame, state: DataFrame, pkCol: String, mode: ReprocessMode): DataFrame = {
-    val st = state.select(col("pk").as("__st_pk"), col("model_id").as(IdCol))
+    val st0 = state.select(col("pk").as("__st_pk"), col("model_id").as(IdCol))
     // State tables are bounded by loaded-key cardinality; hint broadcast
-    // when small — Catalyst/AQE falls back to shuffle hash join if not.
+    // when Catalyst's plan-time estimate fits the session broadcast
+    // threshold, so the (typically huge) incoming side never shuffles just
+    // to probe key state. Estimation happens on the optimized plan — no
+    // action. When stats are unknown/over the threshold the hint is
+    // withheld and AQE may still convert at runtime from actual shuffle
+    // sizes.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val st =
+      if (conf.autoBroadcastJoinThreshold > 0 &&
+          st0.queryExecution.optimizedPlan.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold)
+        F.broadcast(st0)
+      else st0
     val joined = incoming.join(
       st, incoming(pkCol).cast("string") === col("__st_pk").cast("string"), "left")
       .drop("__st_pk")

@@ -29,6 +29,14 @@ object Dbf {
 
   final case class Field(name: String, ftype: Char, length: Int, decimals: Int)
 
+  /** Read with an Odoo-style domain filter — reference `dbf_domain`,
+    * applied as `fl.query(eval(dbf_domain))` right at extract time
+    * (cubicerpetl.py:281-282). The domain compiles to a Column over the
+    * parsed frame, so Catalyst sees one narrow filtered scan.
+    */
+  def read(spark: SparkSession, path: String, domain: Seq[Any]): DataFrame =
+    read(spark, path).filter(graft.expr.OdooDomain.compile(domain))
+
   /** Parse header + field descriptors + records. `deleted` rows (flag '*')
     * are skipped, as `dbf.Table` iteration does.
     */

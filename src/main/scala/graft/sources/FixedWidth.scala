@@ -117,19 +117,47 @@ object FixedWidth {
   /** Read a fixed-width file from disk with an explicit within-file line
     * order derived from the text source. Single-file sources only (the
     * reference's model); multi-file inputs need a declared ordering column.
+    *
+    * `encoding` matches the reference's per-file charset (`encoding`
+    * attribute, decode at cubicerpetl.py:342-343) — legacy fixed-width
+    * drops are routinely Latin-1/cp1252. Spark's text source hardwires
+    * UTF-8, so non-UTF-8 charsets read the raw line BYTES via Hadoop's
+    * TextInputFormat (which splits records on the 0x0A byte — correct and
+    * splittable for any ASCII-compatible charset) and decode per line on
+    * executors. UTF-16-family charsets (multi-byte newlines) are rejected
+    * rather than silently mis-split.
     */
   def readFile(
       spark: SparkSession,
       path: String,
       cols: Seq[FwColumn],
       headerCols: Seq[FwColumn] = Nil,
-      footerCols: Seq[FwColumn] = Nil): DataFrame = {
+      footerCols: Seq[FwColumn] = Nil,
+      encoding: String = "UTF-8"): DataFrame = {
+    val charset = java.nio.charset.Charset.forName(encoding)
+    require(!charset.name.startsWith("UTF-16") && !charset.name.startsWith("UTF-32"),
+      s"fixed-width reader needs an ASCII-compatible charset, got ${charset.name}")
     // monotonically_increasing_id is ordered within a partition and by
     // partition id across partitions, which matches within-file line order
     // for a single splittable text file read in order.
-    val lines = spark.read.text(path)
-      .withColumn("__line_no", monotonically_increasing_id())
-    parseLines(lines, cols, headerCols, footerCols).drop("__line_no")
+    val lines =
+      if (charset == java.nio.charset.StandardCharsets.UTF_8) spark.read.text(path)
+      else {
+        val name = charset.name // serialize the name, not the Charset
+        val raw = spark.sparkContext.hadoopFile(path,
+          classOf[org.apache.hadoop.mapred.TextInputFormat],
+          classOf[org.apache.hadoop.io.LongWritable],
+          classOf[org.apache.hadoop.io.Text])
+          .map { case (_, t) =>
+            new String(t.getBytes, 0, t.getLength, java.nio.charset.Charset.forName(name))
+          }
+        spark.createDataFrame(raw.map(org.apache.spark.sql.Row(_)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+      }
+    parseLines(lines.withColumn("__line_no", monotonically_increasing_id()),
+      cols, headerCols, footerCols).drop("__line_no")
   }
 
   /** Render one value to its fixed-width cell: forced-value override, cast

@@ -45,8 +45,19 @@ object JdbcSource {
       .option("query", DateMacros.substitute(res.sqlQuery, jobDate))
     val withProps = res.properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
     val df = withProps.load()
-    res.sqlEnd.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
-    df
+    if (res.sqlEnd.isEmpty) df
+    else {
+      // The reference runs sql_end AFTER fetching the rows
+      // (cubicerpetl.py:299-313); a lazy DataFrame would invert that —
+      // sql_end may tear down state the query reads (drop a temp table
+      // sql_begin staged), so the scan must complete first. Persist +
+      // count pins the fetched rows before the teardown statement runs;
+      // without sql_end the read stays fully lazy.
+      val fetched = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fetched.count()
+      res.sqlEnd.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
+      fetched
+    }
   }
 
   /** Load: append a DataFrame to a table with batched writes. */

@@ -24,13 +24,21 @@ object PartitionedStore {
     * compaction restores scan efficiency. Rewrites through a temp
     * directory so a crash mid-compact never truncates the source.
     */
+  /** The filesystem OWNING `p` — never `FileSystem.get(conf)`, which
+    * returns the DEFAULT filesystem and would aim delete/rename at the
+    * wrong store when the table lives on s3a/abfs but the default FS is
+    * HDFS or local.
+    */
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String], targetFiles: Int = 1): Unit = {
     val tmp = path + "__compact_tmp"
     spark.read.parquet(path)
       .repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, dst)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
@@ -57,15 +65,23 @@ object PartitionedStore {
     * a global key scan, which defeats O(touched); route such changes as
     * an explicit delete+insert instead). The per-partition swap is
     * delete-then-rename: not atomic under a crash between the two calls
-    * (the staged copy still exists under `path+"__merge_tmp"` for manual
+    * (the staged copy still exists under the staging dir for manual
     * recovery); full atomicity needs a manifest/transaction-log layout.
+    *
+    * Concurrency: the table expects a SINGLE writer per merge — two
+    * concurrent merges can interleave their per-partition swaps and leave
+    * a mix of both batches. The staging dir is suffixed with `batchId`
+    * (default: a fresh UUID) so concurrent attempts at least never
+    * clobber each other's staged files, and a leftover staging dir from a
+    * crashed run fails fast instead of being silently overwritten.
     */
   def merge(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      partitionCol: String): Unit = {
+      partitionCol: String,
+      batchId: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val touched = batch.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
@@ -75,9 +91,13 @@ object PartitionedStore {
     val keep = affected.join(keyed,
       keyCols.map(c => affected(c) === col(s"__k_$c")).reduce(_ && _), "left_anti")
     val out = keep.unionByName(batch.select(keep.columns.map(col): _*))
-    val tmp = path + "__merge_tmp"
+    val tmp = path + "__merge_tmp_" +
+      batchId.getOrElse(java.util.UUID.randomUUID().toString).replaceAll("[^a-zA-Z0-9_-]", "_")
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(path))
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+      throw new java.io.IOException(
+        s"merge: staging dir $tmp already exists (crashed or concurrent merge with the same batchId)")
     out.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
     for (s <- staged) {

@@ -115,4 +115,29 @@ class EtlOpsSpec extends SparkSpec {
       .option("query", "SELECT v FROM t WHERE k = 1").load()
     assert(rowsOf(after) == Seq(Seq("A")))
   }
+
+  test("jdbc read: sql_end teardown runs only after the fetch (temp-table lifecycle)") {
+    import graft.spec.Specs.SqlResource
+    import graft.sources.JdbcSource
+    // sql_begin stages a scratch table the main query reads; sql_end drops
+    // it (reference cubicerpetl.py:293-313 ordering). A lazy read would
+    // scan a dropped table.
+    val url = "jdbc:derby:memory:graft_sqlend;create=true"
+    JdbcSource.execStatement(url, "CREATE TABLE src (k INT, v VARCHAR(10))")
+    JdbcSource.execStatement(url, "INSERT INTO src VALUES (1, 'a'), (2, 'b')")
+    JdbcSource.execStatement(url, "CREATE TABLE stage (k INT, v VARCHAR(10))")
+    val res = SqlResource(url,
+      sqlBegin = Some("INSERT INTO stage SELECT k, v FROM src"),
+      sqlQuery = "SELECT k, v FROM stage",
+      sqlEnd = Some("DROP TABLE stage"))
+    val df = JdbcSource.read(spark, res, java.time.LocalDate.of(2024, 1, 1))
+    // stage is already dropped by now — the rows must still be readable
+    assert(sortedRows(df) == Seq(Seq(1, "a"), Seq(2, "b")))
+    val probe = intercept[Exception] {
+      spark.read.format("jdbc").option("url", url)
+        .option("query", "SELECT * FROM stage").load().count()
+    }
+    assert(probe.getMessage.toUpperCase.contains("STAGE"))
+    df.unpersist()
+  }
 }

@@ -99,6 +99,44 @@ class ScaleSpec extends SparkSpec {
       s"expected exactly one exchange:\n$p22")
   }
 
+  test("merge router broadcasts a small state table") {
+    import graft.sinks.MergeRouter
+    import graft.spec.Specs.ReprocessMode
+    val incoming = spark.read.parquet(s"$sfDir/orders.parquet").select(col("o_orderkey"))
+    val state = Seq(("1", 100L), ("2", 200L)).toDF("pk", "model_id")
+    val routed = MergeRouter.route(incoming, state, "o_orderkey", ReprocessMode.Update)
+    routed.collect()
+    val plan = routed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small state table should broadcast:\n$plan")
+  }
+
+  test("template-mode id list above the inline limit becomes a broadcast semi-join") {
+    import graft.runner.JobRunner
+    import graft.spec.Specs._
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("orders_ids_plan")
+    val manyIds: Seq[Any] = (1L to (JobRunner.MaxInlineIds + 500L)).map(_ * 2L)
+    val job = JobSpec(
+      name = "ids_plan",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Right(ConnectorResource(model = "orders_ids_plan",
+        ids = Some(manyIds), idField = "o_orderkey",
+        fields = Seq("o_orderkey", "o_orderstatus"))),
+      transform = TransformSpec(
+        fields = Seq(FieldSpec("o_orderkey", fieldType = "int"), FieldSpec("o_orderstatus")),
+        pkField = Some("o_orderkey")))
+    val routed = JobRunner.run(spark, job, None).routed
+    routed.collect()
+    val plan = routed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"large id list should probe via broadcast semi-join, not an IN literal tree:\n$plan")
+    assert(!plan.contains("o_orderkey IN ("), s"IN literal tree leaked into the plan:\n$plan")
+    // and the filter semantics match the inline path
+    val expected = spark.table("orders_ids_plan")
+      .filter(col("o_orderkey").isin(manyIds: _*)).count()
+    assert(routed.count() == expected)
+  }
+
   test("partitioned store prunes non-matching partition directories") {
     import graft.sources.PartitionedStore
     val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"

@@ -48,6 +48,29 @@ class SourcesSpec extends SparkSpec {
     assert(ids == Seq(0L, 7L, 123456L))
   }
 
+  test("fixed-width read honors a non-UTF-8 encoding (Latin-1 round-trip)") {
+    // 0xE9 ('é' in ISO-8859-1) is an invalid UTF-8 sequence — a UTF-8 read
+    // would mangle it to the replacement char irrecoverably
+    val f = java.nio.file.Files.createTempFile("graft_latin1", ".txt")
+    val latin1Lines = Seq("000001café      ", "000002résumé    ")
+    java.nio.file.Files.write(f,
+      latin1Lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val lcols = Seq(
+      FwColumn("id", position = 1, length = 6, align = "rjust", fillChar = "0", dataType = "long"),
+      FwColumn("word", position = 7, length = 10))
+    val back = FixedWidth.readFile(spark, f.toString, lcols, encoding = "ISO-8859-1")
+    val words = back.orderBy("id").select("word").as[String].collect().toSeq
+    assert(words == Seq("café", "résumé"))
+    // the default UTF-8 read of the same bytes must NOT produce 'café'
+    val mangled = FixedWidth.readFile(spark, f.toString, lcols)
+      .orderBy("id").select("word").as[String].collect().toSeq
+    assert(mangled != words)
+    // multi-byte-newline charsets are rejected, not mis-split
+    intercept[IllegalArgumentException] {
+      FixedWidth.readFile(spark, f.toString, lcols, encoding = "UTF-16")
+    }
+  }
+
   test("fixed-width parse: zero-filled zero value and center align") {
     val c = Seq(FwColumn("v", position = 1, length = 5, align = "center", fillChar = "*"))
     val lines = Seq(("*ab**", 0L)).toDF("value", "__line_no")
