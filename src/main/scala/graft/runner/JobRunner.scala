@@ -32,7 +32,13 @@ object JobRunner {
     */
   def extract(spark: SparkSession, job: JobSpec): DataFrame = job.extract match {
     case Left(f) =>
-      val path = DateMacros.substitute(f.pathTemplate, job.date)
+      // transport first (S7): a declared file server resolves the
+      // templated filename against its root/protocol (ftp stages to a
+      // local spool); no server = pathTemplate is already scannable
+      val path = f.server match {
+        case Some(srv) => graft.sources.FileTransport.resolve(spark, srv, f.pathTemplate, job.date)
+        case None      => DateMacros.substitute(f.pathTemplate, job.date)
+      }
       val df = f.fType match {
         case "parquet" => spark.read.parquet(path)
         case "csv"     => CsvSource.read(spark, path, f.dialect, f.columns)

@@ -41,7 +41,18 @@ object Dbf {
     * are skipped, as `dbf.Table` iteration does.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    // open through the FS owning the path, not java.io — a .dbf can live
+    // on any Hadoop filesystem (mounted, hdfs, s3a, or the ftp transport's
+    // spool). Streams from offset 0, no seek (FTP-safe).
+    val bytes = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val in = hp.getFileSystem(spark.sessionState.newHadoopConf()).open(hp)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 1 << 16, false)
+        bos.toByteArray
+      } finally in.close()
+    }
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require((bb.get(0) & 0x07) == 0x03, s"unsupported DBF version: ${bytes(0)}")
     val nRecords = bb.getInt(4)

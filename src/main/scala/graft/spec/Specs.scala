@@ -63,9 +63,25 @@ object Specs {
       header: Boolean = true,
       encoding: String = "UTF-8")
 
+  /** File-server spec (reference `etl.server` with etl_type='fs',
+    * cubicerpetl.py:181-187): `fs_protocol` selects local-path
+    * (`cbc_file(fs_path)`) or FTP (`ftplib.FTP(fs_host, login,
+    * password)`) transport. The engine resolves either to a Hadoop
+    * filesystem URI (see [[graft.sources.FileTransport]]).
+    */
+  final case class FileServerSpec(
+      protocol: String = "file", // fs_protocol: "file" | "ftp"
+      rootPath: String = "",     // fs_path — dir the filename template joins to
+      host: String = "",         // fs_host (ftp only)
+      port: Int = 21,
+      user: String = "",         // login
+      password: String = "")
+
   /** File resource (reference `etl.resource` with etl_type='fs',
     * cubicerpetl.py:203-287). `pathTemplate` supports the reference's
-    * date-macro filename substitution (cubicerpetl.py:825).
+    * date-macro filename substitution (cubicerpetl.py:825); `server`
+    * carries the transport (absent = pathTemplate is a directly readable
+    * path, the engine's mounted-path default).
     */
   final case class FileResource(
       pathTemplate: String,
@@ -73,7 +89,8 @@ object Specs {
       columns: Seq[FwColumn] = Nil,
       dialect: CsvDialect = CsvDialect(),
       headerColumns: Seq[FwColumn] = Nil, // header sub-resource (f_header_id)
-      footerColumns: Seq[FwColumn] = Nil) // footer sub-resource (f_footer_id)
+      footerColumns: Seq[FwColumn] = Nil, // footer sub-resource (f_footer_id)
+      server: Option[FileServerSpec] = None) // transport (S7)
 
   /** SQL resource (reference etl_type='db', cubicerpetl.py:288-313):
     * optional side-effecting begin/end statements around the main query,
