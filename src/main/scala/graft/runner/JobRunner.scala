@@ -79,6 +79,32 @@ object JobRunner {
       InlinePayload.withRowDefaults(df, job.rowDefaults)
   }
 
+  /** Catalog-introspection fallback (SURVEY.md §1.2 flavor 2) — reference
+    * cubicerpetl.py:124-135: a connector resource with NO declared field
+    * list searches the remote catalog (`ir.model.fields` by model name)
+    * and synthesizes pass-through fields (field_name = name, field_type =
+    * ttype, no mapping, no expression). The engine's remote catalog is
+    * the session catalog: the model's schema supplies the same
+    * (name, type) set as pure metadata — no action, no collect.
+    */
+  def introspectFields(schema: org.apache.spark.sql.types.StructType): Seq[FieldSpec] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.map { sf =>
+      val ft = sf.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "int"
+        case FloatType | DoubleType | _: DecimalType       => "float"
+        case BooleanType                                   => "boolean"
+        case DateType                                      => "date"
+        case TimestampType | TimestampNTZType              => "datetime"
+        case _                                             => "char"
+      }
+      FieldSpec(sf.name, fieldType = ft)
+    }
+  }
+
+  def introspectFields(spark: SparkSession, model: String): Seq[FieldSpec] =
+    introspectFields(spark.table(model).schema)
+
   /** Run extract → transform → id-recovery → routing. The caller hands the
     * routed DataFrame to a sink ([[graft.sinks.ConnectorSink]], JDBC,
     * file) and appends the results to the log store — keeping the plan
@@ -86,7 +112,15 @@ object JobRunner {
     */
   def run(spark: SparkSession, job: JobSpec, logPath: Option[String] = None): JobResult = {
     val extracted = extract(spark, job)
-    val transformed = Transformer(extracted, job.transform)
+    // connector jobs with no declared transform fields fall back to
+    // catalog introspection over the extracted schema (which already
+    // reflects the resource's projection and row defaults)
+    val tspec = job.extract match {
+      case Right(_) if job.transform.fields.isEmpty =>
+        job.transform.copy(fields = introspectFields(extracted.schema))
+      case _ => job.transform
+    }
+    val transformed = Transformer(extracted, tspec)
     // First run (missing log path) ⇒ empty state; real read errors
     // propagate (see LogStore.readOrEmpty).
     val state = logPath match {

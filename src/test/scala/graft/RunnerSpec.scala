@@ -87,6 +87,29 @@ class RunnerSpec extends SparkSpec {
     assert(actions == Map("update" -> 1500L))
   }
 
+  test("connector job with no declared fields introspects the catalog (pass-through transform)") {
+    // reference cubicerpetl.py:124-135: empty rpc_field_ids → look the
+    // model's field set up in ir.model.fields and pass every field through
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_introspect")
+    val job = JobSpec(
+      name = "introspect",
+      date = java.time.LocalDate.of(2024, 1, 15),
+      extract = Right(ConnectorResource(model = "nation_introspect")),
+      transform = TransformSpec(fields = Nil, pkField = Some("n_nationkey")))
+    val routed = JobRunner.run(spark, job, None).routed
+    // all model columns survive, typed per the introspected field types
+    val src = spark.table("nation_introspect")
+    assert(src.columns.forall(routed.columns.contains),
+      s"introspected transform dropped columns: got ${routed.columns.mkString(",")}")
+    assert(routed.count() == src.count())
+    assert(routed.schema("n_nationkey").dataType.typeName == "long") // int field type
+    assert(routed.schema("n_name").dataType.typeName == "string")    // char field type
+    // the synthesized specs are plain pass-throughs
+    val specs = JobRunner.introspectFields(spark, "nation_introspect")
+    assert(specs.map(_.name) == src.columns.toSeq)
+    assert(specs.forall(f => f.expr.isEmpty && f.mapping.isEmpty && f.forced.isEmpty))
+  }
+
   test("connector sink surfaces per-row errors as log rows") {
     val routed = MergeRouter.route(Seq(1, 2, 3).toDF("pk"),
       Seq.empty[(String, Long)].toDF("pk", "model_id"), "pk", ReprocessMode.Insert)
