@@ -136,7 +136,13 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
+    // Same recompute hazard as [[ngramJaccardPairs]]: the posting table
+    // feeds the signature branch AND the verify collect_list branch with
+    // different projections, so without persistence the explode+window
+    // shingle stage executes twice. (The bucket self-join below is safe:
+    // both sides shuffle the identical subtree, which AQE reuses.)
     val posts = shingleRows(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Hash the shingle STRING once to a long, then derive the k seeded
     // variants by hashing (long, seed) pairs — an 8-byte hash each, vs
     // re-traversing the string k times. Aggregate expressions get no
