@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines
   * (extension surface mandated by BASELINE.json; not in the reference —
@@ -136,13 +135,6 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    // Same recompute hazard as [[ngramJaccardPairs]]: the posting table
-    // feeds the signature branch AND the verify collect_list branch with
-    // different projections, so without persistence the explode+window
-    // shingle stage executes twice. (The bucket self-join below is safe:
-    // both sides shuffle the identical subtree, which AQE reuses.)
-    val posts = shingleRows(df, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Hash the shingle STRING once to a long, then derive the k seeded
     // variants by hashing (long, seed) pairs — an 8-byte hash each, vs
     // re-traversing the string k times. Aggregate expressions get no
@@ -150,18 +142,27 @@ object Dedup {
     // min() would cost k string hashes per posting row (observed ~4× total
     // query slowdown at sf0.1). Blocking quality is unchanged: xxhash64 of
     // a well-mixed 64-bit value composes into independent-enough minhashes.
-    val hashed = posts.select(col("id"), xxhash64(col("s")).as("__h0"))
+    val hashed = shingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), col("s"), xxhash64(col("s")).as("__h0"))
+    // ONE aggregation computes the signature mins AND the verify shingle
+    // array, so the explode+window shingle stage runs exactly once and the
+    // materialized table is the smallest possible: one row per doc. This
+    // table feeds three consumers (both bucket self-join sides + the verify
+    // joins), hence the eager materialization — see [[materialize]] for why
+    // it is NOT Dataset.persist.
     val minCols = (0 until k).map(h => min(xxhash64(col("__h0"), lit(h + 1))).as(s"__m$h"))
-    val sig = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val aggCols = collect_list(col("s")).as("sh") +: minCols
+    val perDoc = materialize(
+      hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
     val bandCols = (0 until bands).map(b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
-    val buckets = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val buckets = perDoc.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shArr = posts.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
+    val shArr = perDoc.select(col("id"), col("sh"))
     cands
       .join(shArr.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shArr.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -169,6 +170,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Eager mid-pipeline materialization for tables with multiple downstream
+    * consumers. Deliberately NOT `Dataset.persist`: persist registers the
+    * plan in CacheManager, which holds a strong reference until explicit
+    * unpersist or session end — an operator cannot unpersist (its caller
+    * owns the action), so a long-lived session calling these operators
+    * repeatedly (a 73-query bench JVM, a scheduler loop) would pin every
+    * call's table in memory+disk for the session lifetime. Checkpoint
+    * blocks instead are reclaimed by the ContextCleaner as soon as the
+    * returned plan is garbage-collected — no caller obligation. With a
+    * Spark checkpoint dir set the write is reliable (executor loss replays
+    * from storage — the right call on a 1000-executor run); otherwise
+    * localCheckpoint keeps blocks in executor memory/disk (local mode).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   // ---------------------------------------------- exact n-gram Jaccard
 
@@ -188,19 +206,16 @@ object Dedup {
     // The posting table feeds THREE consumers — `sizes` plus both sides of
     // the self-join below — and Spark's exchange reuse does not dedupe the
     // recomputation across a self-join of an unmaterialized subplan, so
-    // without persistence the explode+window shingle stage executes three
-    // times (observed 4.9s → 7.6s at sf0.1). Persist it once;
-    // MEMORY_AND_DISK spills rather than recomputes when postings outgrow
-    // executor memory at large SF. The ContextCleaner reclaims the blocks
-    // once the returned plan is unreferenced.
-    val posts = shingleRows(df, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // without materialization the explode+window shingle stage executes
+    // three times (observed 4.9s → 7.6s at sf0.1). Materialized eagerly —
+    // see [[materialize]] for why this is checkpoint-based, not persist.
+    val posts = materialize(shingleRows(df, idCol, textCol, shingleN))
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // `kept` likewise feeds both self-join sides; persisting it keeps the
-    // df-cutoff window (a full shuffle on s) to one execution as well.
-    val kept = posts.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("__df") <= maxPostingLen).drop("__df")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // `kept` likewise feeds both self-join sides; materializing it keeps
+    // the df-cutoff window (a full shuffle on s) to one execution as well.
+    val kept = materialize(
+      posts.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("__df") <= maxPostingLen).drop("__df"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -65,12 +65,22 @@ object JobRunner {
         case Some(ids) if ids.size <= MaxInlineIds =>
           df.filter(col(c.idField).isin(ids: _*))
         case Some(ids) =>
+          // The ids relation is built as STRINGS and cast to the column's
+          // type inside the plan — the analyzer-style literal coercion the
+          // <=MaxInlineIds isin path gets for free. Building Row(v) against
+          // the column's exact dataType instead would throw 'not a valid
+          // external type' at execution for e.g. Int ids from a parsed spec
+          // against a LongType field — same spec succeeding or failing
+          // depending on list size.
           val dt = df.schema(c.idField).dataType
           val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.size)
-          ids.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+          ids.foreach(v => rows.add(org.apache.spark.sql.Row(
+            if (v == null) null else String.valueOf(v))))
           val idsDf = spark.createDataFrame(rows,
             org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__graft_id", dt))))
+              org.apache.spark.sql.types.StructField("__graft_raw",
+                org.apache.spark.sql.types.StringType))))
+            .select(col("__graft_raw").cast(dt).as("__graft_id"))
           df.join(broadcast(idsDf.distinct()), col(c.idField) === col("__graft_id"), "left_semi")
         case None if c.domain.nonEmpty => df.filter(graft.expr.OdooDomain.compile(c.domain))
         case None => df

@@ -56,8 +56,13 @@ object FileTransport {
   /** Resolve to a path the engine's readers can scan directly: local/
     * mounted paths pass through; ftp stages to a local spool and returns
     * the spooled path. Idempotent per (uri): a previously staged copy is
-    * reused only if the remote length matches, so a re-dropped file of a
-    * different size restages.
+    * reused only if BOTH the remote length and the remote modification
+    * time match the staged copy. Length alone is not enough — fixed-width
+    * daily drops have constant record width, so a corrected re-drop with
+    * the same record count is byte-identical in length; the mtime (which
+    * FTPFileSystem populates from the server listing) catches it. A server
+    * that reports no mtime (0) restages on every resolve — correct, just
+    * not cached.
     */
   def resolve(
       spark: SparkSession,
@@ -86,10 +91,18 @@ object FileTransport {
       "graft_transport/" + Integer.toHexString(uri.replaceFirst(":[^/@:]*@", "@").hashCode))
     spool.mkdirs()
     val dst = new java.io.File(spool, src.getName)
-    val remoteLen = fs.getFileStatus(src).getLen
-    if (!dst.isFile || dst.length != remoteLen) {
+    val st = fs.getFileStatus(src)
+    // The staged copy's lastModified is stamped to the REMOTE mtime after
+    // copy, so reuse can compare both (len, mtime) against the server's
+    // current listing. setLastModified has second granularity on some
+    // filesystems; compare at second resolution to avoid false restages.
+    def sec(ms: Long): Long = ms / 1000L
+    val fresh = dst.isFile && dst.length == st.getLen &&
+      st.getModificationTime > 0 && sec(dst.lastModified) == sec(st.getModificationTime)
+    if (!fresh) {
       val localFs = FileSystem.getLocal(conf)
       FileUtil.copy(fs, src, localFs, new Path(dst.toString), false, true, conf)
+      if (st.getModificationTime > 0) dst.setLastModified(st.getModificationTime)
     }
     dst.toString
   }

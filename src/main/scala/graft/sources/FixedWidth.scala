@@ -135,8 +135,16 @@ object FixedWidth {
       footerCols: Seq[FwColumn] = Nil,
       encoding: String = "UTF-8"): DataFrame = {
     val charset = java.nio.charset.Charset.forName(encoding)
-    require(!charset.name.startsWith("UTF-16") && !charset.name.startsWith("UTF-32"),
-      s"fixed-width reader needs an ASCII-compatible charset, got ${charset.name}")
+    // Whitelist by PROPERTY, not by name: TextInputFormat splits records on
+    // the 0x0A byte, so the charset must encode '\n' as exactly that byte
+    // (and round-trip an ASCII probe). A name blacklist misses charsets
+    // like EBCDIC (cp037/cp500), which contain no 0x0A line bytes at all
+    // and would silently yield one mis-split record instead of rejecting.
+    val nl = "\n".getBytes(charset)
+    require(nl.length == 1 && nl(0) == 0x0A.toByte &&
+      new String("A\n".getBytes(charset), charset) == "A\n",
+      s"fixed-width reader needs an ASCII-newline-compatible charset " +
+        s"(\\n must encode as the single byte 0x0A), got ${charset.name}")
     // monotonically_increasing_id is ordered within a partition and by
     // partition id across partitions, which matches within-file line order
     // for a single splittable text file read in order.

@@ -50,11 +50,19 @@ object JdbcSource {
       // The reference runs sql_end AFTER fetching the rows
       // (cubicerpetl.py:299-313); a lazy DataFrame would invert that —
       // sql_end may tear down state the query reads (drop a temp table
-      // sql_begin staged), so the scan must complete first. Persist +
-      // count pins the fetched rows before the teardown statement runs;
-      // without sql_end the read stays fully lazy.
-      val fetched = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      fetched.count()
+      // sql_begin staged), so the scan must complete first. Eager
+      // localCheckpoint materializes the fetched rows as RDD blocks before
+      // the teardown statement runs. Chosen over persist() deliberately:
+      // persist registers in CacheManager, which holds a strong reference
+      // until explicit unpersist — a scheduler running many sql_end jobs in
+      // one session would pin every result for the session lifetime.
+      // localCheckpoint blocks are reclaimed by the ContextCleaner once the
+      // returned plan is garbage-collected, so callers owe no unpersist.
+      // Non-replayable lineage is CORRECT here, not a compromise: a lost
+      // block cannot be recomputed by re-running the query, because
+      // sql_end already tore down the state it reads — failing the job
+      // beats silently re-reading a dropped temp table.
+      val fetched = df.localCheckpoint(true)
       res.sqlEnd.foreach(s => execStatement(res.url, DateMacros.substitute(s, jobDate), res.properties))
       fetched
     }

@@ -138,6 +138,7 @@ class EtlOpsSpec extends SparkSpec {
         .option("query", "SELECT * FROM stage").load().count()
     }
     assert(probe.getMessage.toUpperCase.contains("STAGE"))
-    df.unpersist()
+    // no unpersist owed: the read materializes via localCheckpoint, whose
+    // blocks the ContextCleaner reclaims once `df` is unreferenced
   }
 }

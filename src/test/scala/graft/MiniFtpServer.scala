@@ -60,7 +60,15 @@ final class MiniFtpServer(root: Path, user: String, password: String) {
     def listingLine(f: java.io.File): String = {
       val flag = if (f.isDirectory) "d" else "-"
       val len = if (f.isDirectory) 4096L else f.length
-      f"${flag}rw-r--r--   1 ftp      ftp      $len%10d Jan 01  2024 ${f.getName}"
+      // real mtime in "MMM dd yyyy" UNIX-listing form (day granularity,
+      // like a real server's non-recent entries) so FileStatus
+      // .getModificationTime reflects remote changes — FileTransport's
+      // spool reuse check depends on it
+      val mt = java.time.LocalDate.ofInstant(
+        java.time.Instant.ofEpochMilli(f.lastModified), java.time.ZoneOffset.UTC)
+      val mon = mt.getMonth.getDisplayName(
+        java.time.format.TextStyle.SHORT, java.util.Locale.ENGLISH)
+      f"${flag}rw-r--r--   1 ftp      ftp      $len%10d $mon ${mt.getDayOfMonth}%02d  ${mt.getYear} ${f.getName}"
     }
     def withData(onOpen: => Unit)(body: OutputStream => Unit): Unit = {
       if (data == null) { reply("425 use PASV first"); return }

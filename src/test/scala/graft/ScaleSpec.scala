@@ -115,7 +115,12 @@ class ScaleSpec extends SparkSpec {
     import graft.runner.JobRunner
     import graft.spec.Specs._
     spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("orders_ids_plan")
-    val manyIds: Seq[Any] = (1L to (JobRunner.MaxInlineIds + 500L)).map(_ * 2L)
+    // deliberately INT ids against the LongType o_orderkey column: a spec
+    // parser routinely yields Int, and the semi-join path must apply the
+    // same literal coercion the inline isin path gets from the analyzer
+    // (building Row(v) against the column's exact dataType instead throws
+    // 'not a valid external type' at execution — ADVICE r3)
+    val manyIds: Seq[Any] = (1 to (JobRunner.MaxInlineIds + 500)).map(_ * 2)
     val job = JobSpec(
       name = "ids_plan",
       date = java.time.LocalDate.of(2024, 1, 1),

@@ -69,6 +69,13 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FixedWidth.readFile(spark, f.toString, lcols, encoding = "UTF-16")
     }
+    // EBCDIC has NO 0x0A newline byte at all — a name blacklist would let
+    // it through and TextInputFormat would yield one mis-split record; the
+    // property-based guard ('\n' must encode as the single byte 0x0A)
+    // rejects it up front (ADVICE r3)
+    intercept[IllegalArgumentException] {
+      FixedWidth.readFile(spark, f.toString, lcols, encoding = "IBM037")
+    }
   }
 
   test("fixed-width parse: zero-filled zero value and center align") {

@@ -50,9 +50,25 @@ class TransportSpec extends SparkSpec {
         Seq(FwColumn("k", position = 1, length = 1, dataType = "long"),
           FwColumn("v", position = 2, length = 8)))
       assert(sortedRows(df.select("k", "v")) == Seq(Seq(1L, "alpha"), Seq(2L, "beta")))
-      // restage only when the remote changed: same length → reuse
+      // restage only when the remote changed: same length + mtime → reuse
       val again = FileTransport.resolve(spark, srv, "ext_{aaaa}{mm}{dd}.csv", date)
       assert(again == local)
+      val reusedContent = new String(
+        Files.readAllBytes(java.nio.file.Paths.get(local)), StandardCharsets.UTF_8)
+      assert(reusedContent.contains("alpha"))
+      // a corrected re-drop with the SAME byte length but different content
+      // and a different remote mtime must restage — length alone cannot
+      // tell the two apart (fixed-width dailies are byte-identical in size)
+      val remote = root.resolve("drops/ext_20240115.csv")
+      Files.write(remote, "k,v\n1,gamma\n2,delt\n".getBytes(StandardCharsets.UTF_8))
+      assert(Files.size(remote) == reusedContent.getBytes(StandardCharsets.UTF_8).length,
+        "test setup: re-drop must keep the byte length")
+      Files.setLastModifiedTime(remote, java.nio.file.attribute.FileTime.fromMillis(
+        remote.toFile.lastModified - 3L * 24 * 3600 * 1000))
+      val restaged = FileTransport.resolve(spark, srv, "ext_{aaaa}{mm}{dd}.csv", date)
+      val content = new String(
+        Files.readAllBytes(java.nio.file.Paths.get(restaged)), StandardCharsets.UTF_8)
+      assert(content.contains("gamma"), "stale spool served after a same-length re-drop")
     } finally ftpd.stop()
   }
 
