@@ -69,14 +69,16 @@ object Dedup {
     * codegen. Downstream per-id aggregations (minhash, sizes, collect)
     * also reuse the same partitioning.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
     val ws = df.select(col(idCol).as("id"), posexplode(words(col(textCol))).as(Seq("pos", "w")))
     val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withNext = (1 until n).foldLeft(ws)((d, i) =>
       d.withColumn(s"__w$i", lead(col("w"), i).over(byId)))
     val parts = col("w") +: (1 until n).map(i => col(s"__w$i"))
     val filtered = if (n > 1) withNext.filter(col(s"__w${n - 1}").isNotNull) else withNext
-    filtered.select(col("id"), concat_ws(" ", parts: _*).as("s")).distinct()
+    val rows = filtered.select(col("id"), concat_ws(" ", parts: _*).as("s"))
+    if (distinct) rows.distinct() else rows
   }
 
   // ------------------------------------------------------------- MinHash
@@ -478,6 +480,42 @@ object Dedup {
     require(done, s"duplicateClustersPropagate: not converged after $maxIter rounds")
     edges.unpersist()
     labels
+  }
+
+  // ------------------------------------------- benchmark contamination
+
+  /** Benchmark-contamination check — the decontamination step of a
+    * training-data pipeline: for each corpus doc, the fraction of its
+    * DISTINCT word n-grams that appear in any benchmark document. Docs
+    * above a threshold are eval-set leaks and must be dropped before
+    * training (the public n-gram-overlap recipe used by GPT-3/C4-style
+    * decontamination).
+    *
+    * Shape at 100 TB: benchmark suites are tiny (MBs of text) next to the
+    * corpus, so the benchmark gram set builds once and BROADCASTS — the
+    * corpus side streams through a broadcast semi-join with no shuffle of
+    * the posting table at all; the only corpus shuffles are the per-doc
+    * gram aggregations (id-partitioned, map-side combined). The posting
+    * table feeds both the sizes and hits branches, hence [[materialize]].
+    * Docs with fewer than n words have no n-grams and emit no row.
+    */
+  def benchmarkOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame = {
+    val posts = materialize(shingleRows(corpus, idCol, textCol, shingleN))
+    val benchGrams = shingleRows(bench, idCol, textCol, shingleN)
+      .select(col("s")).distinct()
+    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = posts.join(broadcast(benchGrams), Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_grams").cast("double")).as("contamination_ratio"))
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus construction (extension
+  * surface, SURVEY.md §2.12). Reproducibility rule: sample membership is a
+  * pure function of the data — md5 of the row key, never rand()/
+  * TABLESAMPLE — so the same rows are selected on every engine, every run,
+  * every partitioning. (The simple fraction-by-hash-bucket form is
+  * [[TextAnalysis.md5Bucket]]; this file holds the per-stratum exact-k
+  * form.)
+  */
+object Sampling {
+
+  /** Stratified top-k sample: the k rows with the smallest md5 rank within
+    * each stratum — exact per-stratum allocation (balanced corpora, eval
+    * holdouts), unlike fraction sampling whose per-stratum counts drift.
+    * Appends `sample_rank` (1..k within stratum). Ties broken by the key
+    * itself, so the result is total-order deterministic.
+    *
+    * Scale shape: a single `row_number` window would shuffle EVERY row of
+    * a stratum into one reducer task — with 5 languages at 100 TB that is
+    * 5 tasks holding 20 TB each. Instead a two-stage top-k (same trick as
+    * the ANN reducer funnel, Similarity.scala): stage 1 takes the local
+    * top-k within (stratum, salt) — `salt` splits each stratum into
+    * `saltBuckets` deterministic sub-streams — stage 2 re-ranks only the
+    * saltBuckets×k survivors per stratum. Pigeonhole-exact: any global
+    * top-k row has ≤ k-1 better-ranked rows in its OWN salt bucket, so
+    * stage 1 can never drop it.
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      strata: Seq[String],
+      keyCol: String,
+      k: Int,
+      saltBuckets: Int = 64): DataFrame = {
+    require(k > 0 && saltBuckets > 0, s"stratifiedTopK: k=$k, saltBuckets=$saltBuckets")
+    // md5-hex rank: portable (any engine compares the same hex strings
+    // lexicographically), uniform, and independent of the salt hash
+    val rank = md5(col(keyCol).cast("string"))
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(keyCol)), lit(saltBuckets)))
+    val local = Window.partitionBy((strata :+ "__salt").map(col): _*)
+      .orderBy(rank, col(keyCol))
+    val global = Window.partitionBy(strata.map(col): _*).orderBy(rank, col(keyCol))
+    salted
+      .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
+      .withColumn("sample_rank", row_number().over(global).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__salt", "__r1")
+  }
+}

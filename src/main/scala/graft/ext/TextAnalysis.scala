@@ -114,6 +114,57 @@ object TextAnalysis {
   def md5Bucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Per-doc repeated n-gram statistics — the Gopher-style repetition
+    * signal (public Rae et al. 2021 quality heuristics): machine-generated
+    * and boilerplate text repeats its own n-grams far more than prose.
+    * Returns (id, ngrams_total, ngrams_distinct, top_ngram_count,
+    * dup_ngram_ratio = (total - distinct) / total). Docs shorter than n
+    * words have no n-grams and emit no row.
+    *
+    * Relational hot path (explode + lead window via
+    * [[Dedup.shingleRows]] non-distinct, then two codegen'd aggregations
+    * with map-side combine) — NOT array HOFs, which are CodegenFallback.
+    * The ratio is a single division of exactly-counted ints, bit-identical
+    * across engines.
+    */
+  def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.shingleRows(df, idCol, textCol, n, distinct = false)
+      .groupBy(col("id"), col("s")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("id")).agg(
+        sum(col("__c")).cast("long").as("ngrams_total"),
+        count(lit(1)).as("ngrams_distinct"),
+        max(col("__c")).as("top_ngram_count"))
+      .withColumn("dup_ngram_ratio",
+        (col("ngrams_total") - col("ngrams_distinct")).cast("double")
+          / col("ngrams_total").cast("double"))
+
+  /** C4/Gopher-style composite quality gate: evaluates five deterministic
+    * rules and returns the input plus `fail_mask` (bit i set = rule i
+    * failed) and `keep` (mask == 0). Keeping the per-rule bits — not just
+    * the boolean — is what lets a pipeline report WHY documents were
+    * dropped, tune one rule without re-running the rest, and audit the
+    * kill distribution per source.
+    *
+    * Rules (bit): 0 word count outside [10, 5000]; 1 stopword ratio <
+    * 0.05; 2 punctuation ratio > 0.2; 3 mean word length outside [2, 12];
+    * 4 marker-vote [[langId]] disagrees with the declared language column
+    * (metadata-consistency check — mislabeled language is a top corpus
+    * defect). Narrow per-row map, zero shuffles.
+    */
+  def qualityGate(df: DataFrame, textCol: String, langCol: String): DataFrame = {
+    val text = col(textCol)
+    val rules: Seq[Column] = Seq(
+      !wordCount(text).between(10L, 5000L),
+      stopwordRatio(text) < 0.05d,
+      punctRatio(text) > 0.2d,
+      !avgWordLen(text).between(2.0d, 12.0d),
+      langId(text) =!= col(langCol))
+    val mask = rules.zipWithIndex.foldLeft(lit(0L)) { case (acc, (r, i)) =>
+      acc + when(r, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn("fail_mask", mask).withColumn("keep", col("fail_mask") === 0L)
+  }
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -620,4 +620,116 @@ object ExtQueries {
        SELECT d.doc_id, d.fp, h.fp IS NOT NULL AS is_dup
        FROM d LEFT JOIN h ON d.fp = h.fp
        WHERE d.doc_id % 5 = 0"""
+
+  // --- x29: repeated n-gram stats (Gopher-style repetition signal) --------
+  // Machine-generated/boilerplate text repeats its own n-grams; the dup
+  // ratio (total - distinct) / total is the standard public repetition
+  // heuristic (Rae et al. 2021). All counts exact ints, one division.
+  def x29RepeatedNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repeatedNgramStats(t(spark, dir, "documents"), "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
+
+  val x29Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' ')) AS gs FROM w),
+       posts AS (SELECT doc_id, unnest(gs) AS s FROM g),
+       pc AS (SELECT doc_id, s, count(*) AS c FROM posts GROUP BY 1, 2)
+       SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS ngrams_total,
+         count(*) AS ngrams_distinct,
+         CAST(max(c) AS BIGINT) AS top_ngram_count,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ngram_ratio
+       FROM pc GROUP BY doc_id"""
+
+  // --- x30: stratified top-k sample (exact per-language allocation) -------
+  // Balanced-corpus construction: exactly k docs per language, membership
+  // a pure function of the data (md5 rank) — reproducible on any engine,
+  // unlike rand()/TABLESAMPLE. The operator's two-stage window keeps any
+  // one stratum from funnelling into a single reducer at 100 TB.
+  def x30StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTopK(t(spark, dir, "documents"), Seq("lang"), "doc_id", 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
+  val x30Sql: String =
+    """WITH r AS (SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+       FROM documents)
+       SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+       FROM r WHERE sample_rank <= 20"""
+
+  // --- x31: benchmark contamination (decontamination n-gram overlap) ------
+  // Docs doc_id % 50 = 0 stand in for the benchmark/eval set; each corpus
+  // doc reports what fraction of its distinct 6-grams leak from it. The
+  // benchmark gram set broadcasts (benchmarks are MBs next to a 100 TB
+  // corpus) — the corpus posting table never shuffles for the probe.
+  def x31Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.benchmarkOverlap(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingleN = 6)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val x31Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       bg AS (SELECT DISTINCT s FROM posts WHERE doc_id % 50 = 0),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+       hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+                FROM corpus c JOIN bg ON c.s = bg.s GROUP BY 1)
+       SELECT s.doc_id, s.n_grams,
+         COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
+       FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+
+  // --- x32: composite quality gate (C4/Gopher rule mask) ------------------
+  // The actual FILTERING step of a training-data pipeline: five rules,
+  // per-rule fail bits (auditable kill distribution), keep = mask 0. Rule
+  // 4 cross-checks marker-vote language ID against the declared lang
+  // column — mislabeled language is a top corpus defect.
+  def x32QualityGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGate(t(spark, dir, "documents"), "text", "lang")
+      .select(col("doc_id"), col("lang"), col("fail_mask"), col("keep"))
+
+  val x32Sql: String =
+    """WITH t AS (SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents),
+       m AS (SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','from','or','are','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS swr
+       FROM t),
+       sc AS (
+         SELECT doc_id, 'en' AS plang, len(list_filter(['the','and','of','to','is','that','for','with','this','are'], x -> list_contains(toks, x))) AS score FROM t
+         UNION ALL SELECT doc_id, 'es', len(list_filter(['el','la','de','que','los','una','por','del','las','es'], x -> list_contains(toks, x))) FROM t
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(['le','les','des','une','est','dans','pour','que','sur','avec'], x -> list_contains(toks, x))) FROM t
+         UNION ALL SELECT doc_id, 'de', len(list_filter(['der','die','das','und','ist','nicht','mit','ein','für','auf'], x -> list_contains(toks, x))) FROM t
+         UNION ALL SELECT doc_id, 'zh', 0 FROM t),
+       lp AS (SELECT doc_id,
+             CASE WHEN score > 0 THEN plang ELSE 'und' END AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+           FROM sc),
+       f AS (SELECT m.*, lp.lang_pred FROM m JOIN lp ON m.doc_id = lp.doc_id AND lp.rn = 1)
+       SELECT doc_id, lang,
+         CAST(CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
+            + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
+            + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
+            + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
+            + CASE WHEN lang_pred <> lang THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
+         (CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
+            + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
+            + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
+            + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
+            + CASE WHEN lang_pred <> lang THEN 16 ELSE 0 END) = 0 AS keep
+       FROM f"""
 }

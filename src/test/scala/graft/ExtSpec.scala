@@ -182,4 +182,59 @@ class ExtSpec extends SparkSpec {
       assert(rows == Seq((1L, 0L, 50L, 2L)))
     } finally q.stop()
   }
+
+  // -------------------------------------------- corpus-construction ops
+
+  test("repeated n-gram stats count total/distinct/top exactly") {
+    // 2-grams of "a b a b a": [a b, b a, a b, b a] → total 4, distinct 2
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgramStats(docs, "doc_id", "text", 2)
+      .orderBy("id")
+      .select("id", "ngrams_total", "ngrams_distinct", "top_ngram_count", "dup_ngram_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc 3 has no 2-grams → no row
+    assert(out.toSeq == Seq((1L, 4L, 2L, 2L, 0.5d), (2L, 2L, 2L, 1L, 0.0d)))
+  }
+
+  test("stratified top-k: salted two-stage equals the naive single window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("k", "g")
+    val got = graft.ext.Sampling.stratifiedTopK(df, Seq("g"), "k", k = 7, saltBuckets = 5)
+      .select("g", "k", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = df.withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(md5(col("k").cast("string")), col("k"))).cast("long"))
+      .filter(col("r") <= 7).select("g", "k", "r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+  }
+
+  test("benchmark overlap flags full, partial, and zero contamination") {
+    import graft.ext.Dedup
+    val bench = Seq((100L, "q r s t u")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q r s t u"),        // identical: 3 of 3 trigrams leak
+      (2L, "q r s x y z"),      // shares exactly trigram "q r s"
+      (3L, "a b c d e")).toDF("doc_id", "text") // disjoint
+    val out = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text", shingleN = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 3L, 3L, 1.0d), (2L, 4L, 1L, 0.25d), (3L, 3L, 0L, 0.0d)))
+  }
+
+  test("quality gate sets one fail bit per violated rule") {
+    val theFiller = Seq.fill(20)("the data").mkString(" ")
+    val docs = Seq(
+      (1L, theFiller, "en"),                                  // clean → keep
+      (2L, "the data is here", "en"),                         // bit 0: too short
+      (3L, Seq.fill(15)("zebra quartz").mkString(" "), "en"), // bits 1+4: no stopwords, lang und
+      (4L, theFiller + " " + "!" * 60, "en"),                 // bit 2: punct > 0.2
+      (5L, theFiller, "fr"))                                  // bit 4: lang mismatch
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityGate(docs, "text", "lang")
+      .orderBy("doc_id").select("fail_mask", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(out == Seq((0L, true), (1L, false), (18L, false), (4L, false), (16L, false)))
+  }
 }
