@@ -26,7 +26,8 @@ object ScaleBench {
   val Family: Seq[String] = Seq(
     "x01_exact_dedup", "x02_text_profile", "x03_lang_id", "x04_minhash_pairs",
     "x05_ngram_jaccard_pairs", "x06_simhash_pairs", "x23_dup_clusters",
-    "x27_embedding_dedup_ivf", "x28_incremental_dedup")
+    "x27_embedding_dedup_ivf", "x28_incremental_dedup",
+    "x29_repeated_ngrams", "x31_contamination")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

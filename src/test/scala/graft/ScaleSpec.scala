@@ -267,4 +267,17 @@ class ScaleSpec extends SparkSpec {
     assert(parquetFiles < before)
     assert(spark.read.parquet(path).agg(sum("o_orderkey")).collect().head.getLong(0) == checksum)
   }
+
+  test("contamination probe broadcasts the benchmark gram set (plan shape)") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Dedup.benchmarkOverlap(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", shingleN = 6)
+    out.collect() // AQE finalizes the plan
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark gram set should probe via broadcast semi-join:\n$plan")
+  }
 }
