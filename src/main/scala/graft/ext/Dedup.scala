@@ -213,11 +213,17 @@ object Dedup {
     // see [[materialize]] for why this is checkpoint-based, not persist.
     val posts = materialize(shingleRows(df, idCol, textCol, shingleN))
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // `kept` likewise feeds both self-join sides; materializing it keeps
-    // the df-cutoff window (a full shuffle on s) to one execution as well.
-    val kept = materialize(
-      posts.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
-        .filter(col("__df") <= maxPostingLen).drop("__df"))
+    // `kept` also feeds both self-join sides, but is NOT materialized:
+    // both sides start from the materialized posts blocks (a cheap RDD
+    // scan), so the worst duplicated work is the df-cutoff window pass —
+    // at corpus scale the sides are canonical-identical shuffle stages and
+    // exchange reuse runs the shuffle-on-s once; at small scale AQE
+    // broadcasts one side instead (observed in the executed plan). A
+    // second materialization would write the entire posting table to
+    // executor storage AGAIN, which costs more than the window pass it
+    // saves.
+    val kept = posts.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("__df") <= maxPostingLen).drop("__df")
     val inter = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
