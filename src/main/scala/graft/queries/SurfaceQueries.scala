@@ -597,4 +597,33 @@ object SurfaceQueries {
        CAST(s_nationkey AS BIGINT) AS nkey
        FROM supplier
        WHERE s_nationkey = 5 OR (s_suppkey <= 50 AND s_name LIKE '%Supplier%')"""
+
+  // --- q46: manifest-committed MERGE (atomic snapshot publication) --------
+  // Same merge semantics as q38 but through ManifestStore: immutable data
+  // commits + one atomic manifest rename per commit — no partition-dir
+  // swap window, snapshot-isolated readers, object-store-safe. The vacuum
+  // afterwards reclaims the superseded partition versions and must not
+  // change the readable snapshot.
+  def q46ManifestMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/mstore_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
+    val orders = t(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+    ManifestStore.write(spark, orders, base, "order_year")
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("order_year", lit(2024))
+    ManifestStore.merge(spark, base, updates.unionByName(inserts),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.vacuum(spark, base)
+    ManifestStore.read(spark, base)
+      .select(col("o_orderkey"), col("o_totalprice"), col("order_year").cast("int").as("order_year"))
+  }
+
+  val q46Sql: String = q38Sql
 }

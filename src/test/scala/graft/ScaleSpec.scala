@@ -268,6 +268,37 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(path).agg(sum("o_orderkey")).collect().head.getLong(0) == checksum)
   }
 
+  test("manifest store: atomic merge, snapshot isolation, vacuum") {
+    import graft.sources.ManifestStore
+    val path = java.nio.file.Files.createTempDirectory("graft_mstore").toString + "/t"
+    val v1 = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)).toDF("k", "v", "p")
+    ManifestStore.write(spark, v1, path, "p")
+    val snap1 = ManifestStore.read(spark, path) // lazy plan pinned to v1's files
+    assert(snap1.count() == 3)
+    // merge: update k=1, insert k=4 into a NEW partition
+    val batch = Seq((1L, "a2", 10), (4L, "d", 30)).toDF("k", "v", "p")
+    ManifestStore.merge(spark, path, batch, Seq("k"), "p")
+    val snap2 = ManifestStore.read(spark, path)
+    val got = snap2.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a2", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 30)))
+    // snapshot isolation: the pre-merge plan still reads v1's files —
+    // the merge wrote new files and flipped a manifest, deleted nothing
+    val old = snap1.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(old == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-merge reader must keep its snapshot after a commit")
+    // an orphaned commit (crash before manifest rename) is invisible and
+    // vacuumable
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "commits/orphan-crashed/p=99"))
+    assert(ManifestStore.read(spark, path).count() == 4)
+    // vacuum drops the orphan AND p=10's superseded v1 subdir, and must
+    // not change the readable snapshot
+    assert(ManifestStore.vacuum(spark, path) >= 2)
+    val after = ManifestStore.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(after == got)
+  }
+
   test("contamination probe broadcasts the benchmark gram set (plan shape)") {
     import graft.ext.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
