@@ -456,6 +456,11 @@ object Dedup {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // try/finally: the non-convergence require below must not leak the
+    // edges cache (these two caches are the method's own, unpersisted
+    // before every exit — the operator-wide no-persist rule in
+    // [[materialize]] is about tables handed back to callers)
+    try {
     var labels = materialize(edges.select(col("src").as("id"))
       .distinct().select(col("id"), col("id").as("label")))
     var iter = 0
@@ -484,8 +489,8 @@ object Dedup {
       iter += 1
     }
     require(done, s"duplicateClustersPropagate: not converged after $maxIter rounds")
-    edges.unpersist()
     labels
+    } finally edges.unpersist()
   }
 
   // ------------------------------------------- benchmark contamination
