@@ -179,16 +179,26 @@ object Dedup {
     * unpersist or session end — an operator cannot unpersist (its caller
     * owns the action), so a long-lived session calling these operators
     * repeatedly (a 73-query bench JVM, a scheduler loop) would pin every
-    * call's table in memory+disk for the session lifetime. Checkpoint
+    * call's table in memory+disk for the session lifetime. localCheckpoint
     * blocks instead are reclaimed by the ContextCleaner as soon as the
-    * returned plan is garbage-collected — no caller obligation. With a
-    * Spark checkpoint dir set the write is reliable (executor loss replays
-    * from storage — the right call on a 1000-executor run); otherwise
-    * localCheckpoint keeps blocks in executor memory/disk (local mode).
+    * returned plan is garbage-collected — no caller obligation.
+    *
+    * The RELIABLE checkpoint branch (executor loss replays from storage —
+    * the right call on a 1000-executor run) is taken only when a
+    * checkpoint dir is set AND `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`: without that flag (its DEFAULT is false)
+    * the ContextCleaner never deletes reliable checkpoint files, so every
+    * operator call would leave a full posting-table copy on HDFS for the
+    * application lifetime — a worse leak than the persist one this
+    * method exists to avoid. Set both together on cluster deployments.
     */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+  private def materialize(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cleans = sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+      defaultValue = false)
+    if (sc.getCheckpointDir.isDefined && cleans) df.checkpoint(true)
     else df.localCheckpoint(true)
+  }
 
   // ---------------------------------------------- exact n-gram Jaccard
 
@@ -503,12 +513,13 @@ object Dedup {
     * decontamination).
     *
     * Shape at 100 TB: benchmark suites are tiny (MBs of text) next to the
-    * corpus, so the benchmark gram set builds once and BROADCASTS — the
-    * corpus side streams through a broadcast semi-join with no shuffle of
-    * the posting table at all; the only corpus shuffles are the per-doc
-    * gram aggregations (id-partitioned, map-side combined). The posting
-    * table feeds both the sizes and hits branches, hence [[materialize]].
-    * Docs with fewer than n words have no n-grams and emit no row.
+    * corpus, so the benchmark gram set builds once and BROADCASTS with a
+    * hit marker — the corpus posting table streams through ONE broadcast
+    * left join and ONE per-doc aggregation computing total and hit counts
+    * together (`count(1)` / `count(__hit)`, nulls don't count). Single
+    * pass, single shuffle (id-partitioned, map-side combined), no
+    * mid-pipeline materialization at all. Docs with fewer than n words
+    * have no n-grams and emit no row.
     */
   def benchmarkOverlap(
       corpus: DataFrame,
@@ -516,16 +527,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int): DataFrame = {
-    val posts = materialize(shingleRows(corpus, idCol, textCol, shingleN))
+    val posts = shingleRows(corpus, idCol, textCol, shingleN)
     val benchGrams = shingleRows(bench, idCol, textCol, shingleN)
-      .select(col("s")).distinct()
-    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val hits = posts.join(broadcast(benchGrams), Seq("s"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
-    sizes.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double")
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+    posts.join(broadcast(benchGrams), Seq("s"), "left")
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double")
           / col("n_grams").cast("double")).as("contamination_ratio"))
   }
 

@@ -149,7 +149,9 @@ object TextAnalysis {
     * 0.05; 2 punctuation ratio > 0.2; 3 mean word length outside [2, 12];
     * 4 marker-vote [[langId]] disagrees with the declared language column
     * (metadata-consistency check — mislabeled language is a top corpus
-    * defect). Narrow per-row map, zero shuffles.
+    * defect; null-safe, so a doc with NO declared language fails the
+    * rule rather than slipping through as "consistent"). Narrow per-row
+    * map, zero shuffles.
     */
   def qualityGate(df: DataFrame, textCol: String, langCol: String): DataFrame = {
     val text = col(textCol)
@@ -158,7 +160,7 @@ object TextAnalysis {
       stopwordRatio(text) < 0.05d,
       punctRatio(text) > 0.2d,
       !avgWordLen(text).between(2.0d, 12.0d),
-      langId(text) =!= col(langCol))
+      !(langId(text) <=> col(langCol)))
     val mask = rules.zipWithIndex.foldLeft(lit(0L)) { case (acc, (r, i)) =>
       acc + when(r, lit(1L << i)).otherwise(lit(0L))
     }

@@ -725,11 +725,11 @@ object ExtQueries {
             + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
             + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
             + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
-            + CASE WHEN lang_pred <> lang THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
+            + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
          (CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
             + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
             + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
             + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
-            + CASE WHEN lang_pred <> lang THEN 16 ELSE 0 END) = 0 AS keep
+            + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END) = 0 AS keep
        FROM f"""
 }

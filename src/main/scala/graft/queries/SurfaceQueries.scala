@@ -620,7 +620,9 @@ object SurfaceQueries {
       .withColumn("order_year", lit(2024))
     ManifestStore.merge(spark, base, updates.unionByName(inserts),
       Seq("o_orderkey"), "order_year")
-    ManifestStore.vacuum(spark, base)
+    // minAge 0: this gate is the table's only writer/reader; production
+    // keeps the default retention so in-flight merges are never vacuumed
+    ManifestStore.vacuum(spark, base, minAgeMillis = 0L)
     ManifestStore.read(spark, base)
       .select(col("o_orderkey"), col("o_totalprice"), col("order_year").cast("int").as("order_year"))
   }

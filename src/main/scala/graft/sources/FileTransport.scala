@@ -63,6 +63,16 @@ object FileTransport {
     * FTPFileSystem populates from the server listing) catches it. A server
     * that reports no mtime (0) restages on every resolve — correct, just
     * not cached.
+    *
+    * Granularity caveat: FTP LIST timestamps are minute-grained for
+    * recent files and DAY-grained once servers switch to "MMM dd yyyy"
+    * form, so a same-length re-drop landing within the same listing
+    * timestamp as the original is indistinguishable and still reuses the
+    * stale spool. If a feed is known to re-drop corrections rapidly,
+    * delete the spool entry (java.io.tmpdir/graft_transport) before
+    * resolving, or fetch over a transport with real metadata (mounted/
+    * object storage) — FTP simply does not expose better freshness
+    * information through LIST.
     */
   def resolve(
       spark: SparkSession,

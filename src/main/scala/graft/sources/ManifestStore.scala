@@ -52,14 +52,22 @@ object ManifestStore {
   private final case class Manifest(
       version: Int, partitionCol: String, commit: String, partitions: Map[String, String])
 
+  /** Resolve the newest READABLE manifest: versions are tried newest-first
+    * and one that fails to parse is skipped — a torn file from an
+    * in-flight or crashed committer (the create-exclusive protocol writes
+    * content directly into the claim file) is simply not yet visible,
+    * which is the correct snapshot semantics.
+    */
   private def latest(fs: FileSystem, path: String): Option[Manifest] = {
     val dir = manifestDir(path)
     if (!fs.exists(dir)) return None
     val versions = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-    if (versions.isEmpty) return None
-    Some(readManifest(fs, path, versions.max))
+      .sorted(Ordering.Int.reverse)
+    versions.iterator
+      .map(v => scala.util.Try(readManifest(fs, path, v)))
+      .collectFirst { case scala.util.Success(m) => m }
   }
 
   private def readManifest(fs: FileSystem, path: String, version: Int): Manifest = {
@@ -78,32 +86,37 @@ object ManifestStore {
       })
   }
 
-  /** Atomically publish `m` as version `m.version`: stage to a temp file,
-    * rename into place (fails if the version exists on HDFS-semantics
-    * filesystems), read back and verify the commit uuid for
-    * overwrite-rename filesystems (POSIX). Throws on a lost race.
+  /** Publish `m` as version `m.version` by CREATE-EXCLUSIVE on the
+    * version file itself — `create(dst, overwrite = false)` is the atomic
+    * claim on HDFS semantics (and conditional-put object stores); the
+    * loser of a race gets FileAlreadyExistsException here instead of
+    * silently overwriting. Content is written directly into the claim
+    * file, so a reader can observe a torn manifest mid-write — [[latest]]
+    * skips unparseable versions, which makes a torn newest manifest
+    * simply "not yet committed". A post-write read-back re-verifies the
+    * commit uuid as a second line of defense on filesystems whose
+    * create-exclusive check is not atomic (POSIX local FS has a TOCTOU
+    * window); the intended deployment is single-writer-per-table with
+    * optimistic conflict DETECTION, not a lock service.
     */
   private def commitManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val dst = new Path(dir, f"v${m.version}%08d.json")
-    if (fs.exists(dst))
-      throw new java.io.IOException(
-        s"ManifestStore: version ${m.version} already committed (concurrent writer) — re-merge from the new snapshot")
     val entries = m.partitions.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":"${v}"""" }.mkString("{", ",", "}")
     val json =
       s"""{"version":${m.version},"partitionCol":"${m.partitionCol}","commit":"${m.commit}","partitions":$entries}"""
-    val tmp = new Path(dir, s".tmp-${m.commit}")
-    val out = fs.create(tmp, true)
+    val out =
+      try fs.create(dst, false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"ManifestStore: version ${m.version} already committed (concurrent writer) — re-merge from the new snapshot", e)
+      }
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    val renamed = fs.rename(tmp, dst)
-    val verified = renamed && readManifest(fs, path, m.version).commit == m.commit
-    if (!verified) {
-      fs.delete(tmp, false)
+    if (readManifest(fs, path, m.version).commit != m.commit)
       throw new java.io.IOException(
         s"ManifestStore: lost commit race for version ${m.version} — re-merge from the new snapshot")
-    }
   }
 
   /** Write a data commit: the frame lands under `commits/<uuid>/` hive-
@@ -174,21 +187,14 @@ object ManifestStore {
       s"ManifestStore: table is partitioned by ${m.partitionCol}, not $partitionCol")
     val touched = batch.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     require(!touched.contains(null), s"merge: null $partitionCol in batch")
-    // current rows of the touched partitions, via the manifest (a fresh
-    // table or all-new partitions may have nothing to read)
-    val currentTouched: Option[DataFrame] = {
-      val sub = read(spark, path).filter(col(partitionCol).isin(touched: _*))
-      val anyLive = m.partitions.nonEmpty
-      if (anyLive) Some(sub) else None
-    }
-    val out = currentTouched match {
-      case Some(cur) =>
-        val keyed = batch.select(keyCols.map(c => batch(c).as(s"__k_$c")): _*)
-        val keep = cur.join(keyed,
-          keyCols.map(c => cur(c) === col(s"__k_$c")).reduce(_ && _), "left_anti")
-        keep.unionByName(batch.select(keep.columns.map(col): _*))
-      case None => batch
-    }
+    // current rows of the touched partitions, via the manifest — guarded
+    // BEFORE read() runs: a manifest with zero live partitions (a table
+    // initialized from an empty first batch) has nothing to scan, and
+    // read() cannot build a frame from no files
+    val out =
+      if (m.partitions.isEmpty) batch
+      else PartitionedStore.upsertPlan(
+        read(spark, path).filter(col(partitionCol).isin(touched: _*)), batch, keyCols)
     val (uuid, staged) = writeCommit(spark, path, out, partitionCol)
     commitManifest(fs, path, Manifest(m.version + 1, partitionCol, uuid,
       m.partitions ++ staged.map(_ -> s"commits/$uuid")))
@@ -197,23 +203,34 @@ object ManifestStore {
   /** Delete data not referenced by the LATEST manifest: whole commit
     * directories with no live partition (crashed/lost-race commits), and
     * superseded partition subdirs inside still-live commits. Returns the
-    * number of directories removed. Readers still holding an older
-    * manifest lose their snapshot — run vacuum on a retention delay in
-    * production.
+    * number of directories removed.
+    *
+    * `minAgeMillis` is the safety fence for CONCURRENT WRITERS, not just
+    * old readers: an in-flight merge has already written its commit
+    * directory but not yet committed its manifest — to vacuum it looks
+    * exactly like an orphan. Only directories whose modification time is
+    * older than `now - minAgeMillis` are touched, so set the retention
+    * longer than any merge can run (and than any reader holds a
+    * snapshot). The 24h default matches common table-format practice;
+    * pass 0 only when no other writer or reader can be active.
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String,
+      minAgeMillis: Long = 24L * 3600 * 1000): Int = {
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(return 0)
     val commitsDir = new Path(path, "commits")
     if (!fs.exists(commitsDir)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     var removed = 0
     for (c <- fs.listStatus(commitsDir) if c.isDirectory) {
       val rel = s"commits/${c.getPath.getName}"
       val livePartsHere = m.partitions.collect { case (p, r) if r == rel => p }.toSet
-      if (livePartsHere.isEmpty) { fs.delete(c.getPath, true); removed += 1 }
-      else for (p <- fs.listStatus(c.getPath)
+      if (livePartsHere.isEmpty) {
+        if (c.getModificationTime <= cutoff) { fs.delete(c.getPath, true); removed += 1 }
+      } else for (p <- fs.listStatus(c.getPath)
                 if p.isDirectory && p.getPath.getName.startsWith(s"${m.partitionCol}=")
-                  && !livePartsHere.contains(p.getPath.getName)) {
+                  && !livePartsHere.contains(p.getPath.getName)
+                  && p.getModificationTime <= cutoff) {
         fs.delete(p.getPath, true); removed += 1
       }
     }

@@ -87,10 +87,7 @@ object PartitionedStore {
       .collect().map(_.get(0)).toSeq
     require(!touched.contains(null), s"merge: null $partitionCol in batch")
     val affected = read(spark, path).filter(col(partitionCol).isin(touched: _*))
-    val keyed = batch.select(keyCols.map(c => batch(c).as(s"__k_$c")): _*)
-    val keep = affected.join(keyed,
-      keyCols.map(c => affected(c) === col(s"__k_$c")).reduce(_ && _), "left_anti")
-    val out = keep.unionByName(batch.select(keep.columns.map(col): _*))
+    val out = upsertPlan(affected, batch, keyCols)
     val tmp = path + "__merge_tmp_" +
       batchId.getOrElse(java.util.UUID.randomUUID().toString).replaceAll("[^a-zA-Z0-9_-]", "_")
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(path))
@@ -108,6 +105,21 @@ object PartitionedStore {
         throw new java.io.IOException(s"merge: rename ${s.getPath} -> $dst failed")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** The copy-on-write upsert plan shared by [[merge]] and
+    * [[ManifestStore.merge]]: current rows that lose to a batch key are
+    * anti-joined away, then the batch is unioned in with the current
+    * column order. ONE definition so the two stores cannot silently
+    * diverge on key semantics.
+    */
+  private[sources] def upsertPlan(
+      current: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = batch.select(keyCols.map(c => batch(c).as(s"__k_$c")): _*)
+    val keep = current.join(keyed,
+      keyCols.map(c => current(c) === col(s"__k_$c")).reduce(_ && _), "left_anti")
+    keep.unionByName(batch.select(keep.columns.map(col): _*))
   }
 
   /** Partition directories actually selected by `df`'s plan (from the

@@ -230,11 +230,15 @@ class ExtSpec extends SparkSpec {
       (2L, "the data is here", "en"),                         // bit 0: too short
       (3L, Seq.fill(15)("zebra quartz").mkString(" "), "en"), // bits 1+4: no stopwords, lang und
       (4L, theFiller + " " + "!" * 60, "en"),                 // bit 2: punct > 0.2
-      (5L, theFiller, "fr"))                                  // bit 4: lang mismatch
+      (5L, theFiller, "fr"),                                  // bit 4: lang mismatch
+      (6L, theFiller, null))                                  // bit 4: NO declared lang
       .toDF("doc_id", "text", "lang")
     val out = TextAnalysis.qualityGate(docs, "text", "lang")
       .orderBy("doc_id").select("fail_mask", "keep").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
-    assert(out == Seq((0L, true), (1L, false), (18L, false), (4L, false), (16L, false)))
+    // null lang must FAIL the consistency rule (null-safe comparison),
+    // not slip through as "consistent"
+    assert(out == Seq((0L, true), (1L, false), (18L, false), (4L, false),
+      (16L, false), (16L, false)))
   }
 }

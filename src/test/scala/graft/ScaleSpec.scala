@@ -291,9 +291,13 @@ class ScaleSpec extends SparkSpec {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path, "commits/orphan-crashed/p=99"))
     assert(ManifestStore.read(spark, path).count() == 4)
-    // vacuum drops the orphan AND p=10's superseded v1 subdir, and must
-    // not change the readable snapshot
-    assert(ManifestStore.vacuum(spark, path) >= 2)
+    // vacuum at minAge 0 (sole writer here) drops the orphan AND p=10's
+    // superseded v1 subdir, and must not change the readable snapshot;
+    // at the default retention the young orphan must SURVIVE (it could be
+    // an in-flight merge's commit)
+    assert(ManifestStore.vacuum(spark, path) == 0,
+      "default retention must not vacuum young directories")
+    assert(ManifestStore.vacuum(spark, path, minAgeMillis = 0L) >= 2)
     val after = ManifestStore.read(spark, path).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(after == got)
@@ -308,7 +312,9 @@ class ScaleSpec extends SparkSpec {
       "doc_id", "text", shingleN = 6)
     out.collect() // AQE finalizes the plan
     val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"benchmark gram set should probe via broadcast semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"benchmark gram set should probe via a broadcast left join (hit marker):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus posting table must not shuffle for the probe:\n$plan")
   }
 }
