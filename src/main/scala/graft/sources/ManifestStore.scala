@@ -158,6 +158,9 @@ object ManifestStore {
     val m = latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
     val byCommit = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
+    if (byCommit.isEmpty)
+      throw new IllegalStateException(
+        s"ManifestStore: table at $path has no partitions (initialized from an empty frame) — nothing to scan")
     byCommit.map { case (commitRel, parts) =>
       val base = new Path(path, commitRel).toString
       spark.read.option("basePath", base)
