@@ -225,6 +225,18 @@ object ManifestStore {
     if (!fs.exists(commitsDir)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMillis
     var removed = 0
+    // heal torn manifest claims: a committer that crashed mid-write leaves
+    // an unparseable version file that would otherwise block that version
+    // number forever (create-exclusive refuses to reclaim it); age-gated
+    // like data, so an IN-FLIGHT claim is never stolen
+    for (f <- fs.listStatus(manifestDir(path))
+         if f.getPath.getName.startsWith("v") && f.getPath.getName.endsWith(".json")
+           && f.getModificationTime <= cutoff) {
+      val v = f.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt
+      if (scala.util.Try(readManifest(fs, path, v)).isFailure) {
+        fs.delete(f.getPath, false); removed += 1
+      }
+    }
     for (c <- fs.listStatus(commitsDir) if c.isDirectory) {
       val rel = s"commits/${c.getPath.getName}"
       val livePartsHere = m.partitions.collect { case (p, r) if r == rel => p }.toSet

@@ -303,6 +303,29 @@ class ScaleSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("manifest store: torn claim is invisible, blocks its version, and heals via vacuum") {
+    import graft.sources.ManifestStore
+    val path = java.nio.file.Files.createTempDirectory("graft_mstore_torn").toString + "/t"
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
+    ManifestStore.write(spark, v1, path, "p")
+    // a committer crashed mid-write after claiming v2: garbage content
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(path, "_manifests/v00000002.json")
+    val out = fs.create(torn, false)
+    out.write("{torn".getBytes("UTF-8")); out.close()
+    // readers fall back to the last parseable version
+    assert(ManifestStore.read(spark, path).count() == 2)
+    // a merge targets v2 and must hit the existing claim, not overwrite it
+    val batch = Seq((3L, "c", 10)).toDF("k", "v", "p")
+    intercept[java.io.IOException] {
+      ManifestStore.merge(spark, path, batch, Seq("k"), "p")
+    }
+    // aged vacuum heals the torn claim; the merge then succeeds
+    assert(ManifestStore.vacuum(spark, path, minAgeMillis = 0L) >= 1)
+    ManifestStore.merge(spark, path, batch, Seq("k"), "p")
+    assert(ManifestStore.read(spark, path).count() == 3)
+  }
+
   test("contamination probe broadcasts the benchmark gram set (plan shape)") {
     import graft.ext.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
