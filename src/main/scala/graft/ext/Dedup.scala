@@ -192,12 +192,24 @@ object Dedup {
     * application lifetime — a worse leak than the persist one this
     * method exists to avoid. Set both together on cluster deployments.
     */
+  private val warnedLocalDowngrade = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cleans = sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
       defaultValue = false)
     if (sc.getCheckpointDir.isDefined && cleans) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    else {
+      // surface the downgrade once: a checkpoint dir without the cleaner
+      // flag silently loses executor-loss replayability here, and the
+      // scaladoc alone won't be read by an operator watching a job fail
+      if (sc.getCheckpointDir.isDefined && warnedLocalDowngrade.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "graft.Dedup: checkpoint dir is set but spark.cleaner.referenceTracking" +
+            ".cleanCheckpoints is false — falling back to localCheckpoint (blocks lost " +
+            "with executors). Enable the flag to get reliable, auto-cleaned checkpoints.")
+      df.localCheckpoint(true)
+    }
   }
 
   // ---------------------------------------------- exact n-gram Jaccard

@@ -58,17 +58,23 @@ object ManifestStore {
     * content directly into the claim file) is simply not yet visible,
     * which is the correct snapshot semantics.
     */
-  private def latest(fs: FileSystem, path: String): Option[Manifest] = {
+  /** Version numbers present in `_manifests`, newest first. Stray files
+    * that merely LOOK like manifests (e.g. a hand-dropped `v2-backup
+    * .json`) are skipped, not parsed into a crash.
+    */
+  private def listVersions(fs: FileSystem, path: String): Seq[Int] = {
     val dir = manifestDir(path)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toIntOption)
       .sorted(Ordering.Int.reverse)
-    versions.iterator
+  }
+
+  private def latest(fs: FileSystem, path: String): Option[Manifest] =
+    listVersions(fs, path).iterator
       .map(v => scala.util.Try(readManifest(fs, path, v)))
       .collectFirst { case scala.util.Success(m) => m }
-  }
 
   private def readManifest(fs: FileSystem, path: String, version: Int): Manifest = {
     val p = new Path(manifestDir(path), f"v$version%08d.json")
@@ -99,6 +105,20 @@ object ManifestStore {
     * window); the intended deployment is single-writer-per-table with
     * optimistic conflict DETECTION, not a lock service.
     */
+  /** How long an unreadable claim file is presumed to belong to a LIVE
+    * committer before commitManifest may reclaim it inline. A manifest is
+    * under a kilobyte; a committer that has not finished writing one in
+    * 15 minutes is dead. Must stay well below any vacuum retention.
+    */
+  private[sources] val TornClaimTimeoutMillis: Long = 15L * 60 * 1000
+
+  private def isClaimConflict(e: java.io.IOException): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    // RawLocalFileSystem wraps the condition in a plain IOException
+    case other => other.getMessage != null && other.getMessage.contains("already exists")
+  }
+
   private def commitManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
@@ -107,12 +127,27 @@ object ManifestStore {
       .map { case (k, v) => s""""${k}":"${v}"""" }.mkString("{", ",", "}")
     val json =
       s"""{"version":${m.version},"partitionCol":"${m.partitionCol}","commit":"${m.commit}","partitions":$entries}"""
-    val out =
+    def claim(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(dst, false)
-      catch { case e: java.io.IOException =>
-        throw new java.io.IOException(
-          s"ManifestStore: version ${m.version} already committed (concurrent writer) — re-merge from the new snapshot", e)
+      catch { case e: java.io.IOException if isClaimConflict(e) =>
+        // The claimed version is either a real concurrent COMMIT (file
+        // parses → the advice "re-merge from the new snapshot" is
+        // actionable) or a TORN claim from a dead committer. A young torn
+        // claim may still be in flight — fail and let the caller retry
+        // later; an aged one is reclaimed inline, so a crashed committer
+        // wedges merges for TornClaimTimeoutMillis, not until a vacuum.
+        val parses = scala.util.Try(readManifest(fs, path, m.version)).isSuccess
+        if (parses)
+          throw new java.io.IOException(
+            s"ManifestStore: version ${m.version} already committed (concurrent writer) — re-merge from the new snapshot", e)
+        val age = System.currentTimeMillis() - fs.getFileStatus(dst).getModificationTime
+        if (age <= TornClaimTimeoutMillis)
+          throw new java.io.IOException(
+            s"ManifestStore: version ${m.version} is claimed by an in-flight committer (torn manifest, ${age / 1000}s old) — retry later", e)
+        fs.delete(dst, false)
+        fs.create(dst, false) // a second conflict here is a real race — propagate
       }
+    val out = claim()
     try out.write(json.getBytes("UTF-8")) finally out.close()
     if (readManifest(fs, path, m.version).commit != m.commit)
       throw new java.io.IOException(
@@ -226,14 +261,18 @@ object ManifestStore {
     val cutoff = System.currentTimeMillis() - minAgeMillis
     var removed = 0
     // heal torn manifest claims: a committer that crashed mid-write leaves
-    // an unparseable version file that would otherwise block that version
-    // number forever (create-exclusive refuses to reclaim it); age-gated
-    // like data, so an IN-FLIGHT claim is never stolen
-    for (f <- fs.listStatus(manifestDir(path))
-         if f.getPath.getName.startsWith("v") && f.getPath.getName.endsWith(".json")
-           && f.getModificationTime <= cutoff) {
-      val v = f.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt
-      if (scala.util.Try(readManifest(fs, path, v)).isFailure) {
+    // an unparseable version file that blocks that version number (though
+    // commitManifest also reclaims aged torn claims inline). ONLY versions
+    // ABOVE the newest readable manifest are candidates — nothing can
+    // commit past a torn claim, so a torn file can only exist there, and
+    // restricting the scan means a transient read error on a LIVE
+    // manifest can never delete table metadata (and vacuum never re-reads
+    // all of history). Age-gated like data, so an in-flight claim is
+    // never stolen.
+    for (v <- listVersions(fs, path) if v > m.version) {
+      val f = fs.getFileStatus(new Path(manifestDir(path), f"v$v%08d.json"))
+      if (f.getModificationTime <= cutoff &&
+          scala.util.Try(readManifest(fs, path, v)).isFailure) {
         fs.delete(f.getPath, false); removed += 1
       }
     }
