@@ -687,6 +687,60 @@ object ExtQueries {
          CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
 
+  // --- x33: STATEFUL STREAMING sessionization ≡ batch oracle --------------
+  // The flatMapGroupsWithState path end-to-end in the gate: events replay
+  // through a real Structured Streaming query (parquet source →
+  // StatefulSessions.sessionize → memory sink, Trigger.AvailableNow) and
+  // must produce exactly the batch gaps-and-islands sessions. Append mode
+  // only emits CLOSED sessions, so a per-user SENTINEL event at
+  // max(ts) + gap + 1 closes each user's final session deterministically
+  // (the sentinel's own session stays open and is never emitted). The
+  // input is one sorted file → one micro-batch → no cross-batch
+  // out-of-order hazard; state is O(users), the bounded-state shape that
+  // scales to an unbounded stream where the batch window query cannot run.
+  def x33StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    import org.apache.spark.sql.streaming.Trigger
+    val gap = 30L * 60 * 1000000L // 30 min in micros, same as x08
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/ssess_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh replay per run
+    val ev = t(spark, dir, "events").select(col("user_id"), expr("ts div 1000").as("ts"))
+    val sentinels = ev.groupBy("user_id").agg((max(col("ts")) + gap + 1).as("ts"))
+    ev.unionByName(sentinels.select(col("user_id"), col("ts")))
+      .orderBy("user_id", "ts").coalesce(1)
+      .write.parquet(s"$base/in")
+    implicit val evEnc = org.apache.spark.sql.Encoders.product[StatefulSessions.Event]
+    val stream = spark.readStream.schema(evEnc.schema).parquet(s"$base/in").as[StatefulSessions.Event]
+    val qname = s"x33_sessions_$tag"
+    spark.catalog.dropTempView(qname) // previous run's memory sink table
+    val q = StatefulSessions.sessionize(stream, gap)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x33: drain timeout") }
+    finally q.stop()
+    spark.table(qname)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  // The batch oracle: identical gaps-and-islands sessions (x08 without
+  // the session_seq column — streaming state has no global sequence).
+  val x33Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800000000
+              THEN 1 ELSE 0 END AS ns FROM x),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+       SELECT user_id, min(e) AS session_start, max(e) AS session_end,
+              count(*) AS n_events
+       FROM g GROUP BY user_id, session_seq"""
+
   // --- x32: composite quality gate (C4/Gopher rule mask) ------------------
   // The actual FILTERING step of a training-data pipeline: five rules,
   // per-rule fail bits (auditable kill distribution), keep = mask 0. Rule
