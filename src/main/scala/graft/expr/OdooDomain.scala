@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   *   - consecutive terms without a connective are implicitly AND-ed
   *
   * Operators: `=`, `!=`, `<`, `<=`, `>`, `>=`, `in`, `not in`, `like`,
-  * `not like`, `ilike`, `not ilike`, `=like`, `=ilike`. Odoo `like` wraps
-  * the value in `%…%` (substring match); `=like` uses the raw pattern.
-  * `=` against null matches IS NULL (Odoo falsy-null semantics).
+  * `not like`, `ilike`, `not ilike`, `=like`, `=ilike`, `=?`. Odoo `like`
+  * wraps the value in `%…%` (substring match); `=like` uses the raw
+  * pattern. `=` against null matches IS NULL (Odoo falsy-null
+  * semantics); `=?` is Odoo's conditional equality — TRUE (term ignored)
+  * when the value is null/False, plain `=` otherwise. `child_of`/
+  * `parent_of` are deliberately unsupported: they need the model's
+  * parent hierarchy (a recursive closure over parent_id), which is not
+  * part of a single-relation scan — resolve them to an id list first and
+  * push `in`.
   */
 object OdooDomain {
 
@@ -60,6 +66,8 @@ object OdooDomain {
     t.op match {
       case "=" if t.value == null => c.isNull
       case "!=" if t.value == null => c.isNotNull
+      case "=?" if t.value == null || t.value == false => lit(true)
+      case "=?" => c === v
       case "="  => c === v
       case "!=" | "<>" => c =!= v
       case "<"  => c < v

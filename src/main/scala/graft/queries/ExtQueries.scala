@@ -741,6 +741,45 @@ object ExtQueries {
               count(*) AS n_events
        FROM g GROUP BY user_id, session_seq"""
 
+  // --- x34: STREAMING incremental dedup (stream-static join) --------------
+  // The second core streaming pattern after x33's stateful path: the daily
+  // increment arrives as a STREAM and joins the STATIC historical
+  // fingerprint store — Spark's stream-static join, stateless and
+  // deterministic regardless of micro-batching, so the result must equal
+  // the batch x28 oracle exactly. At 100 TB the static side is the
+  // keys-only fingerprint store (broadcast or bucket-joined), never the
+  // corpus.
+  def x34StreamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/sdedup_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh replay per run
+    val docs = t(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("fp")).distinct().withColumn("__seen", lit(1))
+    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("fp"))
+      .write.parquet(s"$base/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType)))
+    val qname = s"x34_sdedup_$tag"
+    spark.catalog.dropTempView(qname)
+    val q = spark.readStream.schema(schema).parquet(s"$base/in")
+      .join(seen, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("__seen").isNotNull.as("is_dup"))
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x34: drain timeout") }
+    finally q.stop()
+    spark.table(qname)
+  }
+
+  val x34Sql: String = x28Sql
+
   // --- x32: composite quality gate (C4/Gopher rule mask) ------------------
   // The actual FILTERING step of a training-data pipeline: five rules,
   // per-rule fail bits (auditable kill distribution), keep = mask 0. Rule

@@ -182,16 +182,29 @@ object ManifestStore {
       uuid, staged.map(_ -> s"commits/$uuid").toMap))
   }
 
-  /** Read the latest snapshot. Partitions are grouped by owning commit
+  /** Readable version numbers, newest first — the time-travel axis. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsFor(spark, new Path(path))
+    listVersions(fs, path)
+      .filter(v => scala.util.Try(readManifest(fs, path, v)).isSuccess)
+  }
+
+  /** Read a snapshot — the latest by default, or `version` for time
+    * travel (any version still listed by [[versions]]; vacuum invalidates
+    * old snapshots by deleting their superseded files, so time-travel
+    * depth = vacuum retention). Partitions are grouped by owning commit
     * root, each group scanned with `basePath` = that commit root (restores
     * the partition column), then unioned — the plan size is O(live
     * commits), not O(partitions), and compaction/vacuum keep live commits
     * few.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val fs = fsFor(spark, new Path(path))
-    val m = latest(fs, path).getOrElse(
-      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
+    val m = version match {
+      case Some(v) => readManifest(fs, path, v)
+      case None => latest(fs, path).getOrElse(
+        throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
+    }
     val byCommit = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
     if (byCommit.isEmpty)
       throw new IllegalStateException(

@@ -48,6 +48,10 @@ class ExprSpec extends SparkSpec {
     assert(q(Seq(OdooDomain.Term("state", "like", "pen"))) == Seq(2))
     assert(q(Seq(OdooDomain.Term("state", "=like", "d%"))) == Seq(1, 3))
     assert(q(Seq(OdooDomain.Term("state", "ilike", "DONE"))) == Seq(1, 3))
+    // =? is conditional equality: null/False value disables the term
+    assert(q(Seq(OdooDomain.Term("state", "=?", "done"))) == Seq(1, 3))
+    assert(q(Seq(OdooDomain.Term("state", "=?", null))) == Seq(1, 2, 3))
+    assert(q(Seq(OdooDomain.Term("state", "=?", false))) == Seq(1, 2, 3))
     assert(q(Nil) == Seq(1, 2, 3))
   }
 

@@ -286,6 +286,11 @@ class ScaleSpec extends SparkSpec {
     val old = snap1.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(old == Seq((1L, "a"), (2L, "b"), (3L, "c")),
       "pre-merge reader must keep its snapshot after a commit")
+    // explicit time travel: version 1 is readable by number until vacuumed
+    assert(ManifestStore.versions(spark, path) == Seq(2, 1))
+    val tt = ManifestStore.read(spark, path, version = Some(1)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tt == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // an orphaned commit (crash before manifest rename) is invisible and
     // vacuumable
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
