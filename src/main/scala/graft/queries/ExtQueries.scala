@@ -602,13 +602,21 @@ object ExtQueries {
   // persisted fingerprint set (keys-only join) instead of re-deduping the
   // corpus. History here is the non-increment docs; the fingerprint store
   // side carries only distinct fps — never document payloads.
-  def x28IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared x28/x34 inputs: (increment (doc_id, fp), historical seen-fp
+    * store (fp, __seen)). ONE definition — x34 is gated against the x28
+    * oracle, so the split/fingerprint must not be able to drift apart.
+    */
+  private def incrementalDedupInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(spark, dir, "documents")
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val seen = docs.filter(col("doc_id") % 5 =!= 0)
       .select(col("fp")).distinct().withColumn("__seen", lit(1))
-    docs.filter(col("doc_id") % 5 === 0)
-      .join(seen, Seq("fp"), "left")
+    (docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("fp")), seen)
+  }
+
+  def x28IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (inc, seen) = incrementalDedupInputs(spark, dir)
+    inc.join(seen, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("__seen").isNotNull.as("is_dup"))
   }
 
@@ -755,18 +763,11 @@ object ExtQueries {
     val base = s"/tmp/graft/sdedup_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh replay per run
-    val docs = t(spark, dir, "documents")
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val seen = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("fp")).distinct().withColumn("__seen", lit(1))
-    docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("fp"))
-      .write.parquet(s"$base/in")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType)))
+    val (inc, seen) = incrementalDedupInputs(spark, dir)
+    inc.write.parquet(s"$base/in")
     val qname = s"x34_sdedup_$tag"
     spark.catalog.dropTempView(qname)
-    val q = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = spark.readStream.schema(inc.schema).parquet(s"$base/in")
       .join(seen, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("__seen").isNotNull.as("is_dup"))
       .writeStream.format("memory").queryName(qname)

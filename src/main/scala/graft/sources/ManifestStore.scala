@@ -182,17 +182,28 @@ object ManifestStore {
       uuid, staged.map(_ -> s"commits/$uuid").toMap))
   }
 
-  /** Readable version numbers, newest first — the time-travel axis. */
+  /** Readable version numbers, newest first — the time-travel axis.
+    * Only the HEAD of the list is parsed (newest-first until the first
+    * readable manifest): torn claims can only exist above the newest
+    * readable version (see [[vacuum]]), so everything older is readable
+    * by construction and listing stays O(1) manifest reads, not O(all
+    * versions) — [[vacuum]] keeps the listed tail consistent by deleting
+    * manifests together with the superseded data their snapshots need.
+    */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val fs = fsFor(spark, new Path(path))
-    listVersions(fs, path)
-      .filter(v => scala.util.Try(readManifest(fs, path, v)).isSuccess)
+    val vs = listVersions(fs, path)
+    vs.zipWithIndex
+      .collectFirst { case (v, i) if scala.util.Try(readManifest(fs, path, v)).isSuccess =>
+        vs.drop(i) }
+      .getOrElse(Nil)
   }
 
   /** Read a snapshot — the latest by default, or `version` for time
-    * travel (any version still listed by [[versions]]; vacuum invalidates
-    * old snapshots by deleting their superseded files, so time-travel
-    * depth = vacuum retention). Partitions are grouped by owning commit
+    * travel. Any version listed by [[versions]] is scannable: vacuum
+    * deletes aged manifests in the same retention-fenced sweep that
+    * reclaims their superseded data files, so time-travel depth = vacuum
+    * retention by construction. Partitions are grouped by owning commit
     * root, each group scanned with `basePath` = that commit root (restores
     * the partition column), then unioned — the plan size is O(live
     * commits), not O(partitions), and compaction/vacuum keep live commits
@@ -287,6 +298,17 @@ object ManifestStore {
       if (f.getModificationTime <= cutoff &&
           scala.util.Try(readManifest(fs, path, v)).isFailure) {
         fs.delete(f.getPath, false); removed += 1
+      }
+    }
+    // expire old SNAPSHOTS with their data: manifests below the latest are
+    // deleted once aged past the retention fence, so [[versions]] never
+    // lists a snapshot whose superseded files the data sweep below has
+    // reclaimed — time-travel depth IS the vacuum retention, by
+    // construction rather than by documentation
+    for (v <- listVersions(fs, path) if v < m.version) {
+      val p = new Path(manifestDir(path), f"v$v%08d.json")
+      if (fs.getFileStatus(p).getModificationTime <= cutoff) {
+        fs.delete(p, false); removed += 1
       }
     }
     for (c <- fs.listStatus(commitsDir) if c.isDirectory) {

@@ -306,6 +306,9 @@ class ScaleSpec extends SparkSpec {
     val after = ManifestStore.read(spark, path).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(after == got)
+    // vacuum expired snapshot v1 WITH its data: versions() stays
+    // consistent with what read(version) can actually scan
+    assert(ManifestStore.versions(spark, path) == Seq(2))
   }
 
   test("manifest store: torn claim is invisible, blocks its version, and heals via vacuum") {
