@@ -30,6 +30,44 @@ object Sampling {
     * top-k row has ≤ k-1 better-ranked rows in its OWN salt bucket, so
     * stage 1 can never drop it.
     */
+  /** Temperature-weighted mixture sampling (alpha = 0.5): sources are
+    * re-balanced toward sqrt-proportional shares — the standard scheme
+    * for up-weighting low-resource sources in multilingual/multi-source
+    * corpora (public mBERT/XLM-R recipe) — and each source is then
+    * hash-sampled at the rate that hits its share of `targetTotal` in
+    * expectation. Appends `sample_rate` to the kept rows.
+    *
+    * Determinism across engines is engineered, not hoped for: weights are
+    * sqrt(n) QUANTIZED to integers (floor(sqrt(n)·1000) — sqrt and one
+    * multiply are correctly-rounded IEEE ops, identical everywhere), the
+    * weight total is an exact integer sum (order-independent), and each
+    * rate is ONE division of two exact integers — so the md5-bucket
+    * threshold compares the same double on every engine and the sampled
+    * set is reproducible anywhere.
+    *
+    * Scale shape: the per-source rate table is a tiny aggregate
+    * broadcast back onto the corpus — one narrow map over the data, no
+    * shuffle of the corpus at all.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1000d).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__tw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("sample_rate", least(lit(1.0d),
+        (lit(targetTotal) * col("__w")).cast("double") /
+          (col("__tw") * col("__n")).cast("double")))
+      .select(col(sourceCol), col("sample_rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__bucket", TextAnalysis.md5Bucket(col(keyCol)))
+      .filter(col("__bucket") < floor(col("sample_rate") * 65536d).cast("long"))
+      .drop("__bucket")
+  }
+
   def stratifiedTopK(
       df: DataFrame,
       strata: Seq[String],

@@ -781,6 +781,32 @@ object ExtQueries {
 
   val x34Sql: String = x28Sql
 
+  // --- x35: temperature mixture sampling (alpha=0.5 source balancing) -----
+  // The data-mixture step of corpus construction: sources re-weighted to
+  // sqrt-proportional shares (up-weights low-resource sources), then
+  // hash-sampled at the per-source rate that hits ~300 docs total. Every
+  // arithmetic step is engineered bit-identical (integer-quantized
+  // weights, exact integer sums, single divisions) so the sampled SET
+  // reproduces on any engine.
+  def x35MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixture(t(spark, dir, "documents"), "source", "doc_id", 300L)
+      .select(col("doc_id"), col("source"), col("sample_rate"))
+
+  val x35Sql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       r AS (SELECT source, least(1.0, CAST(300 * w AS DOUBLE) / CAST(tw * n AS DOUBLE)) AS sample_rate FROM w, t),
+       b AS (SELECT d.doc_id, d.source, r.sample_rate,
+           (SELECT CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT)
+            FROM (SELECT md5(CAST(d.doc_id AS VARCHAR)) AS hx)) AS bucket
+         FROM documents d JOIN r USING (source))
+       SELECT doc_id, source, sample_rate FROM b
+       WHERE bucket < CAST(floor(sample_rate * 65536) AS BIGINT)"""
+
   // --- x32: composite quality gate (C4/Gopher rule mask) ------------------
   // The actual FILTERING step of a training-data pipeline: five rules,
   // per-rule fail bits (auditable kill distribution), keep = mask 0. Rule

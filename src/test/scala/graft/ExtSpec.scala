@@ -210,6 +210,22 @@ class ExtSpec extends SparkSpec {
     assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
   }
 
+  test("temperature mixture up-weights small sources at the sqrt ratio") {
+    val docs = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small")).toDF("k", "src")
+    val out = graft.ext.Sampling.temperatureMixture(docs, "src", "k", 100L)
+    val rates = out.select("src", "sample_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.5 balancing: rate_small / rate_big = sqrt(n_big / n_small)
+    val ratio = rates("small") / rates("big")
+    assert(math.abs(ratio - math.sqrt(800.0 / 100.0)) < 0.01, s"ratio $ratio")
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // membership is a pure function of the data: identical set on re-run
+    val k1 = out.select("k").collect().map(_.getLong(0)).toSet
+    val k2 = graft.ext.Sampling.temperatureMixture(docs, "src", "k", 100L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty)
+  }
+
   test("benchmark overlap flags full, partial, and zero contamination") {
     import graft.ext.Dedup
     val bench = Seq((100L, "q r s t u")).toDF("doc_id", "text")
