@@ -29,6 +29,15 @@ object ScaleBench {
     "x27_embedding_dedup_ivf", "x28_incremental_dedup",
     "x29_repeated_ngrams", "x31_contamination")
 
+  /** Relational core + event-time family, timed over replica-scaled
+    * orders/lineitem/customer/events (keys offset per replica so joins
+    * and sessions replicate instead of colliding; dims copied as-is).
+    */
+  val CoreFamily: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
+    "q19_window_topk", "q30_semi_join", "q37_above_avg",
+    "x08_session_stats", "x09_tumbling_window", "x15_source_cube")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -55,10 +64,28 @@ object ScaleBench {
         rotated.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // relational core: fact keys shift per replica so joins/sessions
+    // replicate linearly (each replica is a self-contained sub-corpus);
+    // dims copy unchanged — at N× the facts the dim tables stay dims
+    def rep(table: String, keyCols: Seq[String]): Unit = {
+      val src = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until reps).map { i =>
+        keyCols.foldLeft(src)((d, k) => d.withColumn(k, col(k) + lit(i * IdOffset)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey"))
+    rep("customer", Seq("c_custkey"))
+    rep("events", Seq("user_id"))
+    for (dim <- Seq("region", "nation", "supplier", "part"))
+      spark.read.parquet(s"$baseDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
   }
 
-  private def time(spark: SparkSession, dir: String): Map[String, Double] = {
-    def pass(): Map[String, Double] = Family.map { name =>
+  private def time(spark: SparkSession, dir: String, family: Seq[String]): Map[String, Double] = {
+    def pass(): Map[String, Double] = family.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
       catch { case _: Throwable => false }
@@ -88,19 +115,23 @@ object ScaleBench {
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    Family.foreach { n =>
+    (Family ++ CoreFamily).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val t1 = time(spark, d1)
-    val tN = time(spark, dN)
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val ratio = Family.map { n =>
-      val r = if (t1(n) > 0 && tN(n) > 0) tN(n) / t1(n) else -1.0
-      s"\"" + n + "\":" + f"$r%.2f"
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"dedup_scale","reps":$reps,"unit":"sec","base":"$baseDir","x1":${js(t1)},"x$reps":${js(tN)},"growth":$ratio}""")
+    def report(metric: String, family: Seq[String]): Unit = {
+      val t1 = time(spark, d1, family)
+      val tN = time(spark, dN, family)
+      val ratio = family.map { n =>
+        val r = if (t1(n) > 0 && tN(n) > 0) tN(n) / t1(n) else -1.0
+        s"\"" + n + "\":" + f"$r%.2f"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"$metric","reps":$reps,"unit":"sec","base":"$baseDir","x1":${js(t1)},"x$reps":${js(tN)},"growth":$ratio}""")
+    }
+    report("dedup_scale", Family)
+    report("core_scale", CoreFamily)
     spark.stop()
   }
 }
