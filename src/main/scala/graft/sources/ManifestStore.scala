@@ -29,10 +29,11 @@ import org.json4s.jackson.JsonMethods
   *   path/_manifests/v00000001.json                            (one per commit)
   * }}}
   *
-  * Manifest: `{"version": N, "partitionCol": c,
+  * Manifest: `{"version": N, "partitionCols": [c, ...],
   * "commit": uuid, "partitions": {"c=v": "commits/<uuid>", ...}}` —
-  * partition DIRECTORY NAMES as Spark wrote them (hive-escaped), mapped to
-  * the commit root that owns the partition's current version.
+  * RELATIVE leaf partition paths as Spark wrote them (hive-escaped;
+  * nested `a=1/b=2` for multi-level partitioning), mapped to the commit
+  * root that owns the partition's current version.
   *
   * Concurrency: optimistic. A committer claims version N+1 by renaming a
   * staged manifest to `v<N+1>.json`; HDFS rename fails if the destination
@@ -49,8 +50,12 @@ object ManifestStore {
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
 
+  /** `partitions` maps RELATIVE leaf partition paths as Spark wrote them
+    * (single level `c=v`, or nested `a=1/b=2` for multi-level
+    * partitioning) to the commit root owning that leaf's current version.
+    */
   private final case class Manifest(
-      version: Int, partitionCol: String, commit: String, partitions: Map[String, String])
+      version: Int, partitionCols: Seq[String], commit: String, partitions: Map[String, String])
 
   /** Resolve the newest READABLE manifest: versions are tried newest-first
     * and one that fails to parse is skipped — a torn file from an
@@ -84,7 +89,10 @@ object ManifestStore {
     def str(v: JValue) = v match { case JString(s) => s; case other => sys.error(s"manifest $p: $other") }
     Manifest(
       version,
-      str(j \ "partitionCol"),
+      (j \ "partitionCols") match {
+        case JArray(vs) => vs.map(str)
+        case other => sys.error(s"manifest $p: partitionCols = $other")
+      },
       str(j \ "commit"),
       (j \ "partitions") match {
         case JObject(fields) => fields.map { case (k, v) => k -> str(v) }.toMap
@@ -125,8 +133,9 @@ object ManifestStore {
     val dst = new Path(dir, f"v${m.version}%08d.json")
     val entries = m.partitions.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":"${v}"""" }.mkString("{", ",", "}")
+    val colsJson = m.partitionCols.map(c => s""""$c"""").mkString("[", ",", "]")
     val json =
-      s"""{"version":${m.version},"partitionCol":"${m.partitionCol}","commit":"${m.commit}","partitions":$entries}"""
+      s"""{"version":${m.version},"partitionCols":$colsJson,"commit":"${m.commit}","partitions":$entries}"""
     def claim(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(dst, false)
       catch { case e: java.io.IOException if isClaimConflict(e) =>
@@ -154,31 +163,47 @@ object ManifestStore {
         s"ManifestStore: lost commit race for version ${m.version} — re-merge from the new snapshot")
   }
 
+  /** RELATIVE leaf partition dirs under `root` as Spark wrote them
+    * (depth = partitionCols.length, each segment `<col_i>=...`) — never
+    * re-derived by string-formatting values, see PartitionedStore.merge
+    * scaladoc.
+    */
+  private def leafPartitionDirs(
+      fs: FileSystem, root: Path, partitionCols: Seq[String]): Seq[String] = {
+    def walk(dir: Path, depth: Int, rel: String): Seq[String] =
+      if (depth == partitionCols.length) Seq(rel)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCols(depth) + "="))
+        .flatMap(s => walk(s.getPath, depth + 1,
+          if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))
+    walk(root, 0, "")
+  }
+
   /** Write a data commit: the frame lands under `commits/<uuid>/` hive-
-    * partitioned; returns (uuid, staged partition dir names as Spark
-    * wrote them — never re-derived by string formatting, see
-    * PartitionedStore.merge scaladoc).
+    * partitioned (nested dirs for multi-level partitioning); returns
+    * (uuid, staged relative leaf partition paths).
     */
   private def writeCommit(
-      spark: SparkSession, path: String, df: DataFrame, partitionCol: String): (String, Seq[String]) = {
+      spark: SparkSession, path: String, df: DataFrame, partitionCols: Seq[String]): (String, Seq[String]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val commitRoot = new Path(path, s"commits/$uuid")
-    df.write.partitionBy(partitionCol).parquet(commitRoot.toString)
+    df.write.partitionBy(partitionCols: _*).parquet(commitRoot.toString)
     val fs = fsFor(spark, commitRoot)
-    val staged = fs.listStatus(commitRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
-      .map(_.getPath.getName).toSeq
-    (uuid, staged)
+    (uuid, leafPartitionDirs(fs, commitRoot, partitionCols))
   }
 
   /** Initialize (or fully replace) the table: one data commit containing
     * every partition + a manifest mapping all of them to it.
     */
-  def write(spark: SparkSession, df: DataFrame, path: String, partitionCol: String): Unit = {
+  def write(spark: SparkSession, df: DataFrame, path: String, partitionCol: String): Unit =
+    write(spark, df, path, Seq(partitionCol))
+
+  def write(spark: SparkSession, df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "ManifestStore.write: at least one partition column")
     val fs = fsFor(spark, new Path(path))
-    val (uuid, staged) = writeCommit(spark, path, df, partitionCol)
+    val (uuid, staged) = writeCommit(spark, path, df, partitionCols)
     val version = latest(fs, path).map(_.version + 1).getOrElse(1)
-    commitManifest(fs, path, Manifest(version, partitionCol,
+    commitManifest(fs, path, Manifest(version, partitionCols,
       uuid, staged.map(_ -> s"commits/$uuid").toMap))
   }
 
@@ -231,24 +256,42 @@ object ManifestStore {
     * [[PartitionedStore.merge]] (read ONLY touched partitions via the
     * manifest, anti-join on the keys, union the batch, rewrite those
     * partitions), but publication is a manifest pointer flip instead of
-    * directory swaps. Same contract: batch carries the partition column,
-    * single-level partitioning, non-null partition values, stable
-    * key→partition assignment.
+    * directory swaps. Same contract: batch carries the partition
+    * column(s), non-null partition values, stable key→partition
+    * assignment. Multi-level partitioning is supported — the touched set
+    * is the distinct partition TUPLES, pruned as an OR-of-AND predicate.
     */
   def merge(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      partitionCol: String): Unit = {
+      partitionCol: String): Unit =
+    merge(spark, path, batch, keyCols, Seq(partitionCol))
+
+  def merge(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path — write() first"))
-    require(m.partitionCol == partitionCol,
-      s"ManifestStore: table is partitioned by ${m.partitionCol}, not $partitionCol")
-    val touched = batch.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
-    require(!touched.contains(null), s"merge: null $partitionCol in batch")
+    require(m.partitionCols == partitionCols,
+      s"ManifestStore: table is partitioned by ${m.partitionCols.mkString(",")}, not ${partitionCols.mkString(",")}")
+    val touched = batch.select(partitionCols.map(col): _*).distinct()
+      .collect().map(r => partitionCols.indices.map(r.get)).toSeq
+    require(!touched.exists(_.contains(null)),
+      s"merge: null ${partitionCols.mkString(",")} in batch")
+    // touched-partition predicate: single column pushes as an IN filter;
+    // tuples push as OR-of-AND (both prune directories at planning time)
+    def touchedPred: org.apache.spark.sql.Column =
+      if (partitionCols.size == 1) col(partitionCols.head).isin(touched.map(_.head): _*)
+      else touched.map(tuple =>
+        partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .reduce(_ || _)
     // current rows of the touched partitions, via the manifest — guarded
     // BEFORE read() runs: a manifest with zero live partitions (a table
     // initialized from an empty first batch) has nothing to scan, and
@@ -256,9 +299,9 @@ object ManifestStore {
     val out =
       if (m.partitions.isEmpty) batch
       else PartitionedStore.upsertPlan(
-        read(spark, path).filter(col(partitionCol).isin(touched: _*)), batch, keyCols)
-    val (uuid, staged) = writeCommit(spark, path, out, partitionCol)
-    commitManifest(fs, path, Manifest(m.version + 1, partitionCol, uuid,
+        read(spark, path).filter(touchedPred), batch, keyCols)
+    val (uuid, staged) = writeCommit(spark, path, out, partitionCols)
+    commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
       m.partitions ++ staged.map(_ -> s"commits/$uuid")))
   }
 
@@ -316,11 +359,10 @@ object ManifestStore {
       val livePartsHere = m.partitions.collect { case (p, r) if r == rel => p }.toSet
       if (livePartsHere.isEmpty) {
         if (c.getModificationTime <= cutoff) { fs.delete(c.getPath, true); removed += 1 }
-      } else for (p <- fs.listStatus(c.getPath)
-                if p.isDirectory && p.getPath.getName.startsWith(s"${m.partitionCol}=")
-                  && !livePartsHere.contains(p.getPath.getName)
-                  && p.getModificationTime <= cutoff) {
-        fs.delete(p.getPath, true); removed += 1
+      } else for (leaf <- leafPartitionDirs(fs, c.getPath, m.partitionCols)
+                if !livePartsHere.contains(leaf)) {
+        val p = fs.getFileStatus(new Path(c.getPath, leaf))
+        if (p.getModificationTime <= cutoff) { fs.delete(p.getPath, true); removed += 1 }
       }
     }
     removed

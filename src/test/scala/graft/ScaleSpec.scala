@@ -311,6 +311,27 @@ class ScaleSpec extends SparkSpec {
     assert(ManifestStore.versions(spark, path) == Seq(2))
   }
 
+  test("manifest store: multi-level partitioning merges and vacuums by leaf") {
+    import graft.sources.ManifestStore
+    val path = java.nio.file.Files.createTempDirectory("graft_mstore_ml").toString + "/t"
+    val v1 = Seq((1L, "a", 2023, 1), (2L, "b", 2023, 2), (3L, "c", 2024, 1))
+      .toDF("k", "v", "y", "m")
+    ManifestStore.write(spark, v1, path, Seq("y", "m"))
+    assert(ManifestStore.read(spark, path).count() == 3)
+    // touch exactly one (y,m) leaf + insert a new leaf
+    val batch = Seq((1L, "a2", 2023, 1), (4L, "d", 2024, 7)).toDF("k", "v", "y", "m")
+    ManifestStore.merge(spark, path, batch, Seq("k"), Seq("y", "m"))
+    val got = ManifestStore.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq((1L, "a2", 2023, 1), (2L, "b", 2023, 2), (3L, "c", 2024, 1), (4L, "d", 2024, 7)))
+    // vacuum reclaims only the superseded y=2023/m=1 leaf of commit 1;
+    // untouched leaves of the same commit survive and the snapshot holds
+    assert(ManifestStore.vacuum(spark, path, minAgeMillis = 0L) >= 1)
+    val after = ManifestStore.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(after == got)
+  }
+
   test("manifest store: torn claim is invisible, blocks its version, and heals via vacuum") {
     import graft.sources.ManifestStore
     val path = java.nio.file.Files.createTempDirectory("graft_mstore_torn").toString + "/t"
