@@ -23,10 +23,10 @@ import org.json4s.jackson.JsonMethods
   *    rename by copy, and partition-dir swaps are not atomic there) — the
   *    only rename is one small manifest file.
   *
-  * Layout:
+  * Layout (one `<col>=<val>` level per partition column):
   * {{{
-  *   path/commits/<uuid>/<partitionCol>=<val>/part-*.parquet   (immutable)
-  *   path/_manifests/v00000001.json                            (one per commit)
+  *   path/commits/<uuid>/<colA>=<v>[/<colB>=<v>/…]/part-*.parquet  (immutable)
+  *   path/_manifests/v00000001.json                                (one per commit)
   * }}}
   *
   * Manifest: `{"version": N, "partitionCols": [c, ...],
@@ -91,6 +91,14 @@ object ManifestStore {
       version,
       (j \ "partitionCols") match {
         case JArray(vs) => vs.map(str)
+        // fallback for manifests written before multi-level support
+        // (scalar "partitionCol") — without it a pre-existing table looks
+        // manifest-less and its live manifest would be "healed" away as a
+        // torn claim
+        case JNothing => (j \ "partitionCol") match {
+          case JString(c) => Seq(c)
+          case other => sys.error(s"manifest $p: partitionCol(s) = $other")
+        }
         case other => sys.error(s"manifest $p: partitionCols = $other")
       },
       str(j \ "commit"),
@@ -169,14 +177,14 @@ object ManifestStore {
     * scaladoc.
     */
   private def leafPartitionDirs(
-      fs: FileSystem, root: Path, partitionCols: Seq[String]): Seq[String] = {
-    def walk(dir: Path, depth: Int, rel: String): Seq[String] =
-      if (depth == partitionCols.length) Seq(rel)
-      else fs.listStatus(dir).toSeq
+      fs: FileSystem, root: Path, partitionCols: Seq[String]): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      if (depth == partitionCols.length) Seq(rel -> st)
+      else fs.listStatus(st.getPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCols(depth) + "="))
-        .flatMap(s => walk(s.getPath, depth + 1,
+        .flatMap(s => walk(s, depth + 1,
           if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))
-    walk(root, 0, "")
+    walk(fs.getFileStatus(root), 0, "")
   }
 
   /** Write a data commit: the frame lands under `commits/<uuid>/` hive-
@@ -189,7 +197,7 @@ object ManifestStore {
     val commitRoot = new Path(path, s"commits/$uuid")
     df.write.partitionBy(partitionCols: _*).parquet(commitRoot.toString)
     val fs = fsFor(spark, commitRoot)
-    (uuid, leafPartitionDirs(fs, commitRoot, partitionCols))
+    (uuid, leafPartitionDirs(fs, commitRoot, partitionCols).map(_._1))
   }
 
   /** Initialize (or fully replace) the table: one data commit containing
@@ -283,15 +291,27 @@ object ManifestStore {
       s"ManifestStore: table is partitioned by ${m.partitionCols.mkString(",")}, not ${partitionCols.mkString(",")}")
     val touched = batch.select(partitionCols.map(col): _*).distinct()
       .collect().map(r => partitionCols.indices.map(r.get)).toSeq
+    // a zero-row batch touches nothing: no-op, no empty commit, no
+    // manifest bump (also keeps the tuple predicate below off
+    // empty.reduce)
+    if (touched.isEmpty) return
     require(!touched.exists(_.contains(null)),
       s"merge: null ${partitionCols.mkString(",")} in batch")
     // touched-partition predicate: single column pushes as an IN filter;
-    // tuples push as OR-of-AND (both prune directories at planning time)
+    // tuples push as OR-of-AND, reduced PAIRWISE so the tree depth is
+    // log(tuples) — a linear reduce of thousands of touched tuples builds
+    // a right-skewed chain deep enough to overflow Catalyst's recursive
+    // transforms (both shapes prune directories at planning time)
+    def balanced(cs: Seq[org.apache.spark.sql.Column],
+        op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var cur = cs
+      while (cur.size > 1) cur = cur.grouped(2).map(_.reduce(op)).toSeq
+      cur.head
+    }
     def touchedPred: org.apache.spark.sql.Column =
       if (partitionCols.size == 1) col(partitionCols.head).isin(touched.map(_.head): _*)
-      else touched.map(tuple =>
-        partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
-        .reduce(_ || _)
+      else balanced(touched.map(tuple =>
+        partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)), _ || _)
     // current rows of the touched partitions, via the manifest — guarded
     // BEFORE read() runs: a manifest with zero live partitions (a table
     // initialized from an empty first batch) has nothing to scan, and
@@ -359,10 +379,16 @@ object ManifestStore {
       val livePartsHere = m.partitions.collect { case (p, r) if r == rel => p }.toSet
       if (livePartsHere.isEmpty) {
         if (c.getModificationTime <= cutoff) { fs.delete(c.getPath, true); removed += 1 }
-      } else for (leaf <- leafPartitionDirs(fs, c.getPath, m.partitionCols)
-                if !livePartsHere.contains(leaf)) {
-        val p = fs.getFileStatus(new Path(c.getPath, leaf))
-        if (p.getModificationTime <= cutoff) { fs.delete(p.getPath, true); removed += 1 }
+      } else for ((leaf, st) <- leafPartitionDirs(fs, c.getPath, m.partitionCols)
+                if !livePartsHere.contains(leaf) && st.getModificationTime <= cutoff) {
+        fs.delete(st.getPath, true); removed += 1
+        // reclaim now-empty intermediate partition dirs (multi-level:
+        // deleting y=2023/m=1 can leave an empty y=2023/ behind)
+        var parent = st.getPath.getParent
+        while (parent != null && parent != c.getPath && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, false)
+          parent = parent.getParent
+        }
       }
     }
     removed
