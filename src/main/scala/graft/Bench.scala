@@ -20,21 +20,22 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    // Two timed passes, report the per-query MIN over SUCCESSFUL runs:
+    // Three timed passes, report the per-query MIN over SUCCESSFUL runs:
     // single-pass numbers in a shared JVM are GC/JIT-noise-dominated
-    // (observed 3-10x spread on the same query). A failed run must never
-    // contribute its (fast) elapsed time — a query that failed both
-    // passes reports -1 so the breakage is visible in the JSON.
+    // (observed 3-10x spread on the same query; totals swung 37-46s with
+    // min-of-2 under machine-load noise). A failed run must never
+    // contribute its (fast) elapsed time — a query that failed every
+    // pass reports -1 so the breakage is visible in the JSON.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
     }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) =>
-      val times = Seq(v, p2(k)).filterNot(_.isNaN)
+    val passes = Seq(pass(), pass(), pass())
+    val results = passes.head.keys.map { k =>
+      val times = passes.map(_(k)).filterNot(_.isNaN)
       k -> (if (times.isEmpty) -1.0 else times.min)
-    }
+    }.toMap
     // 3-decimal values: the harness that captures this output keeps only a
     // bounded TAIL of stdout (r2/r3 both came back `parsed: null` with the
     // line's head — including the headline total — sliced off), so the
@@ -47,12 +48,12 @@ object Bench {
     // the headline total; broken queries surface as an explicit count
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     // Repeat the headline + slowest queries as a SHORT self-contained JSON
     // line LAST: whatever the capture buffer size, this one survives whole.
     val top = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"failed":$failed,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -598,6 +598,52 @@ object SurfaceQueries {
        FROM supplier
        WHERE s_nationkey = 5 OR (s_suppkey <= 50 AND s_name LIKE '%Supplier%')"""
 
+  // --- q47: multi-job runAll orchestration in the gate ---------------------
+  // The engine form of the reference's cron loop (etl_cron.py:43-55) with
+  // declared dependencies: two jobs run in dependency order (B after A,
+  // although B sorts first alphabetically), each routed result lands via
+  // the load callback, and the gate checks the union of both jobs' routed
+  // rows plus their outcome states. Per-job failure isolation is
+  // unit-tested in RunnerSpec; this gates the happy-path ordering + load
+  // plumbing end-to-end.
+  def q47RunAll(spark: SparkSession, dir: String): DataFrame = {
+    val jobA = JobSpec(
+      name = "z_orders", // sorts AFTER a_customers — deps must still run it first
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Left(FileResource(s"$dir/orders.parquet", "parquet")),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("o_orderkey", fieldName = Some("pk"), fieldType = "int"),
+          FieldSpec("o_totalprice", fieldName = Some("val"), fieldType = "float")),
+        pkField = Some("pk")))
+    val jobB = JobSpec(
+      name = "a_customers",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Left(FileResource(s"$dir/customer.parquet", "parquet")),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("c_custkey", fieldName = Some("pk"), fieldType = "int"),
+          FieldSpec("c_acctbal", fieldName = Some("val"), fieldType = "float")),
+        pkField = Some("pk")))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    val outcomes = JobRunner.runAll(spark, Seq(jobA, jobB),
+      deps = Map("a_customers" -> Seq("z_orders")),
+      load = r => collected += (r.job -> r.routed))
+    require(outcomes.map(o => (o.job, o.state)) ==
+      Seq(("z_orders", "done"), ("a_customers", "done")),
+      s"runAll order/outcomes wrong: $outcomes")
+    collected.map { case (job, routed) =>
+      routed.select(lit(job).as("job"), col("pk").cast("long").as("pk"),
+        col("val"), col(MergeRouter.ActionCol).as("action"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q47Sql: String =
+    """SELECT 'z_orders' AS job, o_orderkey AS pk,
+         CAST(o_totalprice AS DOUBLE) AS val, 'insert' AS action FROM orders
+       UNION ALL
+       SELECT 'a_customers', c_custkey, CAST(c_acctbal AS DOUBLE), 'insert' FROM customer"""
+
   // --- q46: manifest-committed MERGE (atomic snapshot publication) --------
   // Same merge semantics as q38 but through ManifestStore: immutable data
   // commits + one atomic manifest rename per commit — no partition-dir
