@@ -852,4 +852,60 @@ object ExtQueries {
             + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
             + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END) = 0 AS keep
        FROM f"""
+
+  // --- x36: late-data watermark gate (deterministic multi-batch replay) ---
+  // Event-time correctness under out-of-order arrival: rows are assigned
+  // an arrival batch (6 time-slices; a reproducible md5-chosen ~15% of
+  // rows arrive TWO batches late), replayed file-per-batch, and aggregated
+  // into 1-hour tumbling windows behind a 30-minute watermark. The oracle
+  // replays the calibrated watermark algebra relationally — see the
+  // LateData scaladoc for the W_{j-2} filter / W_{j-1} eviction rules.
+  def x36LateWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.LateData
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nBatches = 6
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("tu"))
+    // bounds are two scalars; at scale they come from table metadata or
+    // the replay spec, not a data pass — here one agg keeps the batch
+    // assignment a pure function of the data
+    val r = ev.agg(min("tu"), max("tu")).collect().head
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val assigned = ev
+      .withColumn("__nat",
+        least(expr(s"((tu - ${mn}L) * $nBatches) div (${mx}L - ${mn}L + 1)"), lit(nBatches - 1L)))
+      .withColumn("__ab", least(
+        col("__nat") + when(TextAnalysis.md5Bucket(col("event_id")) < 9830L, 2L).otherwise(0L),
+        lit(nBatches - 1L)))
+    LateData.replayedWindowedCounts(spark, assigned, "tu", "__ab",
+      s"/tmp/graft/late_$tag", "1 hour", "30 minutes", s"x36_late_$tag")
+  }
+
+  // Watermark algebra, relationally: per-batch max event time -> running
+  // max -> W_k = (floor_ms(max) - 30min)*1000; a row is kept iff its
+  // window end beats W of two batches earlier (lag 2 = the late-events
+  // watermark of its arrival batch); a window is emitted iff its end <=
+  // the final watermark. 3600000000 = 1h in micros, 1800000 = 30min in ms.
+  val x36Sql: String =
+    """WITH e AS (SELECT event_id AS id, epoch_us(ts) AS tu FROM events),
+       bounds AS (SELECT min(tu) AS mn, max(tu) AS mx FROM e),
+       l AS (SELECT id, tu,
+             least(((tu - mn) * 6) // (mx - mn + 1), 5)
+           + CASE WHEN CAST((strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) < 9830
+             THEN 2 ELSE 0 END AS ab0
+         FROM e, bounds),
+       a AS (SELECT id, tu, least(ab0, 5) AS ab FROM l),
+       pb AS (SELECT ab, max(tu) AS mxb FROM a GROUP BY ab),
+       pw AS (SELECT ab, ((max(mxb) OVER (ORDER BY ab)) // 1000 - 1800000) * 1000 AS wnow FROM pb),
+       f AS (SELECT ab, coalesce(lag(wnow, 2) OVER (ORDER BY ab), 0) AS fwm FROM pw),
+       fin AS (SELECT max(wnow) AS ewm FROM pw),
+       kept AS (SELECT tu FROM a JOIN f USING (ab)
+                WHERE ((tu // 3600000000) + 1) * 3600000000 > fwm)
+       SELECT (tu // 3600000000) * 3600000000 AS ws, count(*) AS n
+       FROM kept, fin
+       WHERE ((tu // 3600000000) + 1) * 3600000000 <= ewm
+       GROUP BY 1"""
 }
