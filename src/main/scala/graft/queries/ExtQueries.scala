@@ -908,4 +908,98 @@ object ExtQueries {
        FROM kept, fin
        WHERE ((tu // 3600000000) + 1) * 3600000000 <= ewm
        GROUP BY 1"""
+
+  // --- x37: Kafka-shaped wire ingestion through the online-job seam ------
+  // The reference's push channel (inline RPC payloads,
+  // cubicerpetl/cubicerpetl.py:204-214) modernized as a message bus: rows
+  // are rendered as Kafka wire records (key/value binary + topic/partition/
+  // offset), replayed hermetically from a parquet drop (this container
+  // ships no Kafka connector jar — the adapter is source-agnostic by
+  // design), decoded against an explicit payload schema, and drained by
+  // the SAME OnlineJob seam as q39: transform + log-state recovery + merge
+  // routing per micro-batch. One deliberately malformed payload proves the
+  // PERMISSIVE null→error-channel routing claim; bus offsets ride along
+  // (`bus_offset`) so at-least-once replays can be fenced downstream.
+  def x37KafkaDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{LogStore, MergeRouter}
+    import graft.spec.Specs._
+    import graft.streaming.{KafkaShaped, OnlineJob}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/kafka_$tag"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run: checkpoint must not carry over
+    val (inDir, logDir, ckpt, outDir, errDir) =
+      (s"$base/in", s"$base/log", s"$base/ckpt", s"$base/out", s"$base/err")
+
+    val subset = t(spark, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val wire = KafkaShaped.encode(subset,
+      key = col("o_orderkey"),
+      topic = "orders",
+      partition = pmod(col("o_orderkey"), lit(4)),
+      offset = col("o_orderkey"),
+      timestamp = to_timestamp(lit("2024-01-01 00:00:00")))
+    // one wire record whose value is not JSON: must surface as an all-null
+    // payload row (PERMISSIVE decode) and route to the error channel, not
+    // kill the stream
+    val malformed = spark.range(1).select(
+      lit("bad").cast("binary").as("key"),
+      lit("{not json").cast("binary").as("value"),
+      lit("orders").as("topic"),
+      lit(0).as("partition"),
+      lit(-1L).as("offset"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+      lit(0).as("timestampType"))
+    wire.unionByName(malformed).write.parquet(inDir)
+
+    // keys already loaded once: must route as updates with the recovered id
+    LogStore.append(spark, logDir, subset.filter(col("o_orderkey") % 10 === 0).select(
+      lit("kafka_x37").as("job"), col("o_orderkey").cast("string").as("pk"),
+      (col("o_orderkey") * 3).as("model_id"), lit("info").as("level"),
+      lit("preloaded").as("message"), current_timestamp().as("ts")))
+
+    val job = JobSpec(
+      name = "kafka_x37",
+      date = java.time.LocalDate.of(2024, 1, 1),
+      extract = Left(FileResource(inDir, "parquet")),
+      transform = TransformSpec(
+        fields = Seq(
+          FieldSpec("o_orderkey", fieldName = Some("okey"), fieldType = "int"),
+          FieldSpec("o_totalprice", fieldName = Some("price"), fieldType = "float"),
+          FieldSpec("offset", fieldName = Some("bus_offset"), fieldType = "int")),
+        reprocess = ReprocessMode.Update,
+        pkField = Some("o_orderkey")))
+
+    val wireStream = spark.readStream.schema(KafkaShaped.wireSchema).parquet(inDir)
+    val source = KafkaShaped.decode(wireStream,
+      org.apache.spark.sql.types.StructType.fromDDL("o_orderkey long, o_totalprice double"))
+    val q = OnlineJob.start(spark, job, source, logDir, ckpt, (routed, _) => {
+      routed.filter(col("okey").isNull)
+        .select(col("bus_offset"), lit("unparseable payload").as("reason"))
+        .write.mode("append").parquet(errDir)
+      routed.filter(col("okey").isNotNull).write.mode("append").parquet(outDir)
+    })
+    if (!q.awaitTermination(120000)) {
+      q.stop() // never read partial output from a still-running drain
+      throw new IllegalStateException("x37: streaming drain did not finish in 120s")
+    }
+    spark.read.parquet(outDir).select(
+      col("okey").cast("long").as("okey"),
+      col(MergeRouter.ActionCol).as("action"),
+      col(MergeRouter.IdCol).cast("long").as("model_id"),
+      col("bus_offset").cast("long").as("bus_offset"))
+      .unionByName(spark.read.parquet(errDir).select(
+        lit(null).cast("long").as("okey"), lit("error").as("action"),
+        lit(null).cast("long").as("model_id"), col("bus_offset").cast("long").as("bus_offset")))
+  }
+
+  val x37Sql: String =
+    """SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'update' ELSE 'insert' END AS action,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey * 3 END AS model_id,
+       o_orderkey AS bus_offset
+       FROM orders WHERE o_orderkey % 5 = 0
+       UNION ALL
+       SELECT CAST(NULL AS BIGINT), 'error', CAST(NULL AS BIGINT), CAST(-1 AS BIGINT)"""
 }
