@@ -674,4 +674,47 @@ object SurfaceQueries {
   }
 
   val q46Sql: String = q38Sql
+
+  // --- q48: execution-metrics bookkeeping, gated on its deterministic
+  // slice. The reference writes per-step amount rows into etl.log around
+  // every extract/load (cubicerpetl/cubicerpetl.py:783-811); the Spark-
+  // native form is `df.observe(...)` named aggregates captured by a
+  // QueryExecutionListener (runner/Metrics) and flushed to the same log
+  // store the upsert state lives in. Timed funcName entries are audit-only
+  // (wall-clock is nondeterministic); the gate reads back the 'metric'
+  // rows, whose canonical-JSON payload is a pure function of the data.
+  def q48MetricsGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.Metrics
+    import graft.sinks.LogStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/metrics_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh log per run
+    val logDir = s"$base/log"
+    val c = Metrics.attach(spark, "metrics_q48")
+    try {
+      val observedLoad = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .observe("q48_obs",
+          count(lit(1)).as("rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          count(when(col("o_totalprice") > 150000.0, 1)).as("large"))
+      observedLoad.write.mode("overwrite").parquet(s"$base/out")
+      if (!c.awaitObservation("q48_obs"))
+        throw new IllegalStateException("q48: observation not delivered in 30s")
+    } finally Metrics.flushAndDetach(spark, c, logDir)
+    // distinct: a late-delivered event from a previous run of this very
+    // query (same observation name, same payload — the listener bus is
+    // session-global and async) must not double a row
+    LogStore.read(spark, logDir)
+      .filter(col("level") === "metric" && col("pk") === "q48_obs")
+      .select(col("job"), col("pk").as("metric"), col("message").as("payload"))
+      .distinct()
+  }
+
+  val q48Sql: String =
+    """SELECT 'metrics_q48' AS job, 'q48_obs' AS metric,
+       '{"rows":' || count(*) || ',"key_sum":' || CAST(sum(o_orderkey) AS BIGINT)
+         || ',"large":' || count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) || '}' AS payload
+       FROM orders WHERE o_orderkey % 3 = 0"""
 }

@@ -72,4 +72,19 @@ class SpecLoaderSpec extends SparkSpec {
     val log = graft.sinks.LogStore.read(spark, logDir)
     assert(log.filter(col("job") === "mjob" && col("level") === "info").count() >= 1)
   }
+
+  test("observed metrics flush as deterministic 'metric' log rows") {
+    import graft.runner.Metrics
+    val logDir = java.nio.file.Files.createTempDirectory("graft_metrics_obs").toString
+    val c = Metrics.attach(spark, "mjob2")
+    spark.range(10).toDF("v")
+      .observe("obs_t", count(lit(1)).as("rows"), sum(col("v")).as("v_sum"))
+      .collect()
+    assert(c.awaitObservation("obs_t"), "observation not delivered")
+    Metrics.flushAndDetach(spark, c, logDir)
+    val rows = graft.sinks.LogStore.read(spark, logDir)
+      .filter(col("level") === "metric" && col("pk") === "obs_t")
+      .select(col("job"), col("message")).distinct().collect()
+    assert(rows.map(_.toSeq).toSeq == Seq(Seq("mjob2", """{"rows":10,"v_sum":45}""")))
+  }
 }
