@@ -50,6 +50,14 @@ object ManifestStore {
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
 
+  /** Metadata-operation counter for snapshot RESOLUTION cost: +1 per
+    * manifest read / existence probe / hint read, +N per directory listing
+    * of N entries. Tests assert the delta around a resolve stays bounded
+    * as commit count grows (the point of the `_latest` hint); production
+    * code never reads it.
+    */
+  private[graft] val metaOps = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** `partitions` maps RELATIVE leaf partition paths as Spark wrote them
     * (single level `c=v`, or nested `a=1/b=2` for multi-level
     * partitioning) to the commit root owning that leaf's current version.
@@ -70,16 +78,70 @@ object ManifestStore {
   private def listVersions(fs: FileSystem, path: String): Seq[Int] = {
     val dir = manifestDir(path)
     if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath.getName).toSeq
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    metaOps.addAndGet(math.max(1L, names.size.toLong))
+    names
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .flatMap(n => n.stripPrefix("v").stripSuffix(".json").toIntOption)
       .sorted(Ordering.Int.reverse)
   }
 
-  private def latest(fs: FileSystem, path: String): Option[Manifest] =
+  /** Latest-version HINT — the public Delta `_last_checkpoint` idea: one
+    * small overwritable file naming the newest committed version, written
+    * best-effort AFTER every successful commit. It is advisory only —
+    * commits claim versions by create-exclusive rename, never by the
+    * hint — so a stale or lost hint costs extra probes, never
+    * correctness. With it, [[latest]] resolves in O(1 + commits since the
+    * last hint write + torn claims) metadata ops instead of listing an
+    * unbounded `_manifests/` directory: the compaction a
+    * 1,000-commits/day table needs to keep snapshot resolution flat.
+    */
+  private def hintPath(path: String) = new Path(manifestDir(path), "_latest")
+
+  private def writeHint(fs: FileSystem, path: String, version: Int): Unit =
+    try {
+      val out = fs.create(hintPath(path), true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory: losing it only costs probes
+
+  private def readHint(fs: FileSystem, path: String): Option[Int] =
+    try {
+      metaOps.incrementAndGet()
+      val in = fs.open(hintPath(path))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.trim.toIntOption.filter(_ >= 1)
+    } catch { case _: java.io.IOException => None }
+
+  private def versionFile(path: String, v: Int) = new Path(manifestDir(path), f"v$v%08d.json")
+
+  private def latestByListing(fs: FileSystem, path: String): Option[Manifest] =
     listVersions(fs, path).iterator
-      .map(v => scala.util.Try(readManifest(fs, path, v)))
+      .map { v => metaOps.incrementAndGet(); scala.util.Try(readManifest(fs, path, v)) }
       .collectFirst { case scala.util.Success(m) => m }
+
+  private def latest(fs: FileSystem, path: String): Option[Manifest] = {
+    val hinted = readHint(fs, path).flatMap { h =>
+      // commits are sequential, so probing forward from the hint finds
+      // the top claimed version in (commits since hint) + 1 exists calls
+      var top = h
+      while ({ metaOps.incrementAndGet(); fs.exists(versionFile(path, top + 1)) }) top += 1
+      // the newest claims may be torn (in-flight committer) — walk down
+      // to the newest READABLE one; torn claims only exist above the
+      // newest readable version, so stopping at the hint is safe
+      var v = top
+      var res: Option[Manifest] = None
+      while (v >= h && res.isEmpty) {
+        metaOps.incrementAndGet()
+        res = scala.util.Try(readManifest(fs, path, v)).toOption
+        v -= 1
+      }
+      res
+    }
+    // a hint that leads nowhere (persistently failed hint writes followed
+    // by a vacuum of the hinted version) degrades to the full listing —
+    // the hint is advisory, never load-bearing
+    hinted.orElse(latestByListing(fs, path))
+  }
 
   private def readManifest(fs: FileSystem, path: String, version: Int): Manifest = {
     val p = new Path(manifestDir(path), f"v$version%08d.json")
@@ -169,6 +231,7 @@ object ManifestStore {
     if (readManifest(fs, path, m.version).commit != m.commit)
       throw new java.io.IOException(
         s"ManifestStore: lost commit race for version ${m.version} — re-merge from the new snapshot")
+    writeHint(fs, path, m.version)
   }
 
   /** RELATIVE leaf partition dirs under `root` as Spark wrote them
@@ -277,7 +340,39 @@ object ManifestStore {
       partitionCol: String): Unit =
     merge(spark, path, batch, keyCols, Seq(partitionCol))
 
+  /** Retry contract for concurrent writers: a merge that loses the
+    * optimistic claim (another committer took the version number, or the
+    * read-back showed a different winner) deletes its own orphaned commit
+    * directory and re-runs the WHOLE attempt — re-reads the new snapshot,
+    * re-plans the upsert, rewrites the touched partitions — up to
+    * `maxRetries` times. Upserts commute per key, so re-application on a
+    * newer snapshot is semantically the merge the caller asked for. A
+    * torn-claim conflict ("retry later": an in-flight committer holds the
+    * version) is NOT auto-retried — the claim holder may need minutes,
+    * and spinning on it would duplicate its work; that exception
+    * propagates with its advice intact.
+    */
   def merge(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      maxRetries: Int = 3): Unit = {
+    var attempt = 0
+    while (true) {
+      try { mergeAttempt(spark, path, batch, keyCols, partitionCols); return }
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("re-merge from the new snapshot") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+  }
+
+  private def mergeAttempt(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
@@ -321,8 +416,16 @@ object ManifestStore {
       else PartitionedStore.upsertPlan(
         read(spark, path).filter(touchedPred), batch, keyCols)
     val (uuid, staged) = writeCommit(spark, path, out, partitionCols)
-    commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
+    try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
       m.partitions ++ staged.map(_ -> s"commits/$uuid")))
+    catch { case e: java.io.IOException =>
+      // our commit never became visible — no manifest references `uuid`,
+      // so reclaiming it immediately (instead of waiting for vacuum)
+      // keeps retry loops from accumulating orphan directories
+      try fs.delete(new Path(path, s"commits/$uuid"), true)
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
   }
 
   /** Delete data not referenced by the LATEST manifest: whole commit

@@ -382,6 +382,64 @@ class ScaleSpec extends SparkSpec {
     assert(ManifestStore.read(spark, path).count() == 3)
   }
 
+  test("manifest store: snapshot resolution cost is flat in commit count (hint compaction)") {
+    import graft.sources.ManifestStore
+    val path = java.nio.file.Files.createTempDirectory("graft_mstore_hint").toString + "/t"
+    def commit(i: Int): Unit =
+      ManifestStore.write(spark, Seq((i.toLong, s"v$i", 10)).toDF("k", "v", "p"), path, "p")
+    (1 to 12).foreach(commit)
+    def resolveOps(): Long = {
+      val before = ManifestStore.metaOps.get()
+      assert(ManifestStore.read(spark, path).count() == 1)
+      ManifestStore.metaOps.get() - before
+    }
+    val at12 = resolveOps()
+    (13 to 24).foreach(commit)
+    val at24 = resolveOps()
+    // the hint makes resolution O(1): same op count at 12 and 24 commits,
+    // and small in absolute terms (hint read + one failed probe + one
+    // manifest read, not a directory listing)
+    assert(at24 == at12, s"resolution cost grew with commit count: $at12 -> $at24")
+    assert(at12 <= 8L, s"resolution took $at12 metadata ops, expected O(1)")
+    // a lost hint degrades to the listing, never to a wrong answer
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_manifests/_latest"), false)
+    assert(ManifestStore.read(spark, path).count() == 1)
+    assert(ManifestStore.versions(spark, path).head == 24)
+  }
+
+  test("manifest store: two concurrent writers both land via optimistic retry") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import graft.sources.ManifestStore
+    val path = java.nio.file.Files.createTempDirectory("graft_mstore_cc").toString + "/t"
+    ManifestStore.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p"), path, "p")
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(batch: Seq[(Long, String, Int)]): Runnable = () =>
+      try { gate.await(); ManifestStore.merge(spark, path, batch.toDF("k", "v", "p"), Seq("k"), Seq("p")) }
+      catch { case t: Throwable => errs.add(t) }
+    pool.submit(writer(Seq((1L, "a2", 10), (3L, "c", 30))))
+    pool.submit(writer(Seq((2L, "b2", 20), (4L, "d", 40))))
+    gate.countDown() // maximize claim contention: both merges start together
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers did not finish")
+    assert(errs.isEmpty, s"concurrent merge failed: ${errs.peek()}")
+    val got = ManifestStore.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a2", 10), (2L, "b2", 20), (3L, "c", 30), (4L, "d", 40)),
+      s"both writers' batches must land: $got")
+    // the loser's first-attempt commit directory was reclaimed inline:
+    // every surviving commit dir is referenced by some manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val commitDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path, "commits"))
+      .map(_.getPath.getName).toSet
+    assert(commitDirs.size <= 3, s"orphaned loser commits not reclaimed: $commitDirs")
+    ManifestStore.versions(spark, path).foreach(v =>
+      ManifestStore.read(spark, path, Some(v)).count()) // every listed snapshot scannable
+  }
+
   test("contamination probe broadcasts the benchmark gram set (plan shape)") {
     import graft.ext.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
