@@ -38,6 +38,16 @@ object ScaleBench {
     "q19_window_topk", "q30_semi_join", "q37_above_avg",
     "x08_session_stats", "x09_tumbling_window", "x15_source_cube")
 
+  /** Streaming gates: the claim under test is that state stays O(active
+    * keys) and per-batch cost tracks batch size, not corpus history —
+    * sub-linear wall growth at N× events/documents. (x33/x34 restage
+    * their replay input per call; x36 stages once per JVM, so its min-of-2
+    * isolates the replay itself — in both cases the curve measures the
+    * streaming operator, not the scaffolding.)
+    */
+  val StreamFamily: Seq[String] = Seq(
+    "x33_streaming_sessions", "x34_streaming_incr_dedup", "x36_late_watermark")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -115,7 +125,7 @@ object ScaleBench {
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    (Family ++ CoreFamily).foreach { n =>
+    (Family ++ CoreFamily ++ StreamFamily).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -132,6 +142,7 @@ object ScaleBench {
     }
     report("dedup_scale", Family)
     report("core_scale", CoreFamily)
+    report("stream_scale", StreamFamily)
     spark.stop()
   }
 }

@@ -145,6 +145,27 @@ object FixedWidth {
       new String("A\n".getBytes(charset), charset) == "A\n",
       s"fixed-width reader needs an ASCII-newline-compatible charset " +
         s"(\\n must encode as the single byte 0x0A), got ${charset.name}")
+    // ENFORCED single-file contract (SURVEY.md §7.4): the derived
+    // `__line_no` matches physical line order only within ONE file. A
+    // path resolving to several files would get an ARBITRARY cross-file
+    // order (Spark lists splits by size, not name), silently corrupting
+    // header/footer/first/last semantics — reject it loudly; multi-file
+    // inputs must go through parseLines with a declared ordering column.
+    val resolved = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val pfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      Option(pfs.globStatus(p)).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+        if (st.isDirectory)
+          pfs.listStatus(st.getPath).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        else Seq(st)
+      }
+    }
+    require(resolved.size == 1,
+      s"fixed-width source '$path' resolves to ${resolved.size} data files; " +
+        "within-file line order is only defined for a single file — read " +
+        "files individually, or parse via parseLines with an explicit " +
+        "__line_no ordering column (SURVEY.md §7.4)")
     // monotonically_increasing_id is ordered within a partition and by
     // partition id across partitions, which matches within-file line order
     // for a single splittable text file read in order.

@@ -37,6 +37,14 @@ import org.apache.spark.sql.streaming.Trigger
   * whose window end > W_{arrival-2}, keep windows whose end <= W_last —
   * which is what the DuckDB oracle computes relationally.
   *
+  * Harness cost model: staging (write + per-batch rename) happens ONCE
+  * per JVM per scratch key — repeated replays (the bench's warm-up + 3
+  * passes) reuse the immutable staged files and pay only the micro-batch
+  * scheduling floor. Scratch paths carry a JVM-unique token so two
+  * concurrent JVMs replaying the same input can never delete each other's
+  * files, and each replay gets a fresh checkpoint + result view (run
+  * counter), so concurrent runs within a JVM are isolated too.
+  *
   * Scale: the operator under test is the standard streaming shape —
   * per-key windowed state, O(open windows) memory, shuffle on window key
   * per micro-batch. The file-per-batch replay harness is test-scaffolding
@@ -44,6 +52,73 @@ import org.apache.spark.sql.streaming.Trigger
   * arrives); only determinism, not throughput, is its job.
   */
 object LateData {
+
+  private val jvmToken: String = java.util.UUID.randomUUID().toString.take(8)
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastView = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val replaySessionRef =
+    new java.util.concurrent.atomic.AtomicReference[SparkSession]()
+
+  /** The replay aggregates a handful of windows over one small file per
+    * micro-batch, yet every micro-batch commits `spark.sql.shuffle
+    * .partitions` state-store partitions — at the session default (32)
+    * that floor, × ~20 batches × bench passes, IS the query's wall time.
+    * Run the stream in one per-JVM session CLONE with a small fixed
+    * reducer count instead: same SparkContext, same semantics (the
+    * watermark is global, not per-partition), a fraction of the
+    * scheduling floor. Production sizes this to real key cardinality;
+    * the memory-sink result views also live in this session.
+    */
+  private def replaySession(spark: SparkSession): SparkSession = {
+    var s = replaySessionRef.get()
+    if (s == null) {
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions", "4")
+      s = if (replaySessionRef.compareAndSet(null, fresh)) fresh
+          else replaySessionRef.get()
+    }
+    s
+  }
+
+  /** Build the file-per-batch replay directory under `root` (fresh), one
+    * parquet file per batch id with strictly increasing mtimes. Returns
+    * the replay input dir. Called at most once per JVM per root.
+    */
+  private def stage(
+      spark: SparkSession,
+      events: DataFrame,
+      tsUsCol: String,
+      batchCol: String,
+      root: String): String = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    val staged = s"$root/staged"
+    events.select(col(tsUsCol), col(batchCol))
+      .repartition(col(batchCol))
+      .write.partitionBy(batchCol).parquet(staged)
+
+    val in = new Path(root, "in")
+    fs.mkdirs(in)
+    val batchDirs = fs.listStatus(new Path(staged)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(batchCol + "="))
+      .sortBy(st => st.getPath.getName.stripPrefix(batchCol + "=").toLong)
+    batchDirs.zipWithIndex.foreach { case (dir, i) =>
+      val part = fs.listStatus(dir.getPath).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+      require(part.length == 1,
+        s"LateData: batch dir ${dir.getPath} has ${part.length} files, expected 1")
+      val dst = new Path(in, f"b$i%05d.parquet")
+      fs.rename(part.head, dst)
+      // strictly increasing mtimes pin the micro-batch order
+      fs.setTimes(dst, 10000L * (i + 1), -1)
+    }
+    // staged files are /tmp scaffolding: reclaim them when this JVM exits
+    sys.addShutdownHook {
+      try fs.delete(new Path(root), true) catch { case _: Throwable => () }
+    }
+    in.toString
+  }
 
   /** Run the replay and return the append-mode result as (ws, n):
     * window start in epoch micros and the event count.
@@ -64,46 +139,38 @@ object LateData {
       delay: String,
       queryName: String,
       timeoutMs: Long = 300000L): DataFrame = {
-    val fs = new Path(scratch).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(scratch), true) // fresh replay per run
-    val staged = s"$scratch/staged"
-    events.select(col(tsUsCol), col(batchCol))
-      .repartition(col(batchCol))
-      .write.partitionBy(batchCol).parquet(staged)
+    val root = s"${scratch}_$jvmToken"
+    val in = stagedDirs.computeIfAbsent(root,
+      _ => stage(spark, events, tsUsCol, batchCol, root))
+    val run = runCounter.incrementAndGet()
+    val qn = s"${queryName}_r$run"
 
-    val in = new Path(scratch, "in")
-    fs.mkdirs(in)
-    val batchDirs = fs.listStatus(new Path(staged)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(batchCol + "="))
-      .sortBy(st => st.getPath.getName.stripPrefix(batchCol + "=").toLong)
-    batchDirs.zipWithIndex.foreach { case (dir, i) =>
-      val part = fs.listStatus(dir.getPath).map(_.getPath)
-        .filter(_.getName.startsWith("part-"))
-      require(part.length == 1,
-        s"LateData: batch dir ${dir.getPath} has ${part.length} files, expected 1")
-      val dst = new Path(in, f"b$i%05d.parquet")
-      fs.rename(part.head, dst)
-      // strictly increasing mtimes pin the micro-batch order
-      fs.setTimes(dst, 10000L * (i + 1), -1)
-    }
-
-    val out = spark.readStream
+    val ss = replaySession(spark)
+    val out = ss.readStream
       .schema(s"$tsUsCol LONG")
       .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+      .parquet(in)
       .withColumn("__ts", timestamp_micros(col(tsUsCol)))
       .withWatermark("__ts", delay)
       .groupBy(org.apache.spark.sql.functions.window(col("__ts"), window))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("ws"), col("n"))
-    spark.catalog.dropTempView(queryName) // previous run's memory sink table
-    val q = out.writeStream.format("memory").queryName(queryName)
+    // the previous replay's result view for this input is dead — drop it
+    // so repeated replays don't accumulate memory-sink tables
+    Option(lastView.put(root, qn)).foreach(ss.catalog.dropTempView(_))
+    val ckpt = s"$root/ckpt_$run"
+    val q = out.writeStream.format("memory").queryName(qn)
       .outputMode("append")
-      .option("checkpointLocation", s"$scratch/ckpt")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try { if (!q.awaitTermination(timeoutMs)) throw new RuntimeException(s"$queryName: drain timeout") }
-    finally q.stop()
-    spark.table(queryName)
+    try { if (!q.awaitTermination(timeoutMs)) throw new RuntimeException(s"$qn: drain timeout") }
+    finally {
+      q.stop()
+      // a drained memory-sink run never resumes from its checkpoint
+      val fs = new Path(ckpt).getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.delete(new Path(ckpt), true) catch { case _: java.io.IOException => () }
+    }
+    ss.table(qn)
   }
 }

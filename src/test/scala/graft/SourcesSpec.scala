@@ -48,6 +48,28 @@ class SourcesSpec extends SparkSpec {
     assert(ids == Seq(0L, 7L, 123456L))
   }
 
+  test("fixed-width read rejects multi-file sources (no implicit cross-file order)") {
+    // two files in one dir: first/last/header/footer would depend on
+    // Spark's split listing order (by size) — must fail loudly instead
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw_multi")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "000001\n000002\n")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "000003\n")
+    val lcols = Seq(FwColumn("id", position = 1, length = 6,
+      align = "rjust", fillChar = "0", dataType = "long"))
+    val e = intercept[IllegalArgumentException] {
+      FixedWidth.readFile(spark, dir.toString, lcols)
+    }
+    assert(e.getMessage.contains("2 data files"))
+    // a glob resolving to several files is rejected the same way
+    intercept[IllegalArgumentException] {
+      FixedWidth.readFile(spark, dir.toString + "/*.txt", lcols)
+    }
+    // one file — directly or via the dir — still reads fine
+    assert(FixedWidth.readFile(spark, dir.resolve("a.txt").toString, lcols).count() == 2)
+    java.nio.file.Files.delete(dir.resolve("b.txt"))
+    assert(FixedWidth.readFile(spark, dir.toString, lcols).count() == 2)
+  }
+
   test("fixed-width read honors a non-UTF-8 encoding (Latin-1 round-trip)") {
     // 0xE9 ('é' in ISO-8859-1) is an invalid UTF-8 sequence — a UTF-8 read
     // would mangle it to the replacement char irrecoverably
