@@ -68,6 +68,47 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * public 2006 algorithm): each row gets key = ln(u)/w for a uniform
+    * u and weight w, and the k LARGEST keys are the sample — inclusion
+    * probability proportional to weight, exact sample size, one pass.
+    * The standard corpus move for "sample 1M docs, favoring high-quality
+    * /longer ones, reproducibly".
+    *
+    * Determinism: u is exact — (h + 0.5) / 2^48 for the 48-bit integer h
+    * parsed from the row key's md5; every step except ln() is an exact
+    * IEEE op, and the ranking key is rounded to 6 dp (the [[x21]]-proven
+    * convention) so a 1-ulp libm difference cannot reorder engines; ties
+    * break on the row key.
+    *
+    * Scale shape: same two-stage salted top-k as [[stratifiedTopK]] —
+    * local top-k per salt bucket (pigeonhole-exact), then a re-rank of
+    * saltBuckets×k survivors; no global sort, no single-reducer stratum.
+    */
+  def weightedTopK(
+      df: DataFrame,
+      keyCol: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      saltBuckets: Int = 64): DataFrame = {
+    require(k > 0 && saltBuckets > 0, s"weightedTopK: k=$k, saltBuckets=$saltBuckets")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10).cast("double")
+    val u = (h + lit(0.5d)) / lit(2.0d * (1L << 47))
+    val esKey = round(log(u) / greatest(weight.cast("double"), lit(1.0d)), 6)
+    val salted = df
+      .withColumn("__es", esKey)
+      .withColumn("__salt", pmod(xxhash64(col(keyCol)), lit(saltBuckets)))
+    val local = Window.partitionBy(col("__salt"))
+      .orderBy(col("__es").desc, col(keyCol))
+    val global = Window.orderBy(col("__es").desc, col(keyCol))
+    salted
+      .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
+      .withColumn("sample_rank", row_number().over(global).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .withColumn("es_key", col("__es"))
+      .drop("__salt", "__r1", "__es")
+  }
+
   def stratifiedTopK(
       df: DataFrame,
       strata: Seq[String],

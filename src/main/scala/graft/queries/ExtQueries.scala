@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -860,10 +860,11 @@ object ExtQueries {
   // into 1-hour tumbling windows behind a 30-minute watermark. The oracle
   // replays the calibrated watermark algebra relationally — see the
   // LateData scaladoc for the W_{j-2} filter / W_{j-1} eviction rules.
-  /** Replay-spec bounds for [[x36LateWatermark]], computed once per JVM
-    * per data dir: the batch-assignment scalars are part of the replay
-    * SPEC, not something each invocation should re-derive with a full
-    * scan (the bench's warm-up + 3 passes share one pass).
+  /** Replay-spec bounds (events min/max tu) for [[x36LateWatermark]] and
+    * [[x42StreamJoin]], computed once per JVM per data dir: the
+    * batch-assignment scalars are part of the replay SPEC, not something
+    * each invocation should re-derive with a full scan (the bench's
+    * warm-up + 3 passes share one pass).
     */
   private val x36Bounds =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
@@ -1014,4 +1015,178 @@ object ExtQueries {
        FROM orders WHERE o_orderkey % 5 = 0
        UNION ALL
        SELECT CAST(NULL AS BIGINT), 'error', CAST(NULL AS BIGINT), CAST(-1 AS BIGINT)"""
+
+  /** DuckDB SQL fragment parsing the first 12 hex chars of column/expr
+    * `hx` into the 48-bit integer they encode — the oracle-side twin of
+    * `conv(substring(hx, 1, 12), 16, 10)`. Generated, not hand-typed:
+    * twelve strpos terms with exact power-of-16 multipliers.
+    */
+  private def duckHex48(hx: String): String =
+    (0 until 12).map { i =>
+      val mult = 1L << (4 * (11 - i))
+      s"(strpos('0123456789abcdef', substr($hx, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString("(", "\n             + ", ")")
+
+  // --- x38: PII redaction (emails / IPv4 / phone spans -> placeholders) --
+  // The synthetic corpus carries no PII, so the query derives a
+  // deterministic raw text (doc_id-keyed PII suffixes) in BOTH engines
+  // and gates the operator on it: per-category counts on the raw text
+  // (the audit signal) plus the placeholder-redacted text itself.
+  def x38PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val did = col("doc_id")
+    val raw = concat(col("text"),
+      when(pmod(did, lit(4L)) === 0L,
+        concat(lit(" contact user"), did.cast("string"), lit("@example.com now")))
+      .when(pmod(did, lit(4L)) === 1L,
+        concat(lit(" node ip 10."), pmod(did, lit(256L)).cast("string"),
+          lit(".0."), pmod(did, lit(100L)).cast("string"), lit(" up")))
+      .when(pmod(did, lit(4L)) === 2L,
+        concat(lit(" call +1 555 "), lpad(pmod(did, lit(10000L)).cast("string"), 4, "0"),
+          lit(" ok")))
+      .otherwise(lit("")))
+    d.select(
+      did,
+      Redaction.redact(raw).as("clean"),
+      Redaction.piiCount(raw, "email").as("n_email"),
+      Redaction.piiCount(raw, "ipv4").as("n_ip"),
+      Redaction.piiCount(raw, "phone").as("n_phone"))
+  }
+
+  val x38Sql: String =
+    """WITH r AS (SELECT doc_id, text ||
+         CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 4 = 1 THEN ' node ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+              WHEN doc_id % 4 = 2 THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+              ELSE '' END AS raw
+       FROM documents)
+       SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d(?:[ -]?\d){7,14}', '<PHONE>', 'g') AS clean,
+         CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         CAST(len(regexp_extract_all(raw, '\+\d(?:[ -]?\d){7,14}')) AS BIGINT) AS n_phone
+       FROM r"""
+
+  // --- x39: weighted sample without replacement (Efraimidis-Spirakis) ----
+  // Weight = word count (longer docs favored); k = 100. The oracle
+  // replicates the exact key algebra: u from the md5 48-bit prefix,
+  // key = round(ln(u)/w, 6), top-k by key desc with doc_id tiebreak.
+  def x39WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopK(
+      t(spark, dir, "documents"), "doc_id", TextAnalysis.wordCount(col("text")), 100)
+      .select(col("doc_id"), col("sample_rank"), col("es_key"))
+
+  val x39Sql: String =
+    s"""WITH w AS (SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+       FROM documents),
+       h AS (SELECT doc_id, wc, ${duckHex48("hx")} AS h48 FROM w),
+       k AS (SELECT doc_id,
+             round(ln((CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                   / greatest(CAST(wc AS DOUBLE), 1.0), 6) AS es_key FROM h),
+       r AS (SELECT doc_id, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k)
+       SELECT doc_id, CAST(rn AS BIGINT) AS sample_rank, es_key
+       FROM r WHERE rn <= 100"""
+
+  // --- x40: KMV distinct-count sketch (token bigrams per language) -------
+  // The mergeable-sketch answer to count(DISTINCT) at corpus scale; the
+  // oracle replicates the sketch bit-for-bit from md5-hex order
+  // statistics (k = 64, estimate = (k-1) / normalized kth hash).
+  def x40KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bigrams relationally (posexplode + lead over the doc window) — the
+    // array-HOF spelling is CodegenFallback and ~5x slower at sf0.1
+    val ws = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+    Sketches.kmvDistinct(bg, "lang", "bg", k = 64)
+  }
+
+  val x40Sql: String =
+    s"""WITH w AS (SELECT lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       FROM documents),
+       b AS (SELECT lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1])) AS bg
+         FROM w WHERE len(ws) >= 2),
+       hd AS (SELECT DISTINCT lang, substr(md5(bg), 1, 12) AS hx FROM b),
+       r AS (SELECT lang, hx, row_number() OVER (PARTITION BY lang ORDER BY hx) AS rn FROM hd),
+       s AS (SELECT lang, count(*) AS nd FROM hd GROUP BY 1),
+       kth AS (SELECT lang, hx FROM r WHERE rn = 64)
+       SELECT s.lang,
+         CAST(least(s.nd, 64) AS BIGINT) AS n_vals,
+         kth.hx AS kth_hash,
+         CASE WHEN kth.hx IS NOT NULL
+              THEN 63.0 / (CAST(${duckHex48("kth.hx")} AS DOUBLE) / 281474976710656.0)
+              ELSE CAST(least(s.nd, 64) AS DOUBLE) END AS est_distinct
+       FROM s LEFT JOIN kth ON s.lang = kth.lang"""
+
+  // --- x41: overlapping token-window chunking (size 40, stride 20) -------
+  def x41DocChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.tokenChunks(t(spark, dir, "documents"), Seq("doc_id"), "text", 40, 20)
+
+  val x41Sql: String =
+    """WITH w AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       FROM documents),
+       s AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 20)) AS st
+         FROM w WHERE len(ws) > 0)
+       SELECT doc_id,
+         CAST(st // 20 AS BIGINT) AS chunk_idx,
+         CAST(st AS BIGINT) AS start_tok,
+         CAST(least(40, len(ws) - st) AS BIGINT) AS n_toks,
+         array_to_string(list_slice(ws, st + 1, st + 40), ' ') AS chunk_text
+       FROM s"""
+
+  // --- x42: stream-stream interval join (clicks x purchases, <= 6h) ------
+  // Arrival batches are assigned in event-time order (nothing droppable),
+  // so the watermarked stream-stream join's append result equals the
+  // batch interval join — the oracle. What the gate pins is the join
+  // plumbing itself: two watermarked sources, bounded join state,
+  // min-across-sources watermark, exactly-once match emission.
+  def x42StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nBatches = 4
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"))
+    val bounds = x36Bounds.computeIfAbsent(dir, _ => {
+      val r = ev.agg(min("tu"), max("tu")).collect().head
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    })
+    if (bounds.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, click_tu BIGINT, purchase_tu BIGINT"))
+    val (mn, mx) = bounds.get
+    val batch = least(
+      expr(s"((tu - ${mn}L) * $nBatches) div (${mx}L - ${mn}L + 1)"), lit(nBatches - 1L))
+    def side(tpe: String): DataFrame = ev
+      .filter(col("event_type") === tpe)
+      .withColumn("__ab", batch)
+      .select(col("tu"), col("user_id"), col("__ab"))
+    StreamJoin.replayedIntervalJoin(spark,
+      side("click"), side("purchase"),
+      "tu", "user_id", "__ab",
+      s"/tmp/graft/sj_$tag", "1 hour", 21600000000L, s"x42_sj_$tag")
+      .select(col("user_id"), col("l_tu").as("click_tu"), col("r_tu").as("purchase_tu"))
+  }
+
+  val x42Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+       c AS (SELECT user_id, tu FROM e WHERE event_type = 'click'),
+       p AS (SELECT user_id, tu FROM e WHERE event_type = 'purchase')
+       SELECT c.user_id, c.tu AS click_tu, p.tu AS purchase_tu
+       FROM c JOIN p ON c.user_id = p.user_id
+        AND p.tu >= c.tu AND p.tu <= c.tu + 21600000000"""
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Chunking, Redaction, Sampling, Sketches, TextAnalysis}
+
+/** Round-6 corpus-construction operators: PII redaction, token-window
+  * chunking, KMV distinct sketch, weighted sampling.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- redaction
+
+  test("redact replaces email/ip/phone spans and counts them on raw text") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org here, host 192.168.0.1 dial +1 555-0100 ok 42"),
+      (2L, "no pii at all"),
+      (3L, "two mails a@b.io c@d.co one ip 10.0.0.255")).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      Redaction.redact(col("text")).as("clean"),
+      Redaction.piiCount(col("text"), "email").as("ne"),
+      Redaction.piiCount(col("text"), "ipv4").as("ni"),
+      Redaction.piiCount(col("text"), "phone").as("np"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail <EMAIL> here, host <IP> dial <PHONE> ok 42")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((1L, 1L, 1L)))
+    assert(out(1).getString(1) == "no pii at all")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) == ((0L, 0L, 0L)))
+    assert(out(2).getString(1) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert((out(2).getLong(2), out(2).getLong(3), out(2).getLong(4)) == ((2L, 1L, 0L)))
+  }
+
+  test("redaction placeholders are stable under a second pass (idempotent)") {
+    val df = Seq((1L, "x a@b.io 10.0.0.1 +12 3456 7890")).toDF("id", "text")
+    val once = df.select(Redaction.redact(col("text")).as("c"))
+    val twice = once.select(Redaction.redact(col("c")).as("c"))
+    assert(once.head.getString(0) == twice.head.getString(0))
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  test("tokenChunks emits overlapping windows with a short tail") {
+    val df = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val out = Chunking.tokenChunks(df, Seq("doc_id"), "text", size = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_toks", "chunk_text").collect()
+    assert(out.map(_.toSeq).toSeq == Seq(
+      Seq(0L, 0L, 3L, "a b c"),
+      Seq(1L, 2L, 3L, "c d e"),
+      Seq(2L, 4L, 1L, "e")))
+  }
+
+  test("tokenChunks: token-less docs emit no chunks; one-window docs emit one") {
+    val df = Seq((1L, ""), (2L, "...!"), (3L, "only two")).toDF("doc_id", "text")
+    val out = Chunking.tokenChunks(df, Seq("doc_id"), "text", size = 10, stride = 5)
+      .select("doc_id", "chunk_idx", "n_toks", "chunk_text").collect()
+    assert(out.map(_.toSeq).toSeq == Seq(Seq(3L, 0L, 2L, "only two")))
+  }
+
+  // ------------------------------------------------------------ KMV sketch
+
+  test("kmvDistinct below k retains the exact distinct set") {
+    val df = (0 until 100).map(i => ("g", s"v${i % 10}")).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = 64).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 10L)           // n_vals
+    assert(out(0).isNullAt(2))                 // kth_hash absent
+    assert(out(0).getDouble(3) == 10.0d)       // estimate = exact
+  }
+
+  test("kmvDistinct full sketch matches direct md5 order statistics and is salt-invariant") {
+    val k = 8
+    val df = (0 until 200).map(i => ("g", s"val$i")).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = k).collect()(0)
+    // expected: k-th smallest 12-hex-prefix md5 over the distinct values
+    val hashes = (0 until 200).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"val$i".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(12)
+    }.distinct.sorted
+    assert(out.getLong(1) == k.toLong)
+    assert(out.getString(2) == hashes(k - 1))
+    val vk = java.lang.Long.parseLong(hashes(k - 1), 16).toDouble
+    assert(out.getDouble(3) == (k - 1).toDouble / (vk / 281474976710656.0d))
+    // estimate lands in a sane band around the true 200
+    assert(out.getDouble(3) > 40.0d && out.getDouble(3) < 1000.0d)
+    val salted = Sketches.kmvDistinct(df, "g", "v", k = k, saltBuckets = 1).collect()(0)
+    assert(salted.getString(2) == out.getString(2) && salted.getDouble(3) == out.getDouble(3))
+  }
+
+  // ------------------------------------------------------- weighted sample
+
+  test("weightedTopK is salt-invariant and ranks by the E-S key") {
+    val df = (0 until 200).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "w")
+    val a = Sampling.weightedTopK(df, "id", col("w"), k = 20, saltBuckets = 64)
+      .select("id", "sample_rank", "es_key")
+    val b = Sampling.weightedTopK(df, "id", col("w"), k = 20, saltBuckets = 1)
+      .select("id", "sample_rank", "es_key")
+    assert(sortedRows(a) == sortedRows(b))
+    assert(a.count() == 20)
+    // recompute the key for the rank-1 row directly
+    val top = a.orderBy("sample_rank").head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(top.getLong(0).toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5d) / 281474976710656.0d
+    val w = math.max((top.getLong(0) % 7 + 1).toDouble, 1.0d)
+    val expected = BigDecimal(math.log(u) / w)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getDouble(2) == expected)
+  }
+
+  test("weightedTopK caps the sample at the population size") {
+    val df = (0 until 5).map(i => (i.toLong, 1L)).toDF("id", "w")
+    assert(Sampling.weightedTopK(df, "id", col("w"), k = 50).count() == 5)
+  }
+}
