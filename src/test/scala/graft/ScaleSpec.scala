@@ -99,6 +99,32 @@ class ScaleSpec extends SparkSpec {
       s"expected exactly one exchange:\n$p22")
   }
 
+  test("plan shapes r6: chunking/redaction stay narrow, kmv aggregates partially") {
+    // x41 chunking: projection + generator only — NO exchange; chunk rows
+    // inherit the scan's partitioning
+    val x41 = graft.queries.ExtQueries.x41DocChunks(spark, sfDir)
+    val p41 = x41.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p41.contains("Exchange"), s"chunking should not shuffle:\n$p41")
+
+    // x38 redaction: a narrow per-row map — no exchange, codegen'd
+    val x38 = graft.queries.ExtQueries.x38PiiRedact(spark, sfDir)
+    val p38 = x38.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p38.contains("Exchange"), s"redaction should not shuffle:\n$p38")
+    // `*(1)` is the WholeStageCodegen stage marker in the compact plan form
+    assert(p38.contains("*(1) Project"), s"redaction should codegen:\n$p38")
+    assert(p38.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"redaction scan should prune to (doc_id, text):\n$p38")
+
+    // x40 KMV: stage-1 sketch is a PARTIAL aggregate (map-side combine
+    // before the (group, salt) exchange) — the mergeability that keeps a
+    // 100 TB distinct-count from shuffling the data
+    val x40 = graft.queries.ExtQueries.x40KmvDistinct(spark, sfDir)
+    x40.collect()
+    val p40 = x40.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p40.contains("partial_collect_set"),
+      s"kmv stage 1 should combine map-side:\n$p40")
+  }
+
   test("merge router broadcasts a small state table") {
     import graft.sinks.MergeRouter
     import graft.spec.Specs.ReprocessMode
