@@ -1189,4 +1189,37 @@ object ExtQueries {
        SELECT c.user_id, c.tu AS click_tu, p.tu AS purchase_tu
        FROM c JOIN p ON c.user_id = p.user_id
         AND p.tu >= c.tu AND p.tu <= c.tu + 21600000000"""
+
+  /** DuckDB SQL fragment for the Morton interleave of two 16-bit rank
+    * expressions — the oracle-side twin of [[ZOrder.zValue]]'s 32
+    * shift/mask terms, generated with the same exact powers of two.
+    */
+  private def duckZ(x: String, y: String): String =
+    (0 until graft.ext.ZOrder.Bits).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + (($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", "\n             + ", ")")
+
+  // --- x43: Z-order clustering stats (multi-dim data-skipping layout) ----
+  // lineitem clustered on (l_partkey, l_suppkey): per-z-bucket row counts
+  // and min/max of BOTH dimensions — the file-level skipping metadata a
+  // Z-ordered layout publishes. ScaleSpec asserts the skipping property
+  // itself (bounded per-bucket ranges in both dimensions).
+  def x43ZOrderStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.ZOrder.zOrderStats(
+      t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", 16)
+
+  val x43Sql: String =
+    s"""WITH b AS (SELECT min(l_partkey) AS xmn, max(l_partkey) AS xmx,
+                         min(l_suppkey) AS ymn, max(l_suppkey) AS ymx FROM lineitem),
+       r AS (SELECT l_partkey, l_suppkey,
+             ((l_partkey - xmn) * 65536) // (xmx - xmn + 1) AS rx,
+             ((l_suppkey - ymn) * 65536) // (ymx - ymn + 1) AS ry
+         FROM lineitem, b),
+       z AS (SELECT l_partkey, l_suppkey, ${duckZ("rx", "ry")} AS zv FROM r)
+       SELECT (zv * 16) // 4294967296 AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(l_partkey) AS BIGINT) AS x_min, CAST(max(l_partkey) AS BIGINT) AS x_max,
+         CAST(min(l_suppkey) AS BIGINT) AS y_min, CAST(max(l_suppkey) AS BIGINT) AS y_max
+       FROM z GROUP BY 1"""
 }

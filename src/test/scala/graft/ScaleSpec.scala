@@ -125,6 +125,29 @@ class ScaleSpec extends SparkSpec {
       s"kmv stage 1 should combine map-side:\n$p40")
   }
 
+  test("z-order buckets bound BOTH dimensions (the data-skipping property)") {
+    import graft.ext.ZOrder
+    // Morton identities: bit i of x -> bit 2i, bit i of y -> bit 2i+1
+    val ids = spark.range(1).select(
+      ZOrder.zValue(lit(1L), lit(0L)), ZOrder.zValue(lit(0L), lit(1L)),
+      ZOrder.zValue(lit(3L), lit(3L)), ZOrder.zValue(lit(65535L), lit(65535L)))
+      .head.toSeq
+    assert(ids == Seq(1L, 2L, 15L, 4294967295L))
+
+    // 64x64 uniform grid, 16 buckets: a linear (sort-by-x) layout gives
+    // each bucket the FULL y range (64); the z layout bounds both
+    // dimensions to ~16 — that bound is what makes min/max file stats
+    // prune on either column
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val zst = ZOrder.zOrderStats(grid, "x", "y", 16).collect()
+    assert(zst.map(_.getLong(1)).sum == 64L * 64L) // every row assigned
+    val meanX = zst.map(r => r.getLong(3) - r.getLong(2) + 1).sum.toDouble / zst.length
+    val meanY = zst.map(r => r.getLong(5) - r.getLong(4) + 1).sum.toDouble / zst.length
+    assert(meanX <= 20.0 && meanY <= 20.0,
+      s"z buckets should bound both dims (~16): meanX=$meanX meanY=$meanY")
+  }
+
   test("merge router broadcasts a small state table") {
     import graft.sinks.MergeRouter
     import graft.spec.Specs.ReprocessMode
