@@ -1222,4 +1222,36 @@ object ExtQueries {
          CAST(min(l_partkey) AS BIGINT) AS x_min, CAST(max(l_partkey) AS BIGINT) AS x_max,
          CAST(min(l_suppkey) AS BIGINT) AS y_min, CAST(max(l_suppkey) AS BIGINT) AS y_max
        FROM z GROUP BY 1"""
+
+  // --- x44: streaming dedup within the watermark horizon -----------------
+  // ~10% of events are re-sent 1s later (same id) — the classic at-least-
+  // once re-delivery. dropDuplicatesWithinWatermark must drop every
+  // re-arrival (both copies sit far inside the 30-minute horizon), so the
+  // surviving ids equal the batch distinct — the oracle. The kept row's
+  // WHICH-copy is racy within a micro-batch, so the gate emits ids only.
+  def x44StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamDedup
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nBatches = 4
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("tu"))
+    val bounds = x36Bounds.computeIfAbsent(dir, _ => {
+      val r = ev.agg(min("tu"), max("tu")).collect().head
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    })
+    if (bounds.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT"))
+    val (mn, mx) = bounds.get
+    val dups = ev.filter(TextAnalysis.md5Bucket(col("event_id")) < 6553L)
+      .withColumn("tu", col("tu") + 1000000L)
+    val all = ev.unionByName(dups).withColumn("__ab", least(
+      expr(s"((tu - ${mn}L) * $nBatches) div (${mx}L - ${mn}L + 1)"), lit(nBatches - 1L)))
+    StreamDedup.replayedDedup(spark, all, "tu", "event_id", "__ab",
+      s"/tmp/graft/sd_$tag", "30 minutes", s"x44_sd_$tag")
+      .select(col("event_id"))
+  }
+
+  val x44Sql: String = "SELECT DISTINCT event_id FROM events"
 }

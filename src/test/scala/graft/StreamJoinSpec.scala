@@ -36,6 +36,26 @@ class StreamJoinSpec extends SparkSpec {
     // right precedes left -> no match. Both proved absent by equality.
   }
 
+  test("streamed dedup drops same-batch and cross-batch re-deliveries") {
+    import graft.streaming.StreamDedup
+    // batches split at t=100s; id 1 duplicated within batch 0, id 2
+    // duplicated across the batch boundary (95s and 101s), id 3 unique
+    val rows = Seq(
+      (10L * US, 1L), (11L * US, 1L), (95L * US, 2L), (101L * US, 2L), (150L * US, 3L))
+      .toDF("tu", "id").withColumn("__ab", expr("tu div 100000000"))
+    val out = StreamDedup.replayedDedup(spark, rows, "tu", "id", "__ab",
+      s"/tmp/graft/test_sd_${System.nanoTime()}", "60 seconds", "sd_spec")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("x44 streamed dedup equals batch distinct on sf0.001") {
+    val out = graft.queries.ExtQueries.x44StreamDedup(spark, sfDir)
+    val expected = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id").distinct()
+    assert(out.count() > 0)
+    assert(sortedRows(out) == sortedRows(expected))
+  }
+
   test("x42 replayed result equals its relational oracle shape on sf0.001") {
     val out = graft.queries.ExtQueries.x42StreamJoin(spark, sfDir)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
