@@ -48,6 +48,17 @@ object ScaleBench {
   val StreamFamily: Seq[String] = Seq(
     "x33_streaming_sessions", "x34_streaming_incr_dedup", "x36_late_watermark")
 
+  /** Round-6 operators: corpus construction (narrow maps + bounded-state
+    * sketches + two-stage sampling — expect ~linear or flat), layout
+    * stats (one agg + one groupBy), and the two new streaming gates
+    * (state O(keys in horizon); x42's pair OUTPUT grows linearly with
+    * users since replicas shift user ids).
+    */
+  val R6Family: Seq[String] = Seq(
+    "x38_pii_redact", "x39_weighted_sample", "x40_kmv_distinct",
+    "x41_doc_chunks", "x43_zorder_stats", "x42_stream_join",
+    "x44_stream_dedup")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -125,7 +136,7 @@ object ScaleBench {
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    (Family ++ CoreFamily ++ StreamFamily).foreach { n =>
+    (Family ++ CoreFamily ++ StreamFamily ++ R6Family).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -143,6 +154,7 @@ object ScaleBench {
     report("dedup_scale", Family)
     report("core_scale", CoreFamily)
     report("stream_scale", StreamFamily)
+    report("r6_scale", R6Family)
     spark.stop()
   }
 }
