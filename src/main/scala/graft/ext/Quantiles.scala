@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles without a per-group sort funnel.
+  *
+  * The naive exact algorithm — `row_number()` over every ROW of a group —
+  * sorts each group in a single task: at 100 TB a hot group is a straggler
+  * (or an OOM). This operator exploits that quantiles only depend on the
+  * VALUE DISTRIBUTION: stage 1 aggregates to (group, value, count) with
+  * map-side combine — the shuffle carries one row per DISTINCT value, not
+  * per input row; stage 2 runs the cumulative-count window over that
+  * (much smaller) distribution and picks, for each requested q, the
+  * smallest value whose cumulative count reaches the target rank.
+  *
+  * Best for integral / bounded-cardinality metrics (lengths, token
+  * counts, scores at fixed precision) where distinct ≪ rows. For
+  * unbounded continuous values, pre-bucket first (the x25 histogram
+  * path) — an exact quantile of raw doubles is a full sort by
+  * definition, on any engine.
+  *
+  * Nearest-rank-lower definition, 1-based: rank(q) = floor(q·(n−1)) + 1 —
+  * always an actual data value (no interpolation), deterministic, and
+  * reproducible relationally in any engine, which is what makes the
+  * DuckDB oracle exact.
+  */
+object Quantiles {
+
+  /** Per-group exact quantiles of `valueCol` at each q in `qs`.
+    * Returns one row per (group, q): `(groupCols*, q, valueCol)`.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"groupQuantiles: qs must be in [0,1], got $qs")
+    val gs = groupCols.map(col)
+    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // both windows share the group partitioning: one shuffle, over the
+    // distinct-value distribution only
+    val byValue = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    val whole = Window.partitionBy(gs: _*)
+    counts
+      .withColumn("__cum", sum(col("__c")).over(byValue))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .select(gs ++ Seq(col(valueCol), col("__c"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit(_)): _*)).as("q")): _*)
+      .withColumn("__target", floor(col("q") * (col("__n") - 1)) + 1L)
+      // the quantile value is the one whose cumulative span covers the
+      // target rank: cum − c < target ≤ cum
+      .filter(col("__target") > col("__cum") - col("__c") &&
+        col("__target") <= col("__cum"))
+      .select(gs ++ Seq(col("q"), col(valueCol)): _*)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Quantiles, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -1254,4 +1254,181 @@ object ExtQueries {
   }
 
   val x44Sql: String = "SELECT DISTINCT event_id FROM events"
+
+  // --- x45: streaming upsert into the manifest-committed table -----------
+  // The lakehouse sink: a base snapshot of orders is written as a
+  // ManifestStore table, then a stream of updates (price corrections for
+  // okey % 3 = 0) and inserts (new okey % 7 = 0 keys, offset past the key
+  // space) replays in 3 micro-batches, each merging atomically. The final
+  // table must equal the batch upsert — which is the oracle. Each key
+  // appears in exactly one batch, so merge order is immaterial and the
+  // at-least-once replay contract (StreamUpsert scaladoc) is convergent.
+  private val x45LastTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val x45Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x45Token = java.util.UUID.randomUUID().toString.take(8)
+
+  def x45StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    import graft.streaming.StreamUpsert
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val orders = t(spark, dir, "orders")
+    val base = orders.select(
+      col("o_orderkey").as("okey"),
+      col("o_totalprice").as("price"),
+      pmod(col("o_orderkey"), lit(8L)).as("pt"))
+    // the table mutates per run: fresh dir per invocation, previous run's
+    // table reclaimed so repeated bench passes don't accumulate in /tmp
+    val table =
+      s"/tmp/graft/smu_tbl_${tag}_${x45Token}_${x45Runs.incrementAndGet()}"
+    Option(x45LastTable.put(dir, table)).foreach { prev =>
+      val fs = new org.apache.hadoop.fs.Path(prev)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.delete(new org.apache.hadoop.fs.Path(prev), true)
+      catch { case _: java.io.IOException => () }
+    }
+    ManifestStore.write(spark, base, table, "pt")
+    val updates = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_totalprice") * 2).as("price"),
+        pmod(col("o_orderkey"), lit(8L)).as("pt"))
+      .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 100000000L).as("okey"),
+          col("o_totalprice").as("price"),
+          pmod(col("o_orderkey") + 100000000L, lit(8L)).as("pt")))
+      .withColumn("__ab", pmod(col("okey"), lit(3L)))
+    StreamUpsert.replayedMerge(spark, updates, Seq("okey", "price", "pt"), "__ab",
+      s"/tmp/graft/smu_in_$tag", table, Seq("okey"), Seq("pt"))
+    ManifestStore.read(spark, table).select(
+      col("okey").cast("long").as("okey"),
+      col("price").cast("double").as("price"),
+      col("pt").cast("long").as("pt"))
+  }
+
+  val x45Sql: String =
+    """WITH base AS (SELECT o_orderkey AS okey, o_totalprice AS price FROM orders),
+       upd AS (SELECT o_orderkey AS okey, o_totalprice * 2 AS price
+               FROM orders WHERE o_orderkey % 3 = 0),
+       ins AS (SELECT o_orderkey + 100000000 AS okey, o_totalprice AS price
+               FROM orders WHERE o_orderkey % 7 = 0),
+       fin AS (SELECT b.okey, coalesce(u.price, b.price) AS price
+               FROM base b LEFT JOIN upd u ON b.okey = u.okey
+               UNION ALL SELECT okey, price FROM ins)
+       SELECT okey, price, CAST(okey % 8 AS BIGINT) AS pt FROM fin"""
+
+  // --- x46: end-to-end corpus funnel (quality -> dedup -> decontaminate) --
+  // The whole training-data pipeline as ONE composition of the library's
+  // operators, gated on its per-source funnel counts: raw corpus docs
+  // (the %50=0 slice stands in for the benchmark set, as in x31) pass the
+  // x32 quality gate, survivors dedup to their exact-fingerprint keeper
+  // (x26 keeper rule), and keepers are dropped when >=20% of their
+  // 6-grams leak from the benchmark set (x31 overlap). Stage flags stay
+  // monotone (clean => unique => quality), so the funnel is auditable:
+  // n_raw >= n_quality >= n_unique >= n_clean per source.
+  def x46CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val flagged = TextAnalysis.qualityGate(corpus, "text", "lang")
+    val kept = flagged.filter(col("keep"))
+    val keepers = Dedup.exact(
+      kept.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      Seq("fp"), struct((-length(col("text"))).as("neg_len"), col("doc_id")))
+      .select(col("doc_id"), lit(1).as("__keeper"))
+    val contam = Dedup.benchmarkOverlap(kept, bench, "doc_id", "text", shingleN = 6)
+      .select(col("id").as("doc_id"), col("contamination_ratio"))
+    flagged
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("__unique", col("keep") && col("__keeper").isNotNull)
+      .withColumn("__clean",
+        col("__unique") && coalesce(col("contamination_ratio"), lit(0.0d)) < 0.2d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__unique"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("__clean"), 1L).otherwise(0L)).as("n_clean"))
+  }
+
+  val x46Sql: String =
+    """WITH t0 AS (SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents WHERE doc_id % 50 <> 0),
+       m AS (SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','from','or','are','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS swr
+       FROM t0),
+       sc AS (
+         SELECT doc_id, 'en' AS plang, len(list_filter(['the','and','of','to','is','that','for','with','this','are'], x -> list_contains(toks, x))) AS score FROM t0
+         UNION ALL SELECT doc_id, 'es', len(list_filter(['el','la','de','que','los','una','por','del','las','es'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(['le','les','des','une','est','dans','pour','que','sur','avec'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'de', len(list_filter(['der','die','das','und','ist','nicht','mit','ein','für','auf'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'zh', 0 FROM t0),
+       lp AS (SELECT doc_id,
+             CASE WHEN score > 0 THEN plang ELSE 'und' END AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+           FROM sc),
+       fl AS (SELECT t0.doc_id, t0.source, t0.text,
+           (CASE WHEN NOT (m.wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
+          + CASE WHEN m.swr < 0.05 THEN 1 ELSE 0 END
+          + CASE WHEN m.pr > 0.2 THEN 1 ELSE 0 END
+          + CASE WHEN NOT (m.awl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END
+          + CASE WHEN lp.lang_pred IS DISTINCT FROM t0.lang THEN 1 ELSE 0 END) = 0 AS keep
+         FROM t0 JOIN m ON t0.doc_id = m.doc_id
+         JOIN lp ON t0.doc_id = lp.doc_id AND lp.rn = 1),
+       kept AS (SELECT doc_id, source, text FROM fl WHERE keep),
+       kd AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           length(text) AS len FROM kept),
+       kr AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY fp ORDER BY len DESC, doc_id) AS rn FROM kd),
+       uniq AS (SELECT doc_id FROM kr WHERE rn = 1),
+       kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM kept),
+       ksh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh0 WHERE len(sh) > 0),
+       bw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 50 = 0),
+       bsh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM bw),
+       bg AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bsh0 WHERE len(sh) > 0)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM kposts GROUP BY 1),
+       hits AS (SELECT k.doc_id, count(*) AS h FROM kposts k JOIN bg USING (s) GROUP BY 1),
+       contam AS (SELECT s.doc_id, CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(s.n AS DOUBLE) AS cr
+                  FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id),
+       ann AS (SELECT fl.source, fl.keep,
+             (fl.keep AND u.doc_id IS NOT NULL) AS uniq_f,
+             (fl.keep AND u.doc_id IS NOT NULL AND coalesce(c.cr, 0) < 0.2) AS clean_f
+           FROM fl LEFT JOIN uniq u ON fl.doc_id = u.doc_id
+           LEFT JOIN contam c ON fl.doc_id = c.doc_id)
+       SELECT source, count(*) AS n_raw,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(sum(CASE WHEN uniq_f THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         CAST(sum(CASE WHEN clean_f THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       FROM ann GROUP BY 1"""
+
+  // --- x47: exact group quantiles over the value distribution ------------
+  // Document-length quantiles per source (the corpus-stats staple). The
+  // operator never sorts rows within a group — it aggregates to the
+  // distinct-value distribution first (map-side combinable), then windows
+  // over that; see the Quantiles scaladoc for the 100 TB argument.
+  def x47GroupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.groupQuantiles(
+      t(spark, dir, "documents"), Seq("source"), "n_chars", Seq(0.5, 0.9, 0.99))
+
+  val x47Sql: String =
+    """WITH c AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+       w AS (SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+           FROM c),
+       qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+       SELECT source, q, CAST(v AS BIGINT) AS n_chars
+       FROM w, qs
+       WHERE CAST(floor(q * (n - 1)) + 1 AS BIGINT) > cum - c
+         AND CAST(floor(q * (n - 1)) + 1 AS BIGINT) <= cum"""
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Quantiles
+import graft.sources.ManifestStore
+import graft.streaming.StreamUpsert
+
+/** Round-6 second wave: exact group quantiles, the streaming ManifestStore
+  * sink, and the end-to-end corpus funnel composition.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ quantiles
+
+  test("groupQuantiles picks nearest-rank-lower values per group") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 100L), ("b", 5L))
+      .toDF("g", "v")
+    val out = Quantiles.groupQuantiles(df, Seq("g"), "v", Seq(0.0, 0.5, 0.9, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // group a sorted: [1, 2, 2, 3, 100], n=5 → ranks 1, 3, 4, 5
+    assert(out(("a", 0.0)) == 1L)
+    assert(out(("a", 0.5)) == 2L)
+    assert(out(("a", 0.9)) == 3L)
+    assert(out(("a", 1.0)) == 100L)
+    // group b has one value: every q lands on it
+    assert(Seq(0.0, 0.5, 0.9, 1.0).forall(q => out(("b", q)) == 5L))
+  }
+
+  test("groupQuantiles emits exactly one row per (group, q)") {
+    val df = Seq.tabulate(1000)(i => ("g" + (i % 3), (i * 7 % 50).toLong)).toDF("g", "v")
+    val out = Quantiles.groupQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.75))
+    assert(out.count() == 9)
+    assert(out.groupBy("g", "q").count().filter(col("count") =!= 1).count() == 0)
+  }
+
+  // -------------------------------------------------------- stream upsert
+
+  test("streaming merge equals the batch upsert and converges under replay") {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val table = s"/tmp/graft-test/su_tbl_$token"
+    val scratch = s"/tmp/graft-test/su_in_$token"
+    val base = Seq((1L, "a", 0L), (2L, "b", 1L), (3L, "c", 0L)).toDF("k", "v", "p")
+    ManifestStore.write(spark, base, table, "p")
+    // batch 0 updates key 2; batch 1 inserts key 4
+    val updates = Seq((2L, "B", 1L, 0L), (4L, "d", 0L, 1L)).toDF("k", "v", "p", "__b")
+
+    StreamUpsert.replayedMerge(spark, updates, Seq("k", "v", "p"), "__b",
+      scratch, table, Seq("k"), Seq("p"))
+    def state(): Map[Long, (String, Long)] = ManifestStore.read(spark, table)
+      .select(col("k"), col("v"), col("p").cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = Map(
+      1L -> (("a", 0L)), 2L -> (("B", 1L)), 3L -> (("c", 0L)), 4L -> (("d", 0L)))
+    assert(state() == expected)
+    // one commit per write + one per non-empty micro-batch
+    assert(ManifestStore.versions(spark, table).size == 3)
+
+    // a full at-least-once replay (fresh checkpoint, same staged input)
+    // re-merges both batches: state must converge, not corrupt
+    StreamUpsert.replayedMerge(spark, updates, Seq("k", "v", "p"), "__b",
+      scratch, table, Seq("k"), Seq("p"))
+    assert(state() == expected)
+    assert(ManifestStore.versions(spark, table).size == 5)
+  }
+
+  // -------------------------------------------------------- corpus funnel
+
+  test("corpus funnel counts are monotone and cover the corpus") {
+    val out = graft.queries.ExtQueries.x46CorpusFunnel(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (raw, q, u, c) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= u && u >= c, s"non-monotone funnel row: $r")
+    }
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 50 =!= 0).count()
+    assert(out.map(_.getLong(1)).sum == corpus)
+  }
+}
