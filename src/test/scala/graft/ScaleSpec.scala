@@ -125,6 +125,28 @@ class ScaleSpec extends SparkSpec {
       s"kmv stage 1 should combine map-side:\n$p40")
   }
 
+  test("plan shapes r6b: quantiles aggregate before windowing; funnel broadcasts the gram set") {
+    // x47: the window must run over the aggregated (group, value, count)
+    // distribution, not raw rows — the partial count is the map-side
+    // combine that keeps the shuffle O(distinct values)
+    val x47 = graft.queries.ExtQueries.x47GroupQuantiles(spark, sfDir)
+    x47.collect()
+    val p47 = x47.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p47.contains("partial_count"),
+      s"quantiles stage 1 should combine map-side:\n$p47")
+    assert(p47.indexOf("Window") < p47.indexOf("partial_count"),
+      s"window must consume the aggregate (appear above it in the plan):\n$p47")
+
+    // x46: the benchmark gram set must reach the corpus probe as a
+    // broadcast — the decontamination stage never shuffles the corpus
+    // posting table for the probe
+    val x46 = graft.queries.ExtQueries.x46CorpusFunnel(spark, sfDir)
+    x46.collect()
+    val p46 = x46.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p46.contains("BroadcastExchange"),
+      s"funnel decontamination should broadcast the gram set:\n$p46")
+  }
+
   test("z-order buckets bound BOTH dimensions (the data-skipping property)") {
     import graft.ext.ZOrder
     // Morton identities: bit i of x -> bit 2i, bit i of y -> bit 2i+1
