@@ -708,30 +708,13 @@ object ExtQueries {
   // scales to an unbounded stream where the batch window query cannot run.
   def x33StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StatefulSessions
-    import org.apache.spark.sql.streaming.Trigger
     val gap = 30L * 60 * 1000000L // 30 min in micros, same as x08
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/ssess_$tag"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh replay per run
     val ev = t(spark, dir, "events").select(col("user_id"), expr("ts div 1000").as("ts"))
     val sentinels = ev.groupBy("user_id").agg((max(col("ts")) + gap + 1).as("ts"))
-    ev.unionByName(sentinels.select(col("user_id"), col("ts")))
-      .orderBy("user_id", "ts").coalesce(1)
-      .write.parquet(s"$base/in")
-    implicit val evEnc = org.apache.spark.sql.Encoders.product[StatefulSessions.Event]
-    val stream = spark.readStream.schema(evEnc.schema).parquet(s"$base/in").as[StatefulSessions.Event]
-    val qname = s"x33_sessions_$tag"
-    spark.catalog.dropTempView(qname) // previous run's memory sink table
-    val q = StatefulSessions.sessionize(stream, gap)
-      .writeStream.format("memory").queryName(qname)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x33: drain timeout") }
-    finally q.stop()
-    spark.table(qname)
+    StatefulSessions.replayedSessionize(spark,
+      ev.unionByName(sentinels.select(col("user_id"), col("ts"))), gap,
+      s"/tmp/graft/ssess_$tag", s"x33_sessions_$tag")
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
   }
 
@@ -1296,7 +1279,11 @@ object ExtQueries {
         .select((col("o_orderkey") + 100000000L).as("okey"),
           col("o_totalprice").as("price"),
           pmod(col("o_orderkey") + 100000000L, lit(8L)).as("pt")))
-      .withColumn("__ab", pmod(col("okey"), lit(3L)))
+      // partition-aligned arrival (the realistic ingest shape): batch b
+      // carries only partitions pt ≡ b (mod 3), so each micro-batch merge
+      // reads and rewrites ~1/3 of the table — exercising the
+      // O(touched partitions) contract instead of touching everything
+      .withColumn("__ab", pmod(col("pt"), lit(3L)))
     StreamUpsert.replayedMerge(spark, updates, Seq("okey", "price", "pt"), "__ab",
       s"/tmp/graft/smu_in_$tag", table, Seq("okey"), Seq("pt"))
     ManifestStore.read(spark, table).select(
