@@ -173,6 +173,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental MinHash near-dup: the day's `inc` documents probed
+    * against the `hist` corpus — cross pairs only, verified with exact
+    * Jaccard. The daily-ingest twin of [[minhashPairs]] (same seeded
+    * hash-of-hash scheme, same banding): at 100 TB the history side's
+    * per-doc (signature, band-key) table is computed ONCE and persisted
+    * as the LSH INDEX — each day only the increment computes signatures
+    * and band-joins the index, O(day × bands) probe rows, never a
+    * re-scan of the corpus text. The gate computes the history side
+    * inline (no persisted index in a test), but the join shape is the
+    * production one: band-bucket equality, candidates ≈ true near-dup
+    * volume, exact-Jaccard verify on the (few) candidates.
+    *
+    * Recall argument is [[minhashPairs]]'s: bands=32 × rowsPerBand=2 ⇒
+    * P(missed candidate | jaccard ≥ 0.7) ≤ 4e-10 — exact at oracle
+    * precision.
+    */
+  def minhashPairsAgainst(
+      inc: DataFrame,
+      hist: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    def perDoc(df: DataFrame): DataFrame = {
+      val hashed = shingleRows(df, idCol, textCol, shingleN)
+        .select(col("id"), col("s"), xxhash64(col("s")).as("__h0"))
+      val minCols = (0 until k).map(h => min(xxhash64(col("__h0"), lit(h + 1))).as(s"__m$h"))
+      val aggCols = collect_list(col("s")).as("sh") +: minCols
+      materialize(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
+    }
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
+    def buckets(p: DataFrame) =
+      p.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val (pi, ph) = (perDoc(inc), perDoc(hist))
+    // cross join only: inc and hist id spaces may overlap — identity is
+    // (side, id), so no a.id < b.id dedup trick; distinct() collapses
+    // multi-band hits
+    val cands = buckets(pi).as("a").join(buckets(ph).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("inc_id"), col("b.id").as("hist_id"))
+      .distinct()
+    cands
+      .join(pi.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+      .join(ph.select(col("id").as("hist_id"), col("sh").as("sh_b")), "hist_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("hist_id"), col("jaccard"))
+  }
+
   /** Eager mid-pipeline materialization for tables with multiple downstream
     * consumers. Deliberately NOT `Dataset.persist`: persist registers the
     * plan in CacheManager, which holds a strong reference until explicit

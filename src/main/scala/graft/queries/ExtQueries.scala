@@ -1418,4 +1418,33 @@ object ExtQueries {
        FROM w, qs
        WHERE CAST(floor(q * (n - 1)) + 1 AS BIGINT) > cum - c
          AND CAST(floor(q * (n - 1)) + 1 AS BIGINT) <= cum"""
+
+  // --- x48: incremental MinHash near-dup (increment vs LSH index) --------
+  // The daily-ingest near-dup path: the %5=0 increment (x28's split)
+  // probes the historical corpus's band index — cross pairs only, exact
+  // Jaccard verify. The oracle computes exact cross-pair Jaccard from the
+  // inverted index; LSH recall at jaccard >= 0.7 is exact to well past
+  // oracle precision (see Dedup.minhashPairsAgainst scaladoc).
+  def x48IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.minhashPairsAgainst(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+  }
+
+  val x48Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       inter AS (SELECT a.doc_id AS inc_id, b.doc_id AS hist_id, count(*) AS i
+                 FROM posts a JOIN posts b ON a.s = b.s
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+       SELECT inc_id, hist_id,
+         CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+       FROM inter JOIN sizes na ON na.doc_id = inc_id
+       JOIN sizes nb ON nb.doc_id = hist_id
+       WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7"""
 }

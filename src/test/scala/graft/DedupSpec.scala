@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("incremental minhash probes history with cross pairs only") {
+    // increment = docs 2 and 5; history = 1, 3, 4 — near-dup 2~1/2~4 must
+    // surface as cross pairs; 1~4 (both history) and nothing-shared 3 must not
+    val inc = docs.filter(col("doc_id").isin(2L, 5L))
+    val hist = docs.filter(!col("doc_id").isin(2L, 5L))
+    val pairs = Dedup.minhashPairsAgainst(inc, hist, "doc_id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("inc_id", "hist_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)) && pairs.contains((2L, 4L)))
+    assert(pairs.forall(_._1 == 2L), s"only increment ids on the left: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("incremental minhash agrees with exact cross-pair jaccard on the fixture") {
+    val fix = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inc = fix.filter(col("doc_id") % 5 === 0)
+    val hist = fix.filter(col("doc_id") % 5 =!= 0)
+    val mh = Dedup.minhashPairsAgainst(inc, hist, "doc_id", "text", 3, 32, 2, 0.7)
+      .select("inc_id", "hist_id").as[(Long, Long)].collect().toSet
+    // exact reference: all-pairs jaccard restricted to cross pairs
+    val exact = Dedup.ngramJaccardPairs(fix, "doc_id", "text", 3, 0.7, 1000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a % 5 == 0 && b % 5 != 0 }
+      .toSet
+    assert(mh == exact)
+  }
+
   test("simhashDf matches the per-row simhash64 expression") {
     val rel = Dedup.simhashDf(docs, "doc_id", "text")
     val hof = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("fp"))
