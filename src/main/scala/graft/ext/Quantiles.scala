@@ -38,8 +38,14 @@ object Quantiles {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"groupQuantiles: qs must be in [0,1], got $qs")
+    require(qs.distinct.size == qs.size, s"groupQuantiles: duplicate q in $qs")
     val gs = groupCols.map(col)
-    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+    // null values are excluded (standard quantile semantics) — and
+    // explicitly, because engines disagree on null sort order (Spark
+    // sorts nulls first ascending, others last), which would silently
+    // shift every rank
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
     // both windows share the group partitioning: one shuffle, over the
     // distinct-value distribution only

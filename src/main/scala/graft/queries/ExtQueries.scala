@@ -1256,6 +1256,13 @@ object ExtQueries {
     import graft.streaming.StreamUpsert
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val orders = t(spark, dir, "orders")
+    val outSchema =
+      org.apache.spark.sql.types.StructType.fromDDL("okey BIGINT, price DOUBLE, pt BIGINT")
+    // empty base table: nothing to write, merge, or read (ManifestStore
+    // rejects reading a zero-partition table by contract)
+    if (orders.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
     val base = orders.select(
       col("o_orderkey").as("okey"),
       col("o_totalprice").as("price"),

@@ -27,6 +27,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(0.0, 0.5, 0.9, 1.0).forall(q => out(("b", q)) == 5L))
   }
 
+  test("groupQuantiles excludes null values and rejects duplicate qs") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)), ("b", None))
+      .toDF("g", "v")
+    val out = Quantiles.groupQuantiles(df, Seq("g"), "v", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // group a over [1, 3] (null dropped): median rank-1 → 1, max → 3
+    assert(out == Map(("a", 0.5) -> 1L, ("a", 1.0) -> 3L))
+    // group b had only nulls: no rows at all
+    intercept[IllegalArgumentException] {
+      Quantiles.groupQuantiles(df, Seq("g"), "v", Seq(0.5, 0.5))
+    }
+  }
+
   test("groupQuantiles emits exactly one row per (group, q)") {
     val df = Seq.tabulate(1000)(i => ("g" + (i % 3), (i * 7 % 50).toLong)).toDF("g", "v")
     val out = Quantiles.groupQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.75))
