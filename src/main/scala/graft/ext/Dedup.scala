@@ -627,4 +627,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  // ------------------------------------------------------ passage dedup
+
+  /** Corpus-level passage dedup — the tiling approximation of exact
+    * substring dedup (Lee et al. 2022; the RefinedWeb/FineWeb line-dedup
+    * pass generalized to fixed word tiles, since the corpus here has no
+    * line structure). Each doc is cut into non-overlapping `k`-word
+    * tiles; of every set of identical tiles only the corpus-order first
+    * occurrence (minimal `(id, tileIdx)`) survives; survivors are
+    * reassembled in tile order. Returns
+    * `(id, clean_text, n_tiles, n_kept)`; docs whose text has no words
+    * are dropped.
+    *
+    * Scale: tiling is NARROW — one `slice` per doc over its own word
+    * array, no corpus-wide n-gram index and no word-level shuffle (the
+    * per-doc transform/slice is interpreted, but it runs once per DOC on
+    * a doc-sized array — not the per-shingle hot path shingleRows
+    * exists to avoid). The wide stages are the first-occurrence window
+    * (ONE shuffle keyed on tile content, volume = corpus words / k) and
+    * the reassembly groupBy on id. A globally hot tile (boilerplate)
+    * lands on one reducer by construction — the window is a pure
+    * rank-1 filter, so state per key is O(1), not O(occurrences).
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"passageDedup: tile size must be >= 1, got $k")
+    val ws = df.select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0 && !(size(col("__ws")) === 1 && element_at(col("__ws"), 1) === ""))
+    val tiles = ws.select(col("__id"), posexplode(expr(
+      s"transform(sequence(0, cast(ceil(size(__ws) / $k.0) as int) - 1)," +
+        s" i -> array_join(slice(__ws, i * $k + 1, $k), ' '))")).as(Seq("__ti", "__tile")))
+    val firstWin = Window.partitionBy(col("__tile")).orderBy(col("__id"), col("__ti"))
+    val ranked = tiles.withColumn("__rn", row_number().over(firstWin))
+    ranked.groupBy(col("__id"))
+      .agg(
+        // survivors reassembled in tile order: collect_list skips the
+        // nulls the `when` leaves for dropped tiles, so the sort runs
+        // over the (small) per-doc survivor array only
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("__ti").as("i"), col("__tile").as("s"))))),
+            x => x.getField("s")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_tiles"), col("n_kept"))
+  }
 }

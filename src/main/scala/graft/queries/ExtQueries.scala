@@ -1454,4 +1454,25 @@ object ExtQueries {
        FROM inter JOIN sizes na ON na.doc_id = inc_id
        JOIN sizes nb ON nb.doc_id = hist_id
        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7"""
+
+  // --- x49: corpus passage dedup (tiled substring dedup) -----------------
+  // Lee et al. 2022 substring dedup, tiling approximation: only the
+  // corpus-order first occurrence of each repeated k-word tile survives,
+  // docs reassembled from survivors. k=3 is test-scale (the synthetic
+  // vocabulary is tiny — ~19% of 3-word tiles repeat at sf0.01);
+  // production uses 50–100-word tiles on real text.
+  def x49PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(t(spark, dir, "documents"), "doc_id", "text", 3)
+
+  val x49Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       t AS (SELECT doc_id, CAST(u.i AS BIGINT) AS ti,
+               array_to_string(ws[u.i*3+1 : u.i*3+3], ' ') AS tile
+             FROM w, UNNEST(range(0, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS u(i)),
+       r AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY doc_id, ti) AS rn FROM t)
+       SELECT doc_id,
+         coalesce(string_agg(tile, ' ' ORDER BY ti) FILTER (WHERE rn = 1), '') AS clean_text,
+         count(*) AS n_tiles,
+         count(*) FILTER (WHERE rn = 1) AS n_kept
+       FROM r GROUP BY doc_id"""
 }

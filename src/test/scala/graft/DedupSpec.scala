@@ -178,6 +178,23 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("passageDedup keeps only the corpus-order first occurrence of a tile") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "x y z"),
+      (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDedup(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns both its tiles; doc 2 loses "a b c" to (1,0); doc 3
+    // loses "x y z" to (2,1); the whitespace-only doc 4 vanishes
+    assert(out == Map(
+      1L -> (("a b c d e f", 2L, 2L)),
+      2L -> (("x y z", 2L, 1L)),
+      3L -> (("", 1L, 0L))))
+  }
+
   test("embedding pairs within blocks honor the threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "a"),
