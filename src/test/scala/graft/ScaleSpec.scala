@@ -99,6 +99,20 @@ class ScaleSpec extends SparkSpec {
       s"expected exactly one exchange:\n$p22")
   }
 
+  test("plan shapes: passage dedup tiles narrowly, two wide stages") {
+    // x49: tiling must NOT shuffle word-level rows — the only exchanges
+    // are the first-occurrence window (tile content) and the reassembly
+    // groupBy (id). A third exchange would mean the tile construction
+    // degenerated into a relational word-level regroup.
+    val x49 = graft.queries.ExtQueries.x49PassageDedup(spark, sfDir)
+    x49.collect()
+    val p49 = x49.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p49).length == 2,
+      s"expected exactly two exchanges (tile window + doc regroup):\n$p49")
+    assert(p49.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"passage dedup scan should prune to (doc_id, text):\n$p49")
+  }
+
   test("plan shapes r6: chunking/redaction stay narrow, kmv aggregates partially") {
     // x41 chunking: projection + generator only — NO exchange; chunk rows
     // inherit the scan's partitioning
