@@ -1475,4 +1475,49 @@ object ExtQueries {
          count(*) AS n_tiles,
          count(*) FILTER (WHERE rn = 1) AS n_kept
        FROM r GROUP BY doc_id"""
+
+  // --- x50: near-dup funnel (MinHash → components → keeper) --------------
+  // The fuzzy twin of x46's exact-dedup funnel — the standard LLM
+  // fuzzy-dedup pass composed end-to-end from library operators: LSH
+  // candidate pairs (x04's generator), connected components (x23's
+  // funnel), one keeper per cluster. The component label IS the min
+  // member id, so the keeper needs no extra pass: a doc survives iff it
+  // is unclustered or it is its own cluster label. At 100 TB every stage
+  // keeps its own bound (banded buckets, O(log d) contraction rounds,
+  // one doc_id-keyed join) — the composition adds only the final join +
+  // per-source rollup.
+  def x50NearDupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNull ||
+          col("cluster_id") === col("doc_id"), 1L).otherwise(0L)).as("n_survivors"))
+  }
+
+  val x50Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       SELECT d.source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN cl.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         CAST(sum(CASE WHEN cl.id IS NULL OR cl.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+       FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+       GROUP BY 1"""
 }

@@ -195,6 +195,23 @@ class DedupSpec extends SparkSpec {
       3L -> (("", 1L, 0L))))
   }
 
+  test("near-dup funnel counts agree with the standalone cluster pass") {
+    val out = graft.queries.ExtQueries.x50NearDupFunnel(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, c, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c <= n && s <= n && s >= n - c, s"inconsistent funnel row: $r")
+    }
+    // the funnel's n_clustered is exactly the cluster operator's member
+    // count per source — the composition must not re-derive clustering
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val perSource = graft.queries.ExtQueries.x23DupClusters(spark, sfDir)
+      .join(docs, "doc_id").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funnel = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(funnel.filter(_._2 > 0) == perSource.filter(_._2 > 0))
+  }
+
   test("embedding pairs within blocks honor the threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "a"),
