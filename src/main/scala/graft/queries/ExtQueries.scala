@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Quantiles, Redaction, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Quantiles, Redaction, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -1520,4 +1520,22 @@ object ExtQueries {
          CAST(sum(CASE WHEN cl.id IS NULL OR cl.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
        FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
        GROUP BY 1"""
+
+  // --- x51: deterministic shard planning (greedy fill in md5 order) ------
+  // The layout step before writing training shards: reproducible order
+  // (md5 of doc_id, the repo convention), greedy fill to ~8192 chars.
+  // The oracle's single global ORDER BY is exactly the funnel the
+  // operator's bucket-offset cumsum avoids — see Sharding scaladoc.
+  def x51ShardPlan(spark: SparkSession, dir: String): DataFrame =
+    Sharding.planShards(t(spark, dir, "documents"), "doc_id", "n_chars", 8192L)
+
+  val x51Sql: String =
+    """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS mk FROM documents),
+       w AS (SELECT doc_id, n_chars,
+           coalesce(sum(n_chars) OVER (ORDER BY mk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         FROM d)
+       SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(bef // 8192 AS BIGINT) AS shard_id FROM w"""
 }

@@ -47,6 +47,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.groupBy("g", "q").count().filter(col("count") =!= 1).count() == 0)
   }
 
+  // ------------------------------------------------------- shard planning
+
+  test("planShards fills greedily in md5 order and matches a global-window oracle") {
+    val docs = Seq.tabulate(200)(i => (i.toLong, (i % 37 + 1).toLong)).toDF("k", "c")
+    val out = graft.ext.Sharding.planShards(docs, "k", "c", 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // oracle: the naive single global window, feasible at test size
+    val naive = docs.select(col("k"), col("c"), md5(col("k").cast("string")).as("mk"))
+      .withColumn("bef", coalesce(sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("mk"), col("k"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3) / 100L))).toMap
+    assert(out == naive)
+    // greedy-fill invariant: every shard except the last overshoots only
+    // by its final straddling doc — so each holds >= budget - (max cost - 1)
+    val byShard = out.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    val last = byShard.keys.max
+    byShard.filter(_._1 != last).foreach { case (s, tot) =>
+      assert(tot >= 100L - 36L, s"underfull shard $s: $tot")
+    }
+  }
+
   // -------------------------------------------------------- stream upsert
 
   test("streaming merge equals the batch upsert and converges under replay") {

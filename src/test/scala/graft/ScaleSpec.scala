@@ -113,6 +113,21 @@ class ScaleSpec extends SparkSpec {
       s"passage dedup scan should prune to (doc_id, text):\n$p49")
   }
 
+  test("plan shapes: shard planning never range-sorts the corpus") {
+    // x51's global order must come from the bucket-offset composition,
+    // not a global ORDER BY: a range-partitioned sort (what a global
+    // window would plan) funnels every row's sort through one stage and
+    // its window through ONE task. Only the ≤65536-row offsets rollup
+    // may pass through a single partition.
+    val x51 = graft.queries.ExtQueries.x51ShardPlan(spark, sfDir)
+    x51.collect()
+    val p51 = x51.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p51.contains("Exchange rangepartitioning"),
+      s"shard planning must not globally sort the corpus:\n$p51")
+    assert(p51.contains("Exchange hashpartitioning"),
+      s"expected bucket-hash cumsum:\n$p51")
+  }
+
   test("plan shapes r6: chunking/redaction stay narrow, kmv aggregates partially") {
     // x41 chunking: projection + generator only — NO exchange; chunk rows
     // inherit the scan's partitioning
