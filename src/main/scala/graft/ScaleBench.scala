@@ -58,7 +58,8 @@ object ScaleBench {
     "x38_pii_redact", "x39_weighted_sample", "x40_kmv_distinct",
     "x41_doc_chunks", "x43_zorder_stats", "x42_stream_join",
     "x44_stream_dedup", "x45_stream_upsert", "x46_corpus_funnel",
-    "x47_group_quantiles", "x48_incremental_minhash", "x49_passage_dedup")
+    "x47_group_quantiles", "x48_incremental_minhash", "x49_passage_dedup",
+    "x51_shard_plan")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
