@@ -27,7 +27,10 @@ object Sharding {
 
   /** Plan shards of ~`budget` total `costCol` (greedy fill in md5(key)
     * order). Returns one row per input row:
-    * `(keyCol, costCol, shard_id)`; null costs count as 0.
+    * `(keyCol, costCol, shard_id)`; null costs count as 0. `keyCol`
+    * must be unique (it is a key): duplicate keys tie in the fill
+    * order, making the duplicates' relative positions — and therefore
+    * their shard assignment — permutation-dependent.
     */
   def planShards(
       df: DataFrame,
@@ -40,8 +43,12 @@ object Sharding {
       coalesce(col(costCol).cast("long"), lit(0L)).as("__c"),
       md5(col(keyCol).cast("string")).as("__mk"),
       TextAnalysis.md5Bucket(col(keyCol)).as("__b"))
+    // explicit ROWS frame: the default RANGE frame would lump rows tied
+    // on (__mk, key) into one cumulative value — ROWS matches the
+    // oracle's row-at-a-time running total exactly
     val inBucket = Window.partitionBy(col("__b"))
       .orderBy(col("__mk"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = d.withColumn("__cum", sum(col("__c")).over(inBucket))
     // bucket offsets: tiny rollup, one task for its cumsum — the ONLY
     // place the global order is threaded through a single partition
