@@ -62,8 +62,15 @@ object ManifestStore {
     * (single level `c=v`, or nested `a=1/b=2` for multi-level
     * partitioning) to the commit root owning that leaf's current version.
     */
+  /** `txn` records, per logical writer id, the last streaming batch id
+    * whose merge this snapshot already contains — the public Delta
+    * SetTransaction idea. It rides every subsequent manifest forward, so
+    * a replayed batch can be recognized and skipped (exactly-once
+    * sinks); absent for tables written by batch-only writers.
+    */
   private final case class Manifest(
-      version: Int, partitionCols: Seq[String], commit: String, partitions: Map[String, String])
+      version: Int, partitionCols: Seq[String], commit: String, partitions: Map[String, String],
+      txn: Map[String, Long] = Map.empty)
 
   /** Resolve the newest READABLE manifest: versions are tried newest-first
     * and one that fails to parse is skipped — a torn file from an
@@ -167,6 +174,16 @@ object ManifestStore {
       (j \ "partitions") match {
         case JObject(fields) => fields.map { case (k, v) => k -> str(v) }.toMap
         case other => sys.error(s"manifest $p: partitions = $other")
+      },
+      (j \ "txn") match {
+        // absent on pre-fencing manifests and batch-written tables
+        case JNothing => Map.empty
+        case JObject(fields) => fields.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JLong(v)) => k -> v
+          case (k, other) => sys.error(s"manifest $p: txn.$k = $other")
+        }.toMap
+        case other => sys.error(s"manifest $p: txn = $other")
       })
   }
 
@@ -204,8 +221,14 @@ object ManifestStore {
     val entries = m.partitions.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${k}":"${v}"""" }.mkString("{", ",", "}")
     val colsJson = m.partitionCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    // txn only when present keeps the format byte-identical for
+    // batch-only tables (and their fixture expectations)
+    val txnJson =
+      if (m.txn.isEmpty) ""
+      else m.txn.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${k}":$v""" }.mkString(""","txn":{""", ",", "}")
     val json =
-      s"""{"version":${m.version},"partitionCols":$colsJson,"commit":"${m.commit}","partitions":$entries}"""
+      s"""{"version":${m.version},"partitionCols":$colsJson,"commit":"${m.commit}","partitions":$entries$txnJson}"""
     def claim(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(dst, false)
       catch { case e: java.io.IOException if isClaimConflict(e) =>
@@ -358,10 +381,11 @@ object ManifestStore {
       batch: DataFrame,
       keyCols: Seq[String],
       partitionCols: Seq[String],
-      maxRetries: Int = 3): Unit = {
+      maxRetries: Int = 3,
+      txn: Option[(String, Long)] = None): Unit = {
     var attempt = 0
     while (true) {
-      try { mergeAttempt(spark, path, batch, keyCols, partitionCols); return }
+      try { mergeAttempt(spark, path, batch, keyCols, partitionCols, txn); return }
       catch {
         case e: java.io.IOException
             if e.getMessage != null &&
@@ -377,13 +401,24 @@ object ManifestStore {
       path: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions._
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path — write() first"))
     require(m.partitionCols == partitionCols,
       s"ManifestStore: table is partitioned by ${m.partitionCols.mkString(",")}, not ${partitionCols.mkString(",")}")
+    // txn fence (the public Delta SetTransaction contract): if this
+    // snapshot already contains a batch id >= ours from the same logical
+    // writer, the merge was applied before a crash/replay — skip it
+    // entirely. The check rides the SAME snapshot read the merge plans
+    // against, and the recorded id commits atomically with the data, so
+    // the fence cannot tear. Fresh-checkpoint replays restart batch ids
+    // at 0, which the >= makes a no-op — the writer id names the logical
+    // STREAM (stable across restarts), not the run.
+    for ((app, bid) <- txn)
+      if (m.txn.get(app).exists(_ >= bid)) return
     val touched = batch.select(partitionCols.map(col): _*).distinct()
       .collect().map(r => partitionCols.indices.map(r.get)).toSeq
     // a zero-row batch touches nothing: no-op, no empty commit, no
@@ -417,7 +452,7 @@ object ManifestStore {
         read(spark, path).filter(touchedPred), batch, keyCols)
     val (uuid, staged) = writeCommit(spark, path, out, partitionCols)
     try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
-      m.partitions ++ staged.map(_ -> s"commits/$uuid")))
+      m.partitions ++ staged.map(_ -> s"commits/$uuid"), m.txn ++ txn))
     catch { case e: java.io.IOException =>
       // our commit never became visible — no manifest references `uuid`,
       // so reclaiming it immediately (instead of waiting for vacuum)
@@ -426,6 +461,15 @@ object ManifestStore {
       catch { case _: java.io.IOException => () }
       throw e
     }
+  }
+
+  /** Last streaming batch id the current snapshot records for the
+    * logical writer `appId` (see the txn fence in [[merge]]), or None if
+    * the writer has never committed here.
+    */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val fs = fsFor(spark, new Path(path))
+    latest(fs, path).flatMap(_.txn.get(appId))
   }
 
   /** Delete data not referenced by the LATEST manifest: whole commit

@@ -19,12 +19,13 @@ import graft.sources.ManifestStore
   * a crash between the merge commit and the checkpoint commit replays the
   * batch. The merge itself is idempotent per key (re-upserting the same
   * rows rewrites the same partitions to the same state), so replays
-  * converge; the remaining cost of a replay is one redundant commit. A
-  * production sink closes even that gap by FENCING: record
-  * (queryId, batchId) in the manifest at commit time and skip batches
-  * already recorded — the txn-action pattern public table formats use.
-  * The gate's correctness claim (final table ≡ batch upsert) holds under
-  * both contracts because upserts commute per key.
+  * converge; the remaining cost of a replay is one redundant commit.
+  * Passing `writerId` closes even that gap by FENCING: the merge records
+  * (writerId, batchId) in the manifest atomically with the data and
+  * skips batches the snapshot already records — the txn-action pattern
+  * public table formats use (ManifestStore's txn fence). The gate's
+  * correctness claim (final table ≡ batch upsert) holds under both
+  * contracts because upserts commute per key.
   *
   * Scale: per micro-batch cost is O(touched partitions), not O(table) —
   * ManifestStore.merge prunes to the partitions the batch touches and
@@ -40,6 +41,14 @@ object StreamUpsert {
     * through a streaming query whose every micro-batch merges into the
     * ManifestStore table at `tablePath` (which must already exist —
     * `ManifestStore.write` the base snapshot first).
+    *
+    * `writerId` upgrades the sink from at-least-once-convergent to
+    * EXACTLY-ONCE: each merge records (writerId, batchId) in the
+    * manifest atomically with the data, and a batch the snapshot
+    * already records is skipped — the fencing the scaladoc above
+    * describes, actually wired. The id names the logical stream and
+    * must be stable across restarts/replays of that stream (and unique
+    * among writers of the table), exactly the public txnAppId contract.
     */
   def replayedMerge(
       spark: SparkSession,
@@ -50,7 +59,8 @@ object StreamUpsert {
       tablePath: String,
       keyCols: Seq[String],
       partitionCols: Seq[String],
-      timeoutMs: Long = 300000L): Unit = {
+      timeoutMs: Long = 300000L,
+      writerId: Option[String] = None): Unit = {
     val root = s"${scratch}_${LateData.jvmToken}"
     val in = LateData.stagedDirs.computeIfAbsent(root,
       _ => LateData.stage(spark, updates, dataCols, batchCol, root))
@@ -64,10 +74,11 @@ object StreamUpsert {
       .writeStream
       .queryName(s"graft_stream_upsert_$run")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch belongs to the stream's session; keep the merge (its
         // snapshot read + upsert plan join) in that same session
-        ManifestStore.merge(batch.sparkSession, tablePath, batch, keyCols, partitionCols)
+        ManifestStore.merge(batch.sparkSession, tablePath, batch, keyCols, partitionCols,
+          txn = writerId.map(w => (w, batchId)))
       }
       .trigger(Trigger.AvailableNow())
       .start()

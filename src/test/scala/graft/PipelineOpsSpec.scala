@@ -99,6 +99,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ManifestStore.versions(spark, table).size == 5)
   }
 
+  test("txn-fenced streaming merge makes replays exactly-once") {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val table = s"/tmp/graft-test/suf_tbl_$token"
+    val scratch = s"/tmp/graft-test/suf_in_$token"
+    val base = Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("k", "v", "p")
+    ManifestStore.write(spark, base, table, "p")
+    val updates = Seq((2L, "B", 1L, 0L), (3L, "c", 0L, 1L)).toDF("k", "v", "p", "__b")
+    def run(): Unit = StreamUpsert.replayedMerge(spark, updates,
+      Seq("k", "v", "p"), "__b", scratch, table, Seq("k"), Seq("p"),
+      writerId = Some(s"suf_$token"))
+    run()
+    val expected = Map(1L -> "a", 2L -> "B", 3L -> "c")
+    def state(): Map[Long, String] = ManifestStore.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state() == expected)
+    assert(ManifestStore.versions(spark, table).size == 3)
+    assert(ManifestStore.lastTxn(spark, table, s"suf_$token").contains(1L))
+    // the fence recognizes the replayed batch ids: NO redundant commits,
+    // exactly-once instead of at-least-once-convergent
+    run()
+    assert(state() == expected)
+    assert(ManifestStore.versions(spark, table).size == 3)
+    // an unfenced batch writer still commits (and carries txn forward)
+    ManifestStore.merge(spark, table, Seq((4L, "d", 0L)).toDF("k", "v", "p"),
+      Seq("k"), Seq("p"))
+    assert(ManifestStore.versions(spark, table).size == 4)
+    assert(ManifestStore.lastTxn(spark, table, s"suf_$token").contains(1L))
+  }
+
   // -------------------------------------------------------- corpus funnel
 
   test("corpus funnel counts are monotone and cover the corpus") {
