@@ -335,15 +335,27 @@ object ManifestStore {
       case None => latest(fs, path).getOrElse(
         throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
     }
-    val byCommit = m.partitions.groupBy(_._2).toSeq.sortBy(_._1)
+    readLeafs(spark, path, m, m.partitions.keys.toSeq)
+  }
+
+  /** Scan of `leafs` only, at snapshot `m` — the partition-restricted
+    * read that [[changes]] builds on. Commits whose files predate a
+    * schema evolution lack the added columns; `unionByName` with
+    * allowMissingColumns fills them with NULL, the standard
+    * Delta/Iceberg read-time semantics for evolved tables.
+    */
+  private def readLeafs(
+      spark: SparkSession, path: String, m: Manifest, leafs: Seq[String]): DataFrame = {
+    val live = leafs.filter(m.partitions.contains)
+    val byCommit = live.map(l => l -> m.partitions(l)).groupBy(_._2).toSeq.sortBy(_._1)
     if (byCommit.isEmpty)
       throw new IllegalStateException(
         s"ManifestStore: table at $path has no partitions (initialized from an empty frame) — nothing to scan")
     byCommit.map { case (commitRel, parts) =>
       val base = new Path(path, commitRel).toString
       spark.read.option("basePath", base)
-        .parquet(parts.keys.toSeq.sorted.map(d => s"$base/$d"): _*)
-    }.reduce(_ unionByName _)
+        .parquet(parts.map(_._1).sorted.map(d => s"$base/$d"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Copy-on-write MERGE with an atomic commit: same data plan as
@@ -382,18 +394,52 @@ object ManifestStore {
       keyCols: Seq[String],
       partitionCols: Seq[String],
       maxRetries: Int = 3,
-      txn: Option[(String, Long)] = None): Unit = {
-    var attempt = 0
+      txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Unit =
+    withClaimRetry(maxRetries) { () =>
+      mergeAttempt(spark, path, batch, keyCols, partitionCols, txn, evolveSchema)
+    }
+
+  /** Bounded optimistic retry shared by [[merge]], [[delete]] and
+    * [[compact]]: a lost claim re-runs the whole attempt against the new
+    * snapshot (all three commute semantically — upserts per key, deletes
+    * per key, compaction is content-preserving). Torn-claim "retry later"
+    * conflicts still propagate, see the merge scaladoc.
+    */
+  private def withClaimRetry(maxRetries: Int)(attempt: () => Unit): Unit = {
+    var n = 0
     while (true) {
-      try { mergeAttempt(spark, path, batch, keyCols, partitionCols, txn); return }
+      try { attempt(); return }
       catch {
         case e: java.io.IOException
             if e.getMessage != null &&
               e.getMessage.contains("re-merge from the new snapshot") &&
-              attempt < maxRetries =>
-          attempt += 1
+              n < maxRetries =>
+          n += 1
       }
     }
+  }
+
+  /** Schema evolution (ADD columns only, the safe 95% of Delta/Iceberg
+    * evolution): widen both sides to the union of their columns, missing
+    * ones NULL of the other side's type. Type CHANGES are rejected —
+    * silent cast-on-merge corrupts data far more often than it helps.
+    */
+  private def alignSchemas(
+      current: DataFrame, batch: DataFrame, partitionCols: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    // partition columns are exempt: their read-side type is inferred from
+    // directory names (p=0 reads back as int even when written from a
+    // long) and the union coerces them exactly as plain merge always has
+    for (f <- batch.schema.fields; g <- current.schema.fields
+         if f.name == g.name && !partitionCols.contains(f.name))
+      require(f.dataType == g.dataType,
+        s"merge(evolveSchema): column ${f.name} changes type ${g.dataType} -> ${f.dataType} — type evolution is not supported")
+    val cur2 = batch.schema.fields.filterNot(f => current.columns.contains(f.name))
+      .foldLeft(current)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val bat2 = current.schema.fields.filterNot(f => batch.columns.contains(f.name))
+      .foldLeft(batch)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    (cur2, bat2.select(cur2.columns.map(col).toSeq: _*))
   }
 
   private def mergeAttempt(
@@ -402,7 +448,8 @@ object ManifestStore {
       batch: DataFrame,
       keyCols: Seq[String],
       partitionCols: Seq[String],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
@@ -448,8 +495,18 @@ object ManifestStore {
     // read() cannot build a frame from no files
     val out =
       if (m.partitions.isEmpty) batch
-      else PartitionedStore.upsertPlan(
-        read(spark, path).filter(touchedPred), batch, keyCols)
+      else {
+        val current = read(spark, path).filter(touchedPred)
+        // upsertPlan selects the current columns out of the batch, which
+        // would silently DROP a new batch column — surface that as an
+        // explicit evolution decision instead
+        val extra = batch.columns.filterNot(current.columns.contains)
+        require(evolveSchema || extra.isEmpty,
+          s"merge: batch adds column(s) ${extra.mkString(",")} the table lacks — pass evolveSchema=true to evolve the schema")
+        val (cur2, bat2) =
+          if (evolveSchema) alignSchemas(current, batch, partitionCols) else (current, batch)
+        PartitionedStore.upsertPlan(cur2, bat2, keyCols)
+      }
     val (uuid, staged) = writeCommit(spark, path, out, partitionCols)
     try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
       m.partitions ++ staged.map(_ -> s"commits/$uuid"), m.txn ++ txn))
@@ -470,6 +527,208 @@ object ManifestStore {
   def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val fs = fsFor(spark, new Path(path))
     latest(fs, path).flatMap(_.txn.get(appId))
+  }
+
+  /** Copy-on-write DELETE by key (the right-to-be-forgotten primitive a
+    * 100 TB corpus store cannot live without): rewrite ONLY the partitions
+    * containing doomed keys, anti-joining the keys away; publication is
+    * the same atomic manifest flip as [[merge]]. A partition whose last
+    * row dies DROPS out of the manifest — its leaf entry is removed, its
+    * old files become vacuum-able garbage.
+    *
+    * `keys` should carry the partition column(s) (same stable
+    * key→partition contract as merge) so the touched set is known without
+    * touching the table; if it does not, the touched partitions are
+    * LOCATED first via a key+partition-column scan — column-pruned to the
+    * key and partition columns only, never the data columns, so the
+    * locate pass reads a sliver of a wide table.
+    *
+    * Touched LEAF NAMES are never re-derived by string-formatting values
+    * (see the merge scaladoc): the keys frame is staged hive-partitioned
+    * into a scratch dir and the leaf dirs Spark writes ARE the names —
+    * bit-identical escaping to the data commits, at O(keys) extra I/O.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      maxRetries: Int = 3): Unit =
+    withClaimRetry(maxRetries)(() => deleteAttempt(spark, path, keys, keyCols, partitionCols))
+
+  private def deleteAttempt(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = fsFor(spark, new Path(path))
+    val m = latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path — write() first"))
+    require(m.partitionCols == partitionCols,
+      s"ManifestStore: table is partitioned by ${m.partitionCols.mkString(",")}, not ${partitionCols.mkString(",")}")
+    if (m.partitions.isEmpty) return
+    val keyed =
+      if (partitionCols.forall(keys.columns.contains))
+        keys.select((keyCols ++ partitionCols).distinct.map(col): _*).distinct()
+      else
+        // locate: key+partition columns only — parquet column pruning
+        // keeps this pass narrow on a wide table
+        read(spark, path)
+          .select((keyCols ++ partitionCols).distinct.map(col): _*)
+          .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+          .distinct()
+    // stage the keys hive-partitioned: Spark's own dynamic-partition write
+    // yields the touched leaf names with the table's exact escaping
+    val probeDir = new Path(path, s"_tmp/delete_${java.util.UUID.randomUUID().toString}")
+    val touchedLeafs =
+      try {
+        // __probe keeps the staged file non-degenerate when the key IS the
+        // partition column (partitionBy strips partition cols from data)
+        keyed.withColumn("__probe", lit(1))
+          .write.partitionBy(partitionCols: _*).parquet(probeDir.toString)
+        leafPartitionDirs(fs, probeDir, partitionCols).map(_._1)
+          .filter(m.partitions.contains).toSet
+      } finally { try fs.delete(probeDir, true) catch { case _: java.io.IOException => () } }
+    if (touchedLeafs.isEmpty) return
+    val touched = keyed.select(partitionCols.map(col): _*).distinct()
+      .collect().map(r => partitionCols.indices.map(r.get)).toSeq
+    require(!touched.exists(_.contains(null)),
+      s"delete: null ${partitionCols.mkString(",")} in keys")
+    def balanced(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+      var cur = cs
+      while (cur.size > 1) cur = cur.grouped(2).map(_.reduce(_ || _)).toSeq
+      cur.head
+    }
+    val touchedPred =
+      if (partitionCols.size == 1) col(partitionCols.head).isin(touched.map(_.head): _*)
+      else balanced(touched.map(tuple =>
+        partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
+    val survivors = readLeafs(spark, path, m, touchedLeafs.toSeq)
+      .filter(touchedPred)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val (uuid, staged) = writeCommit(spark, path, survivors, partitionCols)
+    // emptied partitions are exactly touched -- staged: their leaf entries
+    // drop from the manifest instead of pointing at stale data
+    try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
+      (m.partitions -- touchedLeafs) ++ staged.map(_ -> s"commits/$uuid"), m.txn))
+    catch { case e: java.io.IOException =>
+      try fs.delete(new Path(path, s"commits/$uuid"), true)
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
+  }
+
+  /** Change-data-feed between two readable snapshots: one row per key
+    * whose state differs between `fromVersion` and `toVersion`, tagged
+    * `insert` / `update` / `delete`, carrying the new values (old values
+    * for deletes).
+    *
+    * Scale shape — the whole point: a commit repoints only the leaf
+    * partitions it touched, so the diff scans ONLY partitions whose
+    * commit pointer differs between the two manifests, then joins old vs
+    * new on the key WITHIN those partitions. A day of commits over a
+    * 100 TB table diffs in O(data touched that day), never O(table).
+    * Unchanged rows inside a rewritten partition (copy-on-write rewrites
+    * whole partitions) are dropped by the value comparison, so the feed
+    * reports logical changes, not physical rewrites.
+    */
+  def changes(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Int,
+      toVersion: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion < toVersion, s"changes: fromVersion $fromVersion must be < toVersion $toVersion")
+    val fs = fsFor(spark, new Path(path))
+    val mFrom = readManifest(fs, path, fromVersion)
+    val mTo = readManifest(fs, path, toVersion)
+    require(mFrom.partitionCols == mTo.partitionCols,
+      s"changes: partitioning changed between versions (${mFrom.partitionCols} vs ${mTo.partitionCols})")
+    val changed = (mFrom.partitions.keySet ++ mTo.partitions.keySet)
+      .filter(l => mFrom.partitions.get(l) != mTo.partitions.get(l)).toSeq.sorted
+    val oldLeafs = changed.filter(mFrom.partitions.contains)
+    val newLeafs = changed.filter(mTo.partitions.contains)
+    // template for the output schema when one side (or the whole diff) is
+    // empty: that side's snapshot columns, zero rows (the FALSE filter
+    // folds the scan away). A snapshot with no partitions at all borrows
+    // the other side's schema — alignSchemas reconciles the union anyway.
+    def emptyLike(m: Manifest): DataFrame = {
+      val src = if (m.partitions.nonEmpty) m
+        else if (mTo.partitions.nonEmpty) mTo
+        else if (mFrom.partitions.nonEmpty) mFrom
+        else throw new IllegalStateException(
+          s"changes: both snapshots of $path are empty — nothing to diff")
+      readLeafs(spark, path, src, src.partitions.keys.toSeq).where(lit(false))
+    }
+    val oldDf0 = if (oldLeafs.nonEmpty) readLeafs(spark, path, mFrom, oldLeafs) else emptyLike(mFrom)
+    val newDf0 = if (newLeafs.nonEmpty) readLeafs(spark, path, mTo, newLeafs) else emptyLike(mTo)
+    val (oldDf, newDf) = alignSchemas(oldDf0, newDf0, mTo.partitionCols)
+    val dataCols = newDf.columns.filterNot(keyCols.contains).toSeq
+    val o = oldDf.withColumn("__old_present", lit(1)).as("o")
+    val n = newDf.withColumn("__new_present", lit(1)).as("n")
+    val joined = o.join(n, keyCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _), "full_outer")
+    val oldStruct = struct(dataCols.map(c => col(s"o.$c")): _*)
+    val newStruct = struct(dataCols.map(c => col(s"n.$c")): _*)
+    val changeType =
+      when(col("o.__old_present").isNull, lit("insert"))
+        .when(col("n.__new_present").isNull, lit("delete"))
+        .when(!(oldStruct <=> newStruct), lit("update"))
+    joined
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(
+        keyCols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)) ++
+          dataCols.map(c =>
+            when(col("change_type") === "delete", col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+
+          col("change_type"): _*)
+  }
+
+  /** Rewrite every live partition into ONE fresh commit (each leaf lands
+    * as a single file via the hash repartition on the partition columns)
+    * and flip the manifest — content-identical, metadata-minimal. Returns
+    * the number of live commits collapsed, 0 if already compact.
+    *
+    * Why it matters at scale: [[read]] builds one scan per LIVE COMMIT,
+    * so a table taking thousands of small merges accretes plan size and
+    * small files without bound; compaction resets both to O(partitions).
+    * The superseded files stay until [[vacuum]] (snapshot isolation for
+    * in-flight readers). For leafs too large for one file, cap with
+    * `spark.sql.files.maxRecordsPerFile` — the write splits per task
+    * without changing the plan shape.
+    */
+  def compact(spark: SparkSession, path: String, maxRetries: Int = 3): Int = {
+    var collapsed = 0
+    withClaimRetry(maxRetries) { () => collapsed = compactAttempt(spark, path) }
+    collapsed
+  }
+
+  private def compactAttempt(spark: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.functions._
+    val fs = fsFor(spark, new Path(path))
+    val m = latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path — write() first"))
+    val liveCommits = m.partitions.values.toSet
+    if (liveCommits.size <= 1) return 0
+    // readLeafs against THIS manifest, not a re-resolved latest: the
+    // staged-leafs == live-leafs check below must compare within one
+    // snapshot even if another commit lands mid-compaction
+    val df = readLeafs(spark, path, m, m.partitions.keys.toSeq)
+      .repartition(m.partitionCols.map(col): _*)
+    val (uuid, staged) = writeCommit(spark, path, df, m.partitionCols)
+    require(staged.toSet == m.partitions.keySet,
+      s"compact: staged leafs ${staged.size} != live leafs ${m.partitions.size} — aborting before manifest flip")
+    try commitManifest(fs, path, Manifest(m.version + 1, m.partitionCols, uuid,
+      staged.map(_ -> s"commits/$uuid").toMap, m.txn))
+    catch { case e: java.io.IOException =>
+      try fs.delete(new Path(path, s"commits/$uuid"), true)
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
+    liveCommits.size
   }
 
   /** Delete data not referenced by the LATEST manifest: whole commit
