@@ -717,4 +717,129 @@ object SurfaceQueries {
        '{"rows":' || count(*) || ',"key_sum":' || CAST(sum(o_orderkey) AS BIGINT)
          || ',"large":' || count(CASE WHEN o_totalprice > 150000.0 THEN 1 END) || '}' AS payload
        FROM orders WHERE o_orderkey % 3 = 0"""
+
+  // --- x52: version-diff change feed over the manifest table --------------
+  // write → merge (updates + inserts) → DELETE (right-to-be-forgotten) →
+  // changes(v1, v3). The feed must report the LOGICAL diff only: rows
+  // rewritten by copy-on-write but value-identical stay out; deletes carry
+  // the old values. The scan is bounded by repointed partitions (asserted
+  // structurally in LakehouseOpsSpec), so a day of commits on a 100 TB
+  // table diffs in O(touched data). Orders subset (%2) keeps gate I/O
+  // proportional to what it proves.
+  def x52ManifestCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/mcdc_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
+    val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+    ManifestStore.write(spark, orders, base, "order_year")
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("order_year", lit(2024))
+    ManifestStore.merge(spark, base, updates.unionByName(inserts),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.delete(spark, base,
+      orders.filter(col("o_orderkey") % 500 === 0).select(col("o_orderkey"), col("order_year")),
+      Seq("o_orderkey"), Seq("order_year"))
+    ManifestStore.changes(spark, base, 1, 3, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("order_year").cast("int").as("order_year"), col("change_type"))
+  }
+
+  val x52Sql: String =
+    """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year, 'update' AS change_type
+       FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 500 <> 0 AND o_orderkey % 2 = 0
+       UNION ALL
+       SELECT o_orderkey + 10000000, o_totalprice, 2024, 'insert'
+       FROM orders WHERE o_orderkey % 1000 = 0 AND o_orderkey % 2 = 0
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT), 'delete'
+       FROM orders WHERE o_orderkey % 500 = 0 AND o_orderkey % 2 = 0"""
+
+  // --- x53: commit compaction keeps reads O(partitions), not O(commits) ---
+  // Three merges leave four live commits; compact() must collapse them to
+  // ONE (asserted in-gate — the driver sees content only) while the
+  // readable content stays byte-for-byte the last-writer-wins state.
+  // Updates derive from the ORIGINAL frame, so the oracle composes as a
+  // CASE over the key classes, newest merge first.
+  def x53ManifestCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/mcompact_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
+    val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+    ManifestStore.write(spark, orders, base, "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 778 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("order_year", lit(2025)),
+      Seq("o_orderkey"), "order_year")
+    val collapsed = ManifestStore.compact(spark, base)
+    require(collapsed >= 2, s"x53: expected >=2 live commits collapsed, got $collapsed")
+    val out = ManifestStore.read(spark, base)
+    val commitRoots = out.inputFiles.map(_.replaceAll("/order_year=.*$", "")).toSet
+    require(commitRoots.size == 1, s"x53: read still spans ${commitRoots.size} commits after compact")
+    out.select(col("o_orderkey"), col("o_totalprice"),
+      col("order_year").cast("int").as("order_year"))
+  }
+
+  val x53Sql: String =
+    """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000
+              WHEN o_orderkey % 9 = 0 THEN o_totalprice + 100
+              ELSE o_totalprice END AS o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year
+       FROM orders WHERE o_orderkey % 2 = 0
+       UNION ALL
+       SELECT o_orderkey + 20000000, o_totalprice, 2025
+       FROM orders WHERE o_orderkey % 778 = 0 AND o_orderkey % 2 = 0"""
+
+  // --- x54: ADD-column schema evolution through merge ---------------------
+  // The batch arrives with a column the table never had (`priority`);
+  // evolveSchema widens the schema, touched partitions rewrite with it,
+  // and rows in UNTOUCHED pre-evolution partitions read back as NULL —
+  // no table-wide rewrite, the Delta/Iceberg read-time semantics.
+  def x54SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/mevolve_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
+    val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+    ManifestStore.write(spark, orders, base, "order_year")
+    val evolved = orders.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .withColumn("priority", (col("o_orderkey") % 7).cast("int"))
+    ManifestStore.merge(spark, base, evolved,
+      Seq("o_orderkey"), Seq("order_year"), evolveSchema = true)
+    ManifestStore.read(spark, base)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("order_year").cast("int").as("order_year"), col("priority").cast("int").as("priority"))
+  }
+
+  val x54Sql: String =
+    """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         CASE WHEN o_orderkey % 50 = 0 THEN CAST(o_orderkey % 7 AS INT) END AS priority
+       FROM orders WHERE o_orderkey % 2 = 0"""
 }
