@@ -604,6 +604,50 @@ object Dedup {
           / col("n_grams").cast("double")).as("contamination_ratio"))
   }
 
+  /** [[benchmarkOverlap]] with a BLOOM-FILTER prefilter — the shape for
+    * benchmark sets too large to broadcast as exact string sets. The
+    * filter is built from the benchmark grams' 64-bit hashes (16
+    * bits/key ≈ 5e-4 FP) and rides the plan to every executor as a
+    * codegen'd [[org.apache.spark.sql.graftfn.BloomMightContain]]
+    * probe — a NARROW filter over the corpus posting rows, no join, no
+    * shuffle. Only the survivors (true hits + the few FPs) reach the
+    * exact verify join, so the pair-shuffle volume tracks the true
+    * contamination volume and the result is EXACT — bloom false
+    * positives die in the join. This is Spark's own runtime-filter
+    * pattern applied to decontamination; at 100 TB the probe prunes
+    * >99.9% of corpus grams before anything wide happens.
+    *
+    * Returns only contaminated docs: (id, n_grams, n_contaminated,
+    * contamination_ratio).
+    */
+  def benchmarkOverlapBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      bitsPerKey: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftfn.{Bloom, BloomExpressions}
+    val benchGrams = shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct()
+    // benchmark gram sets are bounded (the benchmark, not the corpus) —
+    // built on the driver here; the top-end variant builds per-partition
+    // bitsets with the same kernel and treeAggregates the OR-merge
+    val hashes = benchGrams.select(xxhash64(col("s")).as("h")).collect().map(_.getLong(0))
+    val bloom = Bloom.build(hashes, bitsPerKey)
+    val posts = shingleRows(corpus, idCol, textCol, shingleN)
+    val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val survivors = posts.filter(BloomExpressions.mightContain(xxhash64(col("s")), bloom))
+    // exact verify join is deliberately NOT broadcast-hinted: the premise
+    // is a bench set past broadcast size — the bloom already cut the
+    // probe-side volume so the shuffle is small
+    val hits = survivors.join(benchGrams, Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("id"))
+      .select(col("id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double")
+          / col("n_grams").cast("double")).as("contamination_ratio"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold within blocking groups.

@@ -695,6 +695,38 @@ object ExtQueries {
          CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
 
+  // --- x55: bloom-prefiltered decontamination ------------------------------
+  // x31's exact-set broadcast assumes the benchmark fits as a hash set;
+  // x55 is the shape for when it doesn't: a 16-bits/key bloom filter of
+  // the benchmark 5-grams probes every corpus gram via a codegen'd
+  // narrow expression (no join), and only survivors reach the exact
+  // verify join — whose result is exact because FPs fail the equality.
+  // Oracle: plain exact contamination (the bloom must be invisible in
+  // the answer). Different slice (%25) and n (5) than x31 so the two
+  // gates cannot mask each other.
+  def x55BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.benchmarkOverlapBloom(
+      docs.filter(col("doc_id") % 25 =!= 0),
+      docs.filter(col("doc_id") % 25 === 0),
+      "doc_id", "text", shingleN = 5)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val x55Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1), i -> array_to_string(ws[i:i+4], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       bg AS (SELECT DISTINCT s FROM posts WHERE doc_id % 25 = 0),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 25 <> 0),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+       hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+                FROM corpus c JOIN bg ON c.s = bg.s GROUP BY 1)
+       SELECT s.doc_id, s.n_grams, h.n_contaminated,
+         CAST(h.n_contaminated AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
+       FROM sizes s JOIN hits h ON s.doc_id = h.doc_id"""
+
   // --- x33: STATEFUL STREAMING sessionization ≡ batch oracle --------------
   // The flatMapGroupsWithState path end-to-end in the gate: events replay
   // through a real Structured Streaming query (parquet source →
