@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-      // reading nanos as LONG also makes event-time math exact (ExtQueries)
+      // compat branch: a TIMESTAMP(NANOS)-typed events fixture (which
+      // Spark 4 rejects natively) reads as LONG nanos; the current fixture
+      // is TIMESTAMP(MICROS) and reads natively. Events.epochMicros
+      // resolves either encoding by schema.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

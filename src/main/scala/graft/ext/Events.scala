@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Event-time operators over the `events` feed (extension surface,
   * SURVEY.md §2.10/§2.12). The reference's only "streaming" is inline
@@ -11,6 +12,25 @@ import org.apache.spark.sql.functions._
   * Streaming (same column expressions both ways).
   */
 object Events {
+
+  /** Schema-aware epoch-microseconds accessor for an event-time column.
+    * Event-time math in this engine runs on exact integer µs; the column
+    * itself may arrive in either of two parquet encodings:
+    *  - LONG — raw epoch nanoseconds (a `nanosAsLong=true` read of parquet
+    *    TIMESTAMP(NANOS)): integer `div 1000`, truncation identical to
+    *    DuckDB's `epoch_us`;
+    *  - TIMESTAMP / TIMESTAMP_NTZ (parquet's default MICROS encoding):
+    *    `unix_micros` after a cast to TIMESTAMP. The session timezone is
+    *    pinned UTC throughout (Verify/Bench/specs), so the NTZ cast is an
+    *    identity reinterpretation and the result is the same exact µs.
+    * Every event-time operator resolves `ts` through this helper, so the
+    * engine is indifferent to which encoding a fixture carries.
+    */
+  def epochMicros(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"`$tsCol` div 1000")
+      case _        => unix_micros(col(tsCol).cast(TimestampType))
+    }
 
   /** Tumbling event-time aggregation. Batch form; streaming is identical
     * with `readStream` + `withWatermark` upstream.

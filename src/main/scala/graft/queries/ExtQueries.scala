@@ -14,9 +14,11 @@ import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Quantiles, Reda
   *  - ratios are single divisions of exactly-computed integer counts
   *    (bit-identical across engines);
   *  - cosines are rounded to 6 dp AFTER identical-order double arithmetic;
-  *  - event time is integer NANOSECONDS (`spark.sql.legacy.parquet
-  *    .nanosAsLong=true` — Spark 4 can't read parquet TIMESTAMP(NANOS)
-  *    natively, and integers make gap/bucket math exact in both engines).
+  *  - event-time math runs on exact integer MICROSECONDS, resolved from
+  *    the fixture's actual parquet encoding by [[graft.ext.Events
+  *    .epochMicros]] (LONG nanos via the `nanosAsLong=true` compat read,
+  *    or native TIMESTAMP(MICROS) — parquet's default); DuckDB oracles use
+  *    the type-agnostic `epoch_us(ts)` and agree on either encoding.
   */
 object ExtQueries {
 
@@ -171,13 +173,15 @@ object ExtQueries {
        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rank <= 10"""
 
   // --- x08: gap sessionization over the events feed ----------------------
-  // ts is LONG nanos (see class doc) but the math runs on MICROS, because
-  // DuckDB truncates parquet TIMESTAMP(NANOS) to µs on read — `ts div 1000`
-  // here ≡ `epoch_us(ts)` there (both truncate toward zero for positives).
-  def x08SessionStats(spark: SparkSession, dir: String): DataFrame =
+  // Event-time math runs on exact integer MICROS regardless of the fixture's
+  // parquet encoding — Events.epochMicros resolves LONG-nanos vs
+  // TIMESTAMP(MICROS) by schema; DuckDB's `epoch_us(ts)` agrees either way.
+  def x08SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
     Events.sessionStats(
-      t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
       "user_id", "ts_us", gap = 30L * 60 * 1000000L, tsCol = "ts_us")
+  }
 
   val x08Sql: String =
     """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
@@ -193,11 +197,13 @@ object ExtQueries {
        FROM g GROUP BY user_id, session_seq"""
 
   // --- x09: tumbling event-time window (hour buckets, exact int math) ----
-  def x09TumblingWindow(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+  def x09TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.withColumn("ts_us", Events.epochMicros(ev))
+      .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
+  }
 
   val x09Sql: String =
     """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
@@ -284,10 +290,11 @@ object ExtQueries {
 
   // --- x13: sliding event-time window (2h window, 1h slide) ---------------
   // Spark's window() needs a timestamp: reconstruct µs timestamps from the
-  // long nanos, emit window starts back as integer µs for exact compare.
+  // schema-resolved epoch µs, emit window starts back as integer µs for
+  // exact compare.
   def x13SlidingWindow(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .transform(ev => ev.withColumn("ts_t", timestamp_micros(Events.epochMicros(ev))))
       .groupBy(window(col("ts_t"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
@@ -356,7 +363,8 @@ object ExtQueries {
   // --- x17: as-of join — each event to the user's latest signup ≤ t -------
   // (union+window formulation, AsofJoin; µs domain for DuckDB parity)
   def x17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val ev = t(spark, dir, "events")
+      .transform(e => e.withColumn("ts_us", Events.epochMicros(e)))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts_us"), col("event_id"))
     AsofJoin(
@@ -742,7 +750,8 @@ object ExtQueries {
     import graft.streaming.StatefulSessions
     val gap = 30L * 60 * 1000000L // 30 min in micros, same as x08
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val ev = t(spark, dir, "events").select(col("user_id"), expr("ts div 1000").as("ts"))
+    val ev = t(spark, dir, "events")
+      .transform(e => e.select(col("user_id"), Events.epochMicros(e).as("ts")))
     val sentinels = ev.groupBy("user_id").agg((max(col("ts")) + gap + 1).as("ts"))
     StatefulSessions.replayedSessionize(spark,
       ev.unionByName(sentinels.select(col("user_id"), col("ts"))), gap,
@@ -889,7 +898,7 @@ object ExtQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val nBatches = 6
     val ev = t(spark, dir, "events")
-      .select(col("event_id"), expr("ts div 1000").as("tu"))
+      .transform(e => e.select(col("event_id"), Events.epochMicros(e).as("tu")))
     val bounds = x36Bounds.computeIfAbsent(dir, _ => {
       val r = ev.agg(min("tu"), max("tu")).collect().head
       if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
@@ -1173,7 +1182,7 @@ object ExtQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val nBatches = 4
     val ev = t(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"))
+      .transform(e => e.select(col("user_id"), col("event_type"), Events.epochMicros(e).as("tu")))
     val bounds = x36Bounds.computeIfAbsent(dir, _ => {
       val r = ev.agg(min("tu"), max("tu")).collect().head
       if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
@@ -1249,7 +1258,7 @@ object ExtQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val nBatches = 4
     val ev = t(spark, dir, "events")
-      .select(col("event_id"), expr("ts div 1000").as("tu"))
+      .transform(e => e.select(col("event_id"), Events.epochMicros(e).as("tu")))
     val bounds = x36Bounds.computeIfAbsent(dir, _ => {
       val r = ev.agg(min("tu"), max("tu")).collect().head
       if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))

@@ -30,7 +30,7 @@ class AsofSpec extends SparkSpec {
 
   test("asof join preserves left row count") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(e => e.withColumn("ts_us", graft.ext.Events.epochMicros(e)))
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val right = ev.limit(100)
     assert(AsofJoin(ev, right, "user_id", "ts_us", "ts_us",

@@ -59,7 +59,7 @@ class StreamJoinSpec extends SparkSpec {
   test("x42 replayed result equals its relational oracle shape on sf0.001") {
     val out = graft.queries.ExtQueries.x42StreamJoin(spark, sfDir)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"))
+      .transform(e => e.select(col("user_id"), col("event_type"), graft.ext.Events.epochMicros(e).as("tu")))
     val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("tu").as("ctu"))
     val p = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("tu").as("ptu"))
     val batch = c.join(p, Seq("user_id"))
