@@ -629,11 +629,15 @@ object Dedup {
       bitsPerKey: Int = 16): DataFrame = {
     import org.apache.spark.sql.graftfn.{Bloom, BloomExpressions}
     val benchGrams = shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct()
-    // benchmark gram sets are bounded (the benchmark, not the corpus) —
-    // built on the driver here; the top-end variant builds per-partition
-    // bitsets with the same kernel and treeAggregates the OR-merge
-    val hashes = benchGrams.select(xxhash64(col("s")).as("h")).collect().map(_.getLong(0))
-    val bloom = Bloom.build(hashes, bitsPerKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distributed build: per-partition bitsets OR-merged via treeAggregate —
+    // the driver only ever holds the finished m-bit filter, never the raw
+    // gram hashes (the count sizing the filter is the only extra pass, and
+    // it reuses the persisted distinct grams that the verify join needs
+    // again below anyway)
+    val n = benchGrams.count()
+    val bloom = Bloom.buildDistributed(
+      benchGrams.select(xxhash64(col("s")).as("h")).rdd.map(_.getLong(0)), n, bitsPerKey)
     val posts = shingleRows(corpus, idCol, textCol, shingleN)
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val survivors = posts.filter(BloomExpressions.mightContain(xxhash64(col("s")), bloom))

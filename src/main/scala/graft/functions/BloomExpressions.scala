@@ -60,19 +60,49 @@ final case class BloomBits(bits: Array[Long], numHashes: Int) {
 }
 
 object Bloom {
-  /** Build from 64-bit element hashes. The bit count rounds n*bitsPerKey
-    * up to a power of two (mask-only addressing); numHashes follows the
-    * optimum k = ln2 · m/n for the ROUNDED m, clamped to [1, 24].
+  /** Deterministic filter geometry for n keys: the bit count rounds
+    * n*bitsPerKey up to a power of two (mask-only addressing); numHashes
+    * follows the optimum k = ln2 · m/n for the ROUNDED m, clamped to
+    * [1, 24]. Shared by the driver-side and distributed builds so both
+    * produce bit-identical filters for the same key set.
     */
-  def build(hashes: Array[Long], bitsPerKey: Int = 16): BloomBits = {
+  def layout(n0: Long, bitsPerKey: Int): (Long, Int) = {
     require(bitsPerKey >= 1, s"bloom: bitsPerKey $bitsPerKey < 1")
-    val n = math.max(1, hashes.length)
+    val n = math.max(1L, n0)
     var mBits = 64L
-    while (mBits < n.toLong * bitsPerKey) mBits <<= 1
+    while (mBits < n * bitsPerKey) mBits <<= 1
     val k = math.max(1, math.min(24, math.round(0.6931 * mBits / n).toInt))
+    (mBits, k)
+  }
+
+  /** Driver-side build from 64-bit element hashes (small key sets). */
+  def build(hashes: Array[Long], bitsPerKey: Int = 16): BloomBits = {
+    val (mBits, k) = layout(hashes.length.toLong, bitsPerKey)
     val bits = new Array[Long]((mBits >>> 6).toInt)
     var i = 0
     while (i < hashes.length) { BloomKernel.set(bits, k, hashes(i)); i += 1 }
+    BloomBits(bits, k)
+  }
+
+  /** Distributed build: each partition sets bits into its own local
+    * bitset with the SAME kernel, and the bitsets OR-merge up a
+    * `treeAggregate` — the driver receives O(tree fan-in) m-bit arrays,
+    * never the element hashes themselves (at 100M bench grams that's the
+    * difference between ~200 MB of filter and an 800 MB driver collect
+    * of raw hashes). `n` sizes the filter and is a cheap count upstream;
+    * OR is commutative/associative/idempotent, so partitioning and merge
+    * order cannot change the result — build ≡ driver build on the same
+    * key set (asserted in BloomSpec).
+    */
+  def buildDistributed(
+      hashes: org.apache.spark.rdd.RDD[Long],
+      n: Long,
+      bitsPerKey: Int = 16): BloomBits = {
+    val (mBits, k) = layout(n, bitsPerKey)
+    val words = (mBits >>> 6).toInt
+    val bits = hashes.treeAggregate(new Array[Long](words))(
+      (acc, h) => { BloomKernel.set(acc, k, h); acc },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
     BloomBits(bits, k)
   }
 }

@@ -842,4 +842,67 @@ object SurfaceQueries {
          CAST(year(o_orderdate) AS INT) AS order_year,
          CASE WHEN o_orderkey % 50 = 0 THEN CAST(o_orderkey % 7 AS INT) END AS priority
        FROM orders WHERE o_orderkey % 2 = 0"""
+
+  // --- x56: full maintenance lifecycle — storage ends O(live data) --------
+  // write → merge×3 → compact → vacuum(age 0; sole writer in-gate) → read.
+  // x53 proves compaction collapses the READ plan; this gate proves the
+  // STORAGE side: after vacuum, exactly one commit directory remains (the
+  // compacted one — every superseded commit dir is physically gone),
+  // expired snapshots took their manifests with them (time-travel depth ==
+  // vacuum retention, so versions() lists only the live snapshot), and the
+  // surviving bytes still read back as the exact last-writer-wins state.
+  // That end state — O(live data) disk, O(partitions) plan — is what a
+  // 100 TB table needs after a year of daily merges. Odd-key slice and
+  // distinct moduli so x53 and x56 cannot mask each other.
+  def x56LifecycleVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/mvacuum_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
+    val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+    ManifestStore.write(spark, orders, base, "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500),
+      Seq("o_orderkey"), "order_year")
+    ManifestStore.merge(spark, base,
+      orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        .withColumn("order_year", lit(2026)),
+      Seq("o_orderkey"), "order_year")
+    val collapsed = ManifestStore.compact(spark, base)
+    require(collapsed >= 2, s"x56: expected >=2 live commits collapsed, got $collapsed")
+    // sole writer and no concurrent readers inside the gate → age fence 0
+    val removed = ManifestStore.vacuum(spark, base, minAgeMillis = 0L)
+    require(removed >= 2, s"x56: vacuum reclaimed only $removed dirs/manifests")
+    val commitDirs = fs.listStatus(new org.apache.hadoop.fs.Path(base, "commits"))
+      .filter(_.isDirectory)
+    require(commitDirs.length == 1,
+      s"x56: ${commitDirs.length} commit dirs survive vacuum — storage is not O(live data)")
+    val vs = ManifestStore.versions(spark, base)
+    require(vs.size == 1, s"x56: expired snapshots still listed: $vs")
+    val out = ManifestStore.read(spark, base)
+    require(out.inputFiles.forall(_.contains(commitDirs.head.getPath.getName)),
+      "x56: read resolves files outside the surviving commit")
+    out.select(col("o_orderkey"), col("o_totalprice"),
+      col("order_year").cast("int").as("order_year"))
+  }
+
+  val x56Sql: String =
+    """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 500
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+              ELSE o_totalprice END AS o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS order_year
+       FROM orders WHERE o_orderkey % 2 = 1
+       UNION ALL
+       SELECT o_orderkey + 30000000, o_totalprice, 2026
+       FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey % 2 = 1"""
 }
