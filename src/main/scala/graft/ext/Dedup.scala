@@ -197,30 +197,59 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 32,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    minhashProbe(
+      minhashIndex(inc, idCol, textCol, shingleN, bands, rowsPerBand),
+      minhashIndex(hist, idCol, textCol, shingleN, bands, rowsPerBand),
+      bands, rowsPerBand, threshold)
+
+  /** Per-doc MinHash/LSH index: (id, sh = distinct shingle set, __m0..__mk
+    * minhash signature columns). This IS the persisted artifact of the
+    * incremental near-dup story — build it ONCE over the corpus (or keep
+    * it as a maintained table that each ingested day appends to) and
+    * probe increments against it with [[minhashProbe]]; nothing about the
+    * historical side is recomputed per increment.
+    */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    def perDoc(df: DataFrame): DataFrame = {
-      val hashed = shingleRows(df, idCol, textCol, shingleN)
-        .select(col("id"), col("s"), xxhash64(col("s")).as("__h0"))
-      val minCols = (0 until k).map(h => min(xxhash64(col("__h0"), lit(h + 1))).as(s"__m$h"))
-      val aggCols = collect_list(col("s")).as("sh") +: minCols
-      materialize(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
-    }
+    val hashed = shingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), col("s"), xxhash64(col("s")).as("__h0"))
+    val minCols = (0 until k).map(h => min(xxhash64(col("__h0"), lit(h + 1))).as(s"__m$h"))
+    val aggCols = collect_list(col("s")).as("sh") +: minCols
+    materialize(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** Banded-bucket probe of one [[minhashIndex]] against another: cross
+    * pairs (inc_id, hist_id, jaccard) with exact-verified jaccard ≥
+    * threshold. O(increment × bands) bucket keys on the probe side; the
+    * historical index is joined, never rebuilt.
+    */
+  def minhashProbe(
+      incIdx: DataFrame,
+      histIdx: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     val bandCols = (0 until bands).map(b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
     def buckets(p: DataFrame) =
       p.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-    val (pi, ph) = (perDoc(inc), perDoc(hist))
     // cross join only: inc and hist id spaces may overlap — identity is
     // (side, id), so no a.id < b.id dedup trick; distinct() collapses
     // multi-band hits
-    val cands = buckets(pi).as("a").join(buckets(ph).as("b"),
+    val cands = buckets(incIdx).as("a").join(buckets(histIdx).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.id").as("inc_id"), col("b.id").as("hist_id"))
       .distinct()
     cands
-      .join(pi.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
-      .join(ph.select(col("id").as("hist_id"), col("sh").as("sh_b")), "hist_id")
+      .join(incIdx.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+      .join(histIdx.select(col("id").as("hist_id"), col("sh").as("sh_b")), "hist_id")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("inc_id"), col("hist_id"), col("jaccard"))

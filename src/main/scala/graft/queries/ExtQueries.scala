@@ -735,6 +735,160 @@ object ExtQueries {
          CAST(h.n_contaminated AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
        FROM sizes s JOIN hits h ON s.doc_id = h.doc_id"""
 
+  // --- x57: the incremental day, end to end -------------------------------
+  // The streaming twin of x46's batch funnel, composed from the pieces the
+  // surface already gates separately: the day's documents arrive as
+  // Kafka-shaped wire records (x37's bus adapter), replay through a real
+  // Structured Streaming query, and EVERY micro-batch runs the funnel —
+  // decode → quality gate (x32/x46's rules) → exact-dup probe against the
+  // persisted historical fingerprint store (x28's keys-only join) →
+  // MinHash near-dup probe against the persisted historical LSH index
+  // (x48's banded probe, index built ONCE outside the stream) — and
+  // upserts the judged rows into a manifest-committed table (x45's sink,
+  // txn-fenced). Per-batch cost is O(batch): nothing historical is
+  // recomputed per batch; at 100 TB both stores are maintained tables and
+  // the day streams against them. The oracle is the same funnel composed
+  // relationally — streaming plumbing must be invisible in the answer.
+  private val x57LastTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val x57Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x57Token = java.util.UUID.randomUUID().toString.take(8)
+
+  def x57StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    import graft.streaming.{KafkaShaped, StreamUpsert}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+
+    // the persisted historical stores (built once per day, NOT per batch):
+    // keys-only fingerprint set + MinHash/LSH index. localCheckpoint
+    // stands in for the maintained tables these are at production scale.
+    val histFp = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("__seen", lit(1)).localCheckpoint()
+    val histIdx = Dedup.minhashIndex(hist, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2)
+
+    // the day's arrivals as bus records, four arrival batches
+    val wire = KafkaShaped.encode(
+      inc.select(col("doc_id"), col("text"), col("lang"), col("source")),
+      key = col("doc_id"), topic = "docs",
+      partition = pmod(col("doc_id"), lit(4)), offset = col("doc_id"),
+      timestamp = to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("__ab", pmod(expr("offset div 5"), lit(4L)))
+    val wireCols = wire.columns.filterNot(_ == "__ab").toSeq
+    val payloadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+    def funnel(batch: DataFrame): DataFrame = {
+      val gated = TextAnalysis.qualityGate(
+          KafkaShaped.decode(batch, payloadSchema), "text", "lang")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      // near-dup probe AFTER the quality gate (the funnel order: only
+      // kept docs pay the signature cost), against the prebuilt index
+      val nd = Dedup.minhashProbe(
+          Dedup.minhashIndex(gated.filter(col("keep")), "doc_id", "text",
+            shingleN = 3, bands = 32, rowsPerBand = 2),
+          histIdx, bands = 32, rowsPerBand = 2, threshold = 0.7)
+        .select(col("inc_id").as("doc_id")).distinct().withColumn("__nd", lit(1))
+      gated
+        .join(histFp, Seq("fp"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .withColumn("is_exact_dup", col("__seen").isNotNull)
+        .withColumn("is_near_dup", col("__nd").isNotNull)
+        .withColumn("clean",
+          col("keep") && !col("is_exact_dup") && !col("is_near_dup"))
+        .select(col("doc_id"), col("source"), col("keep"),
+          col("is_exact_dup"), col("is_near_dup"), col("clean"),
+          pmod(col("doc_id"), lit(8L)).as("pt"))
+    }
+
+    // fresh table per run (repeated bench passes must not accumulate)
+    val table =
+      s"/tmp/graft/funnel_tbl_${tag}_${x57Token}_${x57Runs.incrementAndGet()}"
+    Option(x57LastTable.put(dir, table)).foreach { prev =>
+      val fs = new org.apache.hadoop.fs.Path(prev)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.delete(new org.apache.hadoop.fs.Path(prev), true)
+      catch { case _: java.io.IOException => () }
+    }
+    // base snapshot = arrival batch 0 through the SAME funnel; batches
+    // 1..3 then stream through replayedPipeline with txn fencing
+    ManifestStore.write(spark,
+      funnel(wire.filter(col("__ab") === 0L).drop("__ab")), table, "pt")
+    StreamUpsert.replayedPipeline(spark,
+      wire.filter(col("__ab") =!= 0L).withColumn("__ab", col("__ab") - 1L),
+      wireCols, "__ab", s"/tmp/graft/funnel_in_$tag", table,
+      Seq("doc_id"), Seq("pt"), funnel, writerId = Some(s"x57_$tag"))
+    ManifestStore.read(spark, table).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      col("keep").cast("boolean").as("keep"),
+      col("is_exact_dup").cast("boolean").as("is_exact_dup"),
+      col("is_near_dup").cast("boolean").as("is_near_dup"),
+      col("clean").cast("boolean").as("clean"))
+  }
+
+  val x57Sql: String =
+    """WITH t0 AS (SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents WHERE doc_id % 5 = 0),
+       m AS (SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS wc,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','from','or','are','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS swr
+       FROM t0),
+       sc AS (
+         SELECT doc_id, 'en' AS plang, len(list_filter(['the','and','of','to','is','that','for','with','this','are'], x -> list_contains(toks, x))) AS score FROM t0
+         UNION ALL SELECT doc_id, 'es', len(list_filter(['el','la','de','que','los','una','por','del','las','es'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(['le','les','des','une','est','dans','pour','que','sur','avec'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'de', len(list_filter(['der','die','das','und','ist','nicht','mit','ein','für','auf'], x -> list_contains(toks, x))) FROM t0
+         UNION ALL SELECT doc_id, 'zh', 0 FROM t0),
+       lp AS (SELECT doc_id,
+             CASE WHEN score > 0 THEN plang ELSE 'und' END AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+           FROM sc),
+       fl AS (SELECT t0.doc_id, t0.source, t0.text,
+           (CASE WHEN NOT (m.wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
+          + CASE WHEN m.swr < 0.05 THEN 1 ELSE 0 END
+          + CASE WHEN m.pr > 0.2 THEN 1 ELSE 0 END
+          + CASE WHEN NOT (m.awl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END
+          + CASE WHEN lp.lang_pred IS DISTINCT FROM t0.lang THEN 1 ELSE 0 END) = 0 AS keep
+         FROM t0 JOIN m ON t0.doc_id = m.doc_id
+         JOIN lp ON t0.doc_id = lp.doc_id AND lp.rn = 1),
+       dfp AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 = 0),
+       hfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 <> 0),
+       kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM fl WHERE keep),
+       ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh WHERE len(sh) > 0),
+       hw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 <> 0),
+       hsh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM hw),
+       hposts AS (SELECT doc_id, unnest(sh) AS s FROM hsh WHERE len(sh) > 0),
+       inter AS (SELECT a.doc_id AS inc_id, b.doc_id AS hist_id, count(*) AS i
+                 FROM kposts a JOIN hposts b ON a.s = b.s GROUP BY 1, 2),
+       ks AS (SELECT doc_id, len(sh) AS n FROM ksh WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, len(sh) AS n FROM hsh WHERE len(sh) > 0),
+       nd AS (SELECT DISTINCT inc_id FROM inter
+              JOIN ks ON ks.doc_id = inc_id JOIN hs ON hs.doc_id = hist_id
+              WHERE CAST(i AS DOUBLE) / CAST(ks.n + hs.n - i AS DOUBLE) >= 0.7)
+       SELECT fl.doc_id, fl.source, fl.keep,
+         (hfp.fp IS NOT NULL) AS is_exact_dup,
+         (nd.inc_id IS NOT NULL) AS is_near_dup,
+         (fl.keep AND hfp.fp IS NULL AND nd.inc_id IS NULL) AS clean
+       FROM fl
+       JOIN dfp ON fl.doc_id = dfp.doc_id
+       LEFT JOIN hfp ON dfp.fp = hfp.fp
+       LEFT JOIN nd ON nd.inc_id = fl.doc_id"""
+
   // --- x33: STATEFUL STREAMING sessionization ≡ batch oracle --------------
   // The flatMapGroupsWithState path end-to-end in the gate: events replay
   // through a real Structured Streaming query (parquet source →

@@ -60,6 +60,30 @@ object StreamUpsert {
       keyCols: Seq[String],
       partitionCols: Seq[String],
       timeoutMs: Long = 300000L,
+      writerId: Option[String] = None): Unit =
+    replayedPipeline(spark, updates, dataCols, batchCol, scratch, tablePath,
+      keyCols, partitionCols, identity, timeoutMs, writerId)
+
+  /** [[replayedMerge]] with a per-micro-batch TRANSFORM between the
+    * decoded arrivals and the merge — the full streaming-funnel seam:
+    * each batch runs `transform` (quality gates, stream-static dedup
+    * probes against persisted stores, projections) and merges the result.
+    * `transform` must be deterministic and per-row/stream-static only
+    * (no cross-batch state beyond the stores it joins), which keeps the
+    * at-least-once replay convergent and the txn fence sufficient for
+    * exactly-once.
+    */
+  def replayedPipeline(
+      spark: SparkSession,
+      updates: DataFrame,
+      dataCols: Seq[String],
+      batchCol: String,
+      scratch: String,
+      tablePath: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      transform: DataFrame => DataFrame,
+      timeoutMs: Long = 300000L,
       writerId: Option[String] = None): Unit = {
     val root = s"${scratch}_${LateData.jvmToken}"
     val in = LateData.stagedDirs.computeIfAbsent(root,
@@ -77,8 +101,8 @@ object StreamUpsert {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch belongs to the stream's session; keep the merge (its
         // snapshot read + upsert plan join) in that same session
-        ManifestStore.merge(batch.sparkSession, tablePath, batch, keyCols, partitionCols,
-          txn = writerId.map(w => (w, batchId)))
+        ManifestStore.merge(batch.sparkSession, tablePath, transform(batch),
+          keyCols, partitionCols, txn = writerId.map(w => (w, batchId)))
       }
       .trigger(Trigger.AvailableNow())
       .start()
