@@ -61,6 +61,16 @@ object ScaleBench {
     "x47_group_quantiles", "x48_incremental_minhash", "x49_passage_dedup",
     "x51_shard_plan")
 
+  /** Round-7 operators: the bloom decontamination prefilter (probe is a
+    * narrow map — expect ~linear in corpus grams; the filter build is
+    * O(bench grams), fixed across replicas only on the corpus side), the
+    * vacuum lifecycle (commit I/O per merge — linear in touched data),
+    * and the streaming funnel (per-batch cost tracks batch size; the
+    * historical index build is the linear floor).
+    */
+  val R7Family: Seq[String] = Seq(
+    "x55_bloom_decontaminate", "x56_lifecycle_vacuum", "x57_streaming_funnel")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -149,7 +159,7 @@ object ScaleBench {
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    (Family ++ CoreFamily ++ StreamFamily ++ R6Family).foreach { n =>
+    (Family ++ CoreFamily ++ StreamFamily ++ R6Family ++ R7Family).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -167,6 +177,7 @@ object ScaleBench {
     report("core_scale", CoreFamily)
     report("stream_scale", StreamFamily)
     report("r6_scale", R6Family)
+    report("r7_scale", R7Family)
     spark.stop()
   }
 }
