@@ -770,13 +770,16 @@ object ExtQueries {
     val histIdx = Dedup.minhashIndex(hist, "doc_id", "text",
       shingleN = 3, bands = 32, rowsPerBand = 2)
 
-    // the day's arrivals as bus records, four arrival batches
+    // the day's arrivals as bus records, four arrival batches ALIGNED
+    // with the table's partition key (pt = doc_id % 8, batch = pt % 4):
+    // each micro-batch merge reads and rewrites 2 of 8 partitions, the
+    // O(touched partitions) ingest shape, not the whole table
     val wire = KafkaShaped.encode(
       inc.select(col("doc_id"), col("text"), col("lang"), col("source")),
       key = col("doc_id"), topic = "docs",
       partition = pmod(col("doc_id"), lit(4)), offset = col("doc_id"),
       timestamp = to_timestamp(lit("2024-01-01 00:00:00")))
-      .withColumn("__ab", pmod(expr("offset div 5"), lit(4L)))
+      .withColumn("__ab", pmod(pmod(col("offset"), lit(8L)), lit(4L)))
     val wireCols = wire.columns.filterNot(_ == "__ab").toSeq
     val payloadSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING")
