@@ -657,13 +657,15 @@ object Dedup {
       shingleN: Int,
       bitsPerKey: Int = 16): DataFrame = {
     import org.apache.spark.sql.graftfn.{Bloom, BloomExpressions}
-    val benchGrams = shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize (NOT persist — see the materialize scaladoc: cache
+    // entries outlive the operator) the distinct bench grams once: the
+    // count sizing the filter, the hash scan building it, and the exact
+    // verify join below all reuse the same checkpointed blocks
+    val benchGrams = materialize(
+      shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct())
     // distributed build: per-partition bitsets OR-merged via treeAggregate —
     // the driver only ever holds the finished m-bit filter, never the raw
-    // gram hashes (the count sizing the filter is the only extra pass, and
-    // it reuses the persisted distinct grams that the verify join needs
-    // again below anyway)
+    // gram hashes
     val n = benchGrams.count()
     val bloom = Bloom.buildDistributed(
       benchGrams.select(xxhash64(col("s")).as("h")).rdd.map(_.getLong(0)), n, bitsPerKey)
