@@ -69,7 +69,11 @@ object ScaleBench {
     * historical index build is the linear floor).
     */
   val R7Family: Seq[String] = Seq(
-    "x55_bloom_decontaminate", "x56_lifecycle_vacuum", "x57_streaming_funnel")
+    "x55_bloom_decontaminate", "x56_lifecycle_vacuum", "x57_streaming_funnel",
+    // LM scoring / DSIR are one explode + window/groupBy on the doc id +
+    // broadcast model joins — expect ~linear; x60 rides x04's banded-LSH
+    // bound (pair volume, not row count, dominates)
+    "x58_perplexity_score", "x59_dsir_sample", "x60_source_overlap")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

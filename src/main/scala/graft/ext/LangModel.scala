@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model scoring for corpus quality filtering
+  * (SURVEY.md §2.12): the CCNet-style perplexity filter (Wenzek et al.
+  * 2020 — "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data", public recipe) re-expressed relationally. Train an
+  * add-one-smoothed bigram LM on a reference slice, score every document
+  * by its mean bigram log-probability, filter on the score. CCNet uses a
+  * KenLM 5-gram; the relational form is n-agnostic — bigrams keep the
+  * model table (and the oracle) tractable while exercising the exact
+  * production shape: counts are one aggregation over exploded n-grams,
+  * scoring is one join of the corpus n-gram stream against the model.
+  *
+  * 100 TB design:
+  *  - token/bigram extraction is a codegen'd explode + ONE window shuffle
+  *    on the doc id (higher-order array functions are CodegenFallback —
+  *    see [[Dedup.shingleRows]] for the idiom); the per-doc score groupBy
+  *    reuses that same hash partitioning, so scoring adds no shuffle;
+  *  - the model is O(distinct bigrams of the REFERENCE slice), orders of
+  *    magnitude smaller than the corpus — broadcast here; past broadcast
+  *    size the pair join degrades to a shuffle hash join on (w1, w2)
+  *    while the context table (≤ vocab rows) stays broadcast;
+  *  - determinism across engines: log-probs are rounded to 1e-9 and
+  *    summed as LONGs (order-free exact sum); the final mean is rounded
+  *    to 6 dp, which absorbs any last-ulp `ln` disagreement between the
+  *    JVM and libm (a flipped 1e-9 term moves the mean by ~1e-11).
+  */
+object LangModel {
+
+  /** Lowercased alnum-run tokens as ROWS (id, pos, w) — the codegen'd
+    * explode twin of [[TextAnalysis.tokens]]. Positions keep gaps where
+    * empty split fragments were filtered; consumers only need order.
+    */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+
+  /** Adjacent-token bigram ROWS (id, w1, w2), non-distinct. One window
+    * shuffle on id; downstream per-doc aggregations reuse the
+    * partitioning.
+    */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
+    tokenRows(df, idCol, textCol)
+      .withColumn("w2", lead(col("w"), 1).over(byId))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("w").as("w1"), col("w2"))
+  }
+
+  /** Mean bigram log-probability of every document in `docs` under an
+    * add-one-smoothed bigram LM trained on `ref`:
+    *
+    *   P(w2 | w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+    *
+    * where c2 = reference bigram count, c1 = Σ_w2 c2 (w1's count as a
+    * context) and V = reference vocabulary size — so unseen contexts
+    * back off to the uniform 1/V. Output: (idCol, n_bigrams, avg_lp),
+    * one row per document with ≥ 2 tokens; avg_lp is the quality score
+    * (higher = more reference-like; the filter is a predicate on it).
+    */
+  def perplexityScore(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val lm = bigramRows(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = tokenRows(ref, idCol, textCol).agg(count_distinct(col("w")).as("v"))
+    val scored = bigramRows(docs, idCol, textCol)
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    scored
+      .select(col("id"), round(log(p) * lit(1e9d), 0).cast("long").as("lp9"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("slp"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round((col("slp").cast("double") / lit(1e9d)) /
+          col("n_bigrams").cast("double"), 6).as("avg_lp"))
+  }
+}

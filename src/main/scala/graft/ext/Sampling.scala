@@ -109,6 +109,32 @@ object Sampling {
       .drop("__salt", "__r1", "__es")
   }
 
+  /** Exact global top-k by an arbitrary score (desc, keyCol tie-break)
+    * WITHOUT a global sort: local top-k inside each of `saltBuckets` hash
+    * partitions prunes to ≤ saltBuckets·k rows, then one tiny-task window
+    * ranks the survivors (pigeonhole: every global top-k row is a local
+    * top-k row in its salt bucket). Output adds `sel_rank` in 1..k.
+    */
+  def scoredTopK(
+      df: DataFrame,
+      keyCol: String,
+      score: org.apache.spark.sql.Column,
+      k: Int,
+      saltBuckets: Int = 64): DataFrame = {
+    require(k > 0 && saltBuckets > 0, s"scoredTopK: k=$k, saltBuckets=$saltBuckets")
+    val salted = df
+      .withColumn("__sc", score)
+      .withColumn("__salt", pmod(xxhash64(col(keyCol)), lit(saltBuckets)))
+    val local = Window.partitionBy(col("__salt"))
+      .orderBy(col("__sc").desc, col(keyCol))
+    val global = Window.orderBy(col("__sc").desc, col(keyCol))
+    salted
+      .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
+      .withColumn("sel_rank", row_number().over(global).cast("long"))
+      .filter(col("sel_rank") <= k)
+      .drop("__salt", "__r1", "__sc")
+  }
+
   def stratifiedTopK(
       df: DataFrame,
       strata: Seq[String],

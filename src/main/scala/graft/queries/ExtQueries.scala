@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, Dedup, Events, Multimodal, Quantiles, Redaction, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, Dedup, Dsir, Events, LangModel, Multimodal, Quantiles, Redaction, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -1736,4 +1736,103 @@ object ExtQueries {
          FROM d)
        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
          CAST(bef // 8192 AS BIGINT) AS shard_id FROM w"""
+
+  // --- x58: bigram-LM perplexity quality score (CCNet-style) -------------
+  // Wenzek et al. 2020: score every doc's mean bigram log-prob under an
+  // add-one bigram LM trained on a reference slice (here doc_id % 7 = 0,
+  // a held-in "known good" sample). The filter is a predicate on avg_lp;
+  // the gate checks the scores themselves. Engine-portable determinism:
+  // per-bigram log-probs fixed-pointed at 1e-9 (LONG sum, order-free),
+  // mean rounded 6 dp — see LangModel scaladoc.
+  def x58PerplexityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    LangModel.perplexityScore(docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+  }
+
+  val x58Sql: String =
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       bi AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t),
+       bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bi),
+       lm AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+       ctx AS (SELECT w1, sum(c2) AS c1 FROM lm GROUP BY 1),
+       v AS (SELECT count(DISTINCT w) AS v
+             FROM (SELECT unnest(ws) AS w FROM t WHERE doc_id % 7 = 0)),
+       sc AS (SELECT bg.doc_id,
+           CAST(round(ln(CAST(COALESCE(lm.c2, 0) + 1 AS DOUBLE)
+                         / CAST(COALESCE(ctx.c1, 0) + v.v AS DOUBLE))
+                      * 1000000000.0, 0) AS BIGINT) AS lp9
+         FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+         LEFT JOIN ctx ON bg.w1 = ctx.w1 CROSS JOIN v)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round((CAST(sum(lp9) AS DOUBLE) / 1000000000.0)
+               / CAST(count(*) AS DOUBLE), 6) AS avg_lp
+       FROM sc GROUP BY 1"""
+
+  // --- x59: DSIR importance resampling (hashed-unigram weights) ----------
+  // Xie et al. 2023: target = English docs; every doc weighted by how
+  // target-like its hashed-token distribution is, top-100 selected via
+  // the two-stage salted top-k (no global sort). The oracle's single
+  // ORDER BY window is exactly what scoredTopK avoids at scale.
+  def x59DsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Dsir.importanceWeights(
+      t(spark, dir, "documents"), col("lang") === "en", "doc_id", "text")
+    Sampling.scoredTopK(w, "doc_id", col("log_w"), 100)
+  }
+
+  val x59Sql: String =
+    s"""WITH tk0 AS (SELECT doc_id, lang = 'en' AS tgt,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         FROM documents),
+       hx AS (SELECT doc_id, tgt, md5(w) AS hx FROM tk0),
+       tk AS (SELECT doc_id, tgt, ${duckHex48("hx")} % 1024 AS b FROM hx),
+       counts AS (SELECT b, count(*) AS cr,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM tk GROUP BY 1),
+       tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+       lr AS (SELECT b,
+           CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+                         / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)))
+                      * 1000000000.0, 0) AS BIGINT) AS lr9
+         FROM counts CROSS JOIN tot),
+       dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           round(CAST(sum(lr9) AS DOUBLE) / 1000000000.0, 6) AS log_w
+         FROM tk JOIN lr USING (b) GROUP BY 1),
+       r AS (SELECT doc_id, n_toks, log_w,
+           row_number() OVER (ORDER BY log_w DESC, doc_id) AS rn FROM dw)
+       SELECT doc_id, n_toks, log_w, CAST(rn AS BIGINT) AS sel_rank
+       FROM r WHERE rn <= 100"""
+
+  // --- x60: cross-source near-dup overlap matrix -------------------------
+  // Corpus diagnostics: which source pairs share near-duplicate content
+  // (the "crawl A re-hosts crawl B" signal that decides dedup ordering).
+  // Pure composition: x04's exact-recall MinHash pairs → source lookup →
+  // canonical (least, greatest) rollup. max() of per-pair jaccards is
+  // order-free, so no fixed-point machinery is needed.
+  def x60SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  val x60Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       p AS (SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS j
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       ps AS (SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b, j
+         FROM p JOIN documents da ON da.doc_id = id_a
+         JOIN documents db ON db.doc_id = id_b)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         max(j) AS max_jaccard
+       FROM ps GROUP BY 1, 2"""
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dsir, LangModel, Sampling}
+
+/** LM perplexity scoring (x58), DSIR importance weights (x59), and the
+  * scored top-k selection they compose with.
+  */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramRows emits adjacent pairs in order, drops short docs") {
+    val df = Seq((1L, "the cat sat"), (2L, "one"), (3L, "")).toDF("id", "text")
+    val rows = LangModel.bigramRows(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(rows.toSeq == Seq((1L, "cat", "sat"), (1L, "the", "cat")))
+  }
+
+  test("perplexityScore: hand-computed add-one bigram LM on a toy corpus") {
+    // ref = "a b a b" → bigrams: (a,b)x2, (b,a)x1; c1(a)=2, c1(b)=1; V=2
+    val ref = Seq((0L, "a b a b")).toDF("id", "text")
+    val docs = Seq(
+      (0L, "a b a b"),
+      (1L, "a b"),   // one bigram: lp = ln((2+1)/(2+2)) = ln(0.75)
+      (2L, "c c")    // unseen: lp = ln((0+1)/(0+2)) = ln(0.5)
+    ).toDF("id", "text")
+    val out = LangModel.perplexityScore(docs, ref, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val lnp = (p: Double) => math.rint(math.log(p) * 1e9) / 1e9
+    assert(out(1) == ((1L, 1L, BigDecimal(lnp(0.75)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2) == ((2L, 1L, BigDecimal(lnp(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the reference doc itself: 3 bigrams ln(3/4), ln(2/3), ln(3/4)
+    val exp0 = (lnp(3.0 / 4) + lnp(2.0 / 3) + lnp(3.0 / 4)) / 3.0
+    assert(math.abs(out(0)._3 - exp0) < 1e-6)
+  }
+
+  test("perplexityScore ranks reference-like docs above gibberish") {
+    val docs = sparkDocs()
+    val scored = LangModel.perplexityScore(
+      docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    // held-in reference docs must average a (strictly) better score than
+    // the corpus overall would if the LM were uninformative: compare
+    // ref-slice mean vs non-ref mean
+    val m = scored.withColumn("ref", col("doc_id") % 7 === 0)
+      .groupBy("ref").agg(avg("avg_lp").as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(m(true) > m(false))
+  }
+
+  test("Dsir importanceWeights: target-token docs outweigh raw-only docs") {
+    // target docs say "alpha", raw-only docs say "omega"
+    val docs = (0L until 20L).map { i =>
+      if (i < 10) (i, "alpha alpha alpha", true) else (i, "omega omega omega", false)
+    }.toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(docs, col("tgt"), "id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w(0L) > w(10L))
+    assert(w.values.toSet.size == 2) // deterministic: two distinct weights
+  }
+
+  test("scoredTopK matches a global sort and is pigeonhole-exact") {
+    val df = (0L until 500L).map(i => (i, (i * 37 % 211).toDouble)).toDF("k", "sc")
+    val got = Sampling.scoredTopK(df, "k", col("sc"), 25, saltBuckets = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(0))).sorted
+    val want = (0L until 500L).map(i => (i, (i * 37 % 211).toDouble))
+      .sortBy { case (k, s) => (-s, k) }.take(25)
+      .zipWithIndex.map { case ((k, _), r) => (r.toLong + 1, k) }
+    assert(got.toSeq == want)
+  }
+
+  test("x60 canonicalizes source pairs (source_a <= source_b)") {
+    val out = graft.queries.ExtQueries.x60SourceOverlap(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
+
+  private def sparkDocs() =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+}
