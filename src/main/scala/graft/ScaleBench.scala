@@ -73,7 +73,11 @@ object ScaleBench {
     // LM scoring / DSIR are one explode + window/groupBy on the doc id +
     // broadcast model joins — expect ~linear; x60 rides x04's banded-LSH
     // bound (pair volume, not row count, dominates)
-    "x58_perplexity_score", "x59_dsir_sample", "x60_source_overlap")
+    "x58_perplexity_score", "x59_dsir_sample", "x60_source_overlap",
+    // x61 is one groupBy to O(sources) rows; x62 scales with bucket
+    // collision volume, not all-pairs (embeddings don't replicate with
+    // the doc corpus, so these two mostly pin fixed-cost flatness)
+    "x61_mixture_plan", "x62_srp_neardup")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -109,6 +109,43 @@ object Sampling {
       .drop("__salt", "__r1", "__es")
   }
 
+  /** Training-mixture recipe plan — the step BEFORE sampling: given a
+    * token budget, compute each source's allocation, sampling rate, and
+    * epoch count (repeat factor) under temperature-weighted balancing
+    * (α = 0.5, the multilingual-LM convention [[temperatureMixture]]
+    * samples by). Where that op samples ROWS, this one emits the PLAN
+    * table (the "data recipe" of Pile/Dolma-style corpus reports):
+    * sources whose allocation exceeds their inventory get epochs > 1
+    * (upsampling by repetition), the rest are downsampled.
+    *
+    * All arithmetic is exact-integer (quantized sqrt weights, integer
+    * allocation floor-division) except `sample_rate`, one division of two
+    * exact longs — bit-identical on any engine. One groupBy of the corpus
+    * on source; the output is O(sources) rows.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      sourceCol: String,
+      costCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"mixturePlan: budget=$budget")
+    val counts = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(coalesce(col(costCol), lit(0L)).cast("long")).as("n_toks"))
+      .withColumn("__w", floor(sqrt(col("n_toks").cast("double")) * 1000d).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("alloc_toks", expr(s"($budget * __w) div __tw"))
+      .withColumn("epochs",
+        when(col("n_toks") === 0L, lit(0L))
+          .otherwise(expr("(alloc_toks + n_toks - 1) div n_toks")))
+      .withColumn("sample_rate",
+        when(col("n_toks") === 0L, lit(0.0d))
+          .otherwise(round(col("alloc_toks").cast("double") / col("n_toks").cast("double"), 6)))
+      .select(col(sourceCol), col("n_docs"), col("n_toks"),
+        col("alloc_toks"), col("epochs"), col("sample_rate"))
+  }
+
   /** Exact global top-k by an arbitrary score (desc, keyCol tie-break)
     * WITHOUT a global sort: local top-k inside each of `saltBuckets` hash
     * partitions prunes to ≤ saltBuckets·k rows, then one tiny-task window

@@ -142,4 +142,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Deterministic signed-random-projection hyperplanes (Charikar 2002
+    * SimHash-for-vectors): component j of plane i is a uniform in [-1, 1)
+    * derived from the md5 48-bit prefix of "srp_<i>_<j>" — the same value
+    * any engine computes from its own md5, so an oracle can rebuild the
+    * planes bit-identically. O(planes × dim) doubles: broadcast metadata,
+    * like an IVF centroid table.
+    */
+  def srpPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { i =>
+      Array.tabulate(dim) { j0 =>
+        val j = j0 + 1 // 1-based, matching SQL list indexing
+        val hex = md.digest(s"srp_${i}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h48 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+        2.0d * ((h48 + 0.5d) / 281474976710656.0d) - 1.0d
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH near-dup pairs over embeddings — the
+    * LSH-bucketed scale path for vector similarity (vs [[ivfTopK]]'s
+    * cluster pruning): band t of `bands` hashes `bitsPerBand` projection
+    * signs into a bucket key; only same-(band, bucket) pairs are scored.
+    * P(bit agrees) = 1 − θ/π, so recall at cosine c is
+    * 1 − (1 − (1−arccos(c)/π)^bits)^bands — tune bands/bits to the
+    * threshold exactly like MinHash banding. Never all-pairs: candidates
+    * are per-bucket, the verify join scores only collisions, and the
+    * exact-cosine filter makes the RESULT exact for the candidates found
+    * (false positives die on the threshold; the miss rate is the banded
+    * complement above, mirrored by any oracle that rebuilds the same
+    * planes). Output: (id_a, id_b, cosine) with id_a < id_b.
+    */
+  def srpNearDupPairs(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 8,
+      bitsPerBand: Int = 6,
+      threshold: Double = 0.4): DataFrame = {
+    val v = data.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("nrm", norm(col("ve")))
+    val dim = v.select(size(col("ve"))).head().getInt(0)
+    val planes = srpPlanes(bands * bitsPerBand, dim)
+    val bandCols = (0 until bands).map { t =>
+      (0 until bitsPerBand).map { b =>
+        val i = t * bitsPerBand + b
+        when(dot(col("ve"), typedLit(planes(i).toSeq)) >= 0d, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val sig = v.select(col("id"), col("ve"), col("nrm"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val buckets = sig.select(col("id"), col("band"), col("bucket"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val side = v.select(col("id"), col("ve"), col("nrm"))
+    cands
+      .join(side.select(col("id").as("id_a"), col("ve").as("va"), col("nrm").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("ve").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

@@ -1835,4 +1835,60 @@ object ExtQueries {
        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
          max(j) AS max_jaccard
        FROM ps GROUP BY 1, 2"""
+
+  // --- x61: training-mixture recipe plan ---------------------------------
+  // The Pile/Dolma "data recipe" table: per-source token allocation,
+  // sampling rate, and epoch count under α=0.5 temperature balancing for
+  // a 200k-token budget (chars stand in for tokens — same arithmetic).
+  def x61MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(t(spark, dir, "documents"), "source", "n_chars", 200000L)
+
+  val x61Sql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs,
+           sum(coalesce(n_chars, 0)) AS n_toks FROM documents GROUP BY 1),
+       w AS (SELECT *, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS wq FROM c),
+       t AS (SELECT sum(wq) AS tw FROM w),
+       a AS (SELECT source, n_docs, n_toks, (200000 * wq) // tw AS alloc_toks
+             FROM w CROSS JOIN t)
+       SELECT source, n_docs, n_toks, alloc_toks,
+         CASE WHEN n_toks = 0 THEN 0
+              ELSE (alloc_toks + n_toks - 1) // n_toks END AS epochs,
+         CASE WHEN n_toks = 0 THEN 0.0
+              ELSE round(CAST(alloc_toks AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) END AS sample_rate
+       FROM a"""
+
+  // --- x62: SRP-LSH embedding near-dup pairs -----------------------------
+  // The LSH-bucketed scale path for vector similarity (vs x27's IVF
+  // blocking): 8 bands × 6 sign-projection bits, deterministic md5
+  // hyperplanes that the oracle rebuilds bit-identically, exact-cosine
+  // verify at 0.4. The oracle mirrors the FULL pipeline (planes, signs,
+  // buckets, verify), so banded recall cancels out of the comparison.
+  def x62SrpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDupPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      bands = 8, bitsPerBand = 6, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  val x62Sql: String = {
+    val h48 = duckHex48("hx")
+    s"""WITH pl0 AS (SELECT i.i AS i, j.j AS j,
+           md5('srp_' || CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) AS hx
+         FROM (SELECT unnest(range(0, 48)) AS i) i,
+              (SELECT unnest(range(1, 65)) AS j) j),
+       pl1 AS (SELECT i, j, 2.0 * ((CAST($h48 AS DOUBLE) + 0.5) / 281474976710656.0) - 1.0 AS r FROM pl0),
+       planes AS (SELECT i, list(r ORDER BY j) AS rv FROM pl1 GROUP BY 1),
+       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       bits AS (SELECT vec_id, i // 6 AS band, i % 6 AS bit,
+           CASE WHEN list_sum(list_transform(range(1, 65), k -> ve[k] * rv[k])) >= 0
+                THEN CAST(power(2, i % 6) AS BIGINT) ELSE 0 END AS bval
+         FROM v CROSS JOIN planes),
+       sig AS (SELECT vec_id, band, sum(bval) AS bucket FROM bits GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       scored AS (SELECT id_a, id_b,
+           list_sum(list_transform(range(1, 65), k -> na.ve[k] * nb.ve[k])) / (na.nrm * nb.nrm) AS cos
+         FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+       SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4"""
+  }
 }
