@@ -94,15 +94,23 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    // Replica i applies deterministic per-dimension sign flips: a diagonal
+    // ±1 transform preserves every cosine WITHIN the replica (D_i v · D_i w
+    // = v·w) while decorrelating replicas from each other (v · D_j w sums
+    // signed terms ≈ 0 for structured vectors) — so the staged corpus has
+    // 10× the vectors but only 10× the near-dup pairs, like a real corpus.
+    // (The previous cyclic rotation kept cross-replica correlation for
+    // structured vectors and inflated true pair volume quadratically.)
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
     (0 until reps).map { i =>
       val e = col("embedding")
-      val sh = pmod(lit(i), size(e))
-      val rotated = when(sh === 0, e)
-        .otherwise(concat(slice(e, sh + lit(1), size(e) - sh), slice(e, lit(1), sh)))
+      val flipped =
+        if (i == 0) e
+        else transform(e, (x, j) =>
+          (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))
       embs.select(
         (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        flipped.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 

@@ -1891,4 +1891,73 @@ object ExtQueries {
          FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
        SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.4"""
   }
+
+  // --- x63: embedding-corpus funnel (SRP dedup → IVF layout → int8 audit) -
+  // The vector-side twin of x46/x57's text funnels, composed end to end
+  // from library operators: SRP-banded near-dup pairs (x62) → keep-first
+  // dedup (a vector survives unless it appears as the LATER member of a
+  // near-dup pair) → IVF assignment of survivors (x16's layout step —
+  // at 100 TB the centroid id becomes the write-time partition key) →
+  // per-bucket int8 quantization-error audit (x19's storage form; the
+  // max-|error| column answers "is 4×-smaller storage safe for this
+  // bucket"). Output is O(centroids) rows. The per-vector quant-error
+  // HOF is bounded (64 dims) and off the hot path; at production scale
+  // it would join the codegen'd expression family.
+  def x63EmbeddingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val pairs = Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
+      bands = 8, bitsPerBand = 6, threshold = 0.4)
+    val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+    val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
+    val centroids = kept.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(kept, centroids, "vec_id", "embedding")
+    val dv = col("embedding").cast("array<double>")
+    val scale = array_max(transform(dv, x => abs(x)))
+    val qerr = array_max(transform(dv,
+      x => abs(round(x / scale * 127) * scale / lit(127.0d) - x)))
+    assigned
+      .withColumn("qerr", qerr)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"), round(max(col("qerr")), 6).as("max_qerr"))
+  }
+
+  val x63Sql: String = {
+    val h48 = duckHex48("hx")
+    s"""WITH pl0 AS (SELECT i.i AS i, j.j AS j,
+           md5('srp_' || CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) AS hx
+         FROM (SELECT unnest(range(0, 48)) AS i) i,
+              (SELECT unnest(range(1, 65)) AS j) j),
+       pl1 AS (SELECT i, j, 2.0 * ((CAST($h48 AS DOUBLE) + 0.5) / 281474976710656.0) - 1.0 AS r FROM pl0),
+       planes AS (SELECT i, list(r ORDER BY j) AS rv FROM pl1 GROUP BY 1),
+       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       bits AS (SELECT vec_id, i // 6 AS band, i % 6 AS bit,
+           CASE WHEN list_sum(list_transform(range(1, 65), k -> ve[k] * rv[k])) >= 0
+                THEN CAST(power(2, i % 6) AS BIGINT) ELSE 0 END AS bval
+         FROM v CROSS JOIN planes),
+       sig AS (SELECT vec_id, band, sum(bval) AS bucket FROM bits GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pairs AS (SELECT id_a, id_b
+         FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         WHERE list_sum(list_transform(range(1, 65), k -> na.ve[k] * nb.ve[k])) / (na.nrm * nb.nrm) >= 0.4),
+       kept AS (SELECT * FROM n WHERE vec_id NOT IN (SELECT id_b FROM pairs)),
+       c AS (SELECT vec_id AS centroid_id, ve AS cv, nrm AS cn FROM kept WHERE vec_id % 50 = 0),
+       s AS (SELECT k.vec_id, c.centroid_id,
+           list_sum(list_transform(range(1, 65), k2 -> k.ve[k2] * c.cv[k2])) / (k.nrm * c.cn) AS sim
+         FROM kept k CROSS JOIN c),
+       r AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn FROM s),
+       a AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+       qe AS (SELECT k.vec_id,
+           list_max(list_transform(k.ve,
+             x -> abs(round(x / sc.scale * 127) * sc.scale / 127.0 - x))) AS qerr
+         FROM kept k JOIN (SELECT vec_id, list_max(list_transform(ve, x -> abs(x))) AS scale FROM kept) sc
+           ON sc.vec_id = k.vec_id)
+       SELECT a.centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         round(max(qe.qerr), 6) AS max_qerr
+       FROM a JOIN qe ON qe.vec_id = a.vec_id
+       GROUP BY 1"""
+  }
 }

@@ -70,4 +70,14 @@ class RecipeSpec extends SparkSpec {
     // (1−(1−(1−arccos(c)/π)^6)^8); assert the fixture lands in range
     assert(got.size * 3 >= exact.size)
   }
+
+  test("x63 embedding funnel: buckets partition the survivors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val total = emb.count()
+    val pairs = Similarity.srpNearDupPairs(emb, "vec_id", "embedding")
+    val dropped = pairs.select("id_b").distinct().count()
+    val out = graft.queries.ExtQueries.x63EmbeddingFunnel(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum == total - dropped)
+    out.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 0.01))
+  }
 }
