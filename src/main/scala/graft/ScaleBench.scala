@@ -94,23 +94,28 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    // Replica i applies deterministic per-dimension sign flips: a diagonal
-    // ±1 transform preserves every cosine WITHIN the replica (D_i v · D_i w
-    // = v·w) while decorrelating replicas from each other (v · D_j w sums
-    // signed terms ≈ 0 for structured vectors) — so the staged corpus has
-    // 10× the vectors but only 10× the near-dup pairs, like a real corpus.
-    // (The previous cyclic rotation kept cross-replica correlation for
-    // structured vectors and inflated true pair volume quadratically.)
+    // Replica i applies a deterministic SIGNED PERMUTATION of dimensions:
+    // an orthogonal transform, so every cosine WITHIN the replica is
+    // preserved exactly, while ACROSS replicas the dominant dimensions of
+    // cluster-structured vectors land on unrelated dimensions with random
+    // signs — cross-replica cosines collapse to noise. (Cyclic rotation
+    // kept cross-replica correlation; sign flips alone leave a dominant
+    // dimension aligned with probability ½.) The staged corpus thus has
+    // 10× the vectors and ~10× the near-dup pairs, like a real corpus.
     val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
     (0 until reps).map { i =>
       val e = col("embedding")
-      val flipped =
-        if (i == 0) e
-        else transform(e, (x, j) =>
-          (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))
+      val mixed = if (i == 0) e else {
+        val rnd = new scala.util.Random(0xC0FFEEL + i)
+        val perm = rnd.shuffle((0 until dim).toVector)
+        val signs = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        array((0 until dim).map(k =>
+          (element_at(e, perm(k) + 1) * lit(signs(k))).cast("float")): _*)
+      }
       embs.select(
         (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
-        flipped.as("embedding"), col("label"))
+        mixed.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
@@ -194,6 +199,20 @@ object ScaleBench {
     report("stream_scale", StreamFamily)
     report("r6_scale", R6Family)
     report("r7_scale", R7Family)
+    // SRP with production bit sizing (the x62 GATE pins 6 bits to match
+    // its oracle; this entry measures the operator as actually deployed —
+    // bits grow with log₂ N, so candidate volume stays O(N))
+    def srpAuto(dir: String): Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val bits = graft.ext.Similarity.srpAutoBits(emb.count())
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.srpNearDupPairs(emb, "vec_id", "embedding", 8, bits).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    srpAuto(d1) // warm
+    val (s1a, sNa, s1b, sNb) = (srpAuto(d1), srpAuto(dN), srpAuto(d1), srpAuto(dN))
+    val (s1, sN) = (math.min(s1a, s1b), math.min(sNa, sNb))
+    println(f"""{"metric":"srp_auto_scale","reps":$reps,"unit":"sec","x1":$s1%.3f,"x$reps":$sN%.3f,"growth":${sN / s1}%.2f}""")
     spark.stop()
   }
 }

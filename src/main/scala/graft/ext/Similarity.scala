@@ -185,6 +185,15 @@ object Similarity {
     * 6→10 bits cuts candidate work ~16× with recall at the threshold
     * unchanged by the banding analysis above.
     */
+  /** Production band-key width for a corpus of `n` vectors: keeps
+    * expected bucket occupancy ~8 (candidates O(N) per band), clamped to
+    * a LONG-friendly range. ceil(log₂ n) − 3, in [4, 24].
+    */
+  def srpAutoBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(4, math.min(24, ceilLog2 - 3))
+  }
+
   def srpNearDupPairs(
       data: DataFrame,
       idCol: String,

@@ -71,6 +71,14 @@ class RecipeSpec extends SparkSpec {
     assert(got.size * 3 >= exact.size)
   }
 
+  test("srpNearDupPairs plans a bucket equi-join, never a cartesian") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.srpNearDupPairs(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x63 embedding funnel: buckets partition the survivors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val total = emb.count()
