@@ -74,9 +74,11 @@ object ScaleBench {
     // broadcast model joins — expect ~linear; x60 rides x04's banded-LSH
     // bound (pair volume, not row count, dominates)
     "x58_perplexity_score", "x59_dsir_sample", "x60_source_overlap",
-    // x61 is one groupBy to O(sources) rows; x62 scales with bucket
-    // collision volume, not all-pairs (embeddings don't replicate with
-    // the doc corpus, so these two mostly pin fixed-cost flatness)
+    // x61 is one groupBy over the replicated docs to O(sources) rows;
+    // x62 runs at its FIXED gate parameters over the replicated
+    // embeddings, so its curve shows the N²/2^bits fixed-bit law plus
+    // the noise-floor pair volume (see BENCH_SCALE) — srp_auto_scale
+    // below reports the production sizing
     "x61_mixture_plan", "x62_srp_neardup")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50

@@ -276,7 +276,7 @@ object Dedup {
     */
   private val warnedLocalDowngrade = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def materialize(df: DataFrame): DataFrame = {
+  private[ext] def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cleans = sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
       defaultValue = false)

@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: the bucket hash is the md5 48-bit prefix mod B (portable
   * to any engine); per-bucket log-ratios are rounded to 1e-9 and summed
-  * per doc as LONGs (order-free exact sum); the final weight rounds to
-  * 6 dp, absorbing last-ulp `ln` disagreement.
+  * per doc as LONGs (order-free exact sum). Unlike LangModel's MEAN, the
+  * weight is a raw sum, so a last-ulp `ln` flip in one bucket is
+  * amplified by that bucket's in-doc token count (~1e-9 × count) — the
+  * output therefore rounds to 4 dp, which absorbs flips up to ~50k
+  * same-bucket tokens per document; ranking ties introduced by the
+  * coarser rounding break on the doc id in both engines.
   */
 object Dsir {
 
@@ -63,6 +67,6 @@ object Dsir {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("lr9")).as("slr"))
       .select(col("id").as(idCol), col("n_toks"),
-        round(col("slr").cast("double") / lit(1e9d), 6).as("log_w"))
+        round(col("slr").cast("double") / lit(1e9d), 4).as("log_w"))
   }
 }

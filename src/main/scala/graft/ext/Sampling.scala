@@ -120,8 +120,12 @@ object Sampling {
     *
     * All arithmetic is exact-integer (quantized sqrt weights, integer
     * allocation floor-division) except `sample_rate`, one division of two
-    * exact longs — bit-identical on any engine. One groupBy of the corpus
-    * on source; the output is O(sources) rows.
+    * exact longs — bit-identical on any engine. The budget×weight product
+    * runs in DECIMAL(38,0): at production scale (budget ~1e12 tokens,
+    * quantized weights ~1e9+) the LONG product overflows silently in
+    * non-ANSI Spark, so the 38-digit decimal keeps the floor-division
+    * exact for any realistic magnitude. One groupBy of the corpus on
+    * source; the output is O(sources) rows.
     */
   def mixturePlan(
       df: DataFrame,
@@ -135,7 +139,8 @@ object Sampling {
       .withColumn("__w", floor(sqrt(col("n_toks").cast("double")) * 1000d).cast("long"))
     val tot = counts.agg(sum(col("__w")).as("__tw"))
     counts.crossJoin(broadcast(tot))
-      .withColumn("alloc_toks", expr(s"($budget * __w) div __tw"))
+      .withColumn("alloc_toks",
+        expr(s"CAST($budget AS DECIMAL(38,0)) * __w div __tw"))
       .withColumn("epochs",
         when(col("n_toks") === 0L, lit(0L))
           .otherwise(expr("(alloc_toks + n_toks - 1) div n_toks")))

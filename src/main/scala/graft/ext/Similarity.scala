@@ -186,12 +186,13 @@ object Similarity {
     * unchanged by the banding analysis above.
     */
   /** Production band-key width for a corpus of `n` vectors: keeps
-    * expected bucket occupancy ~8 (candidates O(N) per band), clamped to
-    * a LONG-friendly range. ceil(log₂ n) − 3, in [4, 24].
+    * expected bucket occupancy ~8 (candidates O(N) per band). ceil(log₂
+    * n) − 3, in [4, 48] — the key stays one LONG with headroom, and the
+    * upper clamp binds only past 2^51 vectors.
     */
   def srpAutoBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    math.max(4, math.min(24, ceilLog2 - 3))
+    math.max(4, math.min(48, ceilLog2 - 3))
   }
 
   def srpNearDupPairs(
@@ -203,8 +204,13 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val v = data.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("ve"))
-      .withColumn("nrm", norm(col("ve")))
-    val dim = v.select(size(col("ve"))).head().getInt(0)
+    // dimension probe (a LIMIT-1 scan); empty corpus → empty pair set,
+    // matching ivfAssign/minhashPairs graceful-empty behavior
+    val dimRow = v.select(size(col("ve")).as("d")).limit(1).collect()
+    if (dimRow.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0d).as("cosine")).limit(0)
+    val dim = dimRow(0).getInt(0)
     val planes = srpPlanes(bands * bitsPerBand, dim)
     val bandCols = (0 until bands).map { t =>
       (0 until bitsPerBand).map { b =>
@@ -213,15 +219,21 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val sig = v.select(col("id"), col("ve"), col("nrm"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val buckets = sig.select(col("id"), col("band"), col("bucket"))
+    // ONE materialized per-vector table (id, ve, nrm, band keys) feeds
+    // both self-join sides AND both verify joins — the projections (48
+    // codegen'd dot products + the norm) run exactly once, the
+    // three-consumer shape [[Dedup.materialize]] exists for
+    val sig = Dedup.materialize(v
+      .withColumn("nrm", norm(col("ve")))
+      .withColumn("bks", array(bandCols: _*)))
+    val buckets = sig.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val side = v.select(col("id"), col("ve"), col("nrm"))
+    val side = sig.select(col("id"), col("ve"), col("nrm"))
     cands
       .join(side.select(col("id").as("id_a"), col("ve").as("va"), col("nrm").as("na")), "id_a")
       .join(side.select(col("id").as("id_b"), col("ve").as("vb"), col("nrm").as("nb")), "id_b")

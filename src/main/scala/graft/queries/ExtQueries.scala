@@ -1794,7 +1794,7 @@ object ExtQueries {
                       * 1000000000.0, 0) AS BIGINT) AS lr9
          FROM counts CROSS JOIN tot),
        dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-           round(CAST(sum(lr9) AS DOUBLE) / 1000000000.0, 6) AS log_w
+           round(CAST(sum(lr9) AS DOUBLE) / 1000000000.0, 4) AS log_w
          FROM tk JOIN lr USING (b) GROUP BY 1),
        r AS (SELECT doc_id, n_toks, log_w,
            row_number() OVER (ORDER BY log_w DESC, doc_id) AS rn FROM dw)
@@ -1902,7 +1902,9 @@ object ExtQueries {
   // max-|error| column answers "is 4×-smaller storage safe for this
   // bucket"). Output is O(centroids) rows. The per-vector quant-error
   // HOF is bounded (64 dims) and off the hot path; at production scale
-  // it would join the codegen'd expression family.
+  // it would join the codegen'd expression family, and the survivor set
+  // (consumed by both the assignment and the audit — recomputed here)
+  // would be a persisted table between stages, as x48's index is.
   def x63EmbeddingFunnel(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val pairs = Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
