@@ -79,7 +79,9 @@ object ScaleBench {
     // embeddings, so its curve shows the N²/2^bits fixed-bit law plus
     // the noise-floor pair volume (see BENCH_SCALE) — srp_auto_scale
     // below reports the production sizing
-    "x61_mixture_plan", "x62_srp_neardup")
+    "x61_mixture_plan", "x62_srp_neardup",
+    // distribution-level shuffles over distinct n_chars values — near-flat
+    "x64_outlier_stats")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -28,6 +28,41 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Robust per-group outlier stats: exact median, exact MAD (median
+    * absolute deviation — the robust scale estimator; public statistics,
+    * e.g. Leys et al. 2013's MAD-based outlier recipe), and the count of
+    * rows whose |value − median| exceeds `k`×MAD. Entirely integer
+    * arithmetic for integral value columns (nearest-rank medians ARE
+    * data values), so any engine reproduces it bit-for-bit.
+    *
+    * Two distribution-level passes (each a [[groupQuantiles]]-shaped
+    * shuffle over distinct values, never rows) plus one broadcast of the
+    * O(groups) median/MAD table back onto the corpus for the outlier
+    * count. Output: (groupCols*, n, median, mad, n_outliers).
+    */
+  def robustOutlierStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 3): DataFrame = {
+    val gs = groupCols.map(col)
+    val med = groupQuantiles(df, groupCols, valueCol, Seq(0.5))
+      .select(gs :+ col(valueCol).as("__med"): _*)
+    val withDev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = groupQuantiles(withDev, groupCols, "__dev", Seq(0.5))
+      .select(gs :+ col("__dev").as("__mad"): _*)
+    withDev
+      .join(broadcast(mad), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"),
+        sum(when(col("__dev") > col("__mad") * k, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-group exact quantiles of `valueCol` at each q in `qs`.
     * Returns one row per (group, q): `(groupCols*, q, valueCol)`.
     */

@@ -1962,4 +1962,38 @@ object ExtQueries {
        FROM a JOIN qe ON qe.vec_id = a.vec_id
        GROUP BY 1"""
   }
+
+  // --- x64: robust per-source outlier stats (median / MAD) ---------------
+  // Data-quality monitoring: exact nearest-rank median and MAD per
+  // source, plus the count of docs beyond 3×MAD (Leys et al. 2013's
+  // robust outlier recipe). Entirely integer arithmetic on n_chars —
+  // bit-identical on any engine; two distribution-level shuffles, never
+  // a per-group row sort.
+  def x64OutlierStats(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.robustOutlierStats(t(spark, dir, "documents"), Seq("source"), "n_chars", 3)
+
+  val x64Sql: String =
+    """WITH d AS (SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+       c1 AS (SELECT source, n_chars AS v, count(*) AS c FROM d GROUP BY 1, 2),
+       w1 AS (SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n FROM c1),
+       med AS (SELECT source, v AS med FROM w1
+         WHERE CAST(floor(0.5 * (n - 1)) + 1 AS BIGINT) > cum - c
+           AND CAST(floor(0.5 * (n - 1)) + 1 AS BIGINT) <= cum),
+       dev AS (SELECT d.source, abs(d.n_chars - med.med) AS dv, med.med
+         FROM d JOIN med USING (source)),
+       c2 AS (SELECT source, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+       w2 AS (SELECT source, dv, c,
+             sum(c) OVER (PARTITION BY source ORDER BY dv) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n FROM c2),
+       mad AS (SELECT source, dv AS mad FROM w2
+         WHERE CAST(floor(0.5 * (n - 1)) + 1 AS BIGINT) > cum - c
+           AND CAST(floor(0.5 * (n - 1)) + 1 AS BIGINT) <= cum)
+       SELECT dev.source, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(dev.med) AS BIGINT) AS median,
+         CAST(min(mad.mad) AS BIGINT) AS mad,
+         CAST(sum(CASE WHEN dev.dv > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN mad USING (source)
+       GROUP BY 1"""
 }

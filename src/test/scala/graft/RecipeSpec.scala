@@ -79,6 +79,15 @@ class RecipeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("robustOutlierStats: hand-computed median/MAD and outlier count") {
+    // values 10,12,14,16,1000 → median 14 (rank floor(.5*4)+1 = 3),
+    // deviations 4,2,0,2,986 → MAD 2; outliers: |v-14| > 6 → just 1000
+    val df = Seq(10L, 12L, 14L, 16L, 1000L).map(("s", _)).toDF("source", "n_chars")
+    val out = graft.ext.Quantiles.robustOutlierStats(df, Seq("source"), "n_chars", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("s", 5L, 14L, 2L, 1L)))
+  }
+
   test("x63 embedding funnel: buckets partition the survivors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val total = emb.count()
