@@ -236,6 +236,16 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       threshold: Double): DataFrame = {
+    // geometry must match what the indexes were BUILT with: probing an
+    // index whose __m* column count differs silently ignores bands (or
+    // fails to resolve columns), degrading recall by orders of magnitude
+    // with no error — so fail loudly on any mismatch instead
+    for ((idx, name) <- Seq((incIdx, "incIdx"), (histIdx, "histIdx"))) {
+      val built = idx.columns.count(_.startsWith("__m"))
+      require(built == bands * rowsPerBand,
+        s"minhashProbe: $name was built with $built minhashes but probe " +
+          s"geometry is bands=$bands × rowsPerBand=$rowsPerBand = ${bands * rowsPerBand}")
+    }
     val bandCols = (0 until bands).map(b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"__m$i")): _*))
     def buckets(p: DataFrame) =
@@ -669,7 +679,11 @@ object Dedup {
     val n = benchGrams.count()
     val bloom = Bloom.buildDistributed(
       benchGrams.select(xxhash64(col("s")).as("h")).rdd.map(_.getLong(0)), n, bitsPerKey)
-    val posts = shingleRows(corpus, idCol, textCol, shingleN)
+    // materialized: the corpus explode+window shingle stage feeds BOTH
+    // the sizes groupBy and the bloom-filtered survivors — without this
+    // it executes twice per run (the same double-execution
+    // ngramJaccardPairs measured and fixed the same way)
+    val posts = materialize(shingleRows(corpus, idCol, textCol, shingleN))
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val survivors = posts.filter(BloomExpressions.mightContain(xxhash64(col("s")), bloom))
     // exact verify join is deliberately NOT broadcast-hinted: the premise

@@ -749,10 +749,28 @@ object ExtQueries {
   // recomputed per batch; at 100 TB both stores are maintained tables and
   // the day streams against them. The oracle is the same funnel composed
   // relationally — streaming plumbing must be invisible in the answer.
-  private val x57LastTable =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val x57Runs = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val x57Token = java.util.UUID.randomUUID().toString.take(8)
+  /** Fresh /tmp table path per (prefix, dir) invocation, reclaiming the
+    * previous run's table so repeated bench passes don't accumulate.
+    * Shared by the streaming-sink gates (x45, x57); each gate's FINAL
+    * table remains until JVM exit — bounded at one live table per
+    * (prefix, dir).
+    */
+  private object FreshTables {
+    private val last = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val token = java.util.UUID.randomUUID().toString.take(8)
+    def next(spark: SparkSession, dir: String, prefix: String): String = {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = s"/tmp/graft/${prefix}_tbl_${tag}_${token}_${runs.incrementAndGet()}"
+      Option(last.put(s"$prefix|$dir", table)).foreach { prev =>
+        val fs = new org.apache.hadoop.fs.Path(prev)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        try fs.delete(new org.apache.hadoop.fs.Path(prev), true)
+        catch { case _: java.io.IOException => () }
+      }
+      table
+    }
+  }
 
   def x57StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
@@ -808,14 +826,7 @@ object ExtQueries {
     }
 
     // fresh table per run (repeated bench passes must not accumulate)
-    val table =
-      s"/tmp/graft/funnel_tbl_${tag}_${x57Token}_${x57Runs.incrementAndGet()}"
-    Option(x57LastTable.put(dir, table)).foreach { prev =>
-      val fs = new org.apache.hadoop.fs.Path(prev)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      try fs.delete(new org.apache.hadoop.fs.Path(prev), true)
-      catch { case _: java.io.IOException => () }
-    }
+    val table = FreshTables.next(spark, dir, "funnel")
     // base snapshot = arrival batch 0 through the SAME funnel; batches
     // 1..3 then stream through replayedPipeline with txn fencing
     ManifestStore.write(spark,
@@ -1444,11 +1455,6 @@ object ExtQueries {
   // table must equal the batch upsert — which is the oracle. Each key
   // appears in exactly one batch, so merge order is immaterial and the
   // at-least-once replay contract (StreamUpsert scaladoc) is convergent.
-  private val x45LastTable =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val x45Runs = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val x45Token = java.util.UUID.randomUUID().toString.take(8)
-
   def x45StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     import graft.streaming.StreamUpsert
@@ -1467,14 +1473,7 @@ object ExtQueries {
       pmod(col("o_orderkey"), lit(8L)).as("pt"))
     // the table mutates per run: fresh dir per invocation, previous run's
     // table reclaimed so repeated bench passes don't accumulate in /tmp
-    val table =
-      s"/tmp/graft/smu_tbl_${tag}_${x45Token}_${x45Runs.incrementAndGet()}"
-    Option(x45LastTable.put(dir, table)).foreach { prev =>
-      val fs = new org.apache.hadoop.fs.Path(prev)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      try fs.delete(new org.apache.hadoop.fs.Path(prev), true)
-      catch { case _: java.io.IOException => () }
-    }
+    val table = FreshTables.next(spark, dir, "smu")
     ManifestStore.write(spark, base, table, "pt")
     val updates = orders.filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey").as("okey"),

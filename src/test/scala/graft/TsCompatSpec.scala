@@ -21,7 +21,15 @@ import graft.queries.ExtQueries
 class TsCompatSpec extends SparkSpec {
   import spark.implicits._
 
-  private val base = java.nio.file.Files.createTempDirectory("graft_tscompat").toString
+  private val base = {
+    val p = java.nio.file.Files.createTempDirectory("graft_tscompat")
+    // reclaim the fixture dir on JVM exit (LateData.stage's pattern) —
+    // otherwise every test run leaks a graft_tscompat* dir into /tmp
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    }
+    p.toString
+  }
   private val nanosDir  = s"$base/nanos"
   private val microsDir = s"$base/micros"
 
