@@ -80,7 +80,10 @@ object ScaleBench {
     // the noise-floor pair volume (see BENCH_SCALE) — srp_auto_scale
     // below reports the production sizing
     "x61_mixture_plan", "x62_srp_neardup",
-    // distribution-level shuffles over distinct n_chars values — near-flat
+    // distribution-level shuffles over distinct n_chars values; staging's
+    // per-replica word suffix widens text, so distinct values (and the
+    // window input) grow ~linearly with replicas — expect low-multiple
+    // growth, not flatness
     "x64_outlier_stats")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50

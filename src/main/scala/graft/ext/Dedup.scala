@@ -679,11 +679,14 @@ object Dedup {
     val n = benchGrams.count()
     val bloom = Bloom.buildDistributed(
       benchGrams.select(xxhash64(col("s")).as("h")).rdd.map(_.getLong(0)), n, bitsPerKey)
-    // materialized: the corpus explode+window shingle stage feeds BOTH
-    // the sizes groupBy and the bloom-filtered survivors — without this
-    // it executes twice per run (the same double-execution
-    // ngramJaccardPairs measured and fixed the same way)
-    val posts = materialize(shingleRows(corpus, idCol, textCol, shingleN))
+    // NOT materialized, deliberately: posts feeds two consumers (sizes,
+    // survivors), but both sit in ONE action's DAG, so ReuseExchange
+    // dedupes the expensive window shuffle — only the cheap post-shuffle
+    // stages run per consumer. (ngramJaccardPairs' materialize precedent
+    // is a SELF-JOIN, where exchange reuse can't help.) Materializing
+    // here would eagerly checkpoint every corpus posting row BEFORE the
+    // bloom prunes >99.9% of them — backwards at corpus scale.
+    val posts = shingleRows(corpus, idCol, textCol, shingleN)
     val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val survivors = posts.filter(BloomExpressions.mightContain(xxhash64(col("s")), bloom))
     // exact verify join is deliberately NOT broadcast-hinted: the premise

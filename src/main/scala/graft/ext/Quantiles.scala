@@ -35,10 +35,12 @@ object Quantiles {
     * arithmetic for integral value columns (nearest-rank medians ARE
     * data values), so any engine reproduces it bit-for-bit.
     *
-    * Two distribution-level passes (each a [[groupQuantiles]]-shaped
-    * shuffle over distinct values, never rows) plus one broadcast of the
-    * O(groups) median/MAD table back onto the corpus for the outlier
-    * count. Output: (groupCols*, n, median, mad, n_outliers).
+    * Exactly two corpus passes: the median pass, then one aggregation to
+    * the (group, |dev|, count) distribution — MAD, n, and the outlier
+    * count all derive from that distribution under one group-partitioned
+    * window, so no third row-level scan exists. Both shuffles carry
+    * distinct values, never rows; the only broadcasts are the O(groups)
+    * median/MAD tables. Output: (groupCols*, n, median, mad, n_outliers).
     */
   def robustOutlierStats(
       df: DataFrame,
@@ -48,19 +50,33 @@ object Quantiles {
     val gs = groupCols.map(col)
     val med = groupQuantiles(df, groupCols, valueCol, Seq(0.5))
       .select(gs :+ col(valueCol).as("__med"): _*)
-    val withDev = df.filter(col(valueCol).isNotNull)
+    // second (and last) corpus pass: aggregate straight to the
+    // (group, median, |dev|, count) DISTRIBUTION — the MAD pick, n, and
+    // the outlier count all derive from it, so no third row-level scan
+    val devDist = df.filter(col(valueCol).isNotNull)
       .join(broadcast(med), groupCols)
-      .withColumn("__dev", abs(col(valueCol) - col("__med")))
-    val mad = groupQuantiles(withDev, groupCols, "__dev", Seq(0.5))
+      .groupBy(gs ++ Seq(col("__med"),
+        abs(col(valueCol) - col("__med")).as("__dev")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byDev = Window.partitionBy(gs: _*).orderBy(col("__dev"))
+    val whole = Window.partitionBy(gs: _*)
+    val w = devDist
+      .withColumn("__cum", sum(col("__c")).over(byDev))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    // nearest-rank-lower MAD over the deviation distribution (the same
+    // rank rule groupQuantiles uses, weighted by __c)
+    val target = floor(lit(0.5d) * (col("__n") - 1)) + lit(1L)
+    val mad = w
+      .filter(target > col("__cum") - col("__c") && target <= col("__cum"))
       .select(gs :+ col("__dev").as("__mad"): _*)
-    withDev
-      .join(broadcast(mad), groupCols)
+    w.join(broadcast(mad), groupCols)
       .groupBy(gs: _*)
       .agg(
-        count(lit(1)).as("n"),
+        first(col("__n")).as("n"),
         first(col("__med")).as("median"),
         first(col("__mad")).as("mad"),
-        sum(when(col("__dev") > col("__mad") * k, 1L).otherwise(0L)).as("n_outliers"))
+        sum(when(col("__dev") > col("__mad") * k, col("__c")).otherwise(0L))
+          .as("n_outliers"))
   }
 
   /** Per-group exact quantiles of `valueCol` at each q in `qs`.
