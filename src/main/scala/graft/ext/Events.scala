@@ -17,8 +17,10 @@ object Events {
     * Event-time math in this engine runs on exact integer µs; the column
     * itself may arrive in either of two parquet encodings:
     *  - LONG — raw epoch nanoseconds (a `nanosAsLong=true` read of parquet
-    *    TIMESTAMP(NANOS)): integer `div 1000`, truncation identical to
-    *    DuckDB's `epoch_us`;
+    *    TIMESTAMP(NANOS)): exact integer FLOOR division by 1000 (a pmod
+    *    adjustment — `div` alone truncates toward zero, which would
+    *    disagree with DuckDB's flooring `epoch_us` on pre-1970 negative
+    *    event times; positive epochs are unaffected);
     *  - TIMESTAMP / TIMESTAMP_NTZ (parquet's default MICROS encoding):
     *    `unix_micros` after a cast to TIMESTAMP. The session timezone is
     *    pinned UTC throughout (Verify/Bench/specs), so the NTZ cast is an
@@ -28,7 +30,7 @@ object Events {
     */
   def epochMicros(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
-      case LongType => expr(s"`$tsCol` div 1000")
+      case LongType => expr(s"(`$tsCol` - pmod(`$tsCol`, 1000)) div 1000")
       case _        => unix_micros(col(tsCol).cast(TimestampType))
     }
 

@@ -72,8 +72,14 @@ object LangModel {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val ctx = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokenRows(ref, idCol, textCol).agg(count_distinct(col("w")).as("v"))
+    // lm is deliberately un-hinted: at fixture scale Spark's size
+    // estimate (helped by AQE) still picks a broadcast join, but a
+    // reference slice past the broadcast threshold degrades to a shuffle
+    // hash join on (w1, w2) instead of OOMing the driver — an explicit
+    // broadcast() hint would be honored regardless of size. ctx and
+    // vocab stay hinted: both are vocab-bounded by construction.
     val scored = bigramRows(docs, idCol, textCol)
-      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(lm, Seq("w1", "w2"), "left")
       .join(broadcast(ctx), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
     val p = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /

@@ -195,12 +195,20 @@ object Similarity {
     math.max(4, math.min(48, ceilLog2 - 3))
   }
 
+  /** `bitsPerBand <= 0` (the default) auto-sizes the band-key width to
+    * [[srpAutoBits]] of a cheap corpus count — the production sizing law
+    * (bits ≈ log₂(N) − 3, ~8 vectors/bucket) applies by DEFAULT, so
+    * pointing this at a 10⁹-vector corpus without tuning gets ~27-bit
+    * keys instead of the fixture's 6 and candidate volume stays O(N).
+    * Callers that need a pinned reproducible key width (the x62/x63
+    * gates, cross-engine oracles) pass it explicitly.
+    */
   def srpNearDupPairs(
       data: DataFrame,
       idCol: String,
       vecCol: String,
       bands: Int = 8,
-      bitsPerBand: Int = 6,
+      bitsPerBand: Int = -1,
       threshold: Double = 0.4): DataFrame = {
     val v = data.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("ve"))
@@ -211,10 +219,11 @@ object Similarity {
       return v.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0d).as("cosine")).limit(0)
     val dim = dimRow(0).getInt(0)
-    val planes = srpPlanes(bands * bitsPerBand, dim)
+    val bits = if (bitsPerBand > 0) bitsPerBand else srpAutoBits(data.count())
+    val planes = srpPlanes(bands * bits, dim)
     val bandCols = (0 until bands).map { t =>
-      (0 until bitsPerBand).map { b =>
-        val i = t * bitsPerBand + b
+      (0 until bits).map { b =>
+        val i = t * bits + b
         when(dot(col("ve"), typedLit(planes(i).toSeq)) >= 0d, lit(1L << b))
           .otherwise(lit(0L))
       }.reduce(_ + _)
@@ -222,9 +231,14 @@ object Similarity {
     // ONE materialized per-vector table (id, ve, nrm, band keys) feeds
     // both self-join sides AND both verify joins — the projections (48
     // codegen'd dot products + the norm) run exactly once, the
-    // three-consumer shape [[Dedup.materialize]] exists for
+    // three-consumer shape [[Dedup.materialize]] exists for.
+    // Zero-norm vectors are excluded up front: their cosine is 0/0 = NaN,
+    // and Spark's NaN ordering makes `NaN >= threshold` TRUE, so a
+    // degenerate vector colliding in a bucket would otherwise emit
+    // NaN-cosine pairs.
     val sig = Dedup.materialize(v
       .withColumn("nrm", norm(col("ve")))
+      .filter(col("nrm") > 0d)
       .withColumn("bks", array(bandCols: _*)))
     val buckets = sig.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))

@@ -1843,15 +1843,16 @@ object ExtQueries {
     Sampling.mixturePlan(t(spark, dir, "documents"), "source", "n_chars", 200000L)
 
   val x61Sql: String =
-    """WITH c AS (SELECT source, count(*) AS n_docs,
-           sum(coalesce(n_chars, 0)) AS n_toks FROM documents GROUP BY 1),
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_toks FROM documents GROUP BY 1),
        w AS (SELECT *, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS wq FROM c),
        t AS (SELECT sum(wq) AS tw FROM w),
-       a AS (SELECT source, n_docs, n_toks, (200000 * wq) // tw AS alloc_toks
+       a AS (SELECT source, n_docs, n_toks,
+             CAST((200000 * wq) // tw AS BIGINT) AS alloc_toks
              FROM w CROSS JOIN t)
        SELECT source, n_docs, n_toks, alloc_toks,
-         CASE WHEN n_toks = 0 THEN 0
-              ELSE (alloc_toks + n_toks - 1) // n_toks END AS epochs,
+         CAST(CASE WHEN n_toks = 0 THEN 0
+              ELSE (alloc_toks + n_toks - 1) // n_toks END AS BIGINT) AS epochs,
          CASE WHEN n_toks = 0 THEN 0.0
               ELSE round(CAST(alloc_toks AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) END AS sample_rate
        FROM a"""
@@ -1880,7 +1881,7 @@ object ExtQueries {
        bits AS (SELECT vec_id, i // 6 AS band, i % 6 AS bit,
            CASE WHEN list_sum(list_transform(range(1, 65), k -> ve[k] * rv[k])) >= 0
                 THEN CAST(power(2, i % 6) AS BIGINT) ELSE 0 END AS bval
-         FROM v CROSS JOIN planes),
+         FROM n CROSS JOIN planes WHERE nrm > 0),
        sig AS (SELECT vec_id, band, sum(bval) AS bucket FROM bits GROUP BY 1, 2),
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM sig a JOIN sig b
@@ -1935,7 +1936,7 @@ object ExtQueries {
        bits AS (SELECT vec_id, i // 6 AS band, i % 6 AS bit,
            CASE WHEN list_sum(list_transform(range(1, 65), k -> ve[k] * rv[k])) >= 0
                 THEN CAST(power(2, i % 6) AS BIGINT) ELSE 0 END AS bval
-         FROM v CROSS JOIN planes),
+         FROM n CROSS JOIN planes WHERE nrm > 0),
        sig AS (SELECT vec_id, band, sum(bval) AS bucket FROM bits GROUP BY 1, 2),
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM sig a JOIN sig b

@@ -34,6 +34,21 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - exp0) < 1e-6)
   }
 
+  test("perplexityScore: un-hinted lm join still broadcasts at fixture scale") {
+    // The model join is deliberately NOT broadcast()-hinted (a hint is
+    // honored regardless of size and would OOM on a huge reference
+    // slice); this pins that Spark's own size estimate still picks a
+    // broadcast hash join for a fixture-scale model, so dropping the
+    // hint cost nothing at the scales the gates run at.
+    val docs = sparkDocs()
+    val out = LangModel.perplexityScore(
+      docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    out.collect() // materialize so AQE's final (re-planned) join is visible
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
   test("perplexityScore ranks reference-like docs above gibberish") {
     val docs = sparkDocs()
     val scored = LangModel.perplexityScore(

@@ -79,6 +79,50 @@ class RecipeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("srpAutoBits encodes the ~8-per-bucket sizing law") {
+    assert(Similarity.srpAutoBits(500) == 6)   // the fixture pin
+    assert(Similarity.srpAutoBits(5000) == 10) // 10× corpus → wider keys
+    assert(Similarity.srpAutoBits(1L << 30) == 27)
+    assert(Similarity.srpAutoBits(1) == 4)     // lower clamp
+    assert(Similarity.srpAutoBits(Long.MaxValue) == 48) // upper clamp
+  }
+
+  test("srpNearDupPairs auto-sizes band keys at a staged 10x corpus") {
+    // 10 shifted replicas of the fixture = 5000 vectors: the un-pinned
+    // default must resolve to srpAutoBits(5000) = 10 bits, not the
+    // fixture's 6 — same result as passing 10 explicitly, different
+    // (coarser-bucket) result than 6 would give.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val staged = (0 until 10).map(k =>
+      emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    val auto = Similarity.srpNearDupPairs(staged, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Similarity.srpNearDupPairs(staged, "vec_id", "embedding",
+        bands = 8, bitsPerBand = Similarity.srpAutoBits(5000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == pinned)
+    assert(auto.nonEmpty)
+  }
+
+  test("srpNearDupPairs drops zero-norm vectors instead of NaN pairs") {
+    // two zero vectors collide in EVERY bucket (sign(0) >= 0 sets all
+    // bits); their cosine is 0/0 = NaN, and NaN >= threshold is TRUE
+    // under Spark's NaN ordering — the up-front nrm > 0 guard must keep
+    // them out of the pair set entirely.
+    val dim = 4
+    val rows = Seq(
+      (1L, Array.fill(dim)(1.0f)), (2L, Array.fill(dim)(1.0f)),
+      (90L, Array.fill(dim)(0.0f)), (91L, Array.fill(dim)(0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.srpNearDupPairs(df, "vec_id", "embedding",
+        bands = 2, bitsPerBand = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0d)))
+    got.foreach(r => assert(!r._3.isNaN))
+  }
+
   test("robustOutlierStats: hand-computed median/MAD and outlier count") {
     // values 10,12,14,16,1000 → median 14 (rank floor(.5*4)+1 = 3),
     // deviations 4,2,0,2,986 → MAD 2; outliers: |v-14| > 6 → just 1000

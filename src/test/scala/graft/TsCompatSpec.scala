@@ -74,6 +74,18 @@ class TsCompatSpec extends SparkSpec {
     assert(n.schema("us").dataType == LongType)
   }
 
+  test("epochMicros floors negative (pre-1970) LONG nanos like epoch_us") {
+    // `div` truncates toward zero; DuckDB's epoch_us floors — they
+    // disagree on negative epochs (-1500 ns is -2 µs, not -1). The pmod
+    // adjustment in the LongType branch must floor.
+    import spark.implicits._
+    val df = Seq((1L, -1500L), (2L, -1000L), (3L, -999L), (4L, 1500L), (5L, 0L))
+      .toDF("event_id", "ts")
+    val got = df.select(col("event_id"), Events.epochMicros(df).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, -2L), (2L, -1L), (3L, -1L), (4L, 1L), (5L, 0L)))
+  }
+
   // Every batch event-time entry point, run end-to-end on both encodings.
   private val batchEntryPoints: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
     "x08_sessions" -> (ExtQueries.x08SessionStats _),
