@@ -80,11 +80,23 @@ object ScaleBench {
     // the noise-floor pair volume (see BENCH_SCALE) — srp_auto_scale
     // below reports the production sizing
     "x61_mixture_plan", "x62_srp_neardup",
+    // x63 composes x62's SRP stage AT THE SAME pinned 6-bit geometry, so
+    // its curve is x62's fixed-bit law plus O(survivors × centroids) IVF
+    // — included so the omission isn't silent, read it against x62's row
+    "x63_embedding_funnel",
     // distribution-level shuffles over distinct n_chars values; staging's
     // per-replica word suffix widens text, so distinct values (and the
     // window input) grow ~linearly with replicas — expect low-multiple
     // growth, not flatness
     "x64_outlier_stats")
+
+  /** Round-8 operators: the maintained dedup stores (build is linear in
+    * the historical slice; probe + merge are O(increment) against the
+    * persisted tables) and salted sessionization (two shuffles — events
+    * by (user, bucket), rollups by user — expect ~linear).
+    */
+  val R8Family: Seq[String] = Seq(
+    "x65_dedup_store_daily", "x66_salted_sessions")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
@@ -187,7 +199,7 @@ object ScaleBench {
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    (Family ++ CoreFamily ++ StreamFamily ++ R6Family ++ R7Family).foreach { n =>
+    (Family ++ CoreFamily ++ StreamFamily ++ R6Family ++ R7Family ++ R8Family).foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -206,6 +218,7 @@ object ScaleBench {
     report("stream_scale", StreamFamily)
     report("r6_scale", R6Family)
     report("r7_scale", R7Family)
+    report("r8_scale", R8Family)
     // SRP with production bit sizing (the x62 GATE pins 6 bits to match
     // its oracle; this entry measures the operator as actually deployed —
     // bits grow with log₂ N, so candidate volume stays O(N))

@@ -71,6 +71,63 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Hot-user-safe two-phase sessionization rollup — the salted fallback
+    * the [[sessionizeBatch]] scaladoc's caveat points at. Phase 1 salts
+    * the per-user window with a CONTIGUOUS time bucket (`floor(orderCol /
+    * bucketWidth)`, floor-division so negative epochs bucket correctly):
+    * the gaps-and-islands pass runs per (user, bucket), so a user owning
+    * half the corpus shards across `timeRange / bucketWidth` reducers
+    * instead of serializing one. The per-(user, bucket) rollup reuses the
+    * window's hash partitioning (grouping keys ⊇ partitioning keys — no
+    * second shuffle). Phase 2 merges at SESSION granularity: per user,
+    * ordered by session start, chains of rollups whose boundary gap is ≤
+    * `gap` collapse into one session — exactly the sessions bucketing
+    * cut, because interior rollups are already gap-separated from their
+    * in-bucket neighbors by construction. Phase-2 volume is O(sessions),
+    * not O(events) — for a dense hot user, ~1 rollup per bucket.
+    *
+    * Equivalent to [[sessionStats]]' rollups for EVERY bucketWidth ≥ 1
+    * (pinned by spec); pick bucketWidth ≫ gap so phase 2 stays small.
+    * Output: (userCol, session_start, session_end, n_events).
+    */
+  def sessionStatsSalted(
+      df: DataFrame,
+      userCol: String,
+      orderCol: String,
+      gap: Long,
+      tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val o = col(orderCol)
+    val byUB = Window.partitionBy(col(userCol), col("__bkt")).orderBy(o)
+    val local = df
+      .withColumn("__bkt", ((o - pmod(o, lit(bucketWidth))) / lit(bucketWidth)).cast("long"))
+      .withColumn("__prev", lag(o, 1).over(byUB))
+      .withColumn("__ns",
+        when(col("__prev").isNull || o - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn("__seq",
+        sum(col("__ns")).over(byUB.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("__bkt"), col("__seq"))
+      .agg(
+        min(o).as("__o_start"), max(o).as("__o_end"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+    val byU = Window.partitionBy(col(userCol)).orderBy(col("__o_start"))
+    local
+      .withColumn("__pe", lag(col("__o_end"), 1).over(byU))
+      .withColumn("__nc",
+        when(col("__pe").isNull || col("__o_start") - col("__pe") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("__chain",
+        sum(col("__nc")).over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("__chain"))
+      .agg(
+        min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"),
+        sum(col("n_events")).as("n_events"))
+      .select(col(userCol), col("session_start"), col("session_end"), col("n_events"))
+  }
+
   /** Structured Streaming sessionization with the native `session_window`
     * operator + watermark — the streaming twin of [[sessionStats]]. Used by
     * the streaming spec; takes any (streaming or batch) DataFrame.

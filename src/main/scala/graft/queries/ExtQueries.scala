@@ -1996,4 +1996,105 @@ object ExtQueries {
          CAST(sum(CASE WHEN dev.dv > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        FROM dev JOIN mad USING (source)
        GROUP BY 1"""
+
+  // --- x65: day-over-day maintained dedup stores -------------------------
+  // The production form of x57's historical stores: the fingerprint set
+  // and the MinHash/LSH index are PERSISTED ManifestStore tables (x57
+  // used localCheckpoint stand-ins). Day 1 builds them from the
+  // historical slice; the day-2 increment is probed against the TABLES
+  // (the historical corpus is not an input to the probe); the day's
+  // clean docs are then folded into both stores by partition-pruned
+  // merges, and a re-probe against the merged fingerprint table shows
+  // them as historical — the day-over-day contract end to end. In-gate
+  // requires pin the index merge (rows = hist index + clean-doc index,
+  // disjoint ids). The oracle mirrors the dedup semantics; its
+  // `is_exact_dup_after` is the closed form of "the merge folded exactly
+  // the clean docs in" — any dropped/duplicated/mis-pruned partition in
+  // the Spark-side merge diverges from it.
+  def x65DedupStoreDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fpT = FreshTables.next(spark, dir, "fpstore")
+    val idxT = FreshTables.next(spark, dir, "idxstore")
+    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    val day1 = DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
+      .localCheckpoint()
+    val cleanDocs = inc.join(
+      day1.filter(col("clean")).select(col("doc_id")), Seq("doc_id"))
+    val idxBefore = ManifestStore.read(spark, idxT).count()
+    val incIdxRows = Dedup.minhashIndex(cleanDocs, "doc_id", "text").count()
+    DedupStores.append(spark, cleanDocs, "doc_id", "text", fpT, idxT)
+    val idxAfter = ManifestStore.read(spark, idxT).count()
+    require(idxAfter == idxBefore + incIdxRows,
+      s"x65: index merge folded $idxAfter rows, expected $idxBefore + $incIdxRows")
+    val merged = ManifestStore.read(spark, fpT)
+      .select(col("fp")).withColumn("__a", lit(1))
+    day1.join(merged, Seq("fp"), "left")
+      .withColumn("is_exact_dup_after", col("__a").isNotNull)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("clean"), col("is_exact_dup_after"))
+  }
+
+  val x65Sql: String =
+    """WITH dfp AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 = 0),
+       hfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 <> 0),
+       kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 = 0),
+       ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh WHERE len(sh) > 0),
+       hw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 <> 0),
+       hsh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM hw),
+       hposts AS (SELECT doc_id, unnest(sh) AS s FROM hsh WHERE len(sh) > 0),
+       inter AS (SELECT a.doc_id AS inc_id, b.doc_id AS hist_id, count(*) AS i
+                 FROM kposts a JOIN hposts b ON a.s = b.s GROUP BY 1, 2),
+       ks AS (SELECT doc_id, len(sh) AS n FROM ksh WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, len(sh) AS n FROM hsh WHERE len(sh) > 0),
+       nd AS (SELECT DISTINCT inc_id FROM inter
+              JOIN ks ON ks.doc_id = inc_id JOIN hs ON hs.doc_id = hist_id
+              WHERE CAST(i AS DOUBLE) / CAST(ks.n + hs.n - i AS DOUBLE) >= 0.7),
+       flags AS (SELECT dfp.doc_id,
+           (hfp.fp IS NOT NULL) AS is_exact_dup,
+           (nd.inc_id IS NOT NULL) AS is_near_dup
+         FROM dfp LEFT JOIN hfp ON dfp.fp = hfp.fp
+         LEFT JOIN nd ON nd.inc_id = dfp.doc_id)
+       SELECT doc_id, is_exact_dup, is_near_dup,
+         (NOT is_exact_dup AND NOT is_near_dup) AS clean,
+         (is_exact_dup OR (NOT is_exact_dup AND NOT is_near_dup)) AS is_exact_dup_after
+       FROM flags"""
+
+  // --- x66: hot-user-safe salted sessionization --------------------------
+  // x08's rollups through the two-phase salted path (Events
+  // .sessionStatsSalted): per-(user, 6h-bucket) gaps-and-islands, then a
+  // session-granularity boundary merge — a user owning half the events
+  // shards across buckets instead of serializing one reducer. The
+  // oracle is the PLAIN per-user session rollup: salting is an execution
+  // strategy, the result must be bucket-width-invariant (the 6h width is
+  // 12× the 30-min gap; SaltedSessionSpec pins invariance across widths
+  // down to 1 µs and the sharded plan shape under a 50%-hot user).
+  def x66SaltedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.sessionStatsSalted(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", gap = 30L * 60 * 1000000L, tsCol = "ts_us",
+      bucketWidth = 6L * 3600L * 1000000L)
+  }
+
+  val x66Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800000000
+              THEN 1 ELSE 0 END AS ns FROM x),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+       SELECT user_id, min(e) AS session_start, max(e) AS session_end,
+              count(*) AS n_events
+       FROM g GROUP BY user_id, session_seq"""
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Events
+
+/** The two-phase salted sessionization (x66): bucket-width invariance
+  * against the plain per-user rollup, and the sharded plan shape under a
+  * pathologically hot user.
+  */
+class SaltedSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gap = 30L * 60 * 1000000L // 30 min in µs
+
+  private def evUs = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.withColumn("ts_us", Events.epochMicros(ev))
+  }
+
+  private def plain = Events
+    .sessionStats(evUs, "user_id", "ts_us", gap, "ts_us")
+    .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
+  test("salted rollups equal plain rollups for any bucket width") {
+    val want = sortedRows(plain)
+    // widths: ≫ gap, == gap, a prime sliver of it, and 1 µs (every event
+    // its own bucket — the degenerate all-merge case)
+    for (w <- Seq(6L * 3600L * 1000000L, gap, 777777L, 1L)) {
+      val got = Events.sessionStatsSalted(evUs, "user_id", "ts_us", gap, "ts_us", w)
+      assert(sortedRows(got) == want, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("phase-1 window shards a 50%-hot user across time buckets") {
+    // one user owns half the corpus, densely packed (1-min cadence, so
+    // sessions span buckets and the boundary merge is exercised)
+    val hot = (0L until 5000L).map(i => (99999L, i * 60L * 1000000L))
+    val cold = (0L until 5000L).map(i => (i % 500, i * 61L * 1000000L))
+    val df = (hot ++ cold).toDF("user_id", "ts_us")
+    val width = 3600L * 1000000L // 1h buckets → hot user splits ~84 ways
+    val out = Events.sessionStatsSalted(df, "user_id", "ts_us", gap, "ts_us", width)
+    // plan shape: the per-event window partitions on (user, bucket), so
+    // no stage hashes all of a user's EVENTS to one reducer
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"),
+      "phase-1 partitioning lost the salt bucket column")
+    // correctness under the skew: equals the unsalted rollup
+    val want = sortedRows(Events
+      .sessionStats(df, "user_id", "ts_us", gap, "ts_us")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events")))
+    assert(sortedRows(out) == want)
+    // the hot user's dense minute-cadence stream is ONE merged session
+    val hotRows = out.filter(col("user_id") === 99999L).collect()
+    assert(hotRows.length == 1 && hotRows.head.getLong(3) == 5000L)
+  }
+
+  test("phase-1 rollup reuses the window's (user, bucket) partitioning") {
+    // the groupBy after the in-bucket window groups on a SUPERSET of the
+    // window's partition keys — exactly one exchange before the merge
+    // phase's per-user exchange, not two
+    val out = Events.sessionStatsSalted(evUs, "user_id", "ts_us", gap, "ts_us",
+      6L * 3600L * 1000000L)
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected 2 shuffles (events by (user,bkt), rollups by user), got $exchanges")
+  }
+}

@@ -41,6 +41,39 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(sortedRows(out) == sortedRows(expected))
   }
 
+  test("DedupStores: day-2 probes day-1's persisted tables, no rebuild") {
+    import graft.ext.DedupStores
+    val base = s"/tmp/graft/dstores_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx")
+    // day 2: an IN-MEMORY increment — if the probe still worked off the
+    // historical corpus, the plan would have to scan documents.parquet;
+    // it must scan ONLY the two store tables (+ the local increment)
+    import spark.implicits._
+    val histRow = hist.select(col("doc_id"), col("text")).limit(1)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getString(1))).head
+    val inc = Seq(histRow, (9999991L, "a completely novel never seen text " * 5))
+      .toDF("doc_id", "text")
+    val probe = DedupStores.probe(spark, inc, "doc_id", "text",
+      s"$base/fp", s"$base/idx")
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains(s"$base/fp") && scans.contains(s"$base/idx"))
+    assert(!scans.contains("documents.parquet"))
+    val got = probe.collect().map(r =>
+      (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).sortBy(_._1)
+    // the copied doc is an exact dup of day-1 history; the novel doc is clean
+    assert(got(0) == ((histRow._1, true, true, false)))
+    assert(got(1) == ((9999991L, false, false, true)))
+    // append the clean doc; a re-probe of the SAME increment now sees it
+    DedupStores.append(spark,
+      inc.filter(col("doc_id") === 9999991L), "doc_id", "text",
+      s"$base/fp", s"$base/idx")
+    val again = DedupStores.probe(spark, inc, "doc_id", "text",
+        s"$base/fp", s"$base/idx")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(again(9999991L)) // yesterday's clean doc is today's history
+  }
+
   test("minhash index+probe equals the one-shot pairs API") {
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
