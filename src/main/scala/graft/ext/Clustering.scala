@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed spherical k-means (Lloyd's iterations) and the
+  * SemDeDup-style semantic dedup it enables (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication" — public recipe: cluster the embedding space, then
+  * dedup by cosine WITHIN clusters, so the pair search is bounded by
+  * cluster size instead of N²).
+  *
+  * 100 TB design:
+  *  - assignment is a broadcast of the O(k) centroid table against the
+  *    corpus — one narrow pass per iteration, argmax via per-vector
+  *    window over k rows (the [[Similarity.ivfAssign]] shape);
+  *  - centroid recompute is posexplode → groupBy (cid, dim) → reassemble:
+  *    the shuffle carries k × dim aggregated rows, never vectors;
+  *  - engine-portable determinism: centroid components are fixed-point
+  *    means (Σ round(x·10⁶) as LONG — order-free exact sums — divided
+  *    once), so every iteration's centroids are bit-identical on any
+  *    engine and the argmax never hinges on summation order; cosine
+  *    dot products are sequential folds on both engines (the x62/x63
+  *    convention), so assignment ties break identically via the
+  *    (sim DESC, cid ASC) total order;
+  *  - empty clusters drop out of the recompute (standard Lloyd's
+  *    behavior) — identically on both engines, since both emit no group.
+  */
+object Clustering {
+
+  private def vecs(data: DataFrame, idCol: String, vecCol: String): DataFrame =
+    data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("nrm", Similarity.norm(col("ve")))
+
+  /** Deterministic stride seeding: every `stride`-th id is a seed, cid =
+    * the seed's own id. Engine-portable and O(1) to express; k scales
+    * with the corpus like a production k ∝ N heuristic.
+    */
+  def seedCentroids(data: DataFrame, idCol: String, vecCol: String, stride: Long): DataFrame =
+    data.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+
+  /** Nearest-centroid assignment by cosine; ties break on lowest cid.
+    * Input (id, ve, nrm) × centroids (cid, cv); output adds cid.
+    */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("cn", Similarity.norm(col("cv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    v.join(broadcast(c), lit(true))
+      .withColumn("__sim",
+        Similarity.cosine(col("ve"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id"), col("ve"), col("nrm"), col("cid"))
+  }
+
+  /** One centroid recompute: fixed-point per-dimension means. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("ve")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("x") * 1e6d, 0).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s").cast("double") /
+          col("c").cast("double") / 1e6d).as("m")))),
+        p => p.getField("m")).as("cv"))
+
+  /** `iters` full Lloyd steps from stride seeds, then a final assignment
+    * against the last centroids. Output: (id, cid) — the cluster layout
+    * SemDeDup and IVF write paths consume.
+    */
+  def kmeansAssign(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long,
+      iters: Int): DataFrame = {
+    val v = vecs(data, idCol, vecCol)
+    var cents = seedCentroids(data, idCol, vecCol, stride)
+    for (_ <- 0 until iters)
+      // materialized: each iteration's centroid table feeds the next
+      // round's broadcast AND would otherwise re-run the whole lineage
+      cents = Dedup.materialize(recompute(assign(v, cents)))
+    assign(v, cents).select(col("id").as(idCol), col("cid"))
+  }
+
+  /** Per-cluster rollup of the final layout: size and mean cosine to the
+    * centroid ("cohesion"), fixed-point-summed then rounded to 6 dp.
+    */
+  def kmeansStats(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long,
+      iters: Int): DataFrame = {
+    val v = vecs(data, idCol, vecCol)
+    var cents = seedCentroids(data, idCol, vecCol, stride)
+    for (_ <- 0 until iters)
+      cents = Dedup.materialize(recompute(assign(v, cents)))
+    val c = cents.withColumn("cn", Similarity.norm(col("cv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    v.join(broadcast(c), lit(true))
+      .withColumn("__sim",
+        Similarity.cosine(col("ve"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("__sim") * 1e9d, 0).cast("long")).as("__s9"))
+      .select(col("cid"), col("n_vectors"),
+        round(col("__s9").cast("double") / col("n_vectors").cast("double") / 1e9d, 6)
+          .as("cohesion"))
+  }
+
+  /** SemDeDup: near-dup pairs WITHIN each final cluster — the pair join
+    * is cluster-local (an equi-join on cid), so candidate volume is
+    * Σ sizeᵢ², bounded by the layout instead of N². Zero-norm vectors
+    * are excluded like [[Similarity.srpNearDupPairs]] (NaN cosine would
+    * pass the threshold under Spark's NaN ordering). Output:
+    * (id_a, id_b, cid, cosine) with id_a < id_b.
+    */
+  def semanticDedupPairs(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    val v = vecs(data, idCol, vecCol).filter(col("nrm") > 0d)
+    var cents = seedCentroids(data, idCol, vecCol, stride)
+    for (_ <- 0 until iters)
+      cents = Dedup.materialize(recompute(assign(v, cents)))
+    val laid = Dedup.materialize(assign(v, cents))
+    laid.as("a").join(laid.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cosine", Similarity.cosine(
+        col("a.ve"), col("b.ve"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cid").as("cid"), col("cosine"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus: Okapi BM25 top-k (Robertson et al.;
+  * the idf variant is Lucene's always-positive ln(1 + (N−df+0.5)/(df+0.5))).
+  * The lexical complement of the embedding-side ANN operators — corpus
+  * curation uses it for targeted audits ("show me the docs that score for
+  * these terms") and contamination triage.
+  *
+  * 100 TB design:
+  *  - the query table is O(queries × terms) — broadcast; corpus tokens
+  *    join it FIRST, so tf counting shuffles only postings of the query
+  *    vocabulary, never the corpus's;
+  *  - df/idf are per-term aggregates of that pruned posting set (tiny);
+  *    doc lengths ride the same narrow token pass; N/avgdl is a 1-row
+  *    broadcast;
+  *  - per-query top-k is a rank-filtered window — Spark's
+  *    WindowGroupLimit pushes the limit into the shuffle (partial top-k
+  *    per map side), so no query ever materializes its full candidate
+  *    list on one reducer;
+  *  - engine-portable determinism: per-(query, doc, term) partials are
+  *    rounded to 1e-9 fixed-point LONGs and summed order-free (the x58
+  *    convention); ranking orders by (integer score DESC, doc id ASC) —
+  *    a total order, so exact-duplicate docs rank deterministically.
+  */
+object Retrieval {
+
+  /** BM25 top-k: `queries` is (query_id, terms array<string>); returns
+    * (query_id, rank, doc_id-named idCol, score) with rank 1..k over
+    * (score DESC, id ASC) and score rounded to 6 dp. Docs matching no
+    * query term score 0 and are not returned. k1 = 1.2, b = 0.75.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val toks = LangModel.tokenRows(docs, idCol, textCol)
+    // doc length + corpus stats from the SAME tokenization; zero-token
+    // docs count toward N and avgdl (they can never match, but they are
+    // corpus members)
+    val lens = docs.select(col(idCol).as("id"))
+      .join(toks.groupBy(col("id")).agg(count(lit(1)).as("len")), Seq("id"), "left")
+      .na.fill(0L, Seq("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
+      .select(col("nd"), (col("tl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("w"))
+    // prune the corpus token stream to the query vocabulary BEFORE any
+    // counting — the broadcast join is the narrow gate everything else
+    // rides behind
+    val qVocab = qt.select(col("w")).distinct()
+    val matched = toks.join(broadcast(qVocab), Seq("w"))
+    val tf = matched.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("w"))
+      .join(broadcast(qt), Seq("w"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0d) +
+        (col("nd").cast("double") - col("df").cast("double") + lit(0.5d)) /
+          (col("df").cast("double") + lit(0.5d))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(2.2d)) /
+          (col("tf").cast("double") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("len").cast("double") / col("avgdl")))))
+      .withColumn("p9", round(col("idf") * col("tfn") * lit(1e9d), 0).cast("long"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("p9")).as("s9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s9").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as(idCol),
+        round(col("s9").cast("double") / lit(1e9d), 6).as("score"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, Dedup, Dsir, Events, LangModel, Multimodal, Quantiles, Redaction, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, Dedup, Dsir, Events, LangModel, Multimodal, Quantiles, Redaction, Retrieval, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -2097,4 +2097,128 @@ object ExtQueries {
        SELECT user_id, min(e) AS session_start, max(e) AS session_end,
               count(*) AS n_events
        FROM g GROUP BY user_id, session_seq"""
+
+  // Shared oracle CTEs for the k-means family (x67/x68): two unrolled
+  // Lloyd iterations from stride-50 seeds, mirroring Clustering's
+  // fixed-point determinism conventions exactly — Σ round(x·10⁶) LONG
+  // sums for centroid means (order-free), sequential-fold dot products,
+  // (sim DESC, cid ASC) assignment tie-break. Ends with `af`:
+  // (id, ve, nrm, cid, sim) under the final centroids.
+  private def kmeansCtes: String = {
+    def iter(i: Int, prev: String): String =
+      s"""a$i AS (SELECT id, ve, nrm, cid FROM (
+           SELECT n.id, n.ve, n.nrm, c.cid,
+             row_number() OVER (PARTITION BY n.id ORDER BY
+               list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+                 / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+               c.cid) AS rn
+           FROM n CROSS JOIN $prev c) WHERE rn = 1),
+         e$i AS (SELECT cid, p.p AS pos, ve[p.p] AS x
+           FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS p) p),
+         s$i AS (SELECT cid, pos,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS c
+           FROM e$i GROUP BY 1, 2),
+         c$i AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+           FROM s$i GROUP BY 1)"""
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       c0 AS (SELECT id AS cid, ve AS cv FROM v WHERE id % 50 = 0),
+       ${iter(1, "c0")},
+       ${iter(2, "c1")},
+       af AS (SELECT id, ve, nrm, cid, sim FROM (
+           SELECT n.id, n.ve, n.nrm, c.cid,
+             list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+               / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim,
+             row_number() OVER (PARTITION BY n.id ORDER BY
+               list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+                 / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+               c.cid) AS rn
+           FROM n CROSS JOIN c2 c) WHERE rn = 1)"""
+  }
+
+  // --- x67: spherical k-means cluster stats ------------------------------
+  // Two deterministic Lloyd iterations (SemDeDup's clustering step made
+  // engine-portable): per-cluster size + mean cosine to the final
+  // centroid. The oracle unrolls the identical iterations, so every
+  // centroid component and every argmax must match bit-for-bit — a
+  // one-ulp divergence anywhere in the double pipeline would flip an
+  // assignment and the row hashes.
+  def x67KmeansStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.kmeansStats(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", stride = 50L, iters = 2)
+
+  val x67Sql: String =
+    s"""WITH $kmeansCtes
+       SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         round(CAST(sum(CAST(round(sim * 1000000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 1000000000.0, 6) AS cohesion
+       FROM af GROUP BY 1"""
+
+  // --- x68: SemDeDup within-cluster semantic near-dup pairs --------------
+  // The payoff of x67's layout: the near-dup pair join is an EQUI-join
+  // on the cluster id, so candidate volume is Σ size(cluster)² — bounded
+  // by the layout, never N². τ=0.4 sits in the fixture's noise tail for
+  // the same reason x62's does (documented in BENCH_SCALE.md); real
+  // corpora run τ ≥ 0.9.
+  def x68SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.semanticDedupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      stride = 50L, iters = 2, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("cid"),
+        round(col("cosine"), 6).as("cosine"))
+
+  val x68Sql: String =
+    s"""WITH $kmeansCtes
+       SELECT a.id AS id_a, b.id AS id_b, a.cid AS cid,
+         round(list_sum(list_transform(range(1, 65), k -> a.ve[k] * b.ve[k]))
+           / (a.nrm * b.nrm), 6) AS cosine
+       FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id
+       WHERE list_sum(list_transform(range(1, 65), k -> a.ve[k] * b.ve[k]))
+           / (a.nrm * b.nrm) >= 0.4"""
+
+  // --- x69: BM25 keyword top-k retrieval ---------------------------------
+  // Lexical retrieval over the corpus (the keyword complement of the ANN
+  // family): three fixed term queries, Okapi BM25 (k1=1.2, b=0.75,
+  // Lucene's always-positive idf), top-15 per query. Fixed-point 1e-9
+  // partials (x58 convention) make the scores and the (score, id)
+  // ranking engine-portable.
+  def x69Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    Retrieval.bm25TopK(t(spark, dir, "documents"), "doc_id", "text", qs, k = 15)
+  }
+
+  val x69Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       lens AS (SELECT d.doc_id, coalesce(t.len, 0) AS len FROM documents d
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1) t USING (doc_id)),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+       qt AS (SELECT * FROM (VALUES
+         ('q_hash_join','hash'),('q_hash_join','join'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_vector','vector'),('q_vector','data')) AS q(query_id, w)),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+       dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+         FROM tf JOIN dft USING (w) JOIN qt USING (w)
+         JOIN lens USING (doc_id) CROSS JOIN stats
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, s9,
+           row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rank
+         FROM sc)
+       SELECT query_id, rank, doc_id,
+         round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score
+       FROM r WHERE rank <= 15"""
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Retrieval
+
+/** BM25 keyword retrieval (x69). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(tf: Long, len: Long, n: Long, df: Long, avgdl: Double): Double = {
+    val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+    val tfn = (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * (len.toDouble / avgdl)))
+    math.rint(math.rint(idf * tfn * 1e9) / 1e9 * 1e6) / 1e6
+  }
+
+  test("bm25TopK matches the hand formula on a toy corpus") {
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat"), (3L, "fish")).toDF("id", "text")
+    val qs = Seq(("q", Seq("cat"))).toDF("query_id", "terms")
+    val got = Retrieval.bm25TopK(docs, "id", "text", qs, k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // N=3, avgdl=5/3, df(cat)=2
+    val s1 = score(tf = 2, len = 3, n = 3, df = 2, avgdl = 5.0 / 3)
+    val s2 = score(tf = 1, len = 1, n = 3, df = 2, avgdl = 5.0 / 3)
+    assert(got.length == 2) // fish doc matches nothing
+    assert(got(0) == ((1, if (s1 >= s2) 1L else 2L, math.max(s1, s2))))
+    // higher tf on the longer doc vs lower tf on the shorter: both orders
+    // are legal BM25 outcomes; pin the exact values instead of guessing
+    assert(got.map(_._3).toSet == Set(s1, s2))
+  }
+
+  test("multi-term scores sum per doc and rank deterministically") {
+    val docs = Seq(
+      (1L, "spark spark streaming"), (2L, "spark streaming"), (3L, "spark"),
+      (4L, "other words entirely")).toDF("id", "text")
+    val qs = Seq(("q", Seq("spark", "streaming"))).toDF("query_id", "terms")
+    val got = Retrieval.bm25TopK(docs, "id", "text", qs, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.length == 2) // k cutoff
+    // doc 2 matches both terms with best length norm; doc 1 repeats spark
+    assert(got.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(got.map(_._1).toSeq.sorted == Seq(1, 2))
+  }
+
+  test("per-query top-k plans a WindowGroupLimit, not a full sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq(("q", Seq("hash", "join"))).toDF("query_id", "terms")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}
