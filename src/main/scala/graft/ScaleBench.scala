@@ -96,7 +96,14 @@ object ScaleBench {
     * by (user, bucket), rollups by user — expect ~linear).
     */
   val R8Family: Seq[String] = Seq(
-    "x65_dedup_store_daily", "x66_salted_sessions")
+    "x65_dedup_store_daily", "x66_salted_sessions",
+    // k-means: per-iteration cost is corpus × k broadcast-compare with
+    // stride seeding k ∝ N — the fixture family measures the N×k law;
+    // x68 adds the Σ cluster-size² pair volume on top
+    "x67_kmeans_stats", "x68_semantic_dedup",
+    // BM25 / MG-verify / prefix-sum packing are one-to-two-shuffle
+    // linear passes — expect ~linear
+    "x69_bm25_topk", "x70_heavy_hitters", "x71_packing_stats")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

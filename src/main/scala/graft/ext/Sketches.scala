@@ -71,4 +71,77 @@ object Sketches {
         .otherwise(size(col("mins")).cast("double"))
         .as("est_distinct"))
   }
+
+  /** Misra–Gries heavy hitters with EXACT verify — find every value with
+    * count ≥ ceil(N / `minFractionDen`) exactly, without ever shuffling
+    * the full (value, count) table. The x55-bloom pattern applied to
+    * frequency: a bounded sketch produces a guaranteed-superset candidate
+    * set, an exact pass over only those candidates makes the RESULT
+    * exact.
+    *
+    * Phase 1 runs the classic Misra–Gries summary (1982; merge rule from
+    * Agarwal et al. 2012, "Mergeable Summaries") as a `treeAggregate`:
+    * O(m) state per partition, partials merged pairwise by summing
+    * counts and subtracting the (m+1)-th largest when over capacity.
+    * Any value with true count > N/(m+1) is guaranteed to survive, so
+    * with `minFractionDen ≤ m` the ≤ m candidates are a superset of the
+    * answer — `require`d, since silently losing the guarantee would
+    * silently lose result rows. Phase 2 recounts ONLY the candidates
+    * (broadcast literal filter → groupBy of the matching rows) and
+    * applies the exact integer threshold. The candidate SET depends on
+    * partitioning/order (MG is order-sensitive); the verified OUTPUT
+    * does not.
+    *
+    * Output: (`valueCol`, cnt) for every value with cnt ≥
+    * ceil(N / minFractionDen); N counts non-null values.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      m: Int = 256,
+      minFractionDen: Long = 100L): DataFrame = {
+    require(minFractionDen >= 1 && minFractionDen <= m,
+      s"heavyHitters: minFractionDen=$minFractionDen must be in [1, m=$m] " +
+        "or the sketch cannot guarantee candidate completeness")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    def insert(mp: scala.collection.mutable.Map[String, Long], x: String): Unit =
+      if (mp.contains(x)) mp(x) += 1L
+      else if (mp.size < m) mp(x) = 1L
+      else { // decrement-all; amortized O(1): each call retires m+1 mass
+        val dead = mp.iterator.flatMap { case (k, c) =>
+          if (c == 1L) Some(k) else { mp(k) = c - 1L; None }
+        }.toList
+        dead.foreach(mp.remove)
+      }
+    def merge(
+        a: scala.collection.mutable.Map[String, Long],
+        b: scala.collection.mutable.Map[String, Long]) = {
+      b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+      if (a.size > m) {
+        // subtract the (m+1)-th largest count, drop the non-positive
+        val d = a.values.toArray.sorted(Ordering[Long].reverse).apply(m)
+        val dead = a.iterator.flatMap { case (k, c) =>
+          if (c - d <= 0L) Some(k) else { a(k) = c - d; None }
+        }.toList
+        dead.foreach(a.remove)
+      }
+      a
+    }
+    val zero = (scala.collection.mutable.Map.empty[String, Long], 0L)
+    val (sketch, total) = items.as[String].rdd.treeAggregate(zero)(
+      seqOp = { case ((mp, n), x) => insert(mp, x); (mp, n + 1L) },
+      combOp = { case ((a, na), (b, nb)) => (merge(a, b), na + nb) })
+    val minCount = (total + minFractionDen - 1L) / minFractionDen
+    val cands = sketch.keys.toSeq
+    if (cands.isEmpty)
+      items.groupBy(col("v").as(valueCol)).agg(count(lit(1)).as("cnt")).limit(0)
+    else
+      items.filter(col("v").isin(cands: _*))
+        .groupBy(col("v").as(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+  }
 }

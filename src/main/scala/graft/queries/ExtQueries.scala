@@ -2221,4 +2221,55 @@ object ExtQueries {
        SELECT query_id, rank, doc_id,
          round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score
        FROM r WHERE rank <= 15"""
+
+  // --- x70: Misra-Gries heavy hitters + exact verify ---------------------
+  // Vocabulary heavy hitters: every token with count >= ceil(N/100),
+  // found via a bounded m=256 MG sketch (guaranteed candidate superset
+  // for den <= m) + an exact recount of only the candidates — the
+  // x55-bloom "sketch prefilter, exact verify" pattern applied to
+  // frequency, so the oracle is the plain exact HAVING query.
+  def x70HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+      LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text")
+        .select(col("w")),
+      "w", m = 256, minFractionDen = 100L)
+
+  val x70Sql: String =
+    """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+       SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks CROSS JOIN tot
+       GROUP BY w, n
+       HAVING count(*) >= (n + 99) // 100"""
+
+  // --- x71: context-window packing plan ----------------------------------
+  // Sequence-packing diagnostics for a 4096-token context (n_chars as
+  // the token stand-in, x61's convention): docs concatenated in id
+  // order, per-source boundary-crossing stats. The Spark side computes
+  // global offsets with the two-phase DISTRIBUTED prefix sum (the only
+  // unpartitioned window runs over O(buckets) totals); the oracle's
+  // single global window is the semantic spec the distributed form must
+  // equal.
+  def x71PackingStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packingStats(
+      t(spark, dir, "documents"), "doc_id", "n_chars", "source",
+      capacity = 4096L, bucketWidth = 1000L)
+
+  val x71Sql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(coalesce(n_chars, 0) AS BIGINT) AS len
+         FROM documents),
+       o AS (SELECT doc_id, source, len,
+           CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         FROM d),
+       c AS (SELECT source, len,
+           CASE WHEN len <= 0 THEN 0
+                ELSE (s + len - 1) // 4096 - s // 4096 END AS cr
+         FROM o)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS n_toks,
+         CAST(sum(cr) AS BIGINT) AS n_crossings,
+         round(CAST(sum(cr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS crossing_frac
+       FROM c GROUP BY 1"""
 }
