@@ -103,7 +103,11 @@ object ScaleBench {
     "x67_kmeans_stats", "x68_semantic_dedup",
     // BM25 / MG-verify / prefix-sum packing are one-to-two-shuffle
     // linear passes — expect ~linear
-    "x69_bm25_topk", "x70_heavy_hitters", "x71_packing_stats")
+    "x69_bm25_topk", "x70_heavy_hitters", "x71_packing_stats",
+    // hard negatives: fixed 1-in-25 query stride means |Q| grows with N
+    // — the N×|Q| law, like x67's N×k; two-stage top-k keeps reducers
+    // bounded
+    "x72_hard_negatives")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -46,19 +46,36 @@ object Similarity {
   def bruteForceTopK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     topK(data, queries, idCol, vecCol, k, excludeSelf = true)
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors that carry a DIFFERENT `labelCol` —
+    * the highest-confusion negatives, the pairs an embedding trainer
+    * wants in the batch. Same broadcast + two-stage-top-k shape as
+    * [[bruteForceTopK]]; the label inequality rides the broadcast join
+    * condition, so mismatched pairs are dropped before scoring ever
+    * shuffles. Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def hardNegatives(data: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame =
+    topK(data, queries, idCol, vecCol, k,
+      excludeSelf = false, excludeLabelCol = Some(labelCol))
+
   /** Core scored top-k; `excludeSelf=false` keeps pairs with equal ids —
     * needed when the two id spaces are unrelated (e.g. centroid probing,
     * where centroid ids incidentally collide with query ids).
     */
   private def topK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, excludeSelf: Boolean): DataFrame = {
-    val corpus = data.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("dv"))
+      k: Int, excludeSelf: Boolean, excludeLabelCol: Option[String] = None): DataFrame = {
+    val corpus = data.select((col(idCol).as("neighbor_id") +:
+        col(vecCol).cast("array<double>").as("dv") +:
+        excludeLabelCol.map(c => col(c).as("__nl")).toSeq): _*)
       .withColumn("dn", norm(col("dv")))
-    val qs = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+    val qs = queries.select((col(idCol).as("query_id") +:
+        col(vecCol).cast("array<double>").as("qv") +:
+        excludeLabelCol.map(c => col(c).as("__ql")).toSeq): _*)
       .withColumn("qn", norm(col("qv")))
-    val joinCond = if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
+    val selfCond = if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
+    val joinCond = excludeLabelCol
+      .map(_ => selfCond && col("__nl") =!= col("__ql")).getOrElse(selfCond)
     val scored = corpus.join(broadcast(qs), joinCond)
       .withColumn("cosine", cosine(col("dv"), col("qv"), col("dn"), col("qn")))
     // Two-stage top-k: a window partitioned only by query_id funnels ALL

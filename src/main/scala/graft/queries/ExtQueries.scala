@@ -2272,4 +2272,32 @@ object ExtQueries {
          CAST(sum(cr) AS BIGINT) AS n_crossings,
          round(CAST(sum(cr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS crossing_frac
        FROM c GROUP BY 1"""
+
+  // --- x72: hard-negative mining -----------------------------------------
+  // Contrastive-training batch construction: for each query vector, the
+  // top-5 most-similar vectors with a DIFFERENT label (the
+  // highest-confusion negatives). Label inequality rides the broadcast
+  // join condition; ranking shares the ANN family's (cosine DESC, id)
+  // total order.
+  def x72HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val x72Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, label, ve,
+           sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+       sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), k -> q.ve[k] * c.ve[k])) / (q.nrm * c.nrm) AS cos
+         FROM q JOIN n c ON c.label <> q.label),
+       r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM sc)
+       SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       FROM r WHERE rank <= 5"""
 }

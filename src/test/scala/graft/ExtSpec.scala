@@ -37,6 +37,21 @@ class ExtSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("hardNegatives returns only different-label neighbors, ranked") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),  // same label as query — excluded
+      (2L, Array(0.8f, 0.2f, 0.0f), 1),  // best cross-label match
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled,
+        labeled.filter(col("vec_id") === 0L), "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(2L, 3L, 4L)) // cos 0.970, 0.0, -1.0; never 1L
+  }
+
   // ---------------------------------------------------------- text analysis
 
   test("text metrics on a crafted doc") {
