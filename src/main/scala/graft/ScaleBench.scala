@@ -107,7 +107,9 @@ object ScaleBench {
     // hard negatives: fixed 1-in-25 query stride means |Q| grows with N
     // — the N×|Q| law, like x67's N×k; two-stage top-k keeps reducers
     // bounded
-    "x72_hard_negatives")
+    "x72_hard_negatives",
+    // two map-side-combined integer aggregations — expect ~linear
+    "x73_event_anomalies")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -34,8 +34,12 @@ object Clustering {
       .withColumn("nrm", Similarity.norm(col("ve")))
 
   /** Deterministic stride seeding: every `stride`-th id is a seed, cid =
-    * the seed's own id. Engine-portable and O(1) to express; k scales
-    * with the corpus like a production k ∝ N heuristic.
+    * the seed's own id. Engine-portable and O(1) to express. NOTE the
+    * cost dial: assignment work is N × k = N²/stride, so a FIXED stride
+    * turns quadratic as the corpus grows (measured 4.6× wall at 10× rows
+    * in BENCH_SCALE) — production sizing grows `stride` with N to hold k
+    * (the cluster budget) fixed, making each Lloyd iteration linear. The
+    * gates pin stride for oracle reproducibility.
     */
   def seedCentroids(data: DataFrame, idCol: String, vecCol: String, stride: Long): DataFrame =
     data.filter(col(idCol) % stride === 0)

@@ -100,6 +100,9 @@ object DedupStores {
   /** Fold a day's accepted docs into both stores: an upsert merge on the
     * store key, partition-pruned to the hash buckets the day's keys land
     * in. Tomorrow's [[probe]] sees these docs as historical.
+    * `prebuiltIdx` lets a caller that already computed the docs' minhash
+    * index (a probe pass, an accounting count) hand it in instead of
+    * paying the signature pass twice.
     */
   def append(
       spark: SparkSession,
@@ -111,12 +114,14 @@ object DedupStores {
       shingleN: Int = 3,
       bands: Int = 32,
       rowsPerBand: Int = 2,
-      partitions: Int = 8): Unit = {
+      partitions: Int = 8,
+      prebuiltIdx: Option[DataFrame] = None): Unit = {
     val fp = docs
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
       .withColumn("pt", bucket(col("fp"), partitions))
     ManifestStore.merge(spark, fpTable, fp, Seq("fp"), "pt")
-    val idx = Dedup.minhashIndex(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+    val idx = prebuiltIdx
+      .getOrElse(Dedup.minhashIndex(docs, idCol, textCol, shingleN, bands, rowsPerBand))
       .withColumn("pt", bucket(col("id"), partitions))
     ManifestStore.merge(spark, idxTable, idx, Seq("id"), "pt")
   }

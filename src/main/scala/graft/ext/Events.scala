@@ -142,4 +142,44 @@ object Events {
     */
   def propsField(props: Column, field: String): Column =
     get_json_object(props, s"$$.$field")
+
+  /** Volume-anomaly detection over hourly event counts, ENTIRELY in
+    * integer arithmetic — no floating-point knife edges anywhere, so the
+    * anomaly set is bit-identical on any engine. A bucket is anomalous
+    * for its type when its count deviates from the type's mean by more
+    * than `k` standard deviations; with n buckets, sum S and sum of
+    * squares Q (all exact LONGs):
+    *
+    *   |c − S/n| > k·σ  ⟺  (c·n − S)² > k²·(n·Q − S²)
+    *
+    * (σ² = (nQ − S²)/n²; both sides multiplied by n².) Two aggregations:
+    * hourly counts (one shuffle on (type, bucket), map-side combined),
+    * then per-type moments (O(types × buckets) rows), broadcast back.
+    * Output: (typeCol, n_buckets, n_events, n_anomalies). LONG range
+    * bounds the counts: |c·n − S| and n·Q must stay < 2⁶³ — holds to
+    * ~10⁹ events per bucket at ~10⁵ buckets; past that, widen to
+    * DECIMAL(38,0) the way q35's moments do.
+    */
+  def hourlyAnomalies(
+      df: DataFrame,
+      typeCol: String,
+      tsUsCol: String,
+      k: Int = 3): DataFrame = {
+    val hour = 3600L * 1000000L
+    val bkt = expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, $hour)) div $hour")
+    val hourly = df.groupBy(col(typeCol), bkt.as("__bkt"))
+      .agg(count(lit(1)).as("c"))
+    val st = hourly.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    hourly.join(broadcast(st), Seq(typeCol))
+      .withColumn("__dev", col("c") * col("n") - col("s"))
+      .withColumn("__an",
+        when(col("__dev") * col("__dev") >
+          lit(k.toLong * k) * (col("n") * col("q") - col("s") * col("s")), 1L)
+          .otherwise(0L))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"),
+        sum(col("__an")).as("n_anomalies"))
+  }
 }

@@ -2025,8 +2025,12 @@ object ExtQueries {
     val cleanDocs = inc.join(
       day1.filter(col("clean")).select(col("doc_id")), Seq("doc_id"))
     val idxBefore = ManifestStore.read(spark, idxT).count()
-    val incIdxRows = Dedup.minhashIndex(cleanDocs, "doc_id", "text").count()
-    DedupStores.append(spark, cleanDocs, "doc_id", "text", fpT, idxT)
+    // one signature pass: the accounting count and the append share the
+    // materialized clean-doc index
+    val cleanIdx = Dedup.minhashIndex(cleanDocs, "doc_id", "text").localCheckpoint()
+    val incIdxRows = cleanIdx.count()
+    DedupStores.append(spark, cleanDocs, "doc_id", "text", fpT, idxT,
+      prebuiltIdx = Some(cleanIdx))
     val idxAfter = ManifestStore.read(spark, idxT).count()
     require(idxAfter == idxBefore + incIdxRows,
       s"x65: index merge folded $idxAfter rows, expected $idxBefore + $incIdxRows")
@@ -2300,4 +2304,32 @@ object ExtQueries {
          FROM sc)
        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        FROM r WHERE rank <= 5"""
+
+  // --- x73: hourly event-volume anomalies --------------------------------
+  // Data-quality monitoring on the ingest feed: per event type, hours
+  // whose count deviates > 3σ from the type's hourly mean. ENTIRELY
+  // integer arithmetic ((c·n − S)² > 9·(n·Q − S²)) — no
+  // floating-point threshold anywhere, so both engines agree exactly on
+  // the anomaly set.
+  def x73EventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.hourlyAnomalies(
+      ev.withColumn("ts_us", Events.epochMicros(ev)), "event_type", "ts_us", k = 3)
+  }
+
+  val x73Sql: String =
+    """WITH x AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+       h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+         FROM h GROUP BY 1),
+       a AS (SELECT h.event_type, h.c,
+           CASE WHEN (h.c * st.n - st.s) * (h.c * st.n - st.s)
+                     > 9 * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END AS an
+         FROM h JOIN st USING (event_type))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(an) AS BIGINT) AS n_anomalies
+       FROM a GROUP BY 1"""
 }

@@ -55,6 +55,22 @@ class SaltedSessionSpec extends SparkSpec {
     assert(hotRows.length == 1 && hotRows.head.getLong(3) == 5000L)
   }
 
+  test("hourlyAnomalies flags a hand-computed 3-sigma spike, all-integer") {
+    // 20 quiet hours of 5 events + one 50-event hour: n=21, S=150,
+    // Q=3000 → nQ−S² = 40500; spike dev = 50·21−150 = 900,
+    // 900² = 810000 > 9·40500 = 364500 → exactly one anomaly.
+    // (A lone outlier among n constants has z² = n−1 exactly, so n must
+    // exceed k²+1 for the spike to register — 21 does.)
+    val hour = 3600L * 1000000L
+    val rows =
+      (for (h <- 0 until 20; i <- 0 until 5) yield ("a", h * hour + i)) ++
+        (0 until 50).map(i => ("a", 20L * hour + i))
+    val got = Events.hourlyAnomalies(rows.toDF("event_type", "ts_us"),
+        "event_type", "ts_us", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 21L, 150L, 1L)))
+  }
+
   test("phase-1 rollup reuses the window's (user, bucket) partitioning") {
     // the groupBy after the in-bucket window groups on a SUPERSET of the
     // window's partition keys — exactly one exchange before the merge
