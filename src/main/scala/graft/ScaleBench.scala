@@ -109,7 +109,10 @@ object ScaleBench {
     // bounded
     "x72_hard_negatives",
     // two map-side-combined integer aggregations — expect ~linear
-    "x73_event_anomalies")
+    "x73_event_anomalies",
+    // posting left-join vs the distinct historical shingle set — rides
+    // the x05 inverted-index bound
+    "x74_novelty_score")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -81,6 +81,43 @@ object Dedup {
     if (distinct) rows.distinct() else rows
   }
 
+  /** Per-document NOVELTY against a historical corpus: the fraction of a
+    * doc's distinct `shingleN`-gram shingles never seen in history —
+    * the memorization-risk / freshness diagnostic a curation pipeline
+    * scores arrivals with (a near-zero-novelty doc is recombined known
+    * text even when no single historical doc crosses a pairwise
+    * near-dup threshold). One posting-table left join against the
+    * DISTINCT historical shingle set (the x05 inverted-index shape,
+    * O(postings), never doc × doc) + one per-doc aggregation reusing
+    * the join's shuffle output. Docs with no shingles (< n tokens) emit
+    * no row, matching the pair operators' convention. Output:
+    * (idCol, n_shingles, n_seen, novelty 6 dp).
+    */
+  def noveltyScore(
+      inc: DataFrame,
+      hist: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val histSet = shingleRows(hist, idCol, textCol, shingleN)
+      .select(col("s")).distinct().withColumn("__seen", lit(1L))
+    noveltyAgainst(shingleRows(inc, idCol, textCol, shingleN), histSet, idCol)
+  }
+
+  /** Shared tail of [[noveltyScore]] and the store-backed variant in
+    * [[DedupStores.noveltyAgainstStore]]: `histSet` is (s, __seen=1),
+    * distinct.
+    */
+  private[ext] def noveltyAgainst(
+      incSh: DataFrame, histSet: DataFrame, idCol: String): DataFrame =
+    incSh.join(histSet, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_seen"),
+        round(lit(1.0d) - col("n_seen").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+
   // ------------------------------------------------------------- MinHash
 
   /** MinHash signature: k minimums of seeded hashes, where seed variant i

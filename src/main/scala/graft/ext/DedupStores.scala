@@ -125,4 +125,24 @@ object DedupStores {
       .withColumn("pt", bucket(col("id"), partitions))
     ManifestStore.merge(spark, idxTable, idx, Seq("id"), "pt")
   }
+
+  /** [[Dedup.noveltyScore]] with history read from the PERSISTED index
+    * table: the historical shingle set is recovered from the store's
+    * `sh` column (the index already carries each doc's distinct
+    * shingles), so scoring a day's arrivals touches the store, never
+    * the historical corpus — same contract as [[probe]].
+    */
+  def noveltyAgainstStore(
+      spark: SparkSession,
+      inc: DataFrame,
+      idCol: String,
+      textCol: String,
+      idxTable: String,
+      shingleN: Int = 3): DataFrame = {
+    val histSet = ManifestStore.read(spark, idxTable)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("__seen", lit(1L))
+    Dedup.noveltyAgainst(
+      Dedup.shingleRows(inc, idCol, textCol, shingleN), histSet, idCol)
+  }
 }

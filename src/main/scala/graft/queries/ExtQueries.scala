@@ -2332,4 +2332,35 @@ object ExtQueries {
          CAST(sum(c) AS BIGINT) AS n_events,
          CAST(sum(an) AS BIGINT) AS n_anomalies
        FROM a GROUP BY 1"""
+
+  // --- x74: per-doc novelty vs the historical corpus ---------------------
+  // Memorization-risk / freshness scoring: fraction of each arrival
+  // doc's distinct trigram shingles never seen in history — catches
+  // recombined known text that no single pairwise near-dup threshold
+  // flags. One posting left-join against the DISTINCT historical
+  // shingle set; the store-backed twin (DedupStores.noveltyAgainstStore)
+  // is pinned ≡ in StreamingFunnelSpec.
+  def x74NoveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.noveltyScore(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", shingleN = 3)
+  }
+
+  val x74Sql: String =
+    """WITH kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 = 0),
+       ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh WHERE len(sh) > 0),
+       hw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 <> 0),
+       hsh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM hw),
+       hset AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM hsh WHERE len(sh) > 0)),
+       j AS (SELECT k.doc_id, CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END AS seen
+             FROM kposts k LEFT JOIN hset h ON h.s = k.s)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(seen) AS BIGINT) AS n_seen,
+         round(1.0 - CAST(sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+       FROM j GROUP BY 1"""
 }

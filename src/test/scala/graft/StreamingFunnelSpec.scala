@@ -74,6 +74,21 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(again(9999991L)) // yesterday's clean doc is today's history
   }
 
+  test("store-backed novelty equals direct novelty (history never rescanned)") {
+    import graft.ext.DedupStores
+    val base = s"/tmp/graft/nvl_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx")
+    val fromStore = DedupStores.noveltyAgainstStore(
+      spark, inc, "doc_id", "text", s"$base/idx")
+    val direct = Dedup.noveltyScore(inc, hist, "doc_id", "text")
+    assert(sortedRows(fromStore) == sortedRows(direct))
+    // the history side reads the store (the inc side still scans the
+    // corpus for the arrivals themselves — that's its input)
+    assert(fromStore.queryExecution.executedPlan.toString.contains(s"$base/idx"))
+  }
+
   test("minhash index+probe equals the one-shot pairs API") {
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
