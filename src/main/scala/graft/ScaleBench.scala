@@ -112,7 +112,10 @@ object ScaleBench {
     "x73_event_anomalies",
     // posting left-join vs the distinct historical shingle set — rides
     // the x05 inverted-index bound
-    "x74_novelty_score")
+    "x74_novelty_score",
+    // x75 rides x67's assignment (stride-pinned, see x67's row); x76 is
+    // two integer aggs — expect ~linear
+    "x75_balanced_sample", "x76_volume_trend")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

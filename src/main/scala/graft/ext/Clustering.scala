@@ -118,6 +118,29 @@ object Clustering {
           .as("cohesion"))
   }
 
+  /** Cluster-balanced (diversity) sampling: up to `quota` vectors per
+    * final k-means cluster, chosen by deterministic md5 rank of the id —
+    * the SemDeDup-pipeline companion that caps each semantic region's
+    * contribution to a training mix instead of letting the head clusters
+    * dominate. The md5-hex sort key is engine-portable (the corpus
+    * sampling family's convention), and (md5, id) is a total order.
+    * Output: (idCol, cid, rk).
+    */
+  def balancedSample(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long,
+      iters: Int,
+      quota: Int): DataFrame = {
+    val laid = kmeansAssign(data, idCol, vecCol, stride, iters)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    laid.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col(idCol), col("cid"), col("rk"))
+  }
+
   /** SemDeDup: near-dup pairs WITHIN each final cluster — the pair join
     * is cluster-local (an equi-join on cid), so candidate volume is
     * Σ sizeᵢ², bounded by the layout instead of N². Zero-norm vectors

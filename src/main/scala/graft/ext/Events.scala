@@ -143,6 +143,40 @@ object Events {
   def propsField(props: Column, field: String): Column =
     get_json_object(props, s"$$.$field")
 
+  /** Per-type OLS volume trend over hourly counts — the drift companion
+    * to [[hourlyAnomalies]] ("is this feed growing/shrinking, and how
+    * fast"). The slope over (hour index, count) uses the closed form
+    *
+    *   β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with x RE-BASED to (bucket − the type's min bucket): the sums stay
+    * small exact LONGs on both engines (un-rebased epoch-hour indexes
+    * push (Σx)² toward 2⁶³ and DuckDB into HUGEINT), and a shift in x
+    * changes no slope. All sums are exact integers; the slope is ONE
+    * double division, rounded 6 dp — engine-portable. Types with a
+    * single bucket (den = 0) report slope 0. Output: (typeCol,
+    * n_buckets, slope events/hour).
+    */
+  def volumeTrend(df: DataFrame, typeCol: String, tsUsCol: String): DataFrame = {
+    val hour = 3600L * 1000000L
+    val bkt = expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, $hour)) div $hour")
+    val hourly = df.groupBy(col(typeCol), bkt.as("__bkt"))
+      .agg(count(lit(1)).as("c"))
+    val based = hourly
+      .join(hourly.groupBy(col(typeCol)).agg(min(col("__bkt")).as("__b0")), Seq(typeCol))
+      .withColumn("x", col("__bkt") - col("__b0"))
+    based.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("c")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("c")).as("sxy"))
+      .select(col(typeCol), col("n").as("n_buckets"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L, lit(0.0d))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("slope"))
+  }
+
   /** Volume-anomaly detection over hourly event counts, ENTIRELY in
     * integer arithmetic — no floating-point knife edges anywhere, so the
     * anomaly set is bit-identical on any engine. A bucket is anomalous

@@ -2363,4 +2363,47 @@ object ExtQueries {
          CAST(sum(seen) AS BIGINT) AS n_seen,
          round(1.0 - CAST(sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
        FROM j GROUP BY 1"""
+
+  // --- x75: cluster-balanced diversity sample ----------------------------
+  // SemDeDup-pipeline companion: cap each semantic cluster's
+  // contribution at 20 vectors, chosen by engine-portable md5 rank —
+  // head clusters stop dominating the mix. Shares x67's unrolled-Lloyd
+  // oracle CTEs.
+  def x75BalancedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.balancedSample(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      stride = 50L, iters = 2, quota = 20)
+
+  val x75Sql: String =
+    s"""WITH $kmeansCtes,
+       r AS (SELECT id AS vec_id, cid,
+           row_number() OVER (PARTITION BY cid
+             ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+         FROM af)
+       SELECT vec_id, cid, rk FROM r WHERE rk <= 20"""
+
+  // --- x76: per-type event-volume trend ----------------------------------
+  // Drift monitoring: OLS slope of hourly counts per event type, exact
+  // integer sums (x re-based per type so both engines stay in BIGINT)
+  // and one rounded double division.
+  def x76VolumeTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.volumeTrend(
+      ev.withColumn("ts_us", Events.epochMicros(ev)), "event_type", "ts_us")
+  }
+
+  val x76Sql: String =
+    """WITH x AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+       h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+       h0 AS (SELECT event_type, CAST(min(b) AS BIGINT) AS b0 FROM h GROUP BY 1),
+       r AS (SELECT h.event_type, h.b - h0.b0 AS xx, h.c FROM h JOIN h0 USING (event_type)),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xx) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+           CAST(sum(xx * xx) AS BIGINT) AS sxx, CAST(sum(xx * c) AS BIGINT) AS sxy
+         FROM r GROUP BY 1)
+       SELECT event_type, n AS n_buckets,
+         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope
+       FROM s"""
 }

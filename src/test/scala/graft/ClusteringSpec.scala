@@ -40,6 +40,24 @@ class ClusteringSpec extends SparkSpec {
     assert(c2 >= c0 - 1e-9, s"cohesion fell: $c0 -> $c2")
   }
 
+  test("balancedSample caps every cluster at the quota, deterministically") {
+    val quota = 5
+    val got = Clustering.balancedSample(emb, "vec_id", "embedding", 50L, 2, quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val layout = Clustering.kmeansAssign(emb, "vec_id", "embedding", 50L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val perCluster = got.groupBy(_._2)
+    perCluster.foreach { case (_, rows) =>
+      assert(rows.length <= quota)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) // dense ranks
+    }
+    got.foreach { case (id, cid, _) => assert(layout(id) == cid) }
+    // a second run picks the identical sample (md5 rank is deterministic)
+    val again = Clustering.balancedSample(emb, "vec_id", "embedding", 50L, 2, quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.sortBy(r => (r._2, r._3)).toSeq == again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("semanticDedupPairs stays within clusters and under brute force") {
     val layout = Clustering.kmeansAssign(emb, "vec_id", "embedding", 50L, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

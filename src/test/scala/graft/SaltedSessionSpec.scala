@@ -71,6 +71,19 @@ class SaltedSessionSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 21L, 150L, 1L)))
   }
 
+  test("volumeTrend recovers a hand-built linear ramp exactly") {
+    val hour = 3600L * 1000000L
+    // type "up": counts 2,4,6,8 per hour → slope exactly 2.0
+    // type "flat": 3,3,3 → slope 0.0; type "one": single bucket → 0.0
+    val rows =
+      (for (h <- 0 until 4; i <- 0 until (2 * (h + 1))) yield ("up", h * hour + i)) ++
+        (for (h <- 0 until 3; i <- 0 until 3) yield ("flat", h * hour + i)) ++
+        (0 until 7).map(i => ("one", i.toLong))
+    val got = Events.volumeTrend(rows.toDF("event_type", "ts_us"), "event_type", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("flat", 3L, 0.0), ("one", 1L, 0.0), ("up", 4L, 2.0)))
+  }
+
   test("phase-1 rollup reuses the window's (user, bucket) partitioning") {
     // the groupBy after the in-bucket window groups on a SUPERSET of the
     // window's partition keys — exactly one exchange before the merge
