@@ -29,9 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Working form (id, ve, nrm). Zero-norm vectors are excluded from
+    * clustering ENTIRELY (corpus side and seeds alike): their cosine is
+    * 0/0 = NaN, and Spark's NaN-greatest ordering would otherwise hand
+    * a degenerate seed the whole corpus. The oracle CTEs mirror the
+    * same nrm > 0 filter.
+    */
   private def vecs(data: DataFrame, idCol: String, vecCol: String): DataFrame =
     data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("ve"))
       .withColumn("nrm", Similarity.norm(col("ve")))
+      .filter(col("nrm") > 0d)
 
   /** Deterministic stride seeding: every `stride`-th id is a seed, cid =
     * the seed's own id. Engine-portable and O(1) to express. NOTE the
@@ -44,19 +51,41 @@ object Clustering {
   def seedCentroids(data: DataFrame, idCol: String, vecCol: String, stride: Long): DataFrame =
     data.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .filter(Similarity.norm(col("cv")) > 0d)
 
   /** Nearest-centroid assignment by cosine; ties break on lowest cid.
-    * Input (id, ve, nrm) × centroids (cid, cv); output adds cid.
+    * Input (id, ve, nrm) × centroids (cid, cv); output adds cid (and
+    * `__sim`, the winning cosine, when `keepSim`).
     */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+  private def assign(v: DataFrame, cents: DataFrame, keepSim: Boolean = false): DataFrame = {
     val c = cents.withColumn("cn", Similarity.norm(col("cv")))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__sim").desc, col("cid"))
-    v.join(broadcast(c), lit(true))
+    val won = v.join(broadcast(c), lit(true))
       .withColumn("__sim",
         Similarity.cosine(col("ve"), col("cv"), col("nrm"), col("cn")))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("id"), col("ve"), col("nrm"), col("cid"))
+    val cols = Seq(col("id"), col("ve"), col("nrm"), col("cid")) ++
+      (if (keepSim) Seq(col("__sim")) else Nil)
+    won.select(cols: _*)
+  }
+
+  /** The shared Lloyd loop: working vectors + the centroids after
+    * `iters` full iterations from stride seeds. Each iteration's
+    * centroid table is materialized — it feeds the next broadcast and
+    * would otherwise re-run the whole lineage.
+    */
+  private def lloyd(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      stride: Long,
+      iters: Int): (DataFrame, DataFrame) = {
+    val v = vecs(data, idCol, vecCol)
+    var cents = seedCentroids(data, idCol, vecCol, stride)
+    for (_ <- 0 until iters)
+      cents = Dedup.materialize(recompute(assign(v, cents)))
+    (v, cents)
   }
 
   /** One centroid recompute: fixed-point per-dimension means. */
@@ -81,12 +110,7 @@ object Clustering {
       vecCol: String,
       stride: Long,
       iters: Int): DataFrame = {
-    val v = vecs(data, idCol, vecCol)
-    var cents = seedCentroids(data, idCol, vecCol, stride)
-    for (_ <- 0 until iters)
-      // materialized: each iteration's centroid table feeds the next
-      // round's broadcast AND would otherwise re-run the whole lineage
-      cents = Dedup.materialize(recompute(assign(v, cents)))
+    val (v, cents) = lloyd(data, idCol, vecCol, stride, iters)
     assign(v, cents).select(col("id").as(idCol), col("cid"))
   }
 
@@ -99,17 +123,8 @@ object Clustering {
       vecCol: String,
       stride: Long,
       iters: Int): DataFrame = {
-    val v = vecs(data, idCol, vecCol)
-    var cents = seedCentroids(data, idCol, vecCol, stride)
-    for (_ <- 0 until iters)
-      cents = Dedup.materialize(recompute(assign(v, cents)))
-    val c = cents.withColumn("cn", Similarity.norm(col("cv")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__sim").desc, col("cid"))
-    v.join(broadcast(c), lit(true))
-      .withColumn("__sim",
-        Similarity.cosine(col("ve"), col("cv"), col("nrm"), col("cn")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val (v, cents) = lloyd(data, idCol, vecCol, stride, iters)
+    assign(v, cents, keepSim = true)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(round(col("__sim") * 1e9d, 0).cast("long")).as("__s9"))
@@ -155,10 +170,7 @@ object Clustering {
       stride: Long,
       iters: Int,
       threshold: Double): DataFrame = {
-    val v = vecs(data, idCol, vecCol).filter(col("nrm") > 0d)
-    var cents = seedCentroids(data, idCol, vecCol, stride)
-    for (_ <- 0 until iters)
-      cents = Dedup.materialize(recompute(assign(v, cents)))
+    val (v, cents) = lloyd(data, idCol, vecCol, stride, iters)
     val laid = Dedup.materialize(assign(v, cents))
     laid.as("a").join(laid.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))

@@ -40,6 +40,55 @@ object DedupStores {
   private def bucket(c: org.apache.spark.sql.Column, partitions: Int) =
     pmod(xxhash64(c), lit(partitions.toLong))
 
+  /** Build geometry, recorded as a `_graft_geometry.json` sidecar at the
+    * table root (outside `manifests/`/`commits/`, so ManifestStore's
+    * reads and vacuum never touch it) and VALIDATED by every later
+    * probe/append/novelty call: a silent shingleN mismatch would drop
+    * near-dup recall to zero (bigram probes never collide with a trigram
+    * index), and a partitions mismatch would hash existing keys to
+    * different buckets, so the partition-pruned merge never sees the old
+    * row and the store accumulates duplicate keys. minhashProbe's
+    * geometry `require` covers only bands × rowsPerBand — this covers
+    * the rest.
+    */
+  private case class Geometry(shingleN: Int, bands: Int, rowsPerBand: Int, partitions: Int)
+
+  private def geomPath(table: String) =
+    new org.apache.hadoop.fs.Path(table, "_graft_geometry.json")
+
+  private def writeGeometry(spark: SparkSession, table: String, g: Geometry): Unit = {
+    val p = geomPath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"shingleN":${g.shingleN},"bands":${g.bands},"rowsPerBand":${g.rowsPerBand},"partitions":${g.partitions}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readGeometry(spark: SparkSession, table: String): Option[Geometry] = {
+    val p = geomPath(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    for (s <- f("shingleN"); b <- f("bands"); r <- f("rowsPerBand"); pt <- f("partitions"))
+      yield Geometry(s, b, r, pt)
+  }
+
+  private def requireGeometry(
+      spark: SparkSession, table: String, want: Geometry, checkPartitions: Boolean): Unit =
+    readGeometry(spark, table).foreach { g =>
+      require(g.shingleN == want.shingleN && g.bands == want.bands &&
+          g.rowsPerBand == want.rowsPerBand &&
+          (!checkPartitions || g.partitions == want.partitions),
+        s"DedupStores: $table was built with $g but this call uses $want — " +
+          "a geometry mismatch silently zeroes recall or duplicates store keys")
+    }
+
   /** Build (or rebuild) both stores from a corpus slice. One-time — the
     * daily path is [[probe]] + [[append]].
     */
@@ -54,13 +103,20 @@ object DedupStores {
       bands: Int = 32,
       rowsPerBand: Int = 2,
       partitions: Int = 8): Unit = {
+    // null-text docs carry no fingerprint: they can never be an exact
+    // dup of anything, and a null key would put a null in the partition
+    // column (breaking merge's non-null-partition contract)
     val fp = corpus
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+      .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
     ManifestStore.write(spark, fp, fpTable, "pt")
     val idx = Dedup.minhashIndex(corpus, idCol, textCol, shingleN, bands, rowsPerBand)
       .withColumn("pt", bucket(col("id"), partitions))
     ManifestStore.write(spark, idx, idxTable, "pt")
+    val g = Geometry(shingleN, bands, rowsPerBand, partitions)
+    writeGeometry(spark, fpTable, g)
+    writeGeometry(spark, idxTable, g)
   }
 
   /** Flag an increment against the PERSISTED stores. The historical side
@@ -80,6 +136,8 @@ object DedupStores {
       bands: Int = 32,
       rowsPerBand: Int = 2,
       threshold: Double = 0.7): DataFrame = {
+    requireGeometry(spark, idxTable,
+      Geometry(shingleN, bands, rowsPerBand, 0), checkPartitions = false)
     val fpStore = ManifestStore.read(spark, fpTable)
       .select(col("fp")).withColumn("__seen", lit(1))
     val idxStore = ManifestStore.read(spark, idxTable).drop("pt")
@@ -116,8 +174,12 @@ object DedupStores {
       rowsPerBand: Int = 2,
       partitions: Int = 8,
       prebuiltIdx: Option[DataFrame] = None): Unit = {
+    val g = Geometry(shingleN, bands, rowsPerBand, partitions)
+    requireGeometry(spark, fpTable, g, checkPartitions = true)
+    requireGeometry(spark, idxTable, g, checkPartitions = true)
     val fp = docs
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+      .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
     ManifestStore.merge(spark, fpTable, fp, Seq("fp"), "pt")
     val idx = prebuiltIdx
@@ -139,6 +201,8 @@ object DedupStores {
       textCol: String,
       idxTable: String,
       shingleN: Int = 3): DataFrame = {
+    readGeometry(spark, idxTable).foreach(g => require(g.shingleN == shingleN,
+      s"DedupStores: $idxTable holds ${g.shingleN}-shingles, novelty asked for $shingleN"))
     val histSet = ManifestStore.read(spark, idxTable)
       .select(explode(col("sh")).as("s")).distinct()
       .withColumn("__seen", lit(1L))

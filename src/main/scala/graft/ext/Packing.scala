@@ -34,7 +34,13 @@ object Packing {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val id = col(idCol)
     val len = coalesce(col(lenCol), lit(0L)).cast("long")
+    // explicit ROWS frame: the default RANGE frame makes duplicate ids
+    // frame PEERS, handing both rows the combined running total and
+    // producing overlapping spans. With ROWS, duplicate ids pack in an
+    // arbitrary (but non-overlapping, total-preserving) relative order;
+    // unique ids — the normal case — are fully deterministic.
     val wB = Window.partitionBy(col("__bkt")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val cum = df
       .withColumn("__len", len)
       .withColumn("__bkt",

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *    join it FIRST, so tf counting shuffles only postings of the query
   *    vocabulary, never the corpus's;
   *  - df/idf are per-term aggregates of that pruned posting set (tiny);
-  *    doc lengths ride the same narrow token pass; N/avgdl is a 1-row
-  *    broadcast;
+  *    N/avgdl is a 1-row broadcast. Doc lengths are the one O(corpus)
+  *    table (BM25's length norm needs every doc's FULL token count) —
+  *    a production deployment precomputes it at ingest as index
+  *    metadata; here it rides the same token pass and joins the scored
+  *    (query, doc) rows on id;
   *  - per-query top-k is a rank-filtered window — Spark's
   *    WindowGroupLimit pushes the limit into the shuffle (partial top-k
   *    per map side), so no query ever materializes its full candidate
@@ -48,7 +51,11 @@ object Retrieval {
       .na.fill(0L, Seq("len"))
     val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
       .select(col("nd"), (col("tl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    // distinct per (query, term): a repeated term in a query's array
+    // must not double its BM25 contribution (query-side tf is not part
+    // of these semantics — the oracle scores each term once)
     val qt = queries.select(col("query_id"), explode(col("terms")).as("w"))
+      .distinct()
     // prune the corpus token stream to the query vocabulary BEFORE any
     // counting — the broadcast join is the narrow gate everything else
     // rides behind

@@ -2126,8 +2126,9 @@ object ExtQueries {
          c$i AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
            FROM s$i GROUP BY 1)"""
     s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       n AS (SELECT id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
-       c0 AS (SELECT id AS cid, ve AS cv FROM v WHERE id % 50 = 0),
+       n0 AS (SELECT id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       n AS (SELECT * FROM n0 WHERE nrm > 0),
+       c0 AS (SELECT id AS cid, ve AS cv FROM n WHERE id % 50 = 0),
        ${iter(1, "c0")},
        ${iter(2, "c1")},
        af AS (SELECT id, ve, nrm, cid, sim FROM (

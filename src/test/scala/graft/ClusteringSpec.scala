@@ -40,6 +40,23 @@ class ClusteringSpec extends SparkSpec {
     assert(c2 >= c0 - 1e-9, s"cohesion fell: $c0 -> $c2")
   }
 
+  test("zero-norm vectors are excluded from corpus AND seeds") {
+    // a zero-norm SEED would otherwise be a NaN-cosine centroid that
+    // captures the whole corpus under Spark's NaN-greatest ordering
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)),  // zero-norm seed candidate (id % 2 == 0)
+      (2L, Array(1.0f, 0.1f)),  // real seed
+      (1L, Array(0.9f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))   // zero-norm corpus vector
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(df, "vec_id", "embedding", stride = 2L, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L)) // both zero-norm vectors gone
+    val stats = Clustering.kmeansStats(df, "vec_id", "embedding", 2L, 1).collect()
+    assert(stats.map(_.getLong(1)).sum == 2L)
+    stats.foreach(r => assert(!r.getDouble(2).isNaN))
+  }
+
   test("balancedSample caps every cluster at the quota, deterministically") {
     val quota = 5
     val got = Clustering.balancedSample(emb, "vec_id", "embedding", 50L, 2, quota)

@@ -42,6 +42,15 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._1).toSeq.sorted == Seq(1, 2))
   }
 
+  test("a repeated query term scores once, not twice") {
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat"), (3L, "fish")).toDF("id", "text")
+    val once = Retrieval.bm25TopK(docs, "id", "text",
+      Seq(("q", Seq("cat"))).toDF("query_id", "terms"), k = 10)
+    val twice = Retrieval.bm25TopK(docs, "id", "text",
+      Seq(("q", Seq("cat", "cat"))).toDF("query_id", "terms"), k = 10)
+    assert(sortedRows(once) == sortedRows(twice))
+  }
+
   test("per-query top-k plans a WindowGroupLimit, not a full sort") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val qs = Seq(("q", Seq("hash", "join"))).toDF("query_id", "terms")

@@ -89,6 +89,35 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(fromStore.queryExecution.executedPlan.toString.contains(s"$base/idx"))
   }
 
+  test("DedupStores rejects probes/appends with mismatched build geometry") {
+    import graft.ext.DedupStores
+    import spark.implicits._
+    val base = s"/tmp/graft/geom_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hist = docs.filter(col("doc_id") % 5 =!= 0).limit(20)
+    DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx",
+      shingleN = 3, partitions = 8)
+    val inc = Seq((1L, "some fresh text about nothing at all")).toDF("doc_id", "text")
+    // a bigram probe against the trigram index would silently find no
+    // collisions; the geometry sidecar turns that into a loud failure
+    intercept[IllegalArgumentException] {
+      DedupStores.probe(spark, inc, "doc_id", "text",
+        s"$base/fp", s"$base/idx", shingleN = 2)
+    }
+    // a different partition count would hash existing keys to other
+    // buckets and duplicate store keys on merge
+    intercept[IllegalArgumentException] {
+      DedupStores.append(spark, inc, "doc_id", "text",
+        s"$base/fp", s"$base/idx", partitions = 16)
+    }
+    intercept[IllegalArgumentException] {
+      DedupStores.noveltyAgainstStore(spark, inc, "doc_id", "text",
+        s"$base/idx", shingleN = 4)
+    }
+    // matching geometry still works
+    assert(DedupStores.probe(spark, inc, "doc_id", "text",
+      s"$base/fp", s"$base/idx").count() == 1)
+  }
+
   test("minhash index+probe equals the one-shot pairs API") {
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)

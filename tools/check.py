@@ -45,13 +45,15 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
-            wrows = want.fetchall()
+            # ONE execution per side: .columns/.types are relation
+            # metadata (no execution), .fetchall() executes — the type
+            # check below must not re-run the expensive oracles
+            grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols, gtypes_l = grel.columns, [str(t) for t in grel.types]
+            grows = grel.fetchall()
+            wrel = con.sql(sql)
+            wcols, wtypes_l = wrel.columns, [str(t) for t in wrel.types]
+            wrows = wrel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
             n_fail += 1
@@ -79,15 +81,8 @@ def main(sf_dir, out_dir):
             if t in ("FLOAT", "DOUBLE"):
                 return "float"
             return t
-        try:
-            gt = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            wt = con.sql(sql)
-            gtypes = dict(zip(gt.columns, [tclass(str(t)) for t in gt.types]))
-            wtypes = dict(zip(wt.columns, [tclass(str(t)) for t in wt.types]))
-        except Exception as e:
-            print(f"FAIL {name}: type probe error {e}")
-            n_fail += 1
-            continue
+        gtypes = dict(zip(gcols, [tclass(t) for t in gtypes_l]))
+        wtypes = dict(zip(wcols, [tclass(t) for t in wtypes_l]))
         tbad = [(c, gtypes[c], wtypes[c]) for c in gc if gtypes[c] != wtypes[c]]
         if tbad:
             print(f"FAIL {name}: physical types differ (spark vs oracle): "
