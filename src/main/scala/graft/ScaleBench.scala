@@ -115,7 +115,10 @@ object ScaleBench {
     "x74_novelty_score",
     // x75 rides x67's assignment (stride-pinned, see x67's row); x76 is
     // two integer aggs — expect ~linear
-    "x75_balanced_sample", "x76_volume_trend")
+    "x75_balanced_sample", "x76_volume_trend",
+    // histogram/top-k/centroid-mean shuffles over aggregated rows —
+    // expect ~linear
+    "x77_length_drift", "x78_vocab_coverage", "x79_embedding_drift")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

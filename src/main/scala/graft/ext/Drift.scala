@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift diagnostics between two corpus slices (today vs
+  * history, train vs serve): the monitoring layer a continuously-ingested
+  * training corpus runs before a new day's data is allowed into the mix.
+  *
+  * Engine-portable determinism, same conventions as the rest of the
+  * engine: histogram binning is EXACT integer arithmetic on shared
+  * global bounds; divergence log terms are rounded to 1e-9 fixed-point
+  * LONGs and summed order-free (the x58 convention); final values round
+  * to 6 dp.
+  */
+object Drift {
+
+  /** Per-group Jensen–Shannon divergence between slice `a` and slice
+    * `b`'s distribution of integer `metricCol`, over `bins` equal-width
+    * bins spanning the UNION's [min, max] (shared bounds — the two
+    * histograms must live on the same grid or the comparison is
+    * meaningless). JS = (KL(P‖M) + KL(Q‖M)) / 2 with M = (P+Q)/2,
+    * natural log — bounded by ln 2, symmetric, defined for
+    * non-overlapping supports (unlike raw KL).
+    *
+    * Scale shape: one pass for global bounds (2-value broadcast), one
+    * shuffle on (group, bin) with map-side combine for both histograms
+    * (side is a pivot inside the aggregate, not a second shuffle), an
+    * O(groups) totals broadcast, and an O(groups × bins) rollup.
+    * Output: (groupCol, n_a, n_b, js).
+    */
+  def jsDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val tag = (df: DataFrame, s: Int) => df
+      .select(col(groupCol).as("g"), col(metricCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("__side", lit(s))
+    val u = tag(a, 0).unionByName(tag(b, 1))
+    val bounds = u.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // exact integer binning: (v - mn) * bins div (mx - mn + 1) ∈ [0, bins)
+    val binned = u.crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        expr(s"((v - mn) * $bins) div (mx - mn + 1)"))
+    val hist = binned.groupBy(col("g"), col("__bin"))
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cb"))
+    // groups present in only one slice are omitted (like
+    // [[embeddingDrift]]): drift against an absent distribution is
+    // undefined, and 0/0 probabilities would throw under ANSI
+    val totals = hist.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .filter(col("na") > 0L && col("nb") > 0L)
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    val m = (p + q) / lit(2.0d)
+    // KL terms only where the numerator mass is positive; each term is a
+    // 1e-9 fixed-point LONG so the sums are order-free
+    def t9(num: Column, cnt: Column): Column =
+      when(cnt > 0L, round(num * log(num / m) * lit(1e9d), 0).cast("long"))
+        .otherwise(lit(0L))
+    hist.join(broadcast(totals), Seq("g"))
+      .withColumn("__ta", t9(p, col("ca")))
+      .withColumn("__tb", t9(q, col("cb")))
+      .groupBy(col("g"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("__ta")).as("__sa"), sum(col("__tb")).as("__sb"))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        round((col("__sa").cast("double") / lit(1e9d) +
+          col("__sb").cast("double") / lit(1e9d)) / lit(2.0d), 6).as("js"))
+  }
+
+  /** Per-group embedding-centroid drift between two slices: the cosine
+    * between each group's fixed-point mean vector in `a` vs `b` (1.0 =
+    * no drift). Means use the k-means convention — Σ round(x·10⁶) LONGs
+    * per dimension, one division — so both engines compute identical
+    * centroids; the shuffle carries groups × dim aggregated rows, never
+    * vectors. Groups present in only one slice are omitted (drift is
+    * undefined without both sides). Output: (groupCol, n_a, n_b,
+    * drift_cosine).
+    */
+  def embeddingDrift(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    def mean(df: DataFrame): DataFrame = df
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(round(col("x") * 1e6d, 0).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(max(col("c")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), (col("s").cast("double") /
+            col("c").cast("double") / 1e6d).as("m")))),
+          p => p.getField("m")).as("mv"))
+    val ma = mean(a).select(col("g"), col("n").as("n_a"), col("mv").as("va"))
+    val mb = mean(b).select(col("g"), col("n").as("n_b"), col("mv").as("vb"))
+    ma.join(mb, Seq("g"))
+      .withColumn("drift_cosine", round(Similarity.cosine(
+        col("va"), col("vb"),
+        Similarity.norm(col("va")), Similarity.norm(col("vb"))), 6))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("drift_cosine"))
+  }
+}

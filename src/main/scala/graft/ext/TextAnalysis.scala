@@ -167,6 +167,38 @@ object TextAnalysis {
     df.withColumn("fail_mask", mask).withColumn("keep", col("fail_mask") === 0L)
   }
 
+  /** Vocabulary coverage curve: for each cutoff K, the fraction of all
+    * corpus token OCCURRENCES covered by the K most frequent token
+    * types — the tokenizer-sizing diagnostic ("how big must the vocab
+    * be before <unk> is rare"). Token counting is one shuffle with
+    * map-side combine to O(vocab) rows; the global top-K runs through
+    * [[Sampling.scoredTopK]]'s salted two-stage exact top-k (no full
+    * vocab ever sorts on one reducer); the cutoff join touches only the
+    * ≤ max(cutoffs) selected rows. Ranking order (count DESC, token
+    * ASC) is total, so ties are engine-stable. Output: (k, n_vocab,
+    * total_tokens, coverage 6 dp).
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ > 0), s"bad cutoffs: $cutoffs")
+    val counts = LangModel.tokenRows(df, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val top = Sampling.scoredTopK(counts, "w", col("cnt").cast("double"), cutoffs.max)
+    val cuts = top.sparkSession.range(1)
+      .select(explode(array(cutoffs.map(lit): _*)).as("k"))
+    top.join(broadcast(cuts), col("sel_rank") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("cnt")).as("__top"))
+      .crossJoin(broadcast(stats))
+      .select(col("k"), col("n_vocab"), col("total_tokens"),
+        round(col("__top").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

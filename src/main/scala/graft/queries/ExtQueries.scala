@@ -2407,4 +2407,104 @@ object ExtQueries {
               ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope
        FROM s"""
+
+  // --- x77: per-source length-distribution drift (JS divergence) ---------
+  // Today's arrivals vs history, per source: Jensen-Shannon divergence
+  // of the n_chars histogram over 16 shared-bounds integer bins. Exact
+  // integer binning, 1e-9 fixed-point log terms (x58 convention).
+  // split on doc_id % 3: the fixture assigns source = doc_id % 20, so
+  // any split modulus sharing a factor with 20 (2, 5, ...) correlates
+  // EXACTLY with source and leaves every source one-sided; 3 is coprime,
+  // so each source's ids cycle through all residues
+  def x77LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ext.Drift.jsDivergence(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "source", "n_chars", bins = 16)
+  }
+
+  val x77Sql: String =
+    """WITH u AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS side
+         FROM documents WHERE n_chars IS NOT NULL),
+       bd AS (SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx FROM u),
+       bn AS (SELECT g, side, ((v - mn) * 16) // (mx - mn + 1) AS bin
+         FROM u CROSS JOIN bd),
+       h AS (SELECT g, bin,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM bn GROUP BY 1, 2),
+       tt AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1
+         HAVING sum(ca) > 0 AND sum(cb) > 0),
+       terms AS (SELECT h.g,
+           CASE WHEN ca > 0 THEN CAST(round(
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS ta,
+           CASE WHEN cb > 0 THEN CAST(round(
+             (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS tb,
+           na, nb
+         FROM h JOIN tt ON tt.g = h.g)
+       SELECT g AS source, max(na) AS n_a, max(nb) AS n_b,
+         round((CAST(sum(ta) AS DOUBLE) / 1000000000.0
+              + CAST(sum(tb) AS DOUBLE) / 1000000000.0) / 2.0, 6) AS js
+       FROM terms GROUP BY 1"""
+
+  // --- x78: vocabulary coverage curve ------------------------------------
+  // Tokenizer sizing: fraction of corpus token occurrences covered by
+  // the top-K token types, K in {5, 10, 20}. The global top-K is the
+  // salted two-stage exact top-k; ranking (count DESC, token) is total.
+  def x78VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(spark, dir, "documents"), "doc_id", "text",
+      cutoffs = Seq(5, 10, 20))
+
+  val x78Sql: String =
+    """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab FROM c),
+       r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+       ks AS (SELECT unnest([5, 10, 20]) AS k)
+       SELECT ks.k, st.n_vocab, st.total_tokens,
+         round(CAST(sum(r.cnt) AS DOUBLE) / CAST(st.total_tokens AS DOUBLE), 6) AS coverage
+       FROM r JOIN ks ON r.rk <= ks.k CROSS JOIN st
+       GROUP BY 1, 2, 3"""
+
+  // --- x79: per-label embedding-centroid drift ---------------------------
+  // Representation drift between two embedding slices: cosine between
+  // each label's fixed-point mean vectors (k-means convention — both
+  // engines compute bit-identical centroids).
+  def x79EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.ext.Drift.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0),
+      "label", "embedding")
+  }
+
+  val x79Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       ex AS (SELECT label, vec_id % 2 AS side, p.p AS pos, ve[p.p] AS x
+         FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS p) p),
+       s AS (SELECT label, side, pos,
+           CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+         FROM ex GROUP BY 1, 2, 3),
+       m AS (SELECT label, side, max(c) AS n,
+           list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS mv
+         FROM s GROUP BY 1, 2),
+       ma AS (SELECT label, n AS n_a, mv AS va FROM m WHERE side = 0),
+       mb AS (SELECT label, n AS n_b, mv AS vb FROM m WHERE side = 1)
+       SELECT ma.label, ma.n_a, mb.n_b,
+         round(list_sum(list_transform(range(1, 65), k -> va[k] * vb[k]))
+           / (sqrt(list_sum(list_transform(va, x -> x * x)))
+            * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS drift_cosine
+       FROM ma JOIN mb USING (label)"""
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Drift, TextAnalysis}
+
+/** Distribution drift (x77), vocab coverage (x78), embedding drift (x79). */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsDivergence is 0 against itself and ln 2 on disjoint supports") {
+    val a = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("source", "v")
+    assert(Drift.jsDivergence(a, a, "source", "v", bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq == Seq(("g", 0.0)))
+    // a lives entirely in the low bin, b entirely in the high bin
+    val lo = Seq(("g", 0L), ("g", 1L)).toDF("source", "v")
+    val hi = Seq(("g", 100L), ("g", 101L)).toDF("source", "v")
+    val js = Drift.jsDivergence(lo, hi, "source", "v", bins = 2)
+      .collect().head.getDouble(3)
+    assert(js == math.rint(math.log(2) * 1e6) / 1e6) // 0.693147
+  }
+
+  test("jsDivergence omits groups present in only one slice") {
+    val a = Seq(("both", 1L), ("only_a", 1L)).toDF("source", "v")
+    val b = Seq(("both", 2L), ("only_b", 2L)).toDF("source", "v")
+    val got = Drift.jsDivergence(a, b, "source", "v", bins = 4)
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("both"))
+  }
+
+  test("embeddingDrift: identical means 1.0, opposed means -1.0") {
+    val a = Seq(("same", Array(1.0f, 0.0f)), ("flip", Array(1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val b = Seq(("same", Array(2.0f, 0.0f)), ("flip", Array(-1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = Drift.embeddingDrift(a, b, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got == Map("same" -> 1.0, "flip" -> -1.0))
+  }
+
+  test("vocabCoverage matches hand counts on a toy corpus") {
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("id", "text")
+    // counts: a=3, b=2, c=1; total 6; ranks a,b,c
+    val got = TextAnalysis.vocabCoverage(df, "id", "text", Seq(1, 2, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 3L, 6L, 0.5), (2, 3L, 6L, math.rint(5.0 / 6 * 1e6) / 1e6), (3, 3L, 6L, 1.0)))
+  }
+
+  test("coverage is monotone in k on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", Seq(5, 10, 20))
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(got.forall(r => r._2 > 0.0 && r._2 <= 1.0))
+  }
+}
