@@ -118,7 +118,9 @@ object ScaleBench {
     "x75_balanced_sample", "x76_volume_trend",
     // histogram/top-k/centroid-mean shuffles over aggregated rows —
     // expect ~linear
-    "x77_length_drift", "x78_vocab_coverage", "x79_embedding_drift")
+    "x77_length_drift", "x78_vocab_coverage", "x79_embedding_drift",
+    // rides x04's banded-LSH bound
+    "x80_split_leakage")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,5 +196,28 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(global).cast("long"))
       .filter(col("sample_rank") <= k)
       .drop("__salt", "__r1")
+  }
+
+  /** Deterministic train/val/test (or any) split by md5 hash bucket —
+    * a narrow expression per row, no shuffle, stable under reruns and
+    * corpus growth (a doc's split never changes when other docs arrive,
+    * unlike rank- or random-based splits). `bounds` are (label,
+    * exclusiveUpperBucket) pairs over [[TextAnalysis.md5Bucket]]'s
+    * 16-bit space, ascending; ids at or past the last bound get
+    * `default`. E.g. Seq(("train", 52429), ("val", 58982)) + "test" ≈
+    * 80/10/10. Adds a `split` column.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      bounds: Seq[(String, Int)],
+      default: String): DataFrame = {
+    require(bounds.nonEmpty && bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"hashSplit bounds must be ascending: $bounds")
+    val b = TextAnalysis.md5Bucket(col(idCol))
+    val label = bounds.foldRight(lit(default): Column) {
+      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
   }
 }

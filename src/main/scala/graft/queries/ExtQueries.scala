@@ -2507,4 +2507,49 @@ object ExtQueries {
            / (sqrt(list_sum(list_transform(va, x -> x * x)))
             * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS drift_cosine
        FROM ma JOIN mb USING (label)"""
+
+  // --- x80: train/val/test split + leakage audit -------------------------
+  // Eval hygiene WITHIN the corpus (x31/x55 decontaminate against an
+  // EXTERNAL benchmark): assign a deterministic 80/10/10 md5-hash split,
+  // then count near-dup pairs per split combination — pairs crossing
+  // train/test are leakage an eval must not trust. Pairs ride x04's
+  // banded-MinHash machinery; the canonical (least, greatest) rollup is
+  // x60's convention.
+  def x80SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val split = Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 52429), ("val", 58982)), "test")
+      .select(col("doc_id"), col("split"))
+    Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  val x80Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       p AS (SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS j
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       sp AS (SELECT doc_id,
+           CASE WHEN bkt < 52429 THEN 'train'
+                WHEN bkt < 58982 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) AS bkt
+           FROM documents)),
+       ps AS (SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b, j
+         FROM p JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b)
+       SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         max(j) AS max_jaccard
+       FROM ps GROUP BY 1, 2"""
 }

@@ -48,6 +48,30 @@ class DriftSpec extends SparkSpec {
       (1, 3L, 6L, 0.5), (2, 3L, 6L, math.rint(5.0 / 6 * 1e6) / 1e6), (3, 3L, 6L, 1.0)))
   }
 
+  test("hashSplit is deterministic, growth-stable, and ratio-plausible") {
+    import graft.ext.Sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bounds = Seq(("train", 52429), ("val", 58982))
+    val full = Sampling.hashSplit(docs, "doc_id", bounds, "test")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // growth stability: the split of a doc is a pure function of its id
+    // — computing on a subset assigns the same labels
+    val sub = Sampling.hashSplit(docs.filter(col("doc_id") < 100), "doc_id",
+        bounds, "test")
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+    // ratio plausibility on 500 docs: train well clear of val+test
+    val byLabel = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel("train") > 300 && byLabel("train") < 480)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // bounds must ascend
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq(("a", 10), ("b", 5)), "c")
+    }
+  }
+
   test("coverage is monotone in k on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", Seq(5, 10, 20))
