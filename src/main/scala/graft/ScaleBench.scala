@@ -120,7 +120,9 @@ object ScaleBench {
     // expect ~linear
     "x77_length_drift", "x78_vocab_coverage", "x79_embedding_drift",
     // rides x04's banded-LSH bound
-    "x80_split_leakage")
+    "x80_split_leakage",
+    // two outer joins on the id — expect ~linear
+    "x81_modality_coverage")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -78,4 +78,38 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
   }
+
+  /** Cross-modality referential-integrity audit: per group, how many
+    * primary rows have a companion row in the other modality (doc →
+    * embedding coverage), plus one `__no_primary__` row counting
+    * companions with NO primary (orphans — stale embeddings after a doc
+    * delete, or an upstream id-space bug). Two one-shuffle outer joins
+    * on the id; the pipeline-health check every multimodal corpus runs
+    * before training ("which sources are missing their embeddings?").
+    * Output: (groupCol, n_primary, n_matched, coverage 6 dp).
+    */
+  def coverageAudit(
+      primary: DataFrame,
+      companion: DataFrame,
+      primaryId: String,
+      companionId: String,
+      groupCol: String): DataFrame = {
+    val comp = companion.select(col(companionId).as("__cid")).distinct()
+    val matched = primary
+      .join(comp, primary(primaryId) === col("__cid"), "left")
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_primary"),
+        sum(when(col("__cid").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+    val prim = primary.select(col(primaryId).as("__pid")).distinct()
+    val orphans = comp
+      .join(prim, col("__cid") === col("__pid"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+      .select(lit("__no_primary__").as("g"), lit(0L).as("n_primary"),
+        col("n_orphan").as("n_matched"))
+    matched.unionByName(orphans)
+      .select(col("g").as(groupCol), col("n_primary"), col("n_matched"),
+        when(col("n_primary") === 0L, lit(0.0d))
+          .otherwise(round(col("n_matched").cast("double") /
+            col("n_primary").cast("double"), 6)).as("coverage"))
+  }
 }

@@ -2552,4 +2552,28 @@ object ExtQueries {
        SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
          max(j) AS max_jaccard
        FROM ps GROUP BY 1, 2"""
+
+  // --- x81: cross-modality coverage audit --------------------------------
+  // Pipeline health before multimodal training: per source, the
+  // fraction of docs with a companion embedding (vec_id keys the same
+  // id space), plus one __no_primary__ row counting orphan embeddings.
+  def x81ModalityCoverage(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.coverageAudit(
+      t(spark, dir, "documents"), t(spark, dir, "embeddings"),
+      "doc_id", "vec_id", "source")
+
+  val x81Sql: String =
+    """WITH c AS (SELECT DISTINCT vec_id FROM embeddings),
+       m AS (SELECT d.source AS g, CAST(count(*) AS BIGINT) AS n_primary,
+           CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+         FROM documents d LEFT JOIN c ON d.doc_id = c.vec_id
+         GROUP BY 1),
+       o AS (SELECT '__no_primary__' AS g, CAST(0 AS BIGINT) AS n_primary,
+           CAST(count(*) AS BIGINT) AS n_matched
+         FROM c WHERE vec_id NOT IN (SELECT DISTINCT doc_id FROM documents)),
+       u AS (SELECT * FROM m UNION ALL SELECT * FROM o)
+       SELECT g AS source, n_primary, n_matched,
+         CASE WHEN n_primary = 0 THEN 0.0
+              ELSE round(CAST(n_matched AS DOUBLE) / CAST(n_primary AS DOUBLE), 6) END AS coverage
+       FROM u"""
 }

@@ -52,6 +52,16 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L, 4L)) // cos 0.970, 0.0, -1.0; never 1L
   }
 
+  test("coverageAudit counts matches, misses, and orphans") {
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
+    val embs = Seq(1L, 3L, 99L).toDF("vec_id") // 2 matched, doc 2 missing, 99 orphan
+    val got = Multimodal.coverageAudit(docs, embs, "doc_id", "vec_id", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("__no_primary__", 0L, 1L, 0.0), ("s1", 2L, 1L, 0.5), ("s2", 1L, 1L, 1.0)))
+  }
+
   // ---------------------------------------------------------- text analysis
 
   test("text metrics on a crafted doc") {
