@@ -122,7 +122,22 @@ object ScaleBench {
     // rides x04's banded-LSH bound
     "x80_split_leakage",
     // two outer joins on the id — expect ~linear
-    "x81_modality_coverage")
+    "x81_modality_coverage",
+    // per-doc self-join: Σ_doc v² with v the per-doc distinct-token
+    // count — linear in docs at fixed doc length
+    "x82_pmi_pairs",
+    // two map-side-combined aggregations to the count DISTRIBUTION —
+    // expect ~linear
+    "x83_key_skew",
+    // one-shuffle source rollups + the distinct-length distribution —
+    // expect ~linear
+    "x84_data_card",
+    // edge list rides x04's banded-LSH bound; each iteration is one
+    // edge-sized shuffle — expect the x04 curve × iters
+    "x85_pair_centrality",
+    // x85's graph work + the x23 components funnel on the same pairs —
+    // rides both bounds
+    "x86_centrality_keepers")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality over pair lists (PageRank power
+  * iteration; Page et al. 1999). The corpus-curation use: rank the
+  * near-duplicate pair graph so each duplicate cluster's KEEPER is its
+  * most-connected (most canonical) member, instead of the arbitrary
+  * min-id x01/x26 pick — hub documents that many variants derive from
+  * outrank their derivatives.
+  *
+  * 100 TB design:
+  *  - the edge list comes from banded LSH ([[Dedup.minhashPairs]]) —
+  *    never all-pairs — so |E| tracks true duplicate volume;
+  *  - each iteration is ONE shuffle: messages `rank div deg` flow along
+  *    edges and aggregate per destination with map-side combine (the
+  *    Pregel shape expressed relationally); degree and node tables are
+  *    O(V) and reused across iterations;
+  *  - each round's rank table is localCheckpoint-materialized (standing
+  *    invariant: iterative self-joins double the logical plan
+  *    otherwise; see PLAN.md);
+  *  - determinism is EXACT-INTEGER: ranks live in 1e-9 fixed-point LONG
+  *    units, the damping split is integer (`85/100`), and every division
+  *    is integral `div` on positive operands — floor and truncate agree
+  *    there, so Spark and DuckDB produce bit-identical rank vectors at
+  *    every iteration (no floating accumulation anywhere). Rank mass
+  *    leaks ≤ 1 unit (1e-9) per node per division to flooring — bounded
+  *    and identical on both engines.
+  */
+object Graph {
+
+  private val Unit9 = 1000000000L
+
+  /** PageRank over an undirected edge list `(srcCol, dstCol)` (each
+    * unordered pair listed once). Returns `(idCol, deg, rank9)` for
+    * every node with ≥1 edge, `rank9` in 1e-9 fixed-point units after
+    * `iters` damped iterations from the uniform start.
+    */
+  def pagerank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      idCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // O(V) degree table — doubles as the node set; reused every round,
+    // so materialize once (eager checkpoint, not persist — PLAN.md)
+    val deg = Dedup.materialize(
+      und.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val nv = deg.agg(count(lit(1)).as("nv"))
+    // sender degree rides the edge list, attached once — each iteration
+    // then joins ONLY the current rank table before the per-destination
+    // combine (one edge-sized shuffle join + one map-side-combined
+    // aggregation per round)
+    val undDeg = Dedup.materialize(und.join(deg, "u"))
+    var ranks = deg.join(broadcast(nv), lit(true))
+      .select(col("u"), expr(s"${Unit9}L div nv").as("r"))
+    ranks = Dedup.materialize(ranks)
+    for (_ <- 1 to iters) {
+      val msgs = undDeg
+        .join(ranks, "u")
+        .select(col("v"), expr("r div deg").as("__m"))
+        .groupBy(col("v")).agg(sum(col("__m")).as("__s"))
+      ranks = deg
+        .join(msgs.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .join(broadcast(nv), lit(true))
+        .select(col("u"),
+          (expr(s"${15L * Unit9}L div (100L * nv)") +
+            expr("(85L * coalesce(__s, 0L)) div 100L")).as("r"))
+      ranks = Dedup.materialize(ranks)
+    }
+    ranks.join(deg, "u")
+      .select(col("u").as(idCol), col("deg"), col("r").as("rank9"))
+  }
+
+  /** The composition the scaladoc promises: duplicate clusters keyed by
+    * their most-CENTRAL member instead of min-id. `pairs` (each
+    * unordered near-dup pair once) feeds BOTH the connected-components
+    * pass ([[Dedup.duplicateClusters]]) and [[pagerank]] — materialized
+    * once — then one O(dup-nodes) join + a per-cluster window (cluster-
+    * sized partitions) picks keeper = max by (rank9 DESC, id ASC).
+    * Output: (cluster_id, n_members, keeper_id, keeper_rank9).
+    */
+  def centralityKeepers(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 3): DataFrame = {
+    val p = Dedup.materialize(
+      pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")))
+    val clusters = Dedup.duplicateClusters(p)
+    val ranks = pagerank(p, "id_a", "id_b", "id", iters)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("rank9").desc, col("id"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+    clusters.join(ranks, "id")
+      .withColumn("__rn", row_number().over(byRank))
+      .withColumn("n_members", count(lit(1)).over(whole))
+      .filter(col("__rn") === 1)
+      .select(col("label").as("cluster_id"), col("n_members"),
+        col("id").as("keeper_id"), col("rank9").as("keeper_rank9"))
+  }
+}

@@ -79,6 +79,64 @@ object Quantiles {
           .as("n_outliers"))
   }
 
+  /** Shuffle-key skew profiler: for each candidate key column, the
+    * statistics that decide whether a `groupBy`/`join` on that key
+    * survives a 100× scale-up — key cardinality, the hottest key's row
+    * count and share, exact p50/p99 of the per-key count distribution,
+    * and the key distribution's Shannon entropy (nats). A top share near
+    * 1 or p99 ≫ p50 means the shuffle funnels into few reducers: salt
+    * (the [[Events.sessionStatsSalted]] pattern) or broadcast instead.
+    *
+    * Scale shape, per key column: one shuffle with map-side combine to
+    * O(keys) rows, then a second combine to the O(distinct count-values)
+    * distribution — every statistic (quantiles by the nearest-rank rule
+    * above, max, entropy) derives from that distribution, so the only
+    * unpartitioned window runs over distinct count-values, never keys,
+    * never rows. Null keys count as a real key — a null-heavy column IS
+    * the classic hot-key hazard.
+    *
+    * Determinism: counts are exact integers; entropy terms are 1e-9
+    * fixed-point LONGs per distribution row (× multiplicity, an integer)
+    * summed order-free (the x58 convention); shares/entropy round to
+    * 6 dp. Output: one row per key column —
+    * (key_col, n_rows, n_keys, max_cnt, p50_cnt, p99_cnt, top_share,
+    * entropy).
+    */
+  def keySkewStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewStats: no key columns given")
+    keyCols.map { k =>
+      val cnts = df.groupBy(col(k).as("__k")).agg(count(lit(1)).as("__c"))
+      val dist = cnts.groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+      val byCnt = Window.orderBy(col("__c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val w = dist
+        .withColumn("__cum", sum(col("__m")).over(byCnt))
+        .withColumn("__nk", sum(col("__m")).over(whole))
+        .withColumn("__nr", sum(col("__c") * col("__m")).over(whole))
+      def pick(q: Double) = {
+        val target = floor(lit(q) * (col("__nk") - 1)) + lit(1L)
+        max(when(target > col("__cum") - col("__m") &&
+          target <= col("__cum"), col("__c")))
+      }
+      val p = col("__c").cast("double") / col("__nr").cast("double")
+      val term9 = col("__m") * round(p * log(p) * lit(1e9d), 0).cast("long")
+      w.agg(
+          max(col("__nr")).as("n_rows"),
+          max(col("__nk")).as("n_keys"),
+          max(col("__c")).as("max_cnt"),
+          pick(0.5).as("p50_cnt"),
+          pick(0.99).as("p99_cnt"),
+          sum(term9).as("__h9"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          round(col("max_cnt").cast("double") / col("n_rows").cast("double"), 6)
+            .as("top_share"),
+          round(-col("__h9").cast("double") / lit(1e9d), 6).as("entropy"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group exact quantiles of `valueCol` at each q in `qs`.
     * Returns one row per (group, q): `(groupCols*, q, valueCol)`.
     */

@@ -199,6 +199,56 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Pointwise mutual information between token types co-occurring in
+    * the same document (document-frequency PMI — the classic word-
+    * association statistic; Church & Hanks 1990): for each unordered
+    * token-type pair (a, b), pmi = ln(df_ab · N / (df_a · df_b)) where
+    * df_x is the number of documents containing x and N the number of
+    * documents with ≥1 token. Positive PMI = the pair co-occurs more
+    * than independence predicts — the collocation / template signal a
+    * corpus-curation pass uses to spot boilerplate phrases and topic
+    * clusters.
+    *
+    * Scale shape: pair candidates come from a PER-DOCUMENT self-join on
+    * the distinct (doc, token) postings — candidate volume Σ_doc v²
+    * with v = distinct token types per doc (bounded by doc length), so
+    * cost is linear in corpus size, never vocab². One (pair) shuffle
+    * with map-side combine aggregates candidates to O(pairs) rows; the
+    * df table and doc count are O(vocab)/O(1) broadcasts. Pairs below
+    * `minPairDocs` support are dropped (rare-pair PMI is noise — and
+    * unbounded output).
+    *
+    * Determinism: df counts are exact integers; the PMI is one double
+    * division + ln, rounded to 6 dp (the x21 convention — ln is not
+    * correctly rounded, so rounded values are the comparable surface).
+    * Output: (tok_a, tok_b, n_ab, pmi) with tok_a < tok_b.
+    */
+  def pmiPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minPairDocs: Long = 2L): DataFrame = {
+    require(minPairDocs >= 1L, s"minPairDocs must be >= 1, got $minPairDocs")
+    val posts = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val dfTok = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = posts.agg(countDistinct(col("id")).as("nd"))
+    val pairs = posts.as("a")
+      .join(posts.as("b"), col("a.id") === col("b.id") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("tok_a"), col("b.w").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+    pairs
+      .join(broadcast(dfTok.select(col("w").as("tok_a"), col("df").as("__da"))), "tok_a")
+      .join(broadcast(dfTok.select(col("w").as("tok_b"), col("df").as("__db"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") * col("nd")).cast("double") /
+          (col("__da") * col("__db")).cast("double")), 6).as("pmi"))
+  }
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, Dedup, Dsir, Events, LangModel, Multimodal, Quantiles, Redaction, Retrieval, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Quantiles, Redaction, Retrieval, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -2576,4 +2576,175 @@ object ExtQueries {
          CASE WHEN n_primary = 0 THEN 0.0
               ELSE round(CAST(n_matched AS DOUBLE) / CAST(n_primary AS DOUBLE), 6) END AS coverage
        FROM u"""
+
+  // --- x82: PMI token-pair association -----------------------------------
+  // Collocation mining (Church & Hanks 1990): document-frequency PMI over
+  // token-type pairs co-occurring in a document. Pair candidates come
+  // from a per-document self-join (Σ_doc v², linear in corpus), never
+  // vocab²; support cutoff 5 bounds the output.
+  def x82PmiPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(t(spark, dir, "documents"), "doc_id", "text",
+      minPairDocs = 5L)
+
+  val x82Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         FROM documents),
+       posts AS (SELECT DISTINCT doc_id, w FROM tk),
+       dfk AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY 1),
+       nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM posts),
+       pr AS (SELECT a.w AS tok_a, b.w AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+         FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.w < b.w
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT tok_a, tok_b, n_ab,
+         round(ln(CAST(n_ab * nd AS DOUBLE) / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+       FROM pr JOIN dfk da ON da.w = tok_a JOIN dfk db ON db.w = tok_b
+       CROSS JOIN nd"""
+
+  // --- x83: shuffle-key skew profiler ------------------------------------
+  // The pre-flight a 100 TB groupBy/join runs on its candidate key: key
+  // cardinality, hottest-key share, exact p50/p99 of the per-key count
+  // distribution, and distribution entropy — all derived from the
+  // O(distinct count-values) distribution, never a per-row sort.
+  def x83KeySkew(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.keySkewStats(t(spark, dir, "events"),
+      Seq("user_id", "event_type"))
+
+  private def skewCtes(k: String, p: String): String =
+    s"""${p}c AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       ${p}d AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM ${p}c GROUP BY 1),
+       ${p}w AS (SELECT c, m,
+           CAST(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(m) OVER () AS BIGINT) AS nk,
+           CAST(sum(c * m) OVER () AS BIGINT) AS nr
+         FROM ${p}d),
+       ${p}s AS (SELECT '$k' AS key_col,
+           max(nr) AS n_rows, max(nk) AS n_keys, max(c) AS max_cnt,
+           max(CASE WHEN floor(0.5 * (nk - 1)) + 1 > cum - m
+                     AND floor(0.5 * (nk - 1)) + 1 <= cum THEN c END) AS p50_cnt,
+           max(CASE WHEN floor(0.99 * (nk - 1)) + 1 > cum - m
+                     AND floor(0.99 * (nk - 1)) + 1 <= cum THEN c END) AS p99_cnt,
+           round(CAST(max(c) AS DOUBLE) / CAST(max(nr) AS DOUBLE), 6) AS top_share,
+           round(-CAST(sum(m * CAST(round((CAST(c AS DOUBLE) / nr) * ln(CAST(c AS DOUBLE) / nr) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS entropy
+         FROM ${p}w)"""
+
+  val x83Sql: String =
+    s"""WITH ${skewCtes("user_id", "u")},
+       ${skewCtes("event_type", "e")}
+       SELECT * FROM us UNION ALL SELECT * FROM es"""
+
+  // --- x84: per-source corpus data card ----------------------------------
+  // The release datasheet: volume, token mass, language mix, within-
+  // source exact-dup mass, and the exact length median per source — one
+  // table, every column an exact integer or one rounded division.
+  def x84DataCard(spark: SparkSession, dir: String): DataFrame =
+    DataCard.sourceCard(t(spark, dir, "documents"))
+
+  val x84Sql: String =
+    """WITH tk AS (SELECT source, lang, n_chars,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents),
+       base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM tk GROUP BY 1),
+       lt AS (SELECT source, lang AS top_lang, CAST(count(*) AS BIGINT) AS lc,
+           row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+         FROM documents GROUP BY source, lang),
+       lt1 AS (SELECT source, top_lang, lc FROM lt WHERE rn = 1),
+       dup AS (SELECT source,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+         FROM (SELECT source, fp, CAST(count(*) AS BIGINT) AS c
+               FROM tk GROUP BY 1, 2) GROUP BY 1),
+       med AS (SELECT source, n_chars AS med_chars FROM (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents WHERE n_chars IS NOT NULL)
+         WHERE rk = floor(0.5 * (n - 1)) + 1)
+       SELECT source, n_docs, n_tokens, n_langs, top_lang,
+         round(CAST(lc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+         dup_docs, med_chars
+       FROM base JOIN lt1 USING (source) JOIN dup USING (source)
+       JOIN med USING (source)"""
+
+  // --- x85: near-dup graph centrality (fixed-point PageRank) -------------
+  // Keeper selection upgraded from min-id to most-canonical: PageRank
+  // over x04's banded-MinHash pair graph, 3 damped iterations in exact
+  // 1e-9 fixed-point LONG arithmetic (every division integral on
+  // positive operands — both engines produce bit-identical rank
+  // vectors; no floating accumulation anywhere).
+  def x85PairCentrality(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerank(
+      Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7),
+      "id_a", "id_b", "doc_id", iters = 3)
+
+  private def pagerankCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""m$i AS (SELECT ud.v, CAST(sum(r${i - 1}.r // ud.deg) AS BIGINT) AS s
+           FROM ud JOIN r${i - 1} USING (u) GROUP BY 1),
+         r$i AS (SELECT deg.u,
+             15000000000 // (100 * nv) + (85 * coalesce(s, 0)) // 100 AS r
+           FROM deg LEFT JOIN m$i ON m$i.v = deg.u CROSS JOIN nv)"""
+    }.mkString(",\n       ")
+
+  val x85Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       e AS (SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       und AS (SELECT id_a AS u, id_b AS v FROM e
+               UNION ALL SELECT id_b, id_a FROM e),
+       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+       ud AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (u)),
+       r0 AS (SELECT u, 1000000000 // nv AS r FROM deg CROSS JOIN nv),
+       ${pagerankCtes(3)}
+       SELECT deg.u AS doc_id, deg.deg AS deg, r3.r AS rank9
+       FROM r3 JOIN deg USING (u)"""
+
+  // --- x86: centrality-based keeper selection ----------------------------
+  // The x23 + x85 composition: duplicate clusters keyed by their most-
+  // CENTRAL member — the canonical document many variants derive from —
+  // instead of the arbitrary min-id keeper. One pair list feeds both
+  // the connected-components pass and the rank iteration.
+  def x86CentralityKeepers(spark: SparkSession, dir: String): DataFrame =
+    Graph.centralityKeepers(
+      Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7),
+      "id_a", "id_b", iters = 3)
+
+  val x86Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       und AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+       ud AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (u)),
+       r0 AS (SELECT u, 1000000000 // nv AS r FROM deg CROSS JOIN nv),
+       ${pagerankCtes(3)},
+       rk AS (SELECT deg.u AS doc_id, r3.r AS rank9 FROM r3 JOIN deg USING (u)),
+       j AS (SELECT cl.cluster_id, cl.doc_id, rk.rank9,
+           row_number() OVER (PARTITION BY cl.cluster_id
+             ORDER BY rk.rank9 DESC, cl.doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n
+         FROM cl JOIN rk USING (doc_id))
+       SELECT cluster_id, n AS n_members, doc_id AS keeper_id,
+         rank9 AS keeper_rank9
+       FROM j WHERE rn = 1"""
 }

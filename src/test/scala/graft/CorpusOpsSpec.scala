@@ -115,4 +115,87 @@ class CorpusOpsSpec extends SparkSpec {
     val df = (0 until 5).map(i => (i.toLong, 1L)).toDF("id", "w")
     assert(Sampling.weightedTopK(df, "id", col("w"), k = 50).count() == 5)
   }
+
+  // ----------------------------------------------------------------- PMI
+
+  test("pmiPairs: hand-computed document-frequency PMI") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "doc_id", "text", minPairDocs = 1L)
+      .orderBy("tok_a", "tok_b").collect()
+    // df: a=3 b=3 c=2, N=4; (a,b): n=2, pmi=ln(2·4/9); (a,c)/(b,c): n=1,
+    // pmi=ln(4/6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      ("a", "b", 2L, r6(math.log(8.0 / 9.0))),
+      ("a", "c", 1L, r6(math.log(4.0 / 6.0))),
+      ("b", "c", 1L, r6(math.log(4.0 / 6.0)))))
+  }
+
+  test("pmiPairs: repeated tokens in a doc count once (document frequency)") {
+    val docs = Seq((1L, "a a a b b"), (2L, "a b"), (3L, "c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "doc_id", "text", minPairDocs = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("a", "b") -> 2L)) // c never pairs; (a,b) df-counted
+  }
+
+  // ------------------------------------------------------------ key skew
+
+  test("keySkewStats: hand-computed distribution stats incl. null key") {
+    // counts per key: x→4, y→2, z→1, null→1  ⇒ dist {1:2, 2:1, 4:1}
+    val df = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z") ++ Seq(null))
+      .map(Tuple1(_)).toDF("k")
+    val r = graft.ext.Quantiles.keySkewStats(df, Seq("k")).head
+    assert(r.getString(0) == "k")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((8L, 4L, 4L)))
+    assert((r.getLong(4), r.getLong(5)) == ((1L, 2L))) // p50, p99
+    assert(r.getDouble(6) == 0.5d) // top share
+    assert(r.getDouble(7) == 1.213008d) // exact fixed-point entropy
+  }
+
+  test("keySkewStats: invariant under partitioning; uniform key entropy = ln n") {
+    val df = (0 until 64).map(i => (i.toLong % 16, i)).toDF("k", "v")
+    val a = graft.ext.Quantiles.keySkewStats(df, Seq("k")).head
+    val b = graft.ext.Quantiles.keySkewStats(df.repartition(13), Seq("k")).head
+    assert(a == b)
+    // uniform 16 keys ⇒ entropy ln 16 = 2.772589 at 6 dp (the fixed-point
+    // term round cancels: one dist row, multiplicity 16)
+    assert(a.getDouble(7) == 2.772589d)
+    assert(a.getDouble(6) == 0.0625d)
+  }
+
+  test("keySkewStats: one row per requested key column") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
+    val out = graft.ext.Quantiles.keySkewStats(df, Seq("id", "s"))
+      .orderBy("key_col").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("id", "s"))
+    assert(out(0).getLong(2) == 3L) // id: 3 distinct keys
+    assert(out(1).getLong(3) == 2L) // s: hottest key count
+  }
+
+  // ------------------------------------------------------------ data card
+
+  test("sourceCard: per-source composition report") {
+    val docs = Seq(
+      (1L, "hello world", "en", "s1", 11L),
+      (2L, "hello world", "en", "s1", 11L),
+      (3L, "foo bar baz", "fr", "s1", 11L),
+      (4L, "x", "de", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.DataCard.sourceCard(docs).orderBy("source").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getDouble(5), r.getLong(6),
+      r.getLong(7))).toSeq == Seq(
+      ("s1", 3L, 7L, 2L, "en", 0.666667d, 2L, 11L),
+      ("s2", 1L, 1L, 1L, "de", 1.0d, 0L, 1L)))
+  }
+
+  test("sourceCard: modal-language tie breaks on lang ascending") {
+    val docs = Seq(
+      (1L, "a", "fr", "s", 1L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.ext.DataCard.sourceCard(docs).head.getString(4) == "en")
+  }
 }
