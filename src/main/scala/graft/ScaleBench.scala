@@ -237,10 +237,29 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val root = "/tmp/graft_scalebench"
     val (d1, dN) = (s"$root/x1", s"$root/x$reps")
+    // SPARK_GRAFT_FAMILIES=r8_scale,srp_auto restricts the run (and its
+    // warm-up) to the named reports — the full sweep is hours on a loaded
+    // box, and a round usually only needs curves for its new family
+    val famSel = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(metric: String) = famSel.forall(_.contains(metric))
+    // SPARK_GRAFT_SCALE_ONLY=x85_...,x86_... further restricts entries
+    // WITHIN the selected families (curve-refresh for a family's new
+    // members without re-timing the recorded ones)
+    val entrySel = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wantEntry(name: String) = entrySel.forall(_.contains(name))
+    val selected = Seq(
+      "dedup_scale" -> Family, "core_scale" -> CoreFamily,
+      "stream_scale" -> StreamFamily, "r6_scale" -> R6Family,
+      "r7_scale" -> R7Family, "r8_scale" -> R8Family)
+      .filter(kv => want(kv._1))
+      .map { case (m, fam) => m -> fam.filter(wantEntry) }
+      .filter(_._2.nonEmpty)
     stage(spark, baseDir, d1, 1)
     stage(spark, baseDir, dN, reps)
     // JIT/codegen warm-up on the small SF, as Bench does
-    (Family ++ CoreFamily ++ StreamFamily ++ R6Family ++ R7Family ++ R8Family).foreach { n =>
+    selected.flatMap(_._2).distinct.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -254,12 +273,7 @@ object ScaleBench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"$metric","reps":$reps,"unit":"sec","base":"$baseDir","x1":${js(t1)},"x$reps":${js(tN)},"growth":$ratio}""")
     }
-    report("dedup_scale", Family)
-    report("core_scale", CoreFamily)
-    report("stream_scale", StreamFamily)
-    report("r6_scale", R6Family)
-    report("r7_scale", R7Family)
-    report("r8_scale", R8Family)
+    selected.foreach { case (metric, fam) => report(metric, fam) }
     // SRP with production bit sizing (the x62 GATE pins 6 bits to match
     // its oracle; this entry measures the operator as actually deployed —
     // bits grow with log₂ N, so candidate volume stays O(N))
@@ -270,10 +284,12 @@ object ScaleBench {
       graft.ext.Similarity.srpNearDupPairs(emb, "vec_id", "embedding", 8, bits).count()
       (System.nanoTime() - t0) / 1e9
     }
-    srpAuto(d1) // warm
-    val (s1a, sNa, s1b, sNb) = (srpAuto(d1), srpAuto(dN), srpAuto(d1), srpAuto(dN))
-    val (s1, sN) = (math.min(s1a, s1b), math.min(sNa, sNb))
-    println(f"""{"metric":"srp_auto_scale","reps":$reps,"unit":"sec","x1":$s1%.3f,"x$reps":$sN%.3f,"growth":${sN / s1}%.2f}""")
+    if (want("srp_auto_scale")) {
+      srpAuto(d1) // warm
+      val (s1a, sNa, s1b, sNb) = (srpAuto(d1), srpAuto(dN), srpAuto(d1), srpAuto(dN))
+      val (s1, sN) = (math.min(s1a, s1b), math.min(sNa, sNb))
+      println(f"""{"metric":"srp_auto_scale","reps":$reps,"unit":"sec","x1":$s1%.3f,"x$reps":$sN%.3f,"growth":${sN / s1}%.2f}""")
+    }
     spark.stop()
   }
 }
