@@ -137,7 +137,12 @@ object ScaleBench {
     "x85_pair_centrality",
     // x85's graph work + the x23 components funnel on the same pairs —
     // rides both bounds
-    "x86_centrality_keepers")
+    "x86_centrality_keepers",
+    // narrow gate + one O(sources) rollup — expect ~linear
+    "x87_quality_funnel",
+    // three appendDay merges + a store-only derivation — merge I/O is
+    // per-day, derivation reads subtotals; expect ~linear in day size
+    "x88_card_store")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
 
 /** Corpus datasheet: the per-source composition report a training-data
   * release ships with (the "data card" of Gebru et al. 2021's Datasheets
@@ -62,6 +64,112 @@ object DataCard {
     val med = Quantiles.groupQuantiles(df, Seq(sourceCol), charsCol, Seq(0.5))
       .select(col(sourceCol).as("source"), col(charsCol).as("med_chars"))
     base
+      .join(broadcast(langTop), "source")
+      .join(broadcast(dup), "source")
+      .join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("top_lang"),
+        round(col("__lc").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"),
+        col("dup_docs"), col("med_chars"))
+  }
+
+  /** Day-over-day-MAINTAINED data card — the datasheet kept current by a
+    * daily ingest without ever rescanning the corpus (the [[DedupStores]]
+    * pattern applied to analytics). Four [[ManifestStore]] tables under
+    * `root` hold day-keyed SUBTOTALS — every card column is derivable
+    * from them because the underlying statistics are mergeable:
+    *  - `base`  (source, day → n_docs, tok_sum)
+    *  - `lang`  (source, lang, day → cnt)
+    *  - `len`   (source, n_chars, day → cnt) — the length DISTRIBUTION,
+    *    which is what makes the exact median mergeable
+    *  - `fp`    (source, fp, day → cnt) — the fingerprint distribution,
+    *    so within-source dup mass stays exact across days (a dup pair
+    *    split across two days still counts)
+    *
+    * [[appendDay]] merges ONE day's subtotal rows, keyed by (…, day) and
+    * partitioned by day: the transactional merge prunes to that day's
+    * partition, and a replayed day upserts identical rows — idempotent.
+    * [[cardFromStore]] then reproduces [[sourceCard]]'s exact output
+    * from the stores alone.
+    */
+  def appendDay(
+      spark: SparkSession,
+      docs: DataFrame,
+      day: String,
+      root: String,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang",
+      charsCol: String = "n_chars"): Unit = {
+    val d = docs.withColumn("day", lit(day))
+    def upsert(path: String, batch: DataFrame, keys: Seq[String]): Unit =
+      try ManifestStore.merge(spark, path, batch, keys, "day")
+      catch {
+        case _: java.io.FileNotFoundException =>
+          ManifestStore.write(spark, batch, path, "day")
+      }
+    upsert(s"$root/base",
+      d.groupBy(col(sourceCol).as("source"), col("day"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wordCount(col(textCol))).as("tok_sum")),
+      Seq("source", "day"))
+    upsert(s"$root/lang",
+      d.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"), col("day"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("source", "lang", "day"))
+    upsert(s"$root/len",
+      d.filter(col(charsCol).isNotNull)
+        .groupBy(col(sourceCol).as("source"), col(charsCol).as("n_chars"), col("day"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("source", "n_chars", "day"))
+    upsert(s"$root/fp",
+      d.groupBy(col(sourceCol).as("source"),
+          TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("source", "fp", "day"))
+  }
+
+  /** Derive the card from the maintained stores — same schema and exact
+    * same values as [[sourceCard]] over the union of all appended days.
+    * Every input is a store read over day-keyed subtotals: O(sources ×
+    * langs × days), O(sources × distinct lengths × days) and O(docs)
+    * fingerprint rows — never the corpus text.
+    */
+  def cardFromStore(spark: SparkSession, root: String): DataFrame = {
+    val base = ManifestStore.read(spark, s"$root/base")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tok_sum")).as("n_tokens"))
+    val langAgg = ManifestStore.read(spark, s"$root/lang")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("cnt")).as("__lc"))
+    val nLangs = langAgg.groupBy(col("source"))
+      .agg(countDistinct(col("lang")).as("n_langs"))
+    val byCount = Window.partitionBy(col("source"))
+      .orderBy(col("__lc").desc, col("lang"))
+    val langTop = langAgg
+      .withColumn("__rn", row_number().over(byCount))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("__lc"))
+    val dup = ManifestStore.read(spark, s"$root/fp")
+      .groupBy(col("source"), col("fp")).agg(sum(col("cnt")).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)).as("dup_docs"))
+    // weighted nearest-rank-lower median over the merged length
+    // distribution — the same rank rule as Quantiles.groupQuantiles,
+    // with __c carrying the multiplicity
+    val lenDist = ManifestStore.read(spark, s"$root/len")
+      .groupBy(col("source"), col("n_chars")).agg(sum(col("cnt")).as("__c"))
+    val byValue = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val whole = Window.partitionBy(col("source"))
+    val target = floor(lit(0.5d) * (col("__n") - 1)) + lit(1L)
+    val med = lenDist
+      .withColumn("__cum", sum(col("__c")).over(byValue))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .filter(target > col("__cum") - col("__c") && target <= col("__cum"))
+      .select(col("source"), col("n_chars").as("med_chars"))
+    base
+      .join(broadcast(nLangs), "source")
       .join(broadcast(langTop), "source")
       .join(broadcast(dup), "source")
       .join(broadcast(med), "source")

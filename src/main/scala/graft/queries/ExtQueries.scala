@@ -1008,11 +1008,16 @@ object ExtQueries {
     TextAnalysis.qualityGate(t(spark, dir, "documents"), "text", "lang")
       .select(col("doc_id"), col("lang"), col("fail_mask"), col("keep"))
 
-  val x32Sql: String =
-    """WITH t AS (SELECT doc_id, lang, text,
+  /** Shared CTE chain ending in `f` (one row per doc with source, lang,
+    * wc/awl/pr/swr metrics and lang_pred) — the relational twin of
+    * [[TextAnalysis.qualityGate]]'s rule inputs; reused by the x32 gate
+    * and x87's per-source funnel rollup.
+    */
+  private val qgCtes: String =
+    """t AS (SELECT doc_id, source, lang, text,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
        FROM documents),
-       m AS (SELECT doc_id, lang,
+       m AS (SELECT doc_id, source, lang,
          CAST(len(toks) AS BIGINT) AS wc,
          CASE WHEN len(toks) = 0 THEN 0.0
               ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS awl,
@@ -1031,18 +1036,20 @@ object ExtQueries {
              CASE WHEN score > 0 THEN plang ELSE 'und' END AS lang_pred,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
            FROM sc),
-       f AS (SELECT m.*, lp.lang_pred FROM m JOIN lp ON m.doc_id = lp.doc_id AND lp.rn = 1)
+       f AS (SELECT m.*, lp.lang_pred FROM m JOIN lp ON m.doc_id = lp.doc_id AND lp.rn = 1)"""
+
+  private val qgMask: String =
+    """CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
+            + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
+            + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
+            + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
+            + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END"""
+
+  val x32Sql: String =
+    s"""WITH $qgCtes
        SELECT doc_id, lang,
-         CAST(CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
-            + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
-            + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
-            + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
-            + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
-         (CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END
-            + CASE WHEN swr < 0.05 THEN 2 ELSE 0 END
-            + CASE WHEN pr > 0.2 THEN 4 ELSE 0 END
-            + CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 8 ELSE 0 END
-            + CASE WHEN lang_pred IS DISTINCT FROM lang THEN 16 ELSE 0 END) = 0 AS keep
+         CAST($qgMask AS BIGINT) AS fail_mask,
+         ($qgMask) = 0 AS keep
        FROM f"""
 
   // --- x36: late-data watermark gate (deterministic multi-batch replay) ---
@@ -2747,4 +2754,43 @@ object ExtQueries {
        SELECT cluster_id, n AS n_members, doc_id AS keeper_id,
          rank9 AS keeper_rank9
        FROM j WHERE rn = 1"""
+
+  // --- x87: per-source quality funnel ------------------------------------
+  // Where does each source's data die? x32's gate rolled up per source:
+  // total docs, survivors, per-rule failure counts (a doc failing
+  // several rules counts in each), survivor fraction. One map-side-
+  // combined shuffle to O(sources) rows on top of the narrow gate.
+  def x87QualityFunnel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFunnel(t(spark, dir, "documents"),
+      "text", "lang", "source")
+
+  val x87Sql: String =
+    s"""WITH $qgCtes
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN ($qgMask) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+         CAST(sum(CASE WHEN swr < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         CAST(sum(CASE WHEN pr > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
+         CAST(sum(CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+         CAST(sum(CASE WHEN lang_pred IS DISTINCT FROM lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+         round(CAST(sum(CASE WHEN ($qgMask) = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS yield_frac
+       FROM f GROUP BY 1"""
+
+  // --- x88: maintained data card (day-over-day stores) -------------------
+  // The x84 datasheet kept current by daily ingest: three "days"
+  // (doc_id % 3) are appended as day-keyed SUBTOTALS into ManifestStore
+  // tables (merge pruned to the day's partition, replay-idempotent);
+  // the card derives from the stores alone — corpus never rescanned.
+  // The oracle is the DIRECT datasheet over the full corpus: maintenance
+  // must be invisible in the result.
+  def x88CardStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "cardstore")
+    for (d <- 0 to 2)
+      DataCard.appendDay(spark, docs.filter(col("doc_id") % 3 === d), s"day$d", root)
+    DataCard.cardFromStore(spark, root)
+  }
+
+  val x88Sql: String = x84Sql
 }
