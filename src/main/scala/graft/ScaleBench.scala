@@ -142,7 +142,26 @@ object ScaleBench {
     "x87_quality_funnel",
     // three appendDay merges + a store-only derivation — merge I/O is
     // per-day, derivation reads subtotals; expect ~linear in day size
-    "x88_card_store")
+    "x88_card_store",
+    // fusion itself is O(queries × k × lists); the curve measures its
+    // two retriever inputs (BM25 pruned postings + dense N×|Q| with
+    // fixed |Q|=3) — expect ~linear
+    "x89_rrf_fusion",
+    // one map-side-combined groupBy to O(QI combos) rows — expect
+    // ~linear scan cost
+    "x90_kanonymity",
+    // SCD2 build = one window shuffle on the user key; probe adds the
+    // union+window asof pass on the same key — expect ~linear
+    "x91_scd2_history", "x92_scd2_probe",
+    // hash-derived model: narrow map + one groupBy on the doc id —
+    // expect ~linear
+    "x93_quality_model",
+    // funnel: stage joins run on reached-user sets after one user
+    // shuffle; cohorts: distinct user-weeks then window — expect ~linear
+    "x94_event_funnel", "x95_retention_cohorts",
+    // CM cells are a bounded d×w groupBy (map-side combined); probe set
+    // fixed at top-20 — expect ~linear scan with flat sketch state
+    "x96_countmin")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -216,4 +216,67 @@ object Events {
       .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"),
         sum(col("__an")).as("n_anomalies"))
   }
+
+  /** Ordered conversion funnel: per user, stage i counts only if it
+    * happens STRICTLY AFTER the user's (earliest valid) stage i−1 — the
+    * product-analytics "did view → click → purchase, in that order"
+    * query. Output: (stage_idx, stage, users) with `users` = users whose
+    * ordered chain reaches the stage.
+    *
+    * 100 TB design: one aggregation per stage, every one keyed by the
+    * user column — after the first shuffle the per-user frames are
+    * co-partitioned, so the stage-over-stage joins plan as no-shuffle
+    * sort-merge joins on the same layout, and each stage's input is the
+    * (small) reached-user set, not the event stream. Stage counts are a
+    * final O(stages)-row aggregate. Exact integers throughout.
+    */
+  def funnel(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsUsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val ev = df.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsUsCol).as("t"))
+    // reached(i): (u, t_i) — earliest stage-i event after t_{i-1}
+    var reached = ev.filter(col("et") === stages.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t"))
+    var out = Seq((1L, stages.head, reached))
+    stages.toList.drop(1).foreach { s =>
+      val prev = reached.withColumnRenamed("t", "tp")
+      reached = ev.filter(col("et") === s)
+        .join(prev, Seq("u"))
+        .filter(col("t") > col("tp"))
+        .groupBy(col("u")).agg(min(col("t")).as("t"))
+      out = out :+ ((out.size + 1L, s, reached))
+    }
+    out.map { case (i, s, r) =>
+      r.agg(count(lit(1)).as("users"))
+        .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly retention cohorts: users are cohorted by the epoch-week of
+    * their FIRST event; each later active week counts them at that week
+    * offset. Output: (cohort_week, week_offset, users) — offset 0 is the
+    * cohort's own size.
+    *
+    * 100 TB design: distinct (user, week) first (one map-side-combined
+    * shuffle on the pair, collapsing the event stream to user-weeks),
+    * then the per-user min week rides a window over the SAME user-keyed
+    * data, and the cohort matrix is an O(users × active-weeks) →
+    * O(weeks²) aggregate. Week index is exact integer floor-division of
+    * the event-time micros.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsUsCol: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    val uw = df.select(col(userCol).as("u"),
+        expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, $week)) div $week").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("u"))
+    uw.withColumn("cohort_week", min(col("wk")).over(w))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -85,4 +85,36 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("id").as(idCol),
         round(col("s9").cast("double") / lit(1e9d), 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    * number of per-query ranked lists — the standard hybrid-retrieval
+    * combiner (BM25 ⊕ dense ANN) that needs no score calibration, only
+    * ranks. Each list contributes floor(10¹² / (rrfK + rank)) to the
+    * item's fused score — the exact-integer fixed-point image of the
+    * paper's 1/(k+rank), so fused ranking is engine-portable; ties break
+    * on the item id.
+    *
+    * 100 TB design: fusion's inputs are ALREADY per-query top-k lists
+    * (each produced by its retriever's own scale path — BM25's pruned
+    * postings, ANN's two-stage top-k), so the union is
+    * O(queries × k × lists) rows — corpus-size-independent; one
+    * map-side-combined groupBy on (query, id) and a WindowGroupLimit-
+    * pushed per-query top-k finish it.
+    *
+    * @param lists each (query_id, rank, `idCol`); ranks 1-based
+    * @return (query_id, rank, `idCol`, rrf_fp) — fused top-k per query
+    *         by (summed integer score desc, id asc)
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    val contrib = lists.map(_.select(col("query_id"), col(idCol).as("id"),
+      expr(s"1000000000000L div (${rrfK}L + CAST(rank AS LONG))").as("c")))
+    val fused = contrib.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as(idCol), col("rrf_fp"))
+  }
 }

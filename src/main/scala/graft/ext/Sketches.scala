@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (extension surface, SURVEY.md
@@ -144,4 +144,58 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan) over a value stream, with
+    * engine-portable md5-derived row hashes: cell_r(v) = 48-bit md5
+    * prefix of "cm<r>_<v>" mod `width`. [[countMinCells]] builds the d×w
+    * cell table; [[countMinEstimate]] probes it — est(v) = min_r
+    * cell[r, hash_r(v)], an overestimate by construction (est ≥ true
+    * count, the one-sided CM guarantee).
+    *
+    * 100 TB design: the sketch is O(d×w) cells regardless of stream
+    * size — built in ONE map-side-combined groupBy (each input row
+    * contributes d cell increments via a literal-array posexplode, so
+    * the shuffle carries at most d×w partial cells per map task, not
+    * rows). The cell table broadcasts; probes are a narrow broadcast
+    * join. Exact LONG counts end to end — the estimate's determinism is
+    * the hash's, not the partitioning's.
+    */
+  def countMinCells(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    val rows = array((0 until depth).map(r => lit(r)): _*)
+    df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(explode(rows).as("r"), col("v"))
+      .select(col("r"), cmCell(col("v"), col("r"), width).as("cell"))
+      .groupBy(col("r"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe the cell table for each row of `probes`: attaches `est`.
+    * `cells` must come from [[countMinCells]] with the same depth/width.
+    * A value whose d cells are not all present estimates from the
+    * present ones only (absent cell = 0 would make est 0; such a value
+    * was never inserted — callers probing inserted values always hit
+    * all d rows).
+    */
+  def countMinEstimate(
+      cells: DataFrame,
+      probes: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val rows = array((0 until depth).map(r => lit(r)): _*)
+    val c2 = cells.select(col("r").as("__cr"), col("cell").as("__ccell"),
+      col("cnt").as("__ccnt"))
+    val keyed = probes
+      .select(col("*"), explode(rows).as("__r"))
+      .withColumn("__cell", cmCell(col(valueCol).cast("string"), col("__r"), width))
+    keyed.join(broadcast(c2),
+        col("__r") === col("__cr") && col("__cell") === col("__ccell"))
+      .groupBy(probes.columns.map(keyed(_)): _*)
+      .agg(min(col("__ccnt")).as("est"))
+  }
+
+  private def cmCell(v: Column, r: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit("cm"), r.cast("string"), lit("_"), v)), 1, 12), 16, 10)
+      .cast("long"), lit(width.toLong))
 }

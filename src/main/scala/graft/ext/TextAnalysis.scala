@@ -277,6 +277,41 @@ object TextAnalysis {
           (col("__da") * col("__db")).cast("double")), 6).as("pmi"))
   }
 
+  /** Hashed-feature linear text classifier INFERENCE (the fastText /
+    * hashing-trick shape quality filters ship as: CCNet's fastText
+    * quality model, Gopher's rule+model gates). Token → md5 48-bit
+    * bucket in [0, dim); the bucket's weight derives from a SECOND hash
+    * of the bucket id — w_fp3(b) = hex48(md5("w<b>")) mod 2001 − 1000, a
+    * 1e-3 fixed-point weight in [−1, 1] — so scoring needs NO weight
+    * table at all (a trained model would broadcast its dim-sized vector;
+    * the hash stands in as a deterministic fixture both engines can
+    * rebuild). Doc score = Σ token weights, an exact LONG sum.
+    *
+    * 100 TB design: the entire model application is a narrow map
+    * (tokenize → hash → hash again) followed by ONE map-side-combined
+    * groupBy on the doc id — no join, no broadcast, no shuffle beyond
+    * the id aggregation; whole-stage codegen end to end.
+    *
+    * Output: (idCol, n_toks, score_fp3, pred) for docs with ≥1 token;
+    * `pred` = score_fp3 > 0.
+    */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024): DataFrame = {
+    val toks = LangModel.tokenRows(df, idCol, textCol)
+    val b = pmod(conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"),
+      lit(dim.toLong))
+    val wfp3 = pmod(conv(substring(md5(concat(lit("w"), b.cast("string"))), 1, 12), 16, 10)
+      .cast("long"), lit(2001L)) - lit(1000L)
+    toks.select(col("id"), wfp3.as("wf"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wf")).as("score_fp3"))
+      .select(col("id").as(idCol), col("n_toks"), col("score_fp3"),
+        (col("score_fp3") > 0L).as("pred"))
+  }
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

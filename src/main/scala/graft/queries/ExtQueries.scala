@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Quantiles, Redaction, Retrieval, Sampling, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Privacy, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -2793,4 +2793,252 @@ object ExtQueries {
   }
 
   val x88Sql: String = x84Sql
+
+  // --- x89: hybrid retrieval via reciprocal-rank fusion ------------------
+  // BM25 top-20 (x69's three term queries) fused with dense cosine
+  // top-20 (probe vectors 0/1/2 standing in for the queries' embeddings;
+  // vec_id ≡ doc_id per the x81 referential audit) — RRF with exact
+  // integer floor(1e12/(60+rank)) contributions, top-10 per query.
+  def x89RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val lexical = Retrieval
+      .bm25TopK(t(spark, dir, "documents"), "doc_id", "text", qs, k = 20)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val emb = t(spark, dir, "embeddings")
+    val probeMap = Seq(("q_hash_join", 0L), ("q_stream", 1L), ("q_vector", 2L))
+      .toDF("qname", "pvec")
+    val dense = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+      .join(broadcast(probeMap), col("query_id") === col("pvec"))
+      .select(col("qname").as("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    Retrieval.rrfFuse(Seq(lexical, dense), "doc_id", k = 10)
+  }
+
+  val x89Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       lens AS (SELECT d.doc_id, coalesce(t.len, 0) AS len FROM documents d
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1) t USING (doc_id)),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+       qt AS (SELECT * FROM (VALUES
+         ('q_hash_join','hash'),('q_hash_join','join'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_vector','vector'),('q_vector','data')) AS q(query_id, w)),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+       dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+         FROM tf JOIN dft USING (w) JOIN qt USING (w)
+         JOIN lens USING (doc_id) CROSS JOIN stats
+         GROUP BY 1, 2),
+       lexr AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rank
+           FROM sc) WHERE rank <= 20),
+       ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       vn AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM ve),
+       vq AS (SELECT vec_id AS pid, ve AS qv, nrm AS qn FROM vn WHERE vec_id < 3),
+       vscored AS (SELECT vq.pid, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * c.ve[i])) / (vq.qn * c.nrm) AS cos
+         FROM vn c JOIN vq ON c.vec_id <> vq.pid),
+       vr AS (SELECT pid, neighbor_id, rank FROM (
+           SELECT pid, neighbor_id,
+             row_number() OVER (PARTITION BY pid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM vscored) WHERE rank <= 20),
+       qmap AS (SELECT * FROM (VALUES
+         ('q_hash_join', 0), ('q_stream', 1), ('q_vector', 2)) AS m(query_id, pvec)),
+       densr AS (SELECT qmap.query_id, vr.neighbor_id AS doc_id, vr.rank
+         FROM vr JOIN qmap ON vr.pid = qmap.pvec),
+       contrib AS (
+         SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM lexr
+         UNION ALL
+         SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM densr),
+       fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+         FROM contrib GROUP BY 1, 2),
+       rr AS (SELECT query_id, doc_id, rrf_fp,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS rank
+         FROM fused)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_fp
+       FROM rr WHERE rank <= 10"""
+
+  // --- x90: k-anonymity / l-diversity release audit ----------------------
+  // Publishing per-document metadata re-identifies by rare combination:
+  // the audit groups customers by (nation, segment, balance band) and
+  // flags equivalence classes smaller than k=5. One map-side-combined
+  // groupBy to O(distinct QI combos) rows.
+  def x90Kanonymity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityAudit(
+      t(spark, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / lit(500.0d)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), "c_acctbal", k = 5)
+
+  val x90Sql: String =
+    """SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+         count(*) < 5 AS at_risk
+       FROM customer GROUP BY 1, 2, 3"""
+
+  // --- x91: SCD2 dimension history build ---------------------------------
+  // Type-2 validity intervals from the purchase change feed: one row per
+  // change with version numbers and [valid_from, valid_to) in exact
+  // micros; ties within a (user, ts) are ordered by event_id. ONE
+  // shuffle on the user key (row_number + lead share the sort).
+  def x91Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Scd2.build(
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", "event_id", Seq("value"))
+  }
+
+  val x91Sql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT user_id, value,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         t AS valid_from_us,
+         lead(t) OVER w AS valid_to_us
+       FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)"""
+
+  // --- x92: SCD2 point-in-time probe -------------------------------------
+  // Every click resolves the user's purchase-dimension state as of the
+  // click instant. The engine runs AsofJoin's union+window (one shuffle,
+  // linear scan — no range join); the oracle checks it with the plain
+  // interval-containment BETWEEN join the window provably equals
+  // (versions tile time; zero-width versions collapsed on both sides).
+  def x92Scd2Probe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val hist = Scd2.build(
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", "event_id", Seq("value"))
+    val probes = ev.filter(col("event_type") === "click")
+      .withColumn("t_us", Events.epochMicros(ev))
+      .select(col("event_id"), col("user_id"), col("t_us"))
+    Scd2.probe(hist, probes, "user_id", "t_us", Seq("value"))
+  }
+
+  val x92Sql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+         FROM events WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, value,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           t AS valid_from_us,
+           lead(t) OVER w AS valid_to_us
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       lv AS (SELECT * FROM v
+         WHERE valid_to_us IS NULL OR valid_from_us < valid_to_us),
+       p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+         FROM events WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id, p.t_us, lv.value, lv.version
+       FROM p LEFT JOIN lv ON lv.user_id = p.user_id
+         AND lv.valid_from_us <= p.t_us
+         AND (lv.valid_to_us IS NULL OR p.t_us < lv.valid_to_us)"""
+
+  // --- x93: hashed linear quality-model inference ------------------------
+  // fastText-shaped quality scoring with a hash-derived weight table:
+  // the whole model is a narrow map + one groupBy on the doc id — no
+  // weight-table join anywhere (see TextAnalysis.hashedLinearScore).
+  def x93QualityModel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")
+
+  val x93Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       hb AS (SELECT doc_id, md5(w) AS hx FROM toks),
+       b AS (SELECT doc_id, ${duckHex48("hx")} % 1024 AS b FROM hb),
+       hw AS (SELECT doc_id, md5('w' || CAST(b AS VARCHAR)) AS hx FROM b),
+       wf AS (SELECT doc_id, (${duckHex48("hx")} % 2001) - 1000 AS wf FROM hw)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(wf) AS BIGINT) AS score_fp3,
+         CAST(sum(wf) AS BIGINT) > 0 AS pred
+       FROM wf GROUP BY 1"""
+
+  // --- x94: ordered conversion funnel ------------------------------------
+  // view -> click -> purchase, each stage strictly after the user's
+  // earliest valid previous stage; per-stage reached-user counts.
+  def x94EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.funnel(ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+  }
+
+  val x94Sql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+       s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY 1),
+       s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u AND e.t > s1.t
+         WHERE e.et = 'click' GROUP BY 1),
+       s3 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u AND e.t > s2.t
+         WHERE e.et = 'purchase' GROUP BY 1)
+       SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3"""
+
+  // --- x95: weekly retention cohorts -------------------------------------
+  // Users cohorted by first-event epoch-week; actives counted per
+  // (cohort, offset). Event stream collapses to distinct user-weeks in
+  // the first map-side-combined shuffle.
+  def x95RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.retentionCohorts(ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us")
+  }
+
+  val x95Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS wk FROM events),
+       c AS (SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cw FROM uw)
+       SELECT cw AS cohort_week, wk - cw AS week_offset,
+         CAST(count(*) AS BIGINT) AS users
+       FROM c GROUP BY 1, 2"""
+
+  // --- x96: count-min frequency sketch + exact verify --------------------
+  // The x70 pattern for the CM sketch: estimates are one-sided
+  // (est >= exact by construction), so the gate probes the exact top-20
+  // tokens and reports est alongside the exact count — `overcount`
+  // being >= 0 everywhere IS the sketch's guarantee, checked row by row.
+  def x96CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("w"))
+    val cells = Sketches.countMinCells(toks, "w", depth = 4, width = 1024)
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val top = Sampling.scoredTopK(exact, "w", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(cells, top, "w", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  val x96Sql: String =
+    s"""WITH toks AS (SELECT
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       ex AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       top AS (SELECT w, cnt FROM (
+           SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM ex)
+         WHERE rn <= 20),
+       rr AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+       cells0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || w) AS hx
+         FROM toks CROSS JOIN rr),
+       cells AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS ccnt
+         FROM cells0 GROUP BY 1, 2),
+       pr0 AS (SELECT w, cnt, r, md5('cm' || CAST(r AS VARCHAR) || '_' || w) AS hx
+         FROM top CROSS JOIN rr),
+       pr AS (SELECT w, cnt, r, ${duckHex48("hx")} % 1024 AS cell FROM pr0)
+       SELECT pr.w, pr.cnt, CAST(min(cells.ccnt) AS BIGINT) AS est,
+         CAST(min(cells.ccnt) - pr.cnt AS BIGINT) AS overcount
+       FROM pr JOIN cells USING (r, cell) GROUP BY pr.w, pr.cnt"""
 }
