@@ -161,7 +161,20 @@ object ScaleBench {
     "x94_event_funnel", "x95_retention_cohorts",
     // CM cells are a bounded d×w groupBy (map-side combined); probe set
     // fixed at top-20 — expect ~linear scan with flat sketch state
-    "x96_countmin")
+    "x96_countmin",
+    // x93's scoring pass + the O(distinct scores) distribution window —
+    // expect ~linear
+    "x97_curriculum_phases",
+    // two bounded-cell sketch builds + an O(distinct keys) exact check —
+    // expect ~linear
+    "x98_joinsize_estimate",
+    // one user-keyed union+window asof pass — expect ~linear
+    "x99_attribution",
+    // corpus collapses to the vocab once; staging widens the vocab
+    // ~linearly with replicas (per-replica word suffixes), so the two
+    // merge rounds' pair counts grow with distinct words, not corpus
+    // rows — expect ~linear in vocab
+    "x100_bpe_merges")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

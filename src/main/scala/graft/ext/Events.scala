@@ -257,6 +257,35 @@ object Events {
     }.reduce(_.unionByName(_))
   }
 
+  /** Last-touch attribution: each conversion event resolves the user's
+    * most recent non-conversion touch at-or-before the conversion instant
+    * (the marketing-analytics shape of the point-in-time lookup; a touch
+    * in the same microsecond attributes). Rides [[AsofJoin]]'s
+    * union+window — one shuffle on the user key, linear scan, no range
+    * join. Touches are first deduplicated to one per (user, instant) —
+    * the latest `seqCol` wins — so the asof pick is deterministic.
+    *
+    * Output: the conversion rows with a `channel` column (null when the
+    * user has no prior touch — organic conversions).
+    */
+  def lastTouchAttribution(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsUsCol: String,
+      seqCol: String,
+      convType: String,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val touches = df.filter(col(typeCol) =!= convType)
+      .groupBy(col(userCol), col(tsUsCol).as("__tt"))
+      .agg(max_by(col(typeCol), col(seqCol)).as("channel"))
+    val convs = df.filter(col(typeCol) === convType)
+      .select((Seq(col(seqCol), col(userCol), col(tsUsCol)) ++
+        payloadCols.map(col)): _*)
+    AsofJoin(convs, touches, userCol, tsUsCol, "__tt",
+      Map("channel" -> "channel"))
+  }
+
   /** Weekly retention cohorts: users are cohorted by the epoch-week of
     * their FIRST event; each later active week counts them at that week
     * offset. Output: (cohort_week, week_offset, users) — offset 0 is the

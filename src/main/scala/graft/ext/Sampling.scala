@@ -220,4 +220,33 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Curriculum phase assignment WITHOUT a global sort: phase(row) =
+    * floor(phases · strictlyBetter / N), where strictlyBetter counts rows
+    * with a strictly HIGHER `scoreCol` (ties always share a phase —
+    * equal-score rows are indistinguishable, so splitting them would be
+    * arbitrary; phases are therefore equal-sized only up to tie mass,
+    * unlike ntile).
+    *
+    * 100 TB design: a global ntile/row_number is the anti-pattern (one
+    * reducer sees every row). Here the ONLY row-sized work is the
+    * map-side-combined score-distribution groupBy; the cumulative counts
+    * live on the O(distinct scores) distribution (tiny window), and the
+    * assignment joins back via broadcast. Adds a `phase` column.
+    */
+  def curriculumPhases(
+      df: DataFrame,
+      scoreCol: String,
+      phases: Int): DataFrame = {
+    require(phases >= 1, s"curriculumPhases: phases=$phases")
+    val dist = df.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__s"), expr(s"($phases * __cum) div __n").as("phase"))
+    df.join(broadcast(cum), col(scoreCol) === col("__s")).drop("__s")
+  }
 }

@@ -195,6 +195,21 @@ object Sketches {
       .agg(min(col("__ccnt")).as("est"))
   }
 
+  /** Join-size estimation from two count-min sketches (the AMS/CM inner
+    * product): est = min_r Σ_cells cellA[r,c]·cellB[r,c] ≥ |A ⋈ B| =
+    * Σ_k cA(k)·cB(k), one-sided like the point estimate — the planner
+    * pre-flight that decides broadcast vs shuffle vs skew handling
+    * BEFORE running a 100 TB join, from two O(d×w) sketches built in one
+    * linear pass each. Both inputs must come from [[countMinCells]] with
+    * identical depth/width. Output: one row (est_join_size).
+    */
+  def countMinJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("r"), col("cell"), col("cnt").as("__ca"))
+      .join(cellsB.select(col("r"), col("cell"), col("cnt").as("__cb")),
+        Seq("r", "cell"))
+      .groupBy(col("r")).agg(sum(col("__ca") * col("__cb")).as("__er"))
+      .agg(min(col("__er")).as("est_join_size"))
+
   private def cmCell(v: Column, r: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(lit("cm"), r.cast("string"), lit("_"), v)), 1, 12), 16, 10)
       .cast("long"), lit(width.toLong))

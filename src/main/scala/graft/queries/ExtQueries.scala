@@ -2954,18 +2954,22 @@ object ExtQueries {
   def x93QualityModel(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")
 
-  val x93Sql: String =
-    s"""WITH toks AS (SELECT doc_id,
+  // hashed-linear-model scoring chain (x93's model), shared with x97:
+  // ends in sc(doc_id, n_toks, score_fp3)
+  private lazy val qmScoreCtes: String =
+    s"""toks AS (SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
        FROM documents),
        hb AS (SELECT doc_id, md5(w) AS hx FROM toks),
        b AS (SELECT doc_id, ${duckHex48("hx")} % 1024 AS b FROM hb),
        hw AS (SELECT doc_id, md5('w' || CAST(b AS VARCHAR)) AS hx FROM b),
-       wf AS (SELECT doc_id, (${duckHex48("hx")} % 2001) - 1000 AS wf FROM hw)
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         CAST(sum(wf) AS BIGINT) AS score_fp3,
-         CAST(sum(wf) AS BIGINT) > 0 AS pred
-       FROM wf GROUP BY 1"""
+       wf AS (SELECT doc_id, (${duckHex48("hx")} % 2001) - 1000 AS wf FROM hw),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(wf) AS BIGINT) AS score_fp3 FROM wf GROUP BY 1)"""
+
+  val x93Sql: String =
+    s"""WITH $qmScoreCtes
+       SELECT doc_id, n_toks, score_fp3, score_fp3 > 0 AS pred FROM sc"""
 
   // --- x94: ordered conversion funnel ------------------------------------
   // view -> click -> purchase, each stage strictly after the user's
@@ -3041,4 +3045,136 @@ object ExtQueries {
        SELECT pr.w, pr.cnt, CAST(min(cells.ccnt) AS BIGINT) AS est,
          CAST(min(cells.ccnt) - pr.cnt AS BIGINT) AS overcount
        FROM pr JOIN cells USING (r, cell) GROUP BY pr.w, pr.cnt"""
+
+  // --- x97: curriculum phase assignment ----------------------------------
+  // Difficulty phases from the x93 model score WITHOUT a global sort:
+  // phase = floor(8 · strictlyBetter / N) off the O(distinct scores)
+  // distribution, broadcast-joined back (ties share a phase by
+  // construction). Gate reports the per-phase rollup.
+  def x97CurriculumPhases(spark: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumPhases(
+        TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text"),
+        "score_fp3", phases = 8)
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_fp3")).as("min_score"),
+        max(col("score_fp3")).as("max_score"))
+
+  val x97Sql: String =
+    s"""WITH $qmScoreCtes,
+       d AS (SELECT score_fp3 AS s, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM d),
+       cb AS (SELECT s, CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM d),
+       ph AS (SELECT sc.doc_id, sc.score_fp3,
+           (8 * cb.cum) // nn.n AS phase
+         FROM sc JOIN cb ON sc.score_fp3 = cb.s CROSS JOIN nn)
+       SELECT CAST(phase AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n_docs,
+         min(score_fp3) AS min_score, max(score_fp3) AS max_score
+       FROM ph GROUP BY 1"""
+
+  // --- x98: CM-sketch join-size estimation -------------------------------
+  // The planner pre-flight: |events ⋈ orders on user=custkey| estimated
+  // from two d=4×w=1024 count-min sketches via the inner-product bound
+  // (est >= exact, one-sided), verified against the exact aggregated
+  // product — which the gate also computes, O(distinct keys), never the
+  // joined rows.
+  def x98JoinsizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "events").select(col("user_id").as("k"))
+    val b = t(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val est = Sketches.countMinJoinSize(
+      Sketches.countMinCells(a, "k", depth = 4, width = 1024),
+      Sketches.countMinCells(b, "k", depth = 4, width = 1024))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("__ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("__cb")), Seq("k"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("exact_join_size"))
+    exact.crossJoin(est)
+      .withColumn("overcount", col("est_join_size") - col("exact_join_size"))
+  }
+
+  val x98Sql: String =
+    s"""WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+       ob AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+       rr AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+       ca0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || v) AS hx
+         FROM ea CROSS JOIN rr),
+       ca AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS c
+         FROM ca0 GROUP BY 1, 2),
+       cb0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || v) AS hx
+         FROM ob CROSS JOIN rr),
+       cbb AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS c
+         FROM cb0 GROUP BY 1, 2),
+       er AS (SELECT ca.r, CAST(sum(ca.c * cbb.c) AS BIGINT) AS er
+         FROM ca JOIN cbb ON ca.r = cbb.r AND ca.cell = cbb.cell GROUP BY 1),
+       est AS (SELECT CAST(min(er) AS BIGINT) AS est_join_size FROM er),
+       ex AS (SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT) AS exact_join_size
+         FROM (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1) x
+         JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) y USING (k))
+       SELECT ex.exact_join_size, est.est_join_size,
+         est.est_join_size - ex.exact_join_size AS overcount
+       FROM ex CROSS JOIN est"""
+
+  // --- x99: last-touch attribution ---------------------------------------
+  // Every purchase resolves the user's latest at-or-before touch
+  // (view/click/signup/error, deduped per instant by max event_id) via
+  // the asof union+window; the oracle is an independent argmax
+  // correlated subquery over the same touch set.
+  def x99Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.lastTouchAttribution(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "event_type", "ts_us", "event_id", "purchase", Seq("value"))
+  }
+
+  val x99Sql: String =
+    """WITH np AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id
+         FROM events WHERE event_type <> 'purchase'),
+       np1 AS (SELECT user_id, t, event_type AS channel FROM (
+           SELECT user_id, t, event_type,
+             row_number() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) AS rn
+           FROM np) WHERE rn = 1),
+       p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts_us, p.value,
+         (SELECT channel FROM np1
+          WHERE np1.user_id = p.user_id AND np1.t <= p.ts_us
+          ORDER BY np1.t DESC LIMIT 1) AS channel
+       FROM p"""
+
+  // --- x100: BPE merge learning ------------------------------------------
+  // Two tokenizer-induction rounds over the weighted vocabulary; the
+  // oracle unrolls both rounds (pair count -> argmax -> replace-apply)
+  // in SQL with the SAME left-to-right non-overlapping replace
+  // semantics (see Bpe scaladoc).
+  def x100BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.learnMerges(t(spark, dir, "documents"), "doc_id", "text", rounds = 2)
+
+  val x100Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       s0 AS (SELECT w, cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq FROM vocab),
+       i0 AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s0)),
+       p1 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         FROM i0 GROUP BY 1, 2),
+       m1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+       s1 AS (SELECT s0.w, s0.cnt,
+           trim(replace(' ' || s0.seq || ' ',
+             ' ' || m1.a || ' ' || m1.b || ' ',
+             ' ' || m1.a || m1.b || ' ')) AS seq
+         FROM s0 CROSS JOIN m1),
+       i1 AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s1)),
+       p2 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         FROM i1 GROUP BY 1, 2),
+       m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1)
+       SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+         pc AS pair_count FROM m1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), a, b, pc FROM m2"""
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Bpe, Events, Sampling, Sketches}
+
+/** Fourth-wave round-8 operators: curriculum phases (x97), CM join-size
+  * (x98), last-touch attribution (x99), BPE merge learning (x100).
+  */
+class CurriculumBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curriculumPhases: strictly-better ranking, ties share a phase") {
+    // scores: 9 once, 5 three times, 1 twice; N=6, phases=3
+    // better(9)=0 -> phase 0; better(5)=1 -> (3*1) div 6 = 0;
+    // better(1)=4 -> (3*4) div 6 = 2
+    val df = Seq((1L, 9L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L), (6L, 1L))
+      .toDF("id", "s")
+    val out = Sampling.curriculumPhases(df, "s", phases = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 2L), (6L, 2L)))
+  }
+
+  test("curriculumPhases: invariant under partitioning, covers all rows") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "s")
+    val a = Sampling.curriculumPhases(df, "s", 4).orderBy("id").collect().toSeq
+    val b = Sampling.curriculumPhases(df.repartition(9), "s", 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.size == 100)
+    assert(a.map(_.getLong(2)).forall(p => p >= 0 && p < 4))
+  }
+
+  test("countMinJoinSize: one-sided bound, exact when collision-free") {
+    val a = Seq("k1", "k1", "k2", "k3").toDF("v")
+    val b = Seq("k1", "k2", "k2", "k9").toDF("v")
+    // exact = 2*1 (k1) + 1*2 (k2) = 4
+    val ca = Sketches.countMinCells(a, "v", depth = 4, width = 4096)
+    val cb = Sketches.countMinCells(b, "v", depth = 4, width = 4096)
+    val est = Sketches.countMinJoinSize(ca, cb).head().getLong(0)
+    assert(est == 4L)
+    // narrow width forces collisions: still an overestimate
+    val ca2 = Sketches.countMinCells(a, "v", depth = 4, width = 2)
+    val cb2 = Sketches.countMinCells(b, "v", depth = 4, width = 2)
+    assert(Sketches.countMinJoinSize(ca2, cb2).head().getLong(0) >= 4L)
+  }
+
+  test("lastTouchAttribution: latest touch wins, instant ties by seq, organic null") {
+    val ev = Seq(
+      // u1: view@10, click@20, purchase@25 -> click
+      (1L, 1L, "view", 10L, 0.0), (2L, 1L, "click", 20L, 0.0),
+      (3L, 1L, "purchase", 25L, 9.0),
+      // u2: two touches at the SAME instant as the purchase: max event_id wins
+      (4L, 2L, "view", 30L, 0.0), (5L, 2L, "click", 30L, 0.0),
+      (6L, 2L, "purchase", 30L, 7.0),
+      // u3: organic purchase (no touches)
+      (7L, 3L, "purchase", 5L, 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val out = Events.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts_us", "event_id", "purchase", Seq("value"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.getString(4)))).toSeq ==
+      Seq((3L, Some("click")), (6L, Some("click")), (7L, None)))
+  }
+
+  test("bpe: hand-computed merges on a tiny vocabulary") {
+    // corpus: "aab aab ab" -> vocab {aab:2, ab:1}
+    // round1 pairs: (a,a):2, (a,b):3 -> merge (a,b) pc=3
+    // s1: aab -> "a ab", ab -> "ab"
+    // round2 pairs: (a,ab):2 -> merge (a,ab) pc=2
+    val docs = Seq((1L, "aab aab ab")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(docs, "doc_id", "text", rounds = 2)
+      .orderBy("merge_rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, "a", "b", 3L), (2L, "a", "ab", 2L)))
+  }
+
+  test("bpe: run semantics match the documented replace behavior") {
+    // "lllll" -> l l l l l; merge (l,l) applies left-to-right with scan
+    // resume AFTER each replacement: ll l ll (NOT greedy ll ll l)
+    val docs = Seq((1L, "lllll")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(docs, "doc_id", "text", rounds = 2)
+      .orderBy("merge_rank").collect()
+    assert(out(0).getString(1) == "l" && out(0).getString(2) == "l" &&
+      out(0).getLong(3) == 4L)
+    // after round 1: "ll l ll" -> pairs (ll,l):1, (l,ll):1 -> tie breaks
+    // to (l,ll) ascending
+    assert((out(1).getString(1), out(1).getString(2), out(1).getLong(3)) ==
+      (("l", "ll", 1L)))
+  }
+
+  test("bpe: stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(docs, "doc_id", "text", rounds = 3).count() == 0L)
+  }
+}
