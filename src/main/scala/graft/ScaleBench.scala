@@ -174,7 +174,17 @@ object ScaleBench {
     // ~linearly with replicas (per-replica word suffixes), so the two
     // merge rounds' pair counts grow with distinct words, not corpus
     // rows — expect ~linear in vocab
-    "x100_bpe_merges")
+    "x100_bpe_merges",
+    // three commits + three snapshot reads — commit I/O linear in rows,
+    // snapshot reads O(live commits) metadata + data scans
+    "x101_time_travel",
+    // rides x05's inverted-index bound (same shingleIntersections core)
+    "x102_containment_pairs",
+    // rides x04's banded-LSH pair bound; the census itself is two joins
+    // on the ORIENTED edge list (out-degree bounded by sqrt(m))
+    "x103_triangle_stats",
+    // x100's vocab passes + one more explode over the encoded vocab
+    "x104_bpe_encode")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -41,9 +41,30 @@ object Bpe {
       idCol: String,
       textCol: String,
       rounds: Int): DataFrame = {
-    require(rounds >= 1, s"learnMerges: rounds=$rounds must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    run(docs, idCol, textCol, rounds)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The weighted vocabulary ENCODED by the learned merges: (w, cnt,
+    * seq) with `seq` the space-joined symbol sequence after `rounds`
+    * merge applications — the tokenizer-side view of the same training
+    * run (symbol statistics over it are the induced vocabulary's).
+    */
+  def encodeVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame =
+    run(docs, idCol, textCol, rounds)._2
+
+  private def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"Bpe: rounds=$rounds must be >= 1")
     var seqDf = LangModel.tokenRows(docs, idCol, textCol)
       .groupBy(col("w")).agg(sum(lit(1L)).as("cnt"))
       .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
@@ -65,7 +86,7 @@ object Bpe {
         // symbols are [a-z0-9]+ concatenations by construction (the
         // tokenizer strips everything else) — safe to splice into SQL
         require(a.matches("[a-z0-9]+") && b.matches("[a-z0-9]+"),
-          s"learnMerges: unexpected symbol '$a'/'$b'")
+          s"Bpe: unexpected symbol '$a'/'$b'")
         merges += ((r.toLong, a, b, pc))
         seqDf = seqDf.withColumn("seq",
             trim(expr(s"replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b ')")))
@@ -73,6 +94,6 @@ object Bpe {
       }
       r += 1
     }
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    (merges.toSeq, seqDf)
   }
 }

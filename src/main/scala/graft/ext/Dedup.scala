@@ -323,7 +323,7 @@ object Dedup {
     */
   private val warnedLocalDowngrade = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private[ext] def materialize(df: DataFrame): DataFrame = {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cleans = sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
       defaultValue = false)
@@ -356,6 +356,45 @@ object Dedup {
       shingleN: Int,
       threshold: Double,
       maxPostingLen: Long = 1000): DataFrame = {
+    shingleIntersections(df, idCol, textCol, shingleN, maxPostingLen)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Asymmetric n-gram containment pairs: C(A⊂B) = |A∩B| / |A| — the
+    * quote/subsumption detector Jaccard misses (a paragraph fully copied
+    * into a much longer document has low Jaccard but containment 1).
+    * Emits (id_a, id_b, cont_a_in_b, cont_b_in_a) for canonical
+    * id_a < id_b pairs where EITHER direction reaches `threshold`. Same
+    * inverted-index bound as [[ngramJaccardPairs]]: only bucket-sharing
+    * pairs are scored, the df-cutoff caps posting fan-out, and each
+    * containment is one exact-integer division.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      maxPostingLen: Long = 1000): DataFrame =
+    shingleIntersections(df, idCol, textCol, shingleN, maxPostingLen)
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+
+  /** Shared inverted-index core of the exact shingle-overlap family:
+    * (id_a, id_b, inter, n_a, n_b) for id_a < id_b pairs sharing ≥ 1
+    * distinct shingle (after the df-cutoff).
+    */
+  private def shingleIntersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      maxPostingLen: Long): DataFrame = {
     // The posting table feeds THREE consumers — `sizes` plus both sides of
     // the self-join below — and Spark's exchange reuse does not dedupe the
     // recomputation across a self-join of an unmaterialized subplan, so
@@ -382,10 +421,6 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------- SimHash

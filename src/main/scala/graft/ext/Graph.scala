@@ -105,4 +105,62 @@ object Graph {
       .select(col("label").as("cluster_id"), col("n_members"),
         col("id").as("keeper_id"), col("rank9").as("keeper_rank9"))
   }
+
+  /** Exact triangle census of an undirected pair graph — the structure
+    * diagnostic of a near-dup graph (triangle-dense = template families,
+    * triangle-free star = one canonical + variants; the global clustering
+    * coefficient summarizes which regime the corpus is in).
+    *
+    * Scale design (Suri & Vassilvitskii's degree-ordered orientation):
+    * each undirected edge is directed from its (degree, id)-SMALLER
+    * endpoint to the larger, so every triangle is counted exactly once
+    * and the wedge join's fan-out per node is its ORIENTED out-degree —
+    * O(√m) on any graph, regardless of hub size (a celebrity node of
+    * degree 10⁶ contributes no wedges; its edges point INTO it). Two
+    * joins: oriented wedges (u→v, v→w) probe the oriented edge set for
+    * the closing u→w. Degrees, wedges, and triangles are exact LONGs.
+    *
+    * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    * global_cc) — global_cc = 3·triangles / wedges rounded 6 dp (0 when
+    * the graph has no wedge).
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = Dedup.materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")).distinct())
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo -> hi
+    val dU = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dV = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val oriented = Dedup.materialize(
+      e.join(dU, "u").join(dV, "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t")))
+    val wedges = oriented.select(col("s"), col("t").as("w1"))
+      .join(oriented.select(col("s"), col("t").as("w2")),
+        Seq("s")).filter(col("w1") < col("w2"))
+    val tri = wedges.join(
+        oriented.select(col("s").as("w1"), col("t").as("w2")),
+        Seq("w1", "w2"))
+      .unionAll(wedges.join(
+        oriented.select(col("t").as("w1"), col("s").as("w2")),
+        Seq("w1", "w2")))
+      .agg(count(lit(1)).as("n_triangles"))
+    // `div`, not `/`: Spark's / on LONGs is double division — exactness
+    // here is integer (both numerators are even, div truncation is exact)
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0d))
+          .otherwise(round(lit(3.0d) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("global_cc"))
+  }
 }

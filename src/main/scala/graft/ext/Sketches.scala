@@ -170,6 +170,28 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[countMinCells]] from a PRE-AGGREGATED frequency table (`valueCol`,
+    * `weightCol`) instead of the raw stream — bit-identical cells, but
+    * the d-way hash expansion runs over O(distinct values) rows. When an
+    * exact count table already exists (or the stream was already
+    * collapsed by an upstream groupBy), this is the cheaper build; the
+    * raw-stream overload remains the one-pass ingest path.
+    */
+  def countMinCellsWeighted(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val rows = array((0 until depth).map(r => lit(r)): _*)
+    df.select(col(valueCol).cast("string").as("v"), col(weightCol).as("__w"))
+      .filter(col("v").isNotNull)
+      .select(explode(rows).as("r"), col("v"), col("__w"))
+      .select(col("r"), cmCell(col("v"), col("r"), width).as("cell"), col("__w"))
+      .groupBy(col("r"), col("cell"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Probe the cell table for each row of `probes`: attaches `est`.
     * `cells` must come from [[countMinCells]] with the same depth/width.
     * A value whose d cells are not all present estimates from the

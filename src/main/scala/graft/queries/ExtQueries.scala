@@ -3018,8 +3018,13 @@ object ExtQueries {
   def x96CountMin(spark: SparkSession, dir: String): DataFrame = {
     val toks = LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text")
       .select(col("w"))
-    val cells = Sketches.countMinCells(toks, "w", depth = 4, width = 1024)
-    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // ONE token-stream pass: the exact vocab table feeds both the
+    // weighted cell build (bit-identical to the raw-stream build, but
+    // d-way-expanding O(vocab) rows) and the top-20 probe set
+    val exact = Dedup.materialize(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val cells = Sketches.countMinCellsWeighted(exact, "w", "cnt",
+      depth = 4, width = 1024)
     val top = Sampling.scoredTopK(exact, "w", col("cnt"), k = 20).drop("sel_rank")
     Sketches.countMinEstimate(cells, top, "w", depth = 4, width = 1024)
       .withColumn("overcount", col("est") - col("cnt"))
@@ -3152,8 +3157,10 @@ object ExtQueries {
   def x100BpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Bpe.learnMerges(t(spark, dir, "documents"), "doc_id", "text", rounds = 2)
 
-  val x100Sql: String =
-    """WITH toks AS (SELECT doc_id,
+  // the two-round BPE chain (x100's model), shared with x104: ends in
+  // m1/m2 (the chosen merges) and s1 (the vocab after merge 1)
+  private lazy val bpeCtes: String =
+    """toks AS (SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
        FROM documents),
        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
@@ -3172,9 +3179,135 @@ object ExtQueries {
          FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s1)),
        p2 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
          FROM i1 GROUP BY 1, 2),
-       m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1)
+       m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1)"""
+
+  val x100Sql: String =
+    s"""WITH $bpeCtes
        SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
          pc AS pair_count FROM m1
        UNION ALL
        SELECT CAST(2 AS BIGINT), a, b, pc FROM m2"""
+
+  // --- x101: lakehouse time travel ---------------------------------------
+  // write (v1) -> upsert rewrite (v2) -> insert batch (v3), then read
+  // EVERY version via ManifestStore.read(version = Some(v)) and summarize
+  // each snapshot — the gate proves old snapshots stay bit-stable after
+  // later commits (the audit/reproducibility contract of the table
+  // format). The oracle rebuilds each snapshot's summary from the inputs.
+  def x101TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val root = FreshTables.next(spark, dir, "timetravel")
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source").as("pt"), col("n_chars"))
+    ManifestStore.write(spark, base, root, "pt")
+    ManifestStore.merge(spark, root,
+      base.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      Seq("doc_id"), "pt")
+    ManifestStore.merge(spark, root,
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("pt"), col("n_chars")),
+      Seq("doc_id"), "pt")
+    ManifestStore.versions(spark, root).sorted.map { v =>
+      ManifestStore.read(spark, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val x101Sql: String =
+    """WITH b AS (SELECT doc_id, n_chars FROM documents),
+       b2 AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+         FROM b),
+       b3 AS (SELECT * FROM b2
+         UNION ALL SELECT doc_id + 10000, n_chars FROM b WHERE doc_id % 5 = 0)
+       SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM b
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT) FROM b2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT) FROM b3"""
+
+  // --- x102: n-gram containment pairs ------------------------------------
+  // The quote/subsumption detector: asymmetric containment over the same
+  // 4-gram inverted index as x05 — a short doc fully copied into a long
+  // one scores containment ~1 where Jaccard stays low.
+  def x102ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 4, threshold = 0.8, maxPostingLen = 1000000L)
+
+  val x102Sql: String =
+    s"""WITH ${jaccardCtes(4)}
+       SELECT id_a, id_b,
+         CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
+         CAST(i AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a
+       FROM inter JOIN sizes na ON na.doc_id = id_a
+       JOIN sizes nb ON nb.doc_id = id_b
+       WHERE greatest(CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE),
+                      CAST(i AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.8"""
+
+  // --- x103: triangle census of the near-dup graph -----------------------
+  // Degree-ordered-orientation triangle count + global clustering
+  // coefficient over x04's MinHash pair graph; the oracle counts
+  // triangles by the id-canonical 3-way join (orientation changes the
+  // bound, never the count).
+  def x103TriangleStats(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(
+      Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7),
+      "id_a", "id_b")
+
+  val x103Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       pairs AS (SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       und AS (SELECT id_a AS u FROM pairs UNION ALL SELECT id_b FROM pairs),
+       deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM pairs e1
+         JOIN pairs e2 ON e2.id_a = e1.id_b
+         JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+           CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         FROM deg)
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         CASE WHEN n_wedges = 0 THEN 0.0
+              ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+       FROM st CROSS JOIN tri"""
+
+  // --- x104: BPE-encoded vocabulary statistics ---------------------------
+  // The tokenizer-side view of x100's run: the weighted vocab after both
+  // merges, rolled up to induced-symbol statistics (top-10 by corpus
+  // occurrences).
+  def x104BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = graft.ext.Bpe.encodeVocab(t(spark, dir, "documents"),
+      "doc_id", "text", rounds = 2)
+    val sym = enc.select(col("cnt"), explode(split(col("seq"), " ")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("cnt")).as("n_occ"), count(lit(1)).as("n_words"))
+    Sampling.scoredTopK(sym, "sym", col("n_occ"), k = 10)
+      .withColumnRenamed("sel_rank", "rank")
+  }
+
+  val x104Sql: String =
+    s"""WITH $bpeCtes,
+       s2 AS (SELECT s1.w, s1.cnt,
+           trim(replace(' ' || s1.seq || ' ',
+             ' ' || m2.a || ' ' || m2.b || ' ',
+             ' ' || m2.a || m2.b || ' ')) AS seq
+         FROM s1 CROSS JOIN m2),
+       syms AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occ,
+           CAST(count(*) AS BIGINT) AS n_words
+         FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS sym FROM s2)
+         GROUP BY 1),
+       r AS (SELECT sym, n_occ, n_words,
+           row_number() OVER (ORDER BY n_occ DESC, sym) AS rank FROM syms)
+       SELECT sym, n_occ, n_words, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 10"""
 }

@@ -93,4 +93,43 @@ class CurriculumBpeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(docs, "doc_id", "text", rounds = 3).count() == 0L)
   }
+
+  test("bpe encodeVocab: sequences reflect both applied merges") {
+    val docs = Seq((1L, "aab aab ab")).toDF("doc_id", "text")
+    // merges: (a,b) then (a,ab) — aab -> "aab" single symbol, ab -> "ab"
+    val enc = Bpe.encodeVocab(docs, "doc_id", "text", rounds = 2)
+      .orderBy("w").collect()
+    assert(enc.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("aab", 2L, "aab"), ("ab", 1L, "ab")))
+  }
+
+  test("containmentPairs: subset doc scores 1.0 where jaccard is low") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four"), // all three of its 4-grams ⊂ doc 1... (1)
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 4, threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // doc2 has 1 distinct 4-gram ("one two three four"), fully contained
+    assert(r.getDouble(3) == 1.0 && r.getDouble(2) < 0.5)
+  }
+
+  test("triangleStats: hand-computed census (triangle + pendant)") {
+    // K3 {1,2,3} plus pendant edge 3-4: 4 nodes, 4 edges, 1 triangle,
+    // wedges = C(2,2 nodes of deg2)=1+1, deg(3)=3 -> C(3,2)=3, total 5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = graft.ext.Graph.triangleStats(pairs, "a", "b").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    assert(out.getDouble(4) == 0.6) // 3*1/5
+  }
+
+  test("triangleStats: hub star has zero triangles and bounded orientation") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("a", "b")
+    val out = graft.ext.Graph.triangleStats(star, "a", "b").head()
+    assert(out.getLong(3) == 0L && out.getLong(0) == 20L && out.getLong(1) == 19L)
+  }
 }
