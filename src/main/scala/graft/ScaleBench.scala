@@ -184,7 +184,19 @@ object ScaleBench {
     // on the ORIENTED edge list (out-degree bounded by sqrt(m))
     "x103_triangle_stats",
     // x100's vocab passes + one more explode over the encoded vocab
-    "x104_bpe_encode")
+    "x104_bpe_encode",
+    // token stream joins the broadcast encoded vocab + one id groupBy —
+    // expect ~linear
+    "x105_bpe_tokenize",
+    // one map-side-combined groupBy to the hot-key set — expect ~linear
+    "x106_shuffle_plan",
+    // noise is a narrow map over O(groups) aggregates — expect ~linear
+    // scan cost
+    "x107_dp_histogram",
+    // bigram model tables + a (w1,w2)-co-keyed score join — the c2
+    // table grows with distinct bigrams (staging widens vocab), the
+    // score join with corpus rows — expect ~linear
+    "x108_kn_score")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -92,4 +92,52 @@ object LangModel {
         round((col("slp").cast("double") / lit(1e9d)) /
           col("n_bigrams").cast("double"), 6).as("avg_lp"))
   }
+
+  /** Interpolated Kneser–Ney bigram self-scoring (Chen & Goodman 1998) —
+    * the stronger LM signal next to [[perplexityScore]]'s add-one model:
+    * with discount d = 0.75,
+    *
+    *   P_KN(w2 | w1) = (c2 − d)/c1 + d·N1⁺(w1,·)/c1 · N1⁺(·,w2)/N1⁺(·,·)
+    *
+    * (N1⁺ = distinct-continuation counts — KN's insight that "how many
+    * contexts a word completes" beats raw frequency for backoff mass.)
+    * Train corpus = score corpus (self-perplexity curation), so every
+    * scored bigram has c2 ≥ 1 and the max(c2−d, 0) clamp never binds —
+    * no unseen branch exists.
+    *
+    * 100 TB design: the bigram table is materialized ONCE and feeds both
+    * training counts and scoring (the x05 multi-consumer rule); the
+    * model's only large table is c2 (distinct bigrams) — the score join
+    * is co-keyed on (w1, w2) with c2, while c1/N1⁺ tables are
+    * vocab-bounded broadcasts and N1⁺(·,·) is a 1-row cross join. The
+    * probability expression's operation ORDER is pinned to match the
+    * oracle exactly (doubles are deterministic under identical order);
+    * per-bigram log-probs round to 1e-9 LONGs and sum order-free.
+    * Output: (idCol, n_bigrams, avg_lp), docs with ≥ 2 tokens.
+    */
+  def knScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = Dedup.materialize(bigramRows(docs, idCol, textCol))
+    val c2 = Dedup.materialize(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val back = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val np = c2.agg(count(lit(1)).as("np"))
+    val scored = bg.join(c2, Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(back), Seq("w2"))
+      .crossJoin(broadcast(np))
+    // pinned order: ((c2 − 0.75) + ((0.75·n1f)·(n1b/np))) / c1
+    val p = (col("c2").cast("double") - lit(0.75d) +
+      lit(0.75d) * col("n1f").cast("double") *
+        (col("n1b").cast("double") / col("np").cast("double"))) /
+      col("c1").cast("double")
+    scored
+      .select(col("id"), round(log(p) * lit(1e9d), 0).cast("long").as("lp9"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("slp"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round((col("slp").cast("double") / lit(1e9d)) /
+          col("n_bigrams").cast("double"), 6).as("avg_lp"))
+  }
 }

@@ -50,4 +50,23 @@ object Skew {
         saltedFact(key) === replicatedDim(key) && saltedFact("__salt") === replicatedDim("__salt"))
       .drop(replicatedDim(key)).drop("__salt")
   }
+
+  /** Salting PRE-FLIGHT: the plan [[saltedAgg]]/[[saltedJoin]] need as
+    * input, computed from the key distribution before the expensive
+    * shuffle runs. Every key whose row count exceeds `targetRows` (the
+    * rows one reducer should own — derived from executor memory / spill
+    * budget) gets `salt_buckets` = ceil(cnt / targetRows); well-behaved
+    * keys are omitted (salt 1 implied). One map-side-combined groupBy to
+    * O(distinct keys), filtered to the hot set — this is the x83 skew
+    * profile turned into an actionable plan.
+    *
+    * Output: (`keyCol`, cnt, salt_buckets) for hot keys only.
+    */
+  def saltPlan(df: DataFrame, keyCol: String, targetRows: Long): DataFrame = {
+    require(targetRows >= 1, s"saltPlan: targetRows=$targetRows")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > targetRows)
+      .withColumn("salt_buckets",
+        expr(s"(cnt + ${targetRows - 1}L) div ${targetRows}L"))
+  }
 }

@@ -3310,4 +3310,102 @@ object ExtQueries {
            row_number() OVER (ORDER BY n_occ DESC, sym) AS rank FROM syms)
        SELECT sym, n_occ, n_words, CAST(rank AS BIGINT) AS rank
        FROM r WHERE rank <= 10"""
+
+  // --- x105: per-document tokenization under the induced tokenizer -------
+  // x100's merges applied to the corpus: each doc's word stream joins
+  // the merge-ENCODED vocab (broadcast, vocab-bounded) for its symbol
+  // count — tokens-per-doc under the learned tokenizer, the statistic
+  // packing and cost estimation actually need.
+  def x105BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val enc = graft.ext.Bpe.encodeVocab(docs, "doc_id", "text", rounds = 2)
+      .select(col("w"), size(split(col("seq"), " ")).cast("long").as("n_syms_w"))
+    LangModel.tokenRows(docs, "doc_id", "text")
+      .join(broadcast(enc), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms_w")).as("n_syms"))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_syms"),
+        round(col("n_syms").cast("double") / col("n_words").cast("double"), 6)
+          .as("syms_per_word"))
+  }
+
+  val x105Sql: String =
+    s"""WITH $bpeCtes,
+       s2 AS (SELECT s1.w, s1.cnt,
+           trim(replace(' ' || s1.seq || ' ',
+             ' ' || m2.a || ' ' || m2.b || ' ',
+             ' ' || m2.a || m2.b || ' ')) AS seq
+         FROM s1 CROSS JOIN m2),
+       wsyms AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_syms_w FROM s2)
+       SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_syms_w) AS BIGINT) AS n_syms,
+         round(CAST(sum(n_syms_w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS syms_per_word
+       FROM toks JOIN wsyms USING (w) GROUP BY 1"""
+
+  // --- x106: salting pre-flight plan -------------------------------------
+  // x83's skew profile turned actionable: every token key whose count
+  // exceeds the per-reducer row budget gets its ceil(cnt/target) salt
+  // factor — the exact input saltedAgg/saltedJoin need, O(distinct
+  // keys) work.
+  def x106ShufflePlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltPlan(
+      LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text"),
+      "w", targetRows = 500L)
+
+  val x106Sql: String =
+    """WITH toks AS (SELECT
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents)
+       SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         CAST((count(*) + 499) // 500 AS BIGINT) AS salt_buckets
+       FROM toks GROUP BY 1 HAVING count(*) > 500"""
+
+  // --- x107: differentially-private release counts -----------------------
+  // Laplace mechanism (eps = 1) over per-source doc counts with the
+  // seeded md5 inverse-CDF draw — noise applies as a narrow map over
+  // the 20 aggregated groups, never over rows.
+  def x107DpHistogram(spark: SparkSession, dir: String): DataFrame =
+    Privacy.dpNoisyCounts(t(spark, dir, "documents"), "source", epsilon = 1.0)
+
+  val x107Sql: String =
+    s"""WITH ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         FROM documents GROUP BY 1),
+       h AS (SELECT source, n_exact, md5('dp_' || source) AS hx FROM ex),
+       u AS (SELECT source, n_exact,
+           (CAST(${duckHex48("hx")} AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+         FROM h)
+       SELECT source, n_exact,
+         round(CAST(n_exact AS DOUBLE) +
+           ((-1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS n_noisy
+       FROM u"""
+
+  // --- x108: Kneser-Ney bigram self-perplexity ---------------------------
+  // The continuation-count LM next to x58's add-one model; train =
+  // score corpus so no unseen branch exists, and the probability
+  // expression's operation order is pinned identically in both engines.
+  def x108KnScore(spark: SparkSession, dir: String): DataFrame =
+    LangModel.knScore(t(spark, dir, "documents"), "doc_id", "text")
+
+  val x108Sql: String =
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       bi AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM t),
+       bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bi),
+       c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+       ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+       back AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+       np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM c2),
+       sc AS (SELECT bg.doc_id,
+           CAST(round(ln(
+             (CAST(c2.c2 AS DOUBLE) - 0.75 +
+              0.75 * CAST(ctx.n1f AS DOUBLE) *
+                (CAST(back.n1b AS DOUBLE) / CAST(np.np AS DOUBLE)))
+             / CAST(ctx.c1 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS lp9
+         FROM bg JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+         JOIN back USING (w2) CROSS JOIN np)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round((CAST(sum(lp9) AS DOUBLE) / 1000000000.0)
+               / CAST(count(*) AS DOUBLE), 6) AS avg_lp
+       FROM sc GROUP BY 1"""
 }

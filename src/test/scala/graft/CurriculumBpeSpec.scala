@@ -132,4 +132,36 @@ class CurriculumBpeSpec extends SparkSpec {
     val out = graft.ext.Graph.triangleStats(star, "a", "b").head()
     assert(out.getLong(3) == 0L && out.getLong(0) == 20L && out.getLong(1) == 19L)
   }
+
+  test("saltPlan: only hot keys, ceil salt factors") {
+    val df = (Seq.fill(25)("hot") ++ Seq.fill(10)("warm") ++ Seq.fill(3)("cold"))
+      .toDF("k")
+    val out = graft.operators.Skew.saltPlan(df, "k", targetRows = 10L)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("hot", 25L, 3L))) // warm == target: not hot; ceil(25/10) = 3
+  }
+
+  test("dpNoisyCounts: deterministic, bounded noise, exact rides along") {
+    val df = (1 to 50).map(i => s"g${i % 3}").toDF("g")
+    val a = graft.ext.Privacy.dpNoisyCounts(df, "g", 1.0).orderBy("g").collect()
+    val b = graft.ext.Privacy.dpNoisyCounts(df.repartition(7), "g", 1.0)
+      .orderBy("g").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // Laplace(1) noise beyond 40 would need u within e^-40 of the edge —
+    // impossible from a 48-bit grid midpoint
+    a.foreach(r => assert(math.abs(r.getDouble(2) - r.getLong(1)) < 40.0))
+  }
+
+  test("knScore: hand-computed P_KN on an alternating corpus") {
+    // "x y x y x": 4 bigrams, c2(x,y)=2, c2(y,x)=2; c1 = 2 each,
+    // n1f = 1 each, n1b = 1 each, np = 2
+    // P(y|x) = P(x|y) = (2-0.75)/2 + 0.75*(1/2)*(1/2) = 0.8125
+    val docs = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val out = graft.ext.LangModel.knScore(docs, "doc_id", "text").head()
+    assert(out.getLong(1) == 4L)
+    val expected = BigDecimal(math.rint(math.log(0.8125) * 1e9) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) == expected)
+  }
 }
