@@ -36,7 +36,7 @@ object Dsir {
 
   /** Hashed feature bucket in [0, buckets): md5 48-bit prefix mod B. */
   def bucket(w: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(w), 1, 12), 16, 10).cast("long"), lit(buckets.toLong))
+    pmod(org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(w), lit(buckets.toLong))
 
   /** Per-document DSIR importance weight: (idCol, n_toks, log_w), one row
     * per document with ≥ 1 token. `isTarget` marks the rows whose token

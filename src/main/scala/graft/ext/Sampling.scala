@@ -92,7 +92,7 @@ object Sampling {
       k: Int,
       saltBuckets: Int = 64): DataFrame = {
     require(k > 0 && saltBuckets > 0, s"weightedTopK: k=$k, saltBuckets=$saltBuckets")
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10).cast("double")
+    val h = org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(col(keyCol).cast("string")).cast("double")
     val u = (h + lit(0.5d)) / lit(2.0d * (1L << 47))
     val esKey = round(log(u) / greatest(weight.cast("double"), lit(1.0d)), 6)
     val salted = df

@@ -233,6 +233,6 @@ object Sketches {
       .agg(min(col("__er")).as("est_join_size"))
 
   private def cmCell(v: Column, r: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit("cm"), r.cast("string"), lit("_"), v)), 1, 12), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(
+      concat(lit("cm"), r.cast("string"), lit("_"), v)), lit(width.toLong))
 }

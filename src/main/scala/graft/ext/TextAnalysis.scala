@@ -112,7 +112,7 @@ object TextAnalysis {
     * md5 can replicate, unlike rand()/TABLESAMPLE. Narrow per-row map.
     */
   def md5Bucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    shiftright(org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(key.cast("string")), 32)
 
   /** Per-doc repeated n-gram statistics — the Gopher-style repetition
     * signal (public Rae et al. 2021 quality heuristics): machine-generated
@@ -301,10 +301,10 @@ object TextAnalysis {
       textCol: String,
       dim: Int = 1024): DataFrame = {
     val toks = LangModel.tokenRows(df, idCol, textCol)
-    val b = pmod(conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"),
-      lit(dim.toLong))
-    val wfp3 = pmod(conv(substring(md5(concat(lit("w"), b.cast("string"))), 1, 12), 16, 10)
-      .cast("long"), lit(2001L)) - lit(1000L)
+    import org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48
+    val b = pmod(md5Prefix48(col("w")), lit(dim.toLong))
+    val wfp3 = pmod(md5Prefix48(concat(lit("w"), b.cast("string"))),
+      lit(2001L)) - lit(1000L)
     toks.select(col("id"), wfp3.as("wf"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("wf")).as("score_fp3"))
