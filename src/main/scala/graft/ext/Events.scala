@@ -224,11 +224,12 @@ object Events {
     * ordered chain reaches the stage.
     *
     * 100 TB design: one aggregation per stage, every one keyed by the
-    * user column — after the first shuffle the per-user frames are
-    * co-partitioned, so the stage-over-stage joins plan as no-shuffle
-    * sort-merge joins on the same layout, and each stage's input is the
-    * (small) reached-user set, not the event stream. Stage counts are a
-    * final O(stages)-row aggregate. Exact integers throughout.
+    * user column. Stage i shuffles only the stage-i EVENT SLICE (the
+    * type filter is pushed to the scan) joined against the previous
+    * stage's reached-user set — which shrinks monotonically down the
+    * funnel, so each join's small side broadcasts or co-partitions.
+    * Stage counts are a final O(stages)-row aggregate. Exact integers
+    * throughout.
     */
   def funnel(
       df: DataFrame,
@@ -292,11 +293,11 @@ object Events {
     * cohort's own size.
     *
     * 100 TB design: distinct (user, week) first (one map-side-combined
-    * shuffle on the pair, collapsing the event stream to user-weeks),
-    * then the per-user min week rides a window over the SAME user-keyed
-    * data, and the cohort matrix is an O(users × active-weeks) →
-    * O(weeks²) aggregate. Week index is exact integer floor-division of
-    * the event-time micros.
+    * shuffle on the pair, collapsing the event stream to user-weeks —
+    * the only row-sized shuffle), then the per-user min week is a
+    * second, already-collapsed shuffle on the user key, and the cohort
+    * matrix is an O(users × active-weeks) → O(weeks²) aggregate. Week
+    * index is exact integer floor-division of the event-time micros.
     */
   def retentionCohorts(df: DataFrame, userCol: String, tsUsCol: String): DataFrame = {
     val week = 7L * 24 * 3600 * 1000000L

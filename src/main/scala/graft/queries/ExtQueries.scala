@@ -3057,8 +3057,12 @@ object ExtQueries {
   // distribution, broadcast-joined back (ties share a phase by
   // construction). Gate reports the per-phase rollup.
   def x97CurriculumPhases(spark: SparkSession, dir: String): DataFrame =
+    // materialized: curriculumPhases consumes the scored frame twice
+    // (distribution + join-back) — without this the scoring pass runs
+    // twice (x05 multi-consumer rule)
     Sampling.curriculumPhases(
-        TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text"),
+        Dedup.materialize(
+          TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")),
         "score_fp3", phases = 8)
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"),
