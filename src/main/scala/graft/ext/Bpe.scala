@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - the chosen merge is the round's 1-row model parameter, collected to
   *    the driver exactly like x67's k-means centroids — rounds are
   *    inherently sequential (round r's counts depend on merge r−1);
-  *  - the re-encode loop localCheckpoints each round (standing invariant:
+  *  - the re-encode loop checkpoints each round via Dedup.materialize (standing invariant:
   *    iterative DataFrame chains re-analyze exponentially otherwise).
   *
   * Merge application uses non-regex `replace` on the space-joined symbol
@@ -65,10 +65,9 @@ object Bpe {
       textCol: String,
       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"Bpe: rounds=$rounds must be >= 1")
-    var seqDf = LangModel.tokenRows(docs, idCol, textCol)
+    var seqDf = Dedup.materialize(LangModel.tokenRows(docs, idCol, textCol)
       .groupBy(col("w")).agg(sum(lit(1L)).as("cnt"))
-      .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
-      .localCheckpoint()
+      .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 "))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -88,9 +87,8 @@ object Bpe {
         require(a.matches("[a-z0-9]+") && b.matches("[a-z0-9]+"),
           s"Bpe: unexpected symbol '$a'/'$b'")
         merges += ((r.toLong, a, b, pc))
-        seqDf = seqDf.withColumn("seq",
-            trim(expr(s"replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b ')")))
-          .localCheckpoint()
+        seqDf = Dedup.materialize(seqDf.withColumn("seq",
+            trim(expr(s"replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b ')"))))
       }
       r += 1
     }

@@ -66,7 +66,9 @@ object DataCard {
     base
       .join(broadcast(langTop), "source")
       .join(broadcast(dup), "source")
-      .join(broadcast(med), "source")
+      // LEFT: a source whose docs all carry null charsCol has no median
+      // row — it must stay on the card with med_chars = null, not vanish
+      .join(broadcast(med), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         col("top_lang"),
         round(col("__lc").cast("double") / col("n_docs").cast("double"), 6)
@@ -172,7 +174,9 @@ object DataCard {
       .join(broadcast(nLangs), "source")
       .join(broadcast(langTop), "source")
       .join(broadcast(dup), "source")
-      .join(broadcast(med), "source")
+      // LEFT for the same reason as sourceCard: an all-null-length
+      // source has no len-store rows but must stay on the card
+      .join(broadcast(med), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         col("top_lang"),
         round(col("__lc").cast("double") / col("n_docs").cast("double"), 6)

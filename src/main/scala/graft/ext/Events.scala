@@ -101,7 +101,8 @@ object Events {
     val o = col(orderCol)
     val byUB = Window.partitionBy(col(userCol), col("__bkt")).orderBy(o)
     val local = df
-      .withColumn("__bkt", ((o - pmod(o, lit(bucketWidth))) / lit(bucketWidth)).cast("long"))
+      // `div`, not `/`: double division misassigns buckets past 2^53
+      .withColumn("__bkt", expr(s"(`$orderCol` - pmod(`$orderCol`, ${bucketWidth}L)) div ${bucketWidth}L"))
       .withColumn("__prev", lag(o, 1).over(byUB))
       .withColumn("__ns",
         when(col("__prev").isNull || o - col("__prev") > gap, 1L).otherwise(0L))
@@ -240,16 +241,20 @@ object Events {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
     val ev = df.select(col(userCol).as("u"), col(typeCol).as("et"),
       col(tsUsCol).as("t"))
-    // reached(i): (u, t_i) — earliest stage-i event after t_{i-1}
-    var reached = ev.filter(col("et") === stages.head)
-      .groupBy(col("u")).agg(min(col("t")).as("t"))
+    // reached(i): (u, t_i) — earliest stage-i event after t_{i-1}.
+    // Each reached set feeds TWO consumers (the next stage's join and
+    // its own count) and chains into every later stage's lineage —
+    // materialized per stage (x05 multi-consumer rule), or the event
+    // scan re-runs O(stages²) times
+    var reached = Dedup.materialize(ev.filter(col("et") === stages.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t")))
     var out = Seq((1L, stages.head, reached))
     stages.toList.drop(1).foreach { s =>
       val prev = reached.withColumnRenamed("t", "tp")
-      reached = ev.filter(col("et") === s)
+      reached = Dedup.materialize(ev.filter(col("et") === s)
         .join(prev, Seq("u"))
         .filter(col("t") > col("tp"))
-        .groupBy(col("u")).agg(min(col("t")).as("t"))
+        .groupBy(col("u")).agg(min(col("t")).as("t")))
       out = out :+ ((out.size + 1L, s, reached))
     }
     out.map { case (i, s, r) =>

@@ -44,7 +44,8 @@ object Packing {
     val cum = df
       .withColumn("__len", len)
       .withColumn("__bkt",
-        ((id - pmod(id, lit(bucketWidth))) / lit(bucketWidth)).cast("long"))
+        // `div`, not `/`: double division misassigns buckets past 2^53 ids
+        expr(s"(`$idCol` - pmod(`$idCol`, ${bucketWidth}L)) div ${bucketWidth}L"))
       .withColumn("__cum", sum(col("__len")).over(wB))
     val offsets = cum.groupBy(col("__bkt")).agg(sum(col("__len")).as("__bt"))
       .withColumn("__off", coalesce(

@@ -239,7 +239,11 @@ object Sampling {
       scoreCol: String,
       phases: Int): DataFrame = {
     require(phases >= 1, s"curriculumPhases: phases=$phases")
-    val dist = df.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    // null scores are unrankable: they are excluded from the
+    // distribution (so they cannot skew every real row's phase) and come
+    // back with phase = null via the LEFT join — row-preserving either way
+    val dist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
     val w = Window.orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = dist
@@ -247,6 +251,6 @@ object Sampling {
       .withColumn("__n", sum(col("__c")).over(
         Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__s"), expr(s"($phases * __cum) div __n").as("phase"))
-    df.join(broadcast(cum), col(scoreCol) === col("__s")).drop("__s")
+    df.join(broadcast(cum), col(scoreCol) === col("__s"), "left").drop("__s")
   }
 }

@@ -56,7 +56,12 @@ object Similarity {
     */
   def hardNegatives(data: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame =
-    topK(data, queries, idCol, vecCol, k,
+    // null labels are EXCLUDED on both sides, explicitly: a null-label
+    // query has no "different label" semantics (SQL null =!= x is null,
+    // which would silently return zero negatives), and a null-label
+    // corpus row can never be known to be a negative
+    topK(data.filter(col(labelCol).isNotNull),
+      queries.filter(col(labelCol).isNotNull), idCol, vecCol, k,
       excludeSelf = false, excludeLabelCol = Some(labelCol))
 
   /** Core scored top-k; `excludeSelf=false` keeps pairs with equal ids —

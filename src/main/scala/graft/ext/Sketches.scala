@@ -192,12 +192,15 @@ object Sketches {
       .agg(sum(col("__w")).as("cnt"))
   }
 
-  /** Probe the cell table for each row of `probes`: attaches `est`.
+  /** Probe the cell table for the DISTINCT probe rows: attaches `est`.
     * `cells` must come from [[countMinCells]] with the same depth/width.
-    * A value whose d cells are not all present estimates from the
-    * present ones only (absent cell = 0 would make est 0; such a value
-    * was never inserted — callers probing inserted values always hit
-    * all d rows).
+    * Contract notes: duplicate probe rows collapse to one output row
+    * (the estimate is a function of the row's values), and a probe with
+    * a null `valueCol` is dropped (its hash is null — a null value was
+    * never inserted, so it has no estimate). A value whose d cells are
+    * not all present estimates from the present ones only (absent
+    * cell = 0 would make est 0; such a value was never inserted —
+    * callers probing inserted values always hit all d rows).
     */
   def countMinEstimate(
       cells: DataFrame,

@@ -257,9 +257,12 @@ object TextAnalysis {
       textCol: String,
       minPairDocs: Long = 2L): DataFrame = {
     require(minPairDocs >= 1L, s"minPairDocs must be >= 1, got $minPairDocs")
-    val posts = df
+    // materialized: posts feeds FOUR consumers (df counts, doc count,
+    // both self-join sides) — the x05 multi-consumer rule; without it
+    // the tokenize+explode pass recomputes per consumer
+    val posts = Dedup.materialize(df
       .select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("w"))
+        explode(array_distinct(tokens(col(textCol)))).as("w")))
     val dfTok = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = posts.agg(countDistinct(col("id")).as("nd"))
     val pairs = posts.as("a")

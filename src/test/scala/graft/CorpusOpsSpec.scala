@@ -192,6 +192,17 @@ class CorpusOpsSpec extends SparkSpec {
       ("s2", 1L, 1L, 1L, "de", 1.0d, 0L, 1L)))
   }
 
+  test("sourceCard: all-null-length source stays on the card with null median") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1", Some(3L)),
+      (2L, "c d", "en", "s2", None),
+      (3L, "e f", "en", "s2", None))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.DataCard.sourceCard(docs).orderBy("source").collect()
+    assert(out.length == 2)
+    assert(out(1).getString(0) == "s2" && out(1).isNullAt(7))
+  }
+
   test("sourceCard: modal-language tie breaks on lang ascending") {
     val docs = Seq(
       (1L, "a", "fr", "s", 1L), (2L, "b", "en", "s", 1L))

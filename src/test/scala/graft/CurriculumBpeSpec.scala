@@ -21,6 +21,18 @@ class CurriculumBpeSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 2L), (6L, 2L)))
   }
 
+  test("curriculumPhases: null scores neither vanish nor skew real phases") {
+    val df = Seq((1L, Some(9L)), (2L, Some(5L)), (3L, None), (4L, None))
+      .toDF("id", "s")
+    val out = Sampling.curriculumPhases(df, "s", phases = 2)
+      .orderBy("id").collect()
+    // nulls excluded from the distribution: N=2, better(9)=0 -> 0,
+    // better(5)=1 -> (2*1) div 2 = 1; null rows survive with phase null
+    assert(out.length == 4)
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq ==
+      Seq((1L, Some(0L)), (2L, Some(1L)), (3L, None), (4L, None)))
+  }
+
   test("curriculumPhases: invariant under partitioning, covers all rows") {
     val df = (1 to 100).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "s")
     val a = Sampling.curriculumPhases(df, "s", 4).orderBy("id").collect().toSeq
