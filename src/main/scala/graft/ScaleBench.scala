@@ -196,7 +196,13 @@ object ScaleBench {
     // bigram model tables + a (w1,w2)-co-keyed score join — the c2
     // table grows with distinct bigrams (staging widens vocab), the
     // score join with corpus rows — expect ~linear
-    "x108_kn_score")
+    "x108_kn_score",
+    // one corpus groupBy to O(cells); raking passes are cell-local —
+    // expect ~linear scan cost
+    "x109_ipf_raking",
+    // x08's session window + x94's per-stage slices on the composite
+    // key — expect ~linear
+    "x110_session_funnel")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

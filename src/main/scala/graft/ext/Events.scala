@@ -237,29 +237,44 @@ object Events {
       userCol: String,
       typeCol: String,
       tsUsCol: String,
+      stages: Seq[String]): DataFrame =
+    funnelByKeys(df, Seq(userCol), typeCol, tsUsCol, stages)
+      .withColumnRenamed("units", "users")
+
+  /** [[funnel]] generalized to a composite progression key — e.g.
+    * (user, session) to require the ordered chain INSIDE one session
+    * rather than across a user's whole history. `units` counts distinct
+    * key tuples reaching each stage.
+    */
+  def funnelByKeys(
+      df: DataFrame,
+      keyCols: Seq[String],
+      typeCol: String,
+      tsUsCol: String,
       stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnel: stages must be non-empty")
-    val ev = df.select(col(userCol).as("u"), col(typeCol).as("et"),
-      col(tsUsCol).as("t"))
-    // reached(i): (u, t_i) — earliest stage-i event after t_{i-1}.
+    require(stages.nonEmpty && keyCols.nonEmpty,
+      "funnel: stages and keyCols must be non-empty")
+    val ks = keyCols.map(col)
+    val ev = df.select((ks :+ col(typeCol).as("et") :+ col(tsUsCol).as("t")): _*)
+    // reached(i): (keys, t_i) — earliest stage-i event after t_{i-1}.
     // Each reached set feeds TWO consumers (the next stage's join and
     // its own count) and chains into every later stage's lineage —
     // materialized per stage (x05 multi-consumer rule), or the event
     // scan re-runs O(stages²) times
     var reached = Dedup.materialize(ev.filter(col("et") === stages.head)
-      .groupBy(col("u")).agg(min(col("t")).as("t")))
+      .groupBy(ks: _*).agg(min(col("t")).as("t")))
     var out = Seq((1L, stages.head, reached))
     stages.toList.drop(1).foreach { s =>
       val prev = reached.withColumnRenamed("t", "tp")
       reached = Dedup.materialize(ev.filter(col("et") === s)
-        .join(prev, Seq("u"))
+        .join(prev, keyCols)
         .filter(col("t") > col("tp"))
-        .groupBy(col("u")).agg(min(col("t")).as("t")))
+        .groupBy(ks: _*).agg(min(col("t")).as("t")))
       out = out :+ ((out.size + 1L, s, reached))
     }
     out.map { case (i, s, r) =>
-      r.agg(count(lit(1)).as("users"))
-        .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("users"))
+      r.agg(count(lit(1)).as("units"))
+        .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("units"))
     }.reduce(_.unionByName(_))
   }
 

@@ -253,4 +253,46 @@ object Sampling {
       .select(col("__s"), expr(s"($phases * __cum) div __n").as("phase"))
     df.join(broadcast(cum), col(scoreCol) === col("__s"), "left").drop("__s")
   }
+
+  /** One cycle of iterative proportional fitting (raking; Deming &
+    * Stephan 1940) over a two-way contingency of `rowCol` × `colCol`
+    * cell counts, toward UNIFORM marginals — the mixture-balancing move
+    * when two attributes (source × language, say) must BOTH hit target
+    * shares and per-cell reweighting has to reconcile them. Returns one
+    * row per occupied cell: (rowCol, colCol, n, w9) with `w9` the raked
+    * weight in 1e-9 fixed point after a row pass then a column pass.
+    *
+    * Cross-engine determinism: cell counts, marginal sums and the raked
+    * intermediate are exact LONGs (the intermediate is ROUNDED to 1e-9
+    * fixed point before the column pass, so both engines sum identical
+    * integers); each pass applies one double factor with pinned
+    * operation order.
+    *
+    * 100 TB design: the corpus collapses to O(cells) in one map-side-
+    * combined groupBy; every subsequent table (marginals, totals) is
+    * cell-bounded and broadcast. Further IPF cycles would repeat the two
+    * cell-local passes — nothing row-sized ever recomputes.
+    */
+  def ipfWeights(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = graft.ext.Dedup.materialize(
+      df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum(col("n")).as("__N"),
+      count_distinct(col(rowCol)).as("__nr"),
+      count_distinct(col(colCol)).as("__nc"))
+    val rs = cells.groupBy(col(rowCol)).agg(sum(col("n")).as("__rs"))
+    // row pass: w1 = n · (N/nr) / rowsum, rounded to 1e-9 LONG
+    val w1 = cells.join(broadcast(rs), Seq(rowCol)).crossJoin(broadcast(tot))
+      .withColumn("__w1",
+        round(col("n").cast("double") *
+          ((col("__N").cast("double") / col("__nr").cast("double")) /
+            col("__rs").cast("double")) * lit(1e9d), 0).cast("long"))
+    val cs = w1.groupBy(col(colCol)).agg(sum(col("__w1")).as("__cs"))
+    // column pass: w2 = w1 · (N/nc)·1e9 / colsum1_9
+    w1.join(broadcast(cs), Seq(colCol))
+      .withColumn("w9",
+        round(col("__w1").cast("double") *
+          ((col("__N").cast("double") / col("__nc").cast("double")) *
+            lit(1e9d) / col("__cs").cast("double")), 0).cast("long"))
+      .select(col(rowCol), col(colCol), col("n"), col("w9"))
+  }
 }

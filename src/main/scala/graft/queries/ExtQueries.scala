@@ -3412,4 +3412,69 @@ object ExtQueries {
          round((CAST(sum(lp9) AS DOUBLE) / 1000000000.0)
                / CAST(count(*) AS DOUBLE), 6) AS avg_lp
        FROM sc GROUP BY 1"""
+
+  // --- x109: IPF raking of the source x lang contingency -----------------
+  // One raking cycle toward uniform marginals on both attributes —
+  // cell counts and marginal sums exact LONGs, the row-pass result
+  // rounded to 1e-9 fixed point BEFORE the column pass so both engines
+  // sum identical integers.
+  def x109IpfRaking(spark: SparkSession, dir: String): DataFrame =
+    Sampling.ipfWeights(t(spark, dir, "documents"), "source", "lang")
+
+  val x109Sql: String =
+    """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           CAST(count(DISTINCT source) AS BIGINT) AS nr,
+           CAST(count(DISTINCT lang) AS BIGINT) AS ncl
+         FROM cells),
+       rs AS (SELECT source, CAST(sum(n) AS BIGINT) AS rsum FROM cells GROUP BY 1),
+       w1 AS (SELECT c.source, c.lang, c.n,
+           CAST(round(CAST(c.n AS DOUBLE) *
+             ((CAST(nn AS DOUBLE) / CAST(nr AS DOUBLE)) / CAST(rsum AS DOUBLE))
+             * 1000000000.0, 0) AS BIGINT) AS w1
+         FROM cells c JOIN rs USING (source) CROSS JOIN tot),
+       cs AS (SELECT lang, CAST(sum(w1) AS BIGINT) AS csum FROM w1 GROUP BY 1)
+       SELECT w1.source, w1.lang, w1.n,
+         CAST(round(CAST(w1 AS DOUBLE) *
+           ((CAST(nn AS DOUBLE) / CAST(ncl AS DOUBLE)) * 1000000000.0
+             / CAST(csum AS DOUBLE)), 0) AS BIGINT) AS w9
+       FROM w1 JOIN cs USING (lang) CROSS JOIN tot"""
+
+  // --- x110: session-scoped conversion funnel ----------------------------
+  // x08's gap sessions composed with x94's ordered funnel: the chain
+  // must complete INSIDE one session — the composite (user, session)
+  // progression key exercises funnelByKeys.
+  def x110SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val sess = Events.sessionizeBatch(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", gap = 30L * 60 * 1000000L)
+    Events.funnelByKeys(sess, Seq("user_id", "session_seq"),
+      "event_type", "ts_us", Seq("view", "click", "purchase"))
+  }
+
+  val x110Sql: String =
+    """WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, event_type, e,
+         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY e)),
+       g AS (SELECT user_id, event_type, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM s),
+       s1 AS (SELECT user_id, seq, min(e) AS t FROM g
+         WHERE event_type = 'view' GROUP BY 1, 2),
+       s2 AS (SELECT g.user_id, g.seq, min(g.e) AS t FROM g
+         JOIN s1 ON g.user_id = s1.user_id AND g.seq = s1.seq AND g.e > s1.t
+         WHERE g.event_type = 'click' GROUP BY 1, 2),
+       s3 AS (SELECT g.user_id, g.seq, min(g.e) AS t FROM g
+         JOIN s2 ON g.user_id = s2.user_id AND g.seq = s2.seq AND g.e > s2.t
+         WHERE g.event_type = 'purchase' GROUP BY 1, 2)
+       SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+         CAST(count(*) AS BIGINT) AS units FROM s1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3"""
 }

@@ -165,6 +165,40 @@ class CurriculumBpeSpec extends SparkSpec {
     a.foreach(r => assert(math.abs(r.getDouble(2) - r.getLong(1)) < 40.0))
   }
 
+  test("ipfWeights: column marginals hit the uniform target after the cycle") {
+    val rows = Seq.fill(2)(("r1", "c1")) ++ Seq.fill(2)(("r2", "c1")) ++
+      Seq.fill(4)(("r2", "c2"))
+    val df = rows.toDF("r", "c")
+    val out = Sampling.ipfWeights(df, "r", "c")
+    // after the column pass, every column's weight sum is the uniform
+    // target N/nc = 4 (in 1e-9 fixed point) up to one rounding unit/cell
+    val colSums = out.groupBy("c").agg(sum("w9").as("s")).orderBy("c").collect()
+    colSums.foreach(r => assert(math.abs(r.getLong(1) - 4000000000L) <= 2L))
+    // deterministic under partitioning
+    val b = Sampling.ipfWeights(df.repartition(5), "r", "c")
+      .orderBy("r", "c").collect().toSeq.map(_.toSeq)
+    assert(out.orderBy("r", "c").collect().toSeq.map(_.toSeq) == b)
+  }
+
+  test("funnelByKeys: session-scoped chain is stricter than user-scoped") {
+    val gap = 100L
+    val ev = Seq(
+      // session A: view -> click (converts within session)
+      (1L, "view", 0L), (1L, "click", 10L),
+      // session B (after the gap): click BEFORE the session's view
+      (1L, "click", 1000L), (1L, "view", 1010L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val sess = Events.sessionizeBatch(ev, "user_id", "ts_us", gap)
+    val bySession = Events.funnelByKeys(sess, Seq("user_id", "session_seq"),
+      "event_type", "ts_us", Seq("view", "click")).orderBy("stage_idx").collect()
+    // both sessions reach 'view'; only session A's click follows its view
+    assert(bySession.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+    val byUser = Events.funnel(ev, "user_id", "event_type", "ts_us",
+      Seq("view", "click")).orderBy("stage_idx").collect()
+    assert(byUser.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
   test("knScore: hand-computed P_KN on an alternating corpus") {
     // "x y x y x": 4 bigrams, c2(x,y)=2, c2(y,x)=2; c1 = 2 each,
     // n1f = 1 each, n1b = 1 each, np = 2
