@@ -202,7 +202,10 @@ object ScaleBench {
     "x109_ipf_raking",
     // x08's session window + x94's per-stage slices on the composite
     // key — expect ~linear
-    "x110_session_funnel")
+    "x110_session_funnel",
+    // streaming aggregation with BOUNDED d×w sketch state — per-batch
+    // cost tracks batch size; expect ~linear with the replay floor
+    "x111_stream_countmin")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -3441,6 +3441,61 @@ object ExtQueries {
              / CAST(csum AS DOUBLE)), 0) AS BIGINT) AS w9
        FROM w1 JOIN cs USING (lang) CROSS JOIN tot"""
 
+  // --- x111: STREAMING count-min sketch maintenance ----------------------
+  // The sketch family's streaming leg: CM cells maintained as a NATIVE
+  // Structured Streaming aggregation — the groupBy(r, cell) count IS the
+  // sketch, so the state store holds exactly d×w bounded rows no matter
+  // how long the stream runs (the textbook mergeable-sketch property,
+  // expressed as Spark streaming state). Complete-mode memory sink reads
+  // back O(d×w) rows; the final cells are batch-invariant (counts are
+  // exact sums), so the probe must equal the batch-built x96-style gate.
+  def x111StreamCountmin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/scm_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val keys = t(spark, dir, "events").select(col("user_id").as("k"))
+    keys.write.parquet(s"$base/in")
+    val qname = s"x111_scm_$tag"
+    spark.catalog.dropTempView(qname)
+    val cells = Sketches.countMinCells(
+      spark.readStream.schema(keys.schema).parquet(s"$base/in"),
+      "k", depth = 4, width = 1024)
+    val q = cells.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x111: drain timeout") }
+    finally q.stop()
+    val exact = Dedup.materialize(
+      keys.groupBy(col("k")).agg(count(lit(1)).as("cnt")))
+    val top = Sampling.scoredTopK(exact, "k", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(spark.table(qname), top, "k", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  val x111Sql: String =
+    s"""WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS v, user_id AS k FROM events),
+       ex AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM keys GROUP BY 1),
+       top AS (SELECT k, cnt FROM (
+           SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rn FROM ex)
+         WHERE rn <= 20),
+       rr AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+       cells0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || v) AS hx
+         FROM keys CROSS JOIN rr),
+       cells AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS ccnt
+         FROM cells0 GROUP BY 1, 2),
+       pr0 AS (SELECT k, cnt, r,
+           md5('cm' || CAST(r AS VARCHAR) || '_' || CAST(k AS VARCHAR)) AS hx
+         FROM top CROSS JOIN rr),
+       pr AS (SELECT k, cnt, r, ${duckHex48("hx")} % 1024 AS cell FROM pr0)
+       SELECT pr.k, pr.cnt, CAST(min(cells.ccnt) AS BIGINT) AS est,
+         CAST(min(cells.ccnt) - pr.cnt AS BIGINT) AS overcount
+       FROM pr JOIN cells USING (r, cell) GROUP BY pr.k, pr.cnt"""
+
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain
   // must complete INSIDE one session — the composite (user, session)

@@ -199,6 +199,25 @@ class CurriculumBpeSpec extends SparkSpec {
     assert(byUser.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("countMinCells as a streaming aggregation equals the batch build") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_test/scm_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val vals = (1 to 300).map(i => s"v${i % 40}").toDF("v")
+    vals.write.parquet(s"$base/in")
+    val cells = Sketches.countMinCells(
+      spark.readStream.schema(vals.schema).parquet(s"$base/in"), "v",
+      depth = 4, width = 64)
+    val q = cells.writeStream.format("memory").queryName("scm_spec")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val streamed = spark.table("scm_spec")
+    val batch = Sketches.countMinCells(vals, "v", depth = 4, width = 64)
+    assert(streamed.exceptAll(batch).count() == 0L &&
+      batch.exceptAll(streamed).count() == 0L)
+  }
+
   test("knScore: hand-computed P_KN on an alternating corpus") {
     // "x y x y x": 4 bigrams, c2(x,y)=2, c2(y,x)=2; c1 = 2 each,
     // n1f = 1 each, n1b = 1 each, np = 2
