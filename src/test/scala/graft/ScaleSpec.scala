@@ -554,4 +554,39 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus posting table must not shuffle for the probe:\n$plan")
   }
+
+  test("plan shapes r8: asof probe, CM cells broadcast, funnel slices pushed, no cartesian census") {
+    // x92: the SCD2 probe is the union+window asof — NO range/cartesian
+    // join anywhere, and the union shuffles once on the user key
+    val x92 = graft.queries.ExtQueries.x92Scd2Probe(spark, sfDir)
+    val p92 = x92.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p92.contains("CartesianProduct") && !p92.contains("BroadcastNestedLoopJoin"),
+      s"asof probe must not plan a range/cartesian join:\n$p92")
+    assert(p92.contains("Union") && "Window \\[last".r.findAllIn(p92).nonEmpty,
+      s"expected the union+last-carry window:\n$p92")
+
+    // x96: the d×w cell table reaches the probe as a BROADCAST
+    val x96 = graft.queries.ExtQueries.x96CountMin(spark, sfDir)
+    x96.collect()
+    val p96 = x96.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p96.contains("BroadcastHashJoin"),
+      s"CM cell table should broadcast to the probe:\n$p96")
+
+    // x94: the final funnel plan aggregates the MATERIALIZED reached
+    // sets — no events FileScan survives into it (each stage's pushed
+    // scan ran once inside its checkpoint; re-counting must not rescan)
+    val x94 = graft.queries.ExtQueries.x94EventFunnel(spark, sfDir)
+    x94.collect()
+    val p94 = x94.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p94.contains("Union") && !p94.contains("events.parquet"),
+      s"funnel counts must run on checkpointed reached sets, not rescans:\n$p94")
+
+    // x103: the triangle census joins the ORIENTED edge list — no
+    // cartesian/nested-loop anywhere despite the three-way structure
+    val x103 = graft.queries.ExtQueries.x103TriangleStats(spark, sfDir)
+    x103.collect()
+    val p103 = x103.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p103.contains("CartesianProduct"),
+      s"triangle census must never plan a cartesian join:\n$p103")
+  }
 }
