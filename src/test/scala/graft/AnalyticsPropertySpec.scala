@@ -102,6 +102,82 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("triangleStats: census matches brute force on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 7L), Gen.chooseNum(1L, 7L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    forAllSeeded(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val out = graft.ext.Graph.triangleStats(edges.toDF("a", "b"), "a", "b").head()
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val tri = (for {
+          a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+        val deg = nodes.map(n => edges.count(e => e._1 == n || e._2 == n).toLong)
+        val wedges = deg.map(d => d * (d - 1) / 2).sum
+        assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+          ((nodes.size.toLong, edges.size.toLong, wedges, tri)),
+          s"census mismatch on $edges")
+      }
+    }
+  }
+
+  test("bpe: merge sequence matches an in-memory simulation") {
+    val wordGen = Gen.listOfN(8,
+      Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    forAllSeeded(wordGen, n = 6) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ext.Bpe.learnMerges(docs, "doc_id", "text", rounds = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // in-memory: same vocab-weighted pair counting and same
+      // String.replace application (identical JVM semantics)
+      var vocab = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+        .groupBy(_._1).map { case (s, m) => (s, m.values.sum) }
+      val sim = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      (1 to 3).foreach { _ =>
+        if (continue) {
+          val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          vocab.foreach { case (seq, cnt) =>
+            val syms = seq.split(" ")
+            syms.sliding(2).foreach {
+              case Array(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + cnt
+              case _ =>
+            }
+          }
+          if (counts.isEmpty) continue = false
+          else {
+            val (pair, pc) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+            sim += ((pair._1, pair._2, pc))
+            vocab = vocab.map { case (seq, cnt) =>
+              (s" $seq ".replace(s" ${pair._1} ${pair._2} ", s" ${pair._1}${pair._2} ").trim, cnt)
+            }.groupBy(_._1).map { case (s, m) => (s, m.values.sum) }
+          }
+        }
+      }
+      assert(got == sim.toSeq, s"bpe mismatch on $words: got $got expected $sim")
+    }
+  }
+
+  test("curriculumPhases: matches the strictly-better ranking law") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 6L))
+    forAllSeeded(gen) { scores =>
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val got = graft.ext.Sampling.curriculumPhases(df, "s", phases = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      scores.zipWithIndex.foreach { case (s, i) =>
+        val better = scores.count(_ > s).toLong
+        assert(got(i.toLong) == 4L * better / scores.size,
+          s"phase mismatch for score $s in $scores")
+      }
+    }
+  }
+
   test("rrfFuse: fused ranking matches an in-memory reference") {
     val listGen = Gen.listOfN(6, Gen.chooseNum(1L, 9L)).map(_.distinct)
     forAllSeeded(Gen.zip(listGen, listGen)) { case (l1, l2) =>
