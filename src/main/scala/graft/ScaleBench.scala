@@ -205,7 +205,12 @@ object ScaleBench {
     "x110_session_funnel",
     // streaming aggregation with BOUNDED d×w sketch state — per-batch
     // cost tracks batch size; expect ~linear with the replay floor
-    "x111_stream_countmin")
+    "x111_stream_countmin",
+    // x61's one-groupBy plan + integer shard division — expect ~linear
+    "x112_build_manifest",
+    // x93's scoring pass + the distribution window + an O(sources×10)
+    // rollup — expect ~linear
+    "x113_score_calibration")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -3496,6 +3496,63 @@ object ExtQueries {
          CAST(min(cells.ccnt) - pr.cnt AS BIGINT) AS overcount
        FROM pr JOIN cells USING (r, cell) GROUP BY pr.k, pr.cnt"""
 
+  // --- x112: corpus build manifest ---------------------------------------
+  // The capstone plan artifact: x61's temperature-mixture allocation
+  // extended with shard provisioning — per source, the docs/tokens
+  // inventory, the budgeted allocation, epochs, sampling rate, AND the
+  // number of 50k-token output shards (ceil division of the allocation)
+  // a writer should provision. Pure integer arithmetic on top of x61's
+  // plan; O(sources) rows.
+  def x112BuildManifest(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(t(spark, dir, "documents"), "source", "n_chars",
+        budget = 200000L)
+      .withColumn("n_shards", expr("(alloc_toks + 49999) div 50000L"))
+
+  val x112Sql: String =
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_toks FROM documents GROUP BY 1),
+       w AS (SELECT *, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS wq FROM c),
+       t AS (SELECT sum(wq) AS tw FROM w),
+       a AS (SELECT source, n_docs, n_toks,
+             CAST((200000 * wq) // tw AS BIGINT) AS alloc_toks
+             FROM w CROSS JOIN t)
+       SELECT source, n_docs, n_toks, alloc_toks,
+         CAST(CASE WHEN n_toks = 0 THEN 0
+              ELSE (alloc_toks + n_toks - 1) // n_toks END AS BIGINT) AS epochs,
+         CASE WHEN n_toks = 0 THEN 0.0
+              ELSE round(CAST(alloc_toks AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) END AS sample_rate,
+         CAST((alloc_toks + 49999) // 50000 AS BIGINT) AS n_shards
+       FROM a"""
+
+  // --- x113: quality-model calibration matrix ----------------------------
+  // Per-source distribution of the x93 model's GLOBAL score deciles —
+  // the calibration audit that shows which sources the model up- or
+  // down-ranks (a uniform model would put ~10% of each source in each
+  // decile). Rides x97's distribution-based phase assignment at
+  // phases = 10; one extra O(sources × 10) rollup.
+  def x113ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Dedup.materialize(
+      TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")
+        .join(t(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id"))
+    Sampling.curriculumPhases(scored, "score_fp3", phases = 10)
+      .groupBy(col("source"), col("phase").as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val x113Sql: String =
+    s"""WITH $qmScoreCtes,
+       sc2 AS (SELECT sc.doc_id, sc.score_fp3, d.source
+         FROM sc JOIN documents d USING (doc_id)),
+       dist AS (SELECT score_fp3 AS s, CAST(count(*) AS BIGINT) AS c FROM sc2 GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dist),
+       cb AS (SELECT s, CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM dist)
+       SELECT sc2.source, CAST((10 * cb.cum) // nn.n AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM sc2 JOIN cb ON sc2.score_fp3 = cb.s CROSS JOIN nn
+       GROUP BY 1, 2"""
+
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain
   // must complete INSIDE one session — the composite (user, session)

@@ -178,6 +178,47 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("lastTouchAttribution: matches a brute-force argmax on random streams") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 4L)
+      et <- Gen.oneOf("t1", "t2", "buy")
+      t <- Gen.chooseNum(0L, 15L)
+    } yield (u, et, t)
+    forAllSeeded(Gen.listOfN(25, evGen)) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, et, t), i) =>
+        (i.toLong, u, et, t, 0.0)
+      }
+      val df = evs.toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      val got = Events.lastTouchAttribution(df, "user_id", "event_type",
+          "ts_us", "event_id", "buy", Seq("value"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+      evs.filter(_._3 == "buy").foreach { case (id, u, _, t, _) =>
+        // latest touch at-or-before t; per-instant ties by max event_id
+        val touches = evs.filter(e => e._2 == u && e._3 != "buy" && e._4 <= t)
+        val expected =
+          if (touches.isEmpty) None
+          else Some(touches.maxBy(e => (e._4, e._1))._3)
+        assert(got(id) == expected,
+          s"attribution mismatch for conv $id in $evs: got ${got(id)}, expected $expected")
+      }
+    }
+  }
+
+  test("retentionCohorts: matches a per-user in-memory computation") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 4L)))
+    val week = 7L * 24 * 3600 * 1000000L
+    forAllSeeded(gen) { uw0 =>
+      val evs = uw0.map { case (u, wk) => (u, wk * week + u) } // offset inside week
+      val got = Events.retentionCohorts(evs.toDF("u", "t"), "u", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val ref = uw0.distinct.groupBy(_._1).toSeq.flatMap { case (_, ws) =>
+        val c = ws.map(_._2).min
+        ws.map(_._2).distinct.map(w => (c, w - c))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == ref, s"cohort mismatch on $uw0")
+    }
+  }
+
   test("rrfFuse: fused ranking matches an in-memory reference") {
     val listGen = Gen.listOfN(6, Gen.chooseNum(1L, 9L)).map(_.distinct)
     forAllSeeded(Gen.zip(listGen, listGen)) { case (l1, l2) =>
