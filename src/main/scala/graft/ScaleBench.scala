@@ -210,7 +210,10 @@ object ScaleBench {
     "x112_build_manifest",
     // x93's scoring pass + the distribution window + an O(sources×10)
     // rollup — expect ~linear
-    "x113_score_calibration")
+    "x113_score_calibration",
+    // four day-appends (one replayed) of <= d x w subtotal rows each +
+    // a store-read probe — per-day pass is linear, commit I/O flat
+    "x114_cm_store")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

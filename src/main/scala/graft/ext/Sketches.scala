@@ -238,4 +238,41 @@ object Sketches {
   private def cmCell(v: Column, r: Column, width: Int): Column =
     pmod(org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(
       concat(lit("cm"), r.cast("string"), lit("_"), v)), lit(width.toLong))
+
+  /** Day-over-day MAINTAINED count-min store (the x88 data-card pattern
+    * applied to the sketch): each day's cells land as day-keyed
+    * SUBTOTALS in a ManifestStore table — the merge prunes to the day's
+    * partition and is replay-idempotent (re-appending a day REPLACES its
+    * subtotals, never double-counts). [[countMinCellsFromStore]] sums
+    * across days at read time; because CM cells are mergeable by
+    * addition, the maintained sketch is EXACTLY the batch sketch over
+    * the full history. At scale the daily cost is one O(day) pass plus
+    * ≤ d×w subtotal rows of commit I/O; history never recomputes.
+    */
+  def countMinAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      valueCol: String,
+      day: String,
+      table: String,
+      depth: Int,
+      width: Int): Unit = {
+    import graft.sources.ManifestStore
+    val cells = countMinCells(df, valueCol, depth, width)
+      .withColumn("day", lit(day))
+    try ManifestStore.merge(spark, table, cells, Seq("r", "cell", "day"), "day")
+    catch {
+      case _: java.io.FileNotFoundException =>
+        ManifestStore.write(spark, cells, table, "day")
+    }
+  }
+
+  /** The full-history cell table from a [[countMinAppendDay]] store. */
+  def countMinCellsFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import graft.sources.ManifestStore
+    ManifestStore.read(spark, table)
+      .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+  }
 }

@@ -3553,6 +3553,35 @@ object ExtQueries {
        FROM sc2 JOIN cb ON sc2.score_fp3 = cb.s CROSS JOIN nn
        GROUP BY 1, 2"""
 
+  // --- x114: maintained count-min store (day-over-day) -------------------
+  // Three "days" of event keys appended as day-keyed cell SUBTOTALS into
+  // a ManifestStore table (partition-pruned, replay-idempotent — day 1
+  // is appended TWICE in-gate to prove replaying replaces rather than
+  // double-counts); the probe reads the summed store cells, which must
+  // equal the one-shot batch sketch exactly (CM cells merge by
+  // addition) — same oracle as x111.
+  def x114CmStore(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("k"))
+    val table = FreshTables.next(spark, dir, "cmstore")
+    for (d <- 0 to 2)
+      Sketches.countMinAppendDay(spark,
+        keys.filter(col("event_id") % 3 === d).select(col("k")),
+        "k", s"day$d", table, depth = 4, width = 1024)
+    // replay day 1: idempotence is part of the gated contract
+    Sketches.countMinAppendDay(spark,
+      keys.filter(col("event_id") % 3 === 1).select(col("k")),
+      "k", "day1", table, depth = 4, width = 1024)
+    val cells = Sketches.countMinCellsFromStore(spark, table)
+    val exact = Dedup.materialize(
+      keys.groupBy(col("k")).agg(count(lit(1)).as("cnt")))
+    val top = Sampling.scoredTopK(exact, "k", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(cells, top, "k", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  val x114Sql: String = x111Sql
+
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain
   // must complete INSIDE one session — the composite (user, session)
