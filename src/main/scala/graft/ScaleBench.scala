@@ -213,7 +213,11 @@ object ScaleBench {
     "x113_score_calibration",
     // four day-appends (one replayed) of <= d x w subtotal rows each +
     // a store-read probe — per-day pass is linear, commit I/O flat
-    "x114_cm_store")
+    "x114_cm_store",
+    // distribution-level quantile + clip passes — expect ~linear scan
+    "x115_winsorized_stats",
+    // x113's decile machinery + a 10-row cumsum — expect ~linear
+    "x116_quality_budget")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

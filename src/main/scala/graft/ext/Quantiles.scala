@@ -172,4 +172,43 @@ object Quantiles {
         col("__target") <= col("__cum"))
       .select(gs ++ Seq(col("q"), col(valueCol)): _*)
   }
+
+  /** Winsorized per-group statistics: values clipped to the group's
+    * exact [lo, hi] nearest-rank quantiles before averaging — the robust
+    * mean that outlier documents can't drag (the standard robust
+    * companion to x64's median/MAD). Clipping bounds come from
+    * [[groupQuantiles]]' distribution pass (O(distinct values) work);
+    * the clipped sum is ONE more pass over the SAME distribution —
+    * Σ clip(v) = Σ min(max(v, qlo), qhi) · multiplicity, exact LONGs —
+    * so no row-sized recomputation happens anywhere. Output: (groups,
+    * n, q_lo, q_hi, winsorized_mean 6 dp); null values excluded like
+    * all quantile ops.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo < hi, s"winsorizedStats: lo=$lo must be < hi=$hi")
+    val gs = groupCols.map(col)
+    val dist = graft.ext.Dedup.materialize(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__c")))
+    val bounds = groupQuantiles(df, groupCols, valueCol, Seq(lo, hi))
+      .groupBy(gs: _*)
+      .agg(min(when(col("q") === lo, col(valueCol))).as("q_lo"),
+        min(when(col("q") === hi, col(valueCol))).as("q_hi"))
+    dist.join(broadcast(bounds), groupCols)
+      .withColumn("__clip",
+        least(greatest(col(valueCol), col("q_lo")), col("q_hi")))
+      .groupBy(gs: _*)
+      .agg(first(col("q_lo")).as("q_lo"), first(col("q_hi")).as("q_hi"),
+        sum(col("__c")).as("n"),
+        sum(col("__clip") * col("__c")).as("__s"))
+      .select(gs ++ Seq(col("n"), col("q_lo"), col("q_hi"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("winsorized_mean")): _*)
+  }
 }

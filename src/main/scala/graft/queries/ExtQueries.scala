@@ -3582,6 +3582,81 @@ object ExtQueries {
 
   val x114Sql: String = x111Sql
 
+  // --- x115: winsorized robust statistics --------------------------------
+  // Per-source winsorized mean of document length (clip at the exact
+  // p05/p95 nearest-rank quantiles, then average) — the robust-mean
+  // companion to x64's median/MAD; the whole computation lives on the
+  // O(distinct values) distribution.
+  def x115WinsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.winsorizedStats(t(spark, dir, "documents"), Seq("source"),
+      "n_chars", lo = 0.05, hi = 0.95)
+
+  val x115Sql: String =
+    """WITH c AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+       w AS (SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+           FROM c),
+       qs AS (SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q),
+       qv AS (SELECT source, q, v FROM w, qs
+         WHERE CAST(floor(q * (n - 1)) + 1 AS BIGINT) > cum - c
+           AND CAST(floor(q * (n - 1)) + 1 AS BIGINT) <= cum),
+       b AS (SELECT source,
+           CAST(min(CASE WHEN q = 0.05 THEN v END) AS BIGINT) AS q_lo,
+           CAST(min(CASE WHEN q = 0.95 THEN v END) AS BIGINT) AS q_hi
+         FROM qv GROUP BY 1),
+       f AS (SELECT c.source, c.c,
+           least(greatest(c.v, b.q_lo), b.q_hi) AS clip
+         FROM c JOIN b USING (source))
+       SELECT f.source, CAST(sum(f.c) AS BIGINT) AS n,
+         min(b.q_lo) AS q_lo, min(b.q_hi) AS q_hi,
+         round(CAST(sum(f.clip * f.c) AS DOUBLE) / CAST(sum(f.c) AS DOUBLE), 6)
+           AS winsorized_mean
+       FROM f JOIN b USING (source) GROUP BY 1"""
+
+  // --- x116: quality-budget selection curve ------------------------------
+  // "How much data survives each quality bar": cumulative docs + token
+  // mass down the x93 model's global score deciles — the curve a
+  // curation run reads to pick its cutoff. Rides x113's decile
+  // machinery; the cumsum window runs over 10 rows.
+  def x116QualityBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Dedup.materialize(
+      TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")
+        .join(t(spark, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Sampling.curriculumPhases(scored, "score_fp3", phases = 10)
+      .groupBy(col("phase").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_toks"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+  }
+
+  val x116Sql: String =
+    s"""WITH $qmScoreCtes,
+       sc2 AS (SELECT sc.doc_id, sc.score_fp3, d.n_chars
+         FROM sc JOIN documents d USING (doc_id)),
+       dist AS (SELECT score_fp3 AS s, CAST(count(*) AS BIGINT) AS c FROM sc2 GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dist),
+       cb AS (SELECT s, CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM dist),
+       ph AS (SELECT sc2.doc_id, sc2.n_chars,
+           (10 * cb.cum) // nn.n AS decile
+         FROM sc2 JOIN cb ON sc2.score_fp3 = cb.s CROSS JOIN nn),
+       g AS (SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_toks
+         FROM ph GROUP BY 1)
+       SELECT decile, n_docs, n_toks,
+         CAST(sum(n_docs) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+         CAST(sum(n_toks) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+       FROM g"""
+
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain
   // must complete INSIDE one session — the composite (user, session)

@@ -199,6 +199,17 @@ class CurriculumBpeSpec extends SparkSpec {
     assert(byUser.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("winsorizedStats: hand-computed clipped mean") {
+    // values 1..10 plus outlier 1000 (n=11): p05 target rank
+    // floor(.05*10)+1 = 1 -> q_lo = 1; p95 target floor(.95*10)+1 = 10
+    // -> q_hi = 10; clipped sum = 1+..+10 + 10 = 65; mean = 65/11
+    val df = ((1L to 10L) :+ 1000L).map(v => ("s", v)).toDF("g", "v")
+    val out = graft.ext.Quantiles.winsorizedStats(df, Seq("g"), "v").head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((11L, 1L, 10L)))
+    assert(out.getDouble(4) == BigDecimal(65.0 / 11.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("countMinCells as a streaming aggregation equals the batch build") {
     import org.apache.spark.sql.streaming.Trigger
     val base = s"/tmp/graft_test/scm_spec_${java.util.UUID.randomUUID().toString.take(8)}"
