@@ -67,6 +67,13 @@ object Bench {
     // the headline total; broken queries surface as an explicit count
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
+    // The COMPLETE per-query map as a first-class committed artifact
+    // (r8 verdict #1): the stdout line above is captured through a
+    // bounded tail that has repeatedly truncated the middle of the map,
+    // leaving regression claims only partially auditable. This file is
+    // the authoritative record — full min-of-passes map, every per-pass
+    // map, and the calibration probes — written where `git add` finds it.
+    writeDetail(results, passes, calibs, sfDir)
     val noise =
       s""""pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},"calib":${calibs.map(f3).mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$noise,"queries":$qs,"sf":"$sfDir"}""")
@@ -76,5 +83,46 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$noise,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Write `BENCH_DETAIL_r{NN}.json` to the repo root. Round number:
+    * `SPARK_GRAFT_ROUND` if set, else 1 + the highest `BENCH_r{NN}.json`
+    * already on disk (the driver commits round N's headline AFTER the
+    * round, so during round N the newest committed file is N−1's).
+    */
+  private def writeDetail(
+      results: Map[String, Double],
+      passes: Seq[Map[String, Double]],
+      calibs: Seq[Double],
+      sfDir: String): Unit = {
+    try {
+      val root = new java.io.File(".").getCanonicalFile
+      val prior = Option(root.listFiles()).getOrElse(Array.empty)
+        .flatMap { f =>
+          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+          m.map(_.group(1).toInt)
+        }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .getOrElse(if (prior.isEmpty) 1 else prior.max + 1)
+      def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      def qmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":" + (if (v.isNaN) "-1.0" else f3(v)) }
+        .mkString("{", ",", "}")
+      val passJson = passes.map(qmap).mkString("[", ",", "]")
+      val json =
+        s"""{"round":$round,"sf":"$sfDir","passes":3,
+           |"calib":${calibs.map(f3).mkString("[", ",", "]")},
+           |"min":${qmap(results)},
+           |"per_pass":$passJson}""".stripMargin
+      val out = new java.io.File(root, f"BENCH_DETAIL_r$round%02d.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(json) finally w.close()
+      println(s"bench detail -> ${out.getPath}")
+    } catch {
+      case e: Throwable =>
+        // the artifact is best-effort: a read-only cwd must not fail the bench
+        println(s"bench detail write failed: ${e.getMessage}")
+    }
   }
 }

@@ -317,7 +317,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val root = "/tmp/graft_scalebench"
     val (d1, dN) = (s"$root/x1", s"$root/x$reps")
-    // SPARK_GRAFT_FAMILIES=r8_scale,srp_auto restricts the run (and its
+    // SPARK_GRAFT_FAMILIES=r8_scale,srp_auto_scale restricts the run (and its
     // warm-up) to the named reports — the full sweep is hours on a loaded
     // box, and a round usually only needs curves for its new family
     val famSel = sys.env.get("SPARK_GRAFT_FAMILIES")

@@ -32,8 +32,10 @@ object Graph {
 
   private val Unit9 = 1000000000L
 
-  /** PageRank over an undirected edge list `(srcCol, dstCol)` (each
-    * unordered pair listed once). Returns `(idCol, deg, rank9)` for
+  /** PageRank over an undirected edge list `(srcCol, dstCol)`.
+    * Reversed duplicates and repeated pairs are canonicalized away
+    * internally (least/greatest + distinct), so any listing of the same
+    * unordered pair set ranks identically. Returns `(idCol, deg, rank9)` for
     * every node with ≥1 edge, `rank9` in 1e-9 fixed-point units after
     * `iters` damped iterations from the uniform start.
     */
@@ -44,9 +46,18 @@ object Graph {
       idCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
-    val und = edges
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // canonicalize internally: a caller passing both (a,b) and (b,a), or
+    // duplicate pairs, must not silently double degrees — least/greatest
+    // + distinct collapses reversed and repeated listings to one edge
+    // (a no-op on already-canonical LSH pair lists, which list each
+    // unordered pair exactly once with id_a < id_b)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val und = canon
+      .select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
     // O(V) degree table — doubles as the node set; reused every round,
     // so materialize once (eager checkpoint, not persist — PLAN.md)
     val deg = Dedup.materialize(
@@ -125,8 +136,11 @@ object Graph {
     * the graph has no wedge).
     */
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // least/greatest BEFORE distinct: a plain distinct() would keep both
+    // (a,b) and (b,a) as separate rows and inflate degrees and triangles
     val e = Dedup.materialize(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v")).distinct())
+      pairs.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v")).distinct())
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): lo -> hi

@@ -42,24 +42,39 @@ object Privacy {
 
   /** ε-differentially-private release counts (Laplace mechanism,
     * sensitivity 1) with a SEEDED engine-portable noise draw: the
-    * uniform u = (hex48(md5("dp_" ∥ group)) + 0.5)/2⁴⁸ ∈ (0,1) feeds the
-    * Laplace inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|). The deterministic
-    * md5 draw is the gate's stand-in for a sealed production RNG (a real
-    * release derives u from a secret seed the same way); the Spark shape
-    * — noise as a narrow codegen'd map over the ALREADY-aggregated
-    * groups — is the production path unchanged. `n_exact` rides along as
-    * the gate's audit column; a real release publishes only `n_noisy`.
+    * uniform u = (hex48(md5(seed ∥ "|" ∥ group)) + 0.5)/2⁴⁸ ∈ (0,1)
+    * feeds the Laplace inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|).
+    *
+    * The privacy of the release rests ENTIRELY on `seed` staying secret:
+    * the draw is a deterministic function of (seed, group), so a
+    * published or guessable seed lets an adversary reconstruct the noise
+    * and recover the exact counts — callers must treat `seed` like key
+    * material (the gate fixture uses a checked-in seed precisely because
+    * its output is NOT a privacy release, just a portability oracle).
+    * `n_exact` is the raw count the mechanism exists to hide; it is
+    * emitted only under `includeExact = true`, the explicit audit flag
+    * the gates set — a real release keeps the default and publishes only
+    * `n_noisy`. The Spark shape — noise as a narrow codegen'd map over
+    * the ALREADY-aggregated groups — is the production path unchanged.
     */
-  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double): DataFrame = {
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double,
+      seed: String,
+      includeExact: Boolean = false): DataFrame = {
     require(epsilon > 0, s"dpNoisyCounts: epsilon=$epsilon")
-    val u48 = conv(substring(md5(concat(lit("dp_"), col(groupCol).cast("string"))),
-      1, 12), 16, 10).cast("double")
+    require(seed.nonEmpty, "dpNoisyCounts: a secret seed is required — " +
+      "the noise draw is deterministic in (seed, group)")
+    val u48 = conv(substring(md5(concat(lit(seed), lit("|"),
+      col(groupCol).cast("string"))), 1, 12), 16, 10).cast("double")
     val u = (u48 + lit(0.5d)) / lit(281474976710656.0d)
     val cent = u - lit(0.5d)
     // pinned order: ((−(1/ε)) · sgn) · ln
     val noise = (lit(-1.0d / epsilon) * signum(cent)) *
       log(lit(1.0d) - lit(2.0d) * abs(cent))
-    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    val agg = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
       .withColumn("n_noisy", round(col("n_exact").cast("double") + noise, 6))
+    if (includeExact) agg else agg.drop("n_exact")
   }
 }

@@ -179,8 +179,12 @@ object Quantiles {
     * companion to x64's median/MAD). Clipping bounds come from
     * [[groupQuantiles]]' distribution pass (O(distinct values) work);
     * the clipped sum is ONE more pass over the SAME distribution —
-    * Σ clip(v) = Σ min(max(v, qlo), qhi) · multiplicity, exact LONGs —
-    * so no row-sized recomputation happens anywhere. Output: (groups,
+    * Σ clip(v) = Σ min(max(v, qlo), qhi) · multiplicity. For INTEGRAL
+    * value columns (the x115 gate's case) that sum is exact LONGs and
+    * bit-identical across engines; for a double-typed column the clipped
+    * sum is floating-point and partition-order dependent, so the
+    * cross-engine determinism claim is scoped to integral columns only.
+    * No row-sized recomputation happens anywhere. Output: (groups,
     * n, q_lo, q_hi, winsorized_mean 6 dp); null values excluded like
     * all quantile ops.
     */

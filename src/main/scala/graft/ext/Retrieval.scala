@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * these terms") and contamination triage.
   *
   * 100 TB design:
-  *  - the query table is O(queries × terms) — broadcast; corpus tokens
-  *    join it FIRST, so tf counting shuffles only postings of the query
-  *    vocabulary, never the corpus's;
+  *  - the query table is O(queries × terms); corpus tokens join it
+  *    FIRST, so tf counting shuffles only postings of the query
+  *    vocabulary, never the corpus's. The join is un-hinted: Spark
+  *    broadcasts it whenever the query vocab fits (the common case,
+  *    spec-pinned at fixture scale) and degrades to a shuffle join on
+  *    a past-threshold query log instead of OOMing the driver;
   *  - df/idf are per-term aggregates of that pruned posting set (tiny);
   *    N/avgdl is a 1-row broadcast. Doc lengths are the one O(corpus)
   *    table (BM25's length norm needs every doc's FULL token count) —
@@ -57,15 +60,21 @@ object Retrieval {
     val qt = queries.select(col("query_id"), explode(col("terms")).as("w"))
       .distinct()
     // prune the corpus token stream to the query vocabulary BEFORE any
-    // counting — the broadcast join is the narrow gate everything else
-    // rides behind
+    // counting — this join is the narrow gate everything else rides
+    // behind. It is deliberately UN-hinted (the LangModel.perplexityScore
+    // convention): at any query set whose vocab fits a broadcast, Spark's
+    // size estimate + AQE still pick a broadcast hash join, but a massive
+    // query log degrades to a shuffle join on w instead of OOMing the
+    // driver — an explicit broadcast() hint would be honored regardless
+    // of size. df_ and qt are the same query-scaled class, so they stay
+    // un-hinted too; only the 1-row corpus stats keep their hint.
     val qVocab = qt.select(col("w")).distinct()
-    val matched = toks.join(broadcast(qVocab), Seq("w"))
+    val matched = toks.join(qVocab, Seq("w"))
     val tf = matched.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(df_), Seq("w"))
-      .join(broadcast(qt), Seq("w"))
+      .join(df_, Seq("w"))
+      .join(qt, Seq("w"))
       .join(lens, Seq("id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0d) +

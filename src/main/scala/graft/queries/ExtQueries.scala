@@ -2673,7 +2673,7 @@ object ExtQueries {
          round(CAST(lc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
          dup_docs, med_chars
        FROM base JOIN lt1 USING (source) JOIN dup USING (source)
-       JOIN med USING (source)"""
+       LEFT JOIN med USING (source)"""
 
   // --- x85: near-dup graph centrality (fixed-point PageRank) -------------
   // Keeper selection upgraded from min-id to most-canonical: PageRank
@@ -3368,14 +3368,19 @@ object ExtQueries {
   // --- x107: differentially-private release counts -----------------------
   // Laplace mechanism (eps = 1) over per-source doc counts with the
   // seeded md5 inverse-CDF draw — noise applies as a narrow map over
-  // the 20 aggregated groups, never over rows.
+  // the 20 aggregated groups, never over rows. The checked-in seed and
+  // includeExact audit flag mark this as a portability ORACLE, not a
+  // privacy release (a real release uses a secret seed and the default
+  // n_noisy-only output — see Privacy.dpNoisyCounts scaladoc).
+  private val DpFixtureSeed = "x107-fixture-seed"
   def x107DpHistogram(spark: SparkSession, dir: String): DataFrame =
-    Privacy.dpNoisyCounts(t(spark, dir, "documents"), "source", epsilon = 1.0)
+    Privacy.dpNoisyCounts(t(spark, dir, "documents"), "source",
+      epsilon = 1.0, seed = DpFixtureSeed, includeExact = true)
 
   val x107Sql: String =
     s"""WITH ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
          FROM documents GROUP BY 1),
-       h AS (SELECT source, n_exact, md5('dp_' || source) AS hx FROM ex),
+       h AS (SELECT source, n_exact, md5('$DpFixtureSeed' || '|' || source) AS hx FROM ex),
        u AS (SELECT source, n_exact,
            (CAST(${duckHex48("hx")} AS DOUBLE) + 0.5) / 281474976710656.0 AS u
          FROM h)

@@ -58,4 +58,18 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("query-vocab join broadcasts un-hinted at fixture scale (degrade path exists)") {
+    // the broadcast() hint was dropped (r8 verdict #3): this pins that
+    // Spark's own size estimate + AQE still pick broadcast hash joins for
+    // a fixture-scale query set, so a past-threshold query log can
+    // degrade to a shuffle join instead of OOMing the driver
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq(("q", Seq("hash", "join"))).toDF("query_id", "terms")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 5)
+    out.collect() // materialize so AQE's final (re-planned) joins are visible
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

@@ -5,7 +5,7 @@ DuckDB over the sf parquet tables, compare against the Verify parquet dump
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 
@@ -103,7 +103,32 @@ def main(sf_dir, out_dir):
             n_pass += 1
     # every gated query has a full oracle — no rows-only checks remain
     print(f"== {n_pass} pass / {n_fail} fail (of {len(oracle)} oracled)")
+    n_fail += untracked_artifacts()
     return 1 if n_fail else 0
+
+
+def untracked_artifacts():
+    """Round artifacts must live in the history they describe (r8 verdict
+    #5, third round running): fail the local gate when BENCH_*/
+    CORRECTNESS_*/LEAKCHECK files sit untracked or modified in the repo
+    this script runs from."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout
+    except Exception as e:
+        print(f"WARN artifact check skipped: {e}")
+        return 0
+    bad = [l for l in out.splitlines()
+           if any(p in l for p in ("BENCH_", "CORRECTNESS_", "LEAKCHECK"))]
+    if bad:
+        print("FAIL round artifacts not committed:")
+        for l in bad:
+            print(f"  {l}")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
