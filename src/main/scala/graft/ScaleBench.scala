@@ -219,6 +219,32 @@ object ScaleBench {
     // x113's decile machinery + a 10-row cumsum — expect ~linear
     "x116_quality_budget")
 
+  /** Round-9 operators: store lifecycle (8 day-appends of bounded d×w
+    * subtotals + compact + vacuum — per-day pass linear, compaction one
+    * O(live rows) rewrite, read cost flat in day count after compaction)
+    * and the plan-driven salted join (one O(distinct keys) plan pass +
+    * the (key, salt) join — expect ~linear; the hot key's reducer is
+    * salt-split by construction).
+    */
+  val R9Family: Seq[String] = Seq(
+    "x117_store_lifecycle", "x118_salted_hot_join",
+    // one window-fingerprint groupBy + a per-doc lag sweep — expect
+    // ~linear in tokens (dup-window volume rides the corpus's repeat
+    // structure, which staging replicates per replica)
+    "x119_sliding_dup",
+    // encode is a narrow broadcast-join pass (m rows/vector); ADC is
+    // O(N·m·|Q|) with FIXED |Q|=8 — expect ~linear
+    "x120_pq_ann",
+    // distinct (source, shingle-md5) pass + per-fingerprint pair join
+    // bounded by sources² — expect ~linear in distinct shingles
+    "x121_contamination",
+    // bounded 4× explode + one map-side-combined shuffle — expect
+    // ~linear
+    "x122_hopping_window",
+    // 4 day-appends of O(buckets) subtotal rows + an O(buckets) read —
+    // commit-I/O floor like x114, expect near-flat growth
+    "x123_hist_store")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -332,7 +358,8 @@ object ScaleBench {
     val selected = Seq(
       "dedup_scale" -> Family, "core_scale" -> CoreFamily,
       "stream_scale" -> StreamFamily, "r6_scale" -> R6Family,
-      "r7_scale" -> R7Family, "r8_scale" -> R8Family)
+      "r7_scale" -> R7Family, "r8_scale" -> R8Family,
+      "r9_scale" -> R9Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

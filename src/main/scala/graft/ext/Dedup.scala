@@ -842,4 +842,129 @@ object Dedup {
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
       .select(col("__id").as(idCol), col("clean_text"), col("n_tiles"), col("n_kept"))
   }
+
+  /** Sliding-window duplicate-SPAN profile — the detection side of Lee
+    * et al. 2022's exact substring dedup with TRUE sliding windows
+    * (every k-token window, not [[passageDedup]]'s disjoint tiles): a
+    * window is duplicated when its exact token sequence occurs more
+    * than once ANYWHERE in the corpus (cross-doc or self-repeat), and a
+    * doc's duplicated SPAN is the union of its duplicated windows'
+    * [pos, pos+k−1] token intervals. dup_frac is the fraction of the
+    * doc's tokens inside that union — the per-doc signal a curation run
+    * thresholds on before paying for span surgery.
+    *
+    * 100 TB design: windows are rows (explode + k−1 leads over one
+    * id-keyed window — whole-stage codegen, no array HOFs); the
+    * duplicate test is ONE map-side-combined groupBy on the window
+    * fingerprint (md5 — 16 bytes shuffled per window, not the k-token
+    * text); the interval union is a per-doc sweep in ONE window pass
+    * (contribution = min(k, gap to previous duplicated start) — exact
+    * integers, no interval materialization). Work is O(corpus tokens);
+    * no stage is doc²-shaped. Docs with fewer than k tokens have no
+    * window and emit no row (the pair operators' convention).
+    *
+    * Output: (idCol, n_tokens, n_windows, dup_windows, covered_tokens,
+    * dup_frac 6 dp).
+    */
+  def slidingDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"slidingDupStats: window size must be >= 1, got $k")
+    val ws = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNext = (1 until k).foldLeft(ws)((d, i) =>
+      d.withColumn(s"__w$i", lead(col("w"), i).over(byId)))
+    val parts = col("w") +: (1 until k).map(i => col(s"__w$i"))
+    val toks = ws.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    val wins = materialize((if (k > 1)
+        withNext.filter(col(s"__w${k - 1}").isNotNull) else withNext)
+      .withColumn("tpos", row_number().over(byId) - 1)
+      .select(col("id"), col("tpos"), md5(concat_ws(" ", parts: _*)).as("fp")))
+    val dupFp = wins.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("fp"))
+    val dupWins = wins.join(dupFp, "fp")
+    // interval-union sweep: duplicated window starts ascend per doc; each
+    // start covers k tokens minus the overlap with the previous start
+    val sweep = Window.partitionBy(col("id")).orderBy(col("tpos"))
+    val covered = dupWins
+      .withColumn("__gap", col("tpos") - lag(col("tpos"), 1).over(sweep))
+      .withColumn("__add",
+        when(col("__gap").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("__gap").cast("long"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_windows"), sum(col("__add")).as("covered_tokens"))
+    wins.groupBy(col("id")).agg(count(lit(1)).as("n_windows"))
+      .join(toks, "id")
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("dup_windows", "covered_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_windows"),
+        col("dup_windows"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Cross-dataset EXACT n-gram contamination matrix: for every pair of
+    * `groupCol` values (datasets, crawls, train/test splits), the count
+    * of distinct n-gram shingles they SHARE and the Jaccard similarity
+    * of their shingle vocabularies — the all-pairs generalization of the
+    * x31/x55 one-benchmark decontamination check (GPT-3-style exact
+    * overlap auditing, Brown et al. 2020 App. C), on exact shingles
+    * where x60's matrix rides near-dup PAIRS.
+    *
+    * 100 TB design: ONE distinct pass to the (group, shingle-md5) set
+    * (16-byte fingerprints shuffle, not n-gram text), then a self-join
+    * keyed on the fingerprint — per shingle the join emits
+    * C(groups-with-it, 2) rows, so total volume is Σ_s g_s² ≤ distinct
+    * shingles × (#groups)², never doc²; per-group vocabulary sizes ride
+    * a second aggregation of the SAME set. `maxGroupsPerShingle` drops
+    * boilerplate shingles present in more than that many groups (they
+    * carry no contamination signal and dominate the pair volume when
+    * #groups is large); the default keeps everything.
+    *
+    * Output: (group_a, group_b, shared, n_a, n_b, jaccard 6 dp) for
+    * pairs with shared ≥ 1, group_a < group_b.
+    */
+  def groupShingleOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int,
+      maxGroupsPerShingle: Int = Int.MaxValue): DataFrame = {
+    // shingle on a composite (doc, group) id — the lead window must stay
+    // INSIDE each document (an id of just the group would stitch
+    // shingles across concatenated docs), the group rides along for the
+    // projection after
+    val tagged = df.select(
+      struct(col(idCol).as("i"), col(groupCol).as("g")).as("__gid"),
+      col(textCol))
+    val gsh = materialize(
+      shingleRows(tagged, "__gid", textCol, n)
+        .select(col("id.g").as("g"), md5(col("s")).as("fp"))
+        .distinct())
+    val sizes = gsh.groupBy(col("g")).agg(count(lit(1)).as("nsh"))
+    val byFp =
+      if (maxGroupsPerShingle == Int.MaxValue) gsh
+      else {
+        val keep = gsh.groupBy(col("fp")).agg(count(lit(1)).as("__gc"))
+          .filter(col("__gc") <= maxGroupsPerShingle).select(col("fp"))
+        gsh.join(keep, "fp")
+      }
+    val shared = byFp.select(col("fp"), col("g").as("ga"))
+      .join(byFp.select(col("fp"), col("g").as("gb")), Seq("fp"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("g").as("ga"), col("nsh").as("n_a"))), Seq("ga"))
+      .join(broadcast(sizes.select(col("g").as("gb"), col("nsh").as("n_b"))), Seq("gb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

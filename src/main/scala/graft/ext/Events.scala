@@ -40,6 +40,39 @@ object Events {
   def tumbling(df: DataFrame, ts: Column, every: String, aggs: Seq[Column], keys: Seq[Column] = Nil): DataFrame =
     df.groupBy((window(ts, every) +: keys): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Hopping (sliding) event-time windows in exact integer µs: windows
+    * of length `spanUs` starting at every multiple of `slideUs` (spanUs
+    * must be a multiple of slideUs). Each event belongs to exactly
+    * spanUs/slideUs windows, expanded relationally (a bounded explode —
+    * the same expansion Spark's own `window(ts, span, slide)` performs)
+    * and aggregated with ONE map-side-combined shuffle on (window_start,
+    * keys). Window starts are floor-aligned (pmod adjustment, exact on
+    * negative epochs like [[epochMicros]]); output carries window_start
+    * and window_end µs.
+    */
+  def hopping(
+      df: DataFrame,
+      tsUsCol: String,
+      slideUs: Long,
+      spanUs: Long,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    require(slideUs >= 1 && spanUs >= slideUs && spanUs % slideUs == 0,
+      s"hopping: spanUs=$spanUs must be a positive multiple of slideUs=$slideUs")
+    val m = spanUs / slideUs
+    // exact integer floor-alignment (div truncates; the pmod pre-subtract
+    // makes it floor on negative epochs too — the epochMicros convention)
+    val bucket =
+      expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, ${slideUs}L)) div ${slideUs}L")
+    val expanded = df
+      .withColumn("__i", explode(sequence(lit(0L), lit(m - 1))))
+      .withColumn("window_start", (bucket - col("__i")) * lit(slideUs))
+    expanded
+      .groupBy((col("window_start") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_end", col("window_start") + lit(spanUs))
+  }
+
   /** Gap-based sessionization, batch form (gaps-and-islands): a new session
     * starts when the gap from the previous event of the same user exceeds
     * `gap` (measured on `orderCol`, a NUMERIC epoch column — nanos, micros,

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid 2011) over the embedding
+  * column: vectors split into `m` contiguous subspaces; each subspace
+  * quantized to one of `k` codewords; a vector's code is its m codeword
+  * ids (m bytes at k ≤ 256 — a 64-dim float vector compresses 32×).
+  * Asymmetric distance computation (ADC) scores a query against codes
+  * through a per-query lookup table of exact query-to-codeword
+  * distances — the standard memory-bound ANN scale path.
+  *
+  * Codebooks here are STRIDE-SAMPLED corpus subvectors (vec_id = c ·
+  * stride), not trained: production trains per-subspace k-means — x67's
+  * fixed-point Lloyd machinery applied per subspace — while sampling
+  * keeps the gate's DuckDB oracle tractable and exercises the identical
+  * encode/ADC mechanics (the codebook's provenance is orthogonal to the
+  * quantizer's dataflow).
+  *
+  * 100 TB design:
+  *  - the codebook is m×k rows — broadcast; encoding is one narrow pass
+  *    over the corpus (explode to m subvector rows, broadcast-join the
+  *    codebook, argmin per (vector, subspace) with map-side combine);
+  *    the subspace rows come from exploding a STATICALLY-built array of
+  *    (sub, slice) structs — slice() with literal bounds and the
+  *    [[Similarity.dot]] expression are codegen'd; no array HOFs
+  *    (transform/aggregate are CodegenFallback) anywhere;
+  *  - ADC builds the O(|Q|·m·k) LUT once (broadcast), joins it to the
+  *    code table on (subspace, code), and sums m integer partials per
+  *    (query, vector) — brute-force over CODES, the PQ baseline; at
+  *    corpus scale compose with [[Similarity.ivfAssign]] so a query
+  *    scores only its probed partitions' codes;
+  *  - determinism is the x58 fixed-point convention: each subspace
+  *    distance is rounded to a 1e-9-grid LONG and summed order-free;
+  *    ranking orders by (integer distance ASC, id ASC) — a total order.
+  *    Distances expand as Σa² + Σb² − 2Σab with each Σ a sequential
+  *    array-order sum, the exact expression the oracle replicates.
+  */
+object Pq {
+
+  private def d2(a: Column, b: Column): Column =
+    Similarity.dot(a, a) + Similarity.dot(b, b) - lit(2.0d) * Similarity.dot(a, b)
+
+  /** The sampled codebook: (sub, code, cv) — subspace `sub`'s codeword
+    * `code` is the sub-slice of the corpus vector with id = code ·
+    * stride. `dim` must be divisible by `m`.
+    */
+  def codebook(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
+    require(k >= 1 && stride >= 1, s"Pq: k=$k stride=$stride")
+    val d = dim / m
+    data
+      .filter(col(idCol) % stride === 0 && col(idCol) < k * stride && col(idCol) >= 0)
+      .select(expr(s"`$idCol` div ${stride}L").as("code"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * d + 1, d).as("cv"))): _*)).as("__e"))
+      .select(col("__e.sub").as("sub"), col("code"), col("__e.cv").as("cv"))
+  }
+
+  /** Encode the corpus: (idCol, sub, code) — per (vector, subspace), the
+    * codeword minimizing the fixed-point squared L2 distance (ties break
+    * on the lower code id). One broadcast join + one map-side-combined
+    * argmin; output is m rows per vector.
+    */
+  def encode(
+      data: DataFrame,
+      cb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    val d = dim / m
+    val subs = data.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * d + 1, d).as("sv"))): _*)).as("__e"))
+      .select(col("id"), col("__e.sub").as("sub"), col("__e.sv").as("sv"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"),
+        struct(round(d2(col("sv"), col("cv")) * lit(1e9d), 0).cast("long").as("d9"),
+          col("code")).as("__s"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("__s")).as("__m"))
+      .select(col("id").as(idCol), col("sub"), col("__m.code").as("code"))
+  }
+
+  /** ADC top-k: per query (same id/vec shape as the corpus), the k codes
+    * with the smallest summed lookup-table distance. Returns (query_id,
+    * rank, idCol, est_d9) — est_d9 the exact-integer sum of the m
+    * rounded subspace distances, rank 1..k by (est_d9 ASC, id ASC).
+    */
+  def adcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      cb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val d = dim / m
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * d + 1, d).as("qv"))): _*)).as("__e"))
+      .select(col("query_id"), col("__e.sub").as("sub"), col("__e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(d2(col("qv"), col("cv")) * lit(1e9d), 0).cast("long").as("pd9"))
+    val scored = codes.withColumnRenamed(idCol, "__id")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("pd9")).as("est_d9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_d9").asc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__id").as(idCol), col("est_d9"))
+  }
+}

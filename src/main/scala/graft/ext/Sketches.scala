@@ -275,4 +275,83 @@ object Sketches {
     ManifestStore.read(spark, table)
       .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** Fixed-width histogram cells (bucket = v div bucketWidth, exact
+    * integer on non-negative values) — the MERGEABLE quantile synopsis:
+    * cells add across any slicing of the data, so a maintained store of
+    * day-keyed subtotals reads back as exactly the batch histogram.
+    * Bucket count is O(domain / width); for unbounded or heavy-tailed
+    * domains production uses geometric buckets (bucket = digit count or
+    * floor(log2)) — same dataflow, different bucket expression. Null
+    * values are excluded (the quantile ops' convention).
+    */
+  def histCells(df: DataFrame, valueCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"histCells: bucketWidth=$bucketWidth")
+    df.filter(col(valueCol).isNotNull)
+      .select(expr(s"`$valueCol` div ${bucketWidth}L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Day-over-day maintained histogram store — [[countMinAppendDay]]'s
+    * replay-idempotent day-keyed-subtotal pattern applied to the
+    * histogram synopsis. Daily cost: one O(day) pass + O(buckets)
+    * subtotal rows of commit I/O; history never recomputes.
+    */
+  def histAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      valueCol: String,
+      bucketWidth: Long,
+      day: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    val cells = histCells(df, valueCol, bucketWidth).withColumn("day", lit(day))
+    try ManifestStore.merge(spark, table, cells, Seq("bucket", "day"), "day")
+    catch {
+      case _: java.io.FileNotFoundException =>
+        ManifestStore.write(spark, cells, table, "day")
+    }
+  }
+
+  /** The full-history bucket table from a [[histAppendDay]] store. */
+  def histCellsFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import graft.sources.ManifestStore
+    ManifestStore.read(spark, table)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Nearest-rank quantile ESTIMATES from histogram cells: for each q,
+    * the bucket containing rank floor(q·(n−1))+1 (the exact-quantile
+    * convention of [[graft.ext.Quantiles.groupQuantiles]] applied to the
+    * synopsis) with its [lo, hi] value bounds — the true quantile is
+    * inside the bucket by construction, so the bound width IS the
+    * approximation error (= bucketWidth − 1). All work runs on the
+    * O(buckets) cell table; the cumsum window is a single partition of
+    * O(buckets) rows, which is the point of a synopsis.
+    * Output: (q, bucket, lo, hi, cnt).
+    */
+  def histQuantiles(
+      cells: DataFrame,
+      bucketWidth: Long,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("__cum", sum(col("cnt")).over(byBucket))
+      .withColumn("__n", sum(col("cnt")).over(
+        Window.orderBy(col("bucket")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), col("cnt"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("__target", floor(col("q") * (col("__n") - 1)) + 1L)
+      .filter(col("__target") > col("__cum") - col("cnt") &&
+        col("__target") <= col("__cum"))
+      .select(col("q"), col("bucket"),
+        (col("bucket") * bucketWidth).as("lo"),
+        (col("bucket") * bucketWidth + (bucketWidth - 1)).as("hi"),
+        col("cnt"))
+  }
 }

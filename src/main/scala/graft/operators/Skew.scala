@@ -51,6 +51,42 @@ object Skew {
       .drop(replicatedDim(key)).drop("__salt")
   }
 
+  /** Plan-driven salted join — [[saltPlan]] composed with the join it
+    * plans for. Unlike [[saltedJoin]]'s uniform replication, only the
+    * HOT keys replicate, each by its own ceil(cnt/target) factor:
+    *
+    *  - the plan (O(hot keys), broadcast) left-joins both sides;
+    *  - a fact row of a hot key draws a random salt in [0, factor) —
+    *    routing only, so the join result is deterministic;
+    *  - a dim row of a hot key explodes into `factor` copies, one per
+    *    salt; well-behaved keys keep factor 1 (single copy, salt 0).
+    *
+    * The join runs on (key, salt), so a key that would have landed on
+    * ONE reducer spreads over `factor` reducers, while total dim
+    * replication is Σ hot factors — not buckets × |dim|. This is the
+    * shape for a skewed fact against a dimension too big to broadcast
+    * and too skew-imbalanced for AQE's sort-merge splitting.
+    */
+  def plannedSaltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      plan: DataFrame): DataFrame = {
+    val p = broadcast(plan.select(col(key).as("__pk"),
+      col("salt_buckets").cast("int").as("__nb")))
+    val f = fact.join(p, fact(key) === col("__pk"), "left")
+      .withColumn("__salt",
+        pmod(hash(monotonically_increasing_id(), spark_partition_id()),
+          coalesce(col("__nb"), lit(1))))
+      .drop("__pk", "__nb")
+    val d = dim.join(p, dim(key) === col("__pk"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__nb"), lit(1)) - 1)))
+      .drop("__pk", "__nb")
+    f.join(d, f(key) === d(key) && f("__salt") === d("__salt"))
+      .drop(d(key)).drop("__salt")
+  }
+
   /** Salting PRE-FLIGHT: the plan [[saltedAgg]]/[[saltedJoin]] need as
     * input, computed from the key distribution before the expensive
     * shuffle runs. Every key whose row count exceeds `targetRows` (the

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Privacy, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -3661,6 +3661,252 @@ object ExtQueries {
          CAST(sum(n_toks) OVER (ORDER BY decile
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
        FROM g"""
+
+  // --- x117: maintained-store lifecycle (append^N -> compact -> vacuum) --
+  // The r8 verdict's missing lifecycle piece: 8 daily CM-cell appends
+  // accumulate 8 live commits; ManifestStore.compact collapses them to
+  // ONE (the return value — liveCommits before — and the second
+  // compact's 0 are require'd in-gate, proving post-compaction reads
+  // touch O(partitions) commits, not O(days)); vacuum(0) reclaims the
+  // superseded commit dirs; and the store's summed cells are
+  // bit-identical before and after (require'd on the collected cell
+  // tables — bounded at d×w = 4096 rows by sketch geometry, never
+  // row-scaled). The probe then reads the compacted store, which must
+  // still equal the one-shot batch sketch — same oracle as x111/x114.
+  def x117StoreLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val keys = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("k"))
+    val table = FreshTables.next(spark, dir, "cmlife")
+    for (d <- 0 to 7)
+      Sketches.countMinAppendDay(spark,
+        keys.filter(col("event_id") % 8 === d).select(col("k")),
+        "k", s"day$d", table, depth = 4, width = 1024)
+    val pre = Sketches.countMinCellsFromStore(spark, table)
+      .orderBy(col("r"), col("cell")).collect().map(_.toSeq).toSeq
+    val collapsed = ManifestStore.compact(spark, table)
+    require(collapsed == 8,
+      s"x117: expected 8 live commits before compaction, saw $collapsed")
+    // no concurrent writer can exist on a FreshTables scratch dir, so the
+    // retention fence can be 0 here (see vacuum scaladoc)
+    val removed = ManifestStore.vacuum(spark, table, minAgeMillis = 0L)
+    require(removed >= 8,
+      s"x117: vacuum reclaimed $removed dirs, expected the 8 superseded commits")
+    val post = Sketches.countMinCellsFromStore(spark, table)
+      .orderBy(col("r"), col("cell")).collect().map(_.toSeq).toSeq
+    require(pre == post, "x117: compaction changed the store's cell contents")
+    require(ManifestStore.compact(spark, table) == 0,
+      "x117: second compact must be a no-op on a single-commit store")
+    val cells = Sketches.countMinCellsFromStore(spark, table)
+    val exact = Dedup.materialize(
+      keys.groupBy(col("k")).agg(count(lit(1)).as("cnt")))
+    val top = Sampling.scoredTopK(exact, "k", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(cells, top, "k", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  // day-keyed subtotals sum to the batch sketch no matter how history is
+  // sliced, so the lifecycle store's oracle is x111's batch oracle
+  val x117Sql: String = x111Sql
+
+  // --- x118: plan-driven salted join on a hot key -------------------------
+  // x106's salt plan composed with the join it exists for: half the
+  // event stream collapses onto ONE key (user_id 0), making the plain
+  // join's hash partitioning put 50% of the fact table on a single
+  // reducer. plannedSaltedJoin spreads exactly the plan's hot keys
+  // over ceil(cnt/target) salt buckets (routing only — the joined row
+  // SET is deterministic), and the gate aggregates the join output so
+  // the oracle is the plain-join SQL.
+  def x118SaltedHotJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "events")
+      .select(when(col("user_id") % 2 === 0, lit(0L))
+        .otherwise(col("user_id")).as("k"))
+    val dim = Dedup.materialize(
+      fact.distinct().withColumn("seg", expr("k % 7")))
+    val plan = graft.operators.Skew.saltPlan(fact, "k", targetRows = 1000L)
+    graft.operators.Skew.plannedSaltedJoin(fact, dim, "k", plan)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("k")).as("n_keys"))
+  }
+
+  val x118Sql: String =
+    """WITH f AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k
+         FROM events),
+       d AS (SELECT DISTINCT k, k % 7 AS seg FROM f)
+       SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+       FROM f JOIN d USING (k) GROUP BY 1"""
+
+  // --- x119: sliding-window duplicate-span profile ------------------------
+  // Lee et al. exact-substring DETECTION with true sliding windows
+  // (every 8-token window, vs x49's disjoint tiles): per doc, how many
+  // of its tokens sit inside a window whose exact sequence repeats
+  // anywhere in the corpus — the thresholding signal before span
+  // surgery. Interval union via a lag sweep, exact integers end to end.
+  def x119SlidingDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.slidingDupStats(t(spark, dir, "documents"), "doc_id", "text", k = 8)
+
+  val x119Sql: String =
+    """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM t),
+       w AS (SELECT doc_id, i - 1 AS tpos,
+           md5(array_to_string(ws[i:i+7], ' ')) AS fp
+         FROM tk, unnest(range(1, n_tokens - 6)) AS u(i)),
+       dup AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+       sw AS (SELECT doc_id, tpos,
+           tpos - lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS gap
+         FROM w JOIN dup USING (fp)),
+       cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+           CAST(sum(CASE WHEN gap IS NULL THEN 8 ELSE least(8, gap) END) AS BIGINT)
+             AS covered_tokens
+         FROM sw GROUP BY 1),
+       nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY 1)
+       SELECT tk.doc_id, tk.n_tokens, nw.n_windows,
+         CAST(coalesce(cov.dup_windows, 0) AS BIGINT) AS dup_windows,
+         CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         round(CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE)
+           / CAST(tk.n_tokens AS DOUBLE), 6) AS dup_frac
+       FROM tk JOIN nw USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+
+  // --- x120: product-quantization ANN (encode + ADC top-k) ----------------
+  // PQ over the embeddings (4 subspaces x 16 dims, 16 sampled codewords
+  // per subspace): encode the corpus to 4 codes/vector, then ADC top-10
+  // for the x07 query slice through the integer LUT. The oracle
+  // replicates codebook, argmin encode, LUT, and fused ranking — all on
+  // the same fixed-point grid, so agreement is exact.
+  def x120PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val cb = Pq.codebook(data, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, stride = 3)
+    val codes = Pq.encode(data, cb, "vec_id", "embedding", dim = 64, m = 4)
+    Pq.adcTopK(data.filter(col("vec_id") < 8), codes, cb,
+      "vec_id", "embedding", dim = 64, m = 4, k = 10)
+  }
+
+  val x120Sql: String = {
+    def d2(a: String, b: String): String =
+      s"""CAST(round((list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i]))
+         + list_sum(list_transform(range(1, 17), i -> $b[i] * $b[i]))
+         - 2 * list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))) * 1e9)
+         AS BIGINT)"""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       subs AS (SELECT unnest(range(0, 4)) AS sub),
+       cb AS (SELECT s.sub, c.vec_id // 3 AS code,
+           c.ve[s.sub * 16 + 1 : s.sub * 16 + 16] AS cv
+         FROM v c CROSS JOIN subs s
+         WHERE c.vec_id % 3 = 0 AND c.vec_id < 48 AND c.vec_id >= 0),
+       vsub AS (SELECT vec_id, s.sub, ve[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
+         FROM v CROSS JOIN subs s),
+       dist AS (SELECT vs.vec_id, vs.sub, cb.code, ${d2("vs.sv", "cb.cv")} AS d9
+         FROM vsub vs JOIN cb ON vs.sub = cb.sub),
+       codes AS (SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d9, code) AS rn
+           FROM dist) WHERE rn = 1),
+       lut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+           ${d2("q.sv", "cb.cv")} AS pd9
+         FROM vsub q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 8),
+       scored AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
+         FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, est_d9,
+           row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
+  }
+
+  // --- x121: cross-dataset exact n-gram contamination matrix --------------
+  // GPT-3-style exact-overlap audit generalized to all source pairs:
+  // distinct 5-gram vocabulary Jaccard per (source_a, source_b) — the
+  // complement of x60's near-dup-pair matrix and x31/x55's
+  // one-benchmark checks. Pair volume is sum over shingles of
+  // (sources holding it)^2 — bounded by the source count, never doc^2.
+  def x121ContaminationMatrix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.groupShingleOverlap(t(spark, dir, "documents"),
+      "doc_id", "text", "source", n = 5)
+
+  val x121Sql: String =
+    """WITH t AS (SELECT source, doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+       sh AS (SELECT DISTINCT source, md5(array_to_string(ws[i:i+4], ' ')) AS fp
+         FROM t, unnest(range(1, len(ws) - 3)) AS u(i)),
+       sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+       shared AS (SELECT a.source AS group_a, b.source AS group_b,
+           CAST(count(*) AS BIGINT) AS shared
+         FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT s.group_a, s.group_b, s.shared,
+         na.nsh AS n_a, nb.nsh AS n_b,
+         round(CAST(s.shared AS DOUBLE)
+           / CAST(na.nsh + nb.nsh - s.shared AS DOUBLE), 6) AS jaccard
+       FROM shared s JOIN sizes na ON na.source = s.group_a
+       JOIN sizes nb ON nb.source = s.group_b"""
+
+  // --- x122: hopping event-time windows ------------------------------------
+  // The sliding complement of x09's tumbling buckets: 2 h windows
+  // hopping every 30 min, each event expanded into exactly 4 windows
+  // (bounded explode), one map-side-combined shuffle on (window_start,
+  // event_type). Exact integer microsecond math on both engines.
+  def x122HoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.hopping(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "ts_us", slideUs = 30L * 60 * 1000000L, spanUs = 2L * 3600 * 1000000L,
+      keys = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value")))
+  }
+
+  val x122Sql: String =
+    """WITH x AS (SELECT epoch_us(ts) AS e, event_type, value FROM events),
+       h AS (SELECT ((e - (e % 1800000000 + 1800000000) % 1800000000)
+             // 1800000000 - i) * 1800000000 AS window_start,
+           event_type, value
+         FROM x, unnest(range(0, 4)) AS u(i))
+       SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(28, 2))) AS DOUBLE) AS total_value,
+         window_start + 7200000000 AS window_end
+       FROM h GROUP BY 1, 2"""
+
+  // --- x123: maintained histogram store + quantile bounds ------------------
+  // The x114 day-keyed-subtotal pattern applied to a QUANTILE synopsis:
+  // three days of doc-length histogram cells (width 32) land as
+  // replay-idempotent day subtotals (day 1 appended twice in-gate); the
+  // store reads back as EXACTLY the batch histogram (cells add), and
+  // the p50/p90/p99 bucket bounds come off the O(buckets) cell table.
+  def x123HistStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val table = FreshTables.next(spark, dir, "histstore")
+    for (d <- 0 to 2)
+      Sketches.histAppendDay(spark,
+        docs.filter(col("doc_id") % 3 === d).select(col("n_chars")),
+        "n_chars", bucketWidth = 32L, day = s"day$d", table = table)
+    // replay day 1: idempotence is part of the gated contract
+    Sketches.histAppendDay(spark,
+      docs.filter(col("doc_id") % 3 === 1).select(col("n_chars")),
+      "n_chars", bucketWidth = 32L, day = "day1", table = table)
+    Sketches.histQuantiles(
+      Sketches.histCellsFromStore(spark, table), bucketWidth = 32L,
+      qs = Seq(0.5, 0.9, 0.99))
+  }
+
+  val x123Sql: String =
+    """WITH c AS (SELECT n_chars // 32 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+       w AS (SELECT bucket, cnt,
+           sum(cnt) OVER (ORDER BY bucket) AS cum,
+           sum(cnt) OVER () AS n
+         FROM c),
+       qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+           CAST(0.99 AS DOUBLE)]) AS q)
+       SELECT q, bucket, CAST(bucket * 32 AS BIGINT) AS lo,
+         CAST(bucket * 32 + 31 AS BIGINT) AS hi, cnt
+       FROM w, qs
+       WHERE CAST(floor(q * (n - 1)) + 1 AS BIGINT) > cum - cnt
+         AND CAST(floor(q * (n - 1)) + 1 AS BIGINT) <= cum"""
 
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain

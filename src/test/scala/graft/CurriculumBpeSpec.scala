@@ -192,6 +192,32 @@ class CurriculumBpeSpec extends SparkSpec {
       Seq(("hot", 25L, 3L))) // warm == target: not hot; ceil(25/10) = 3
   }
 
+  test("plannedSaltedJoin: equals the plain join, spreads only the hot key") {
+    // 900 rows of one hot key + a long tail; target 100 rows/reducer
+    val fact = ((1 to 900).map(_ => 0L) ++ (1L to 50L)).toDF("k")
+      .repartition(8)
+    val dim = (0L to 50L).map(k => (k, s"seg${k % 3}")).toDF("k", "seg")
+    val plan = graft.operators.Skew.saltPlan(fact, "k", targetRows = 100L)
+    assert(plan.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((0L, 9L))) // only the hot key, ceil(900/100) = 9 buckets
+    val out = graft.operators.Skew.plannedSaltedJoin(fact, dim, "k", plan)
+    val plain = fact.join(dim, "k")
+    assert(out.groupBy("k", "seg").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k", "seg").count().orderBy("k").collect().toSeq)
+    // the join runs on (key, salt): the physical plan carries the salt key
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("__salt"))
+    // replication is plan-scoped: the salted dim holds 9 copies of the hot
+    // key and ONE of everything else (uniform saltedJoin would hold 9 each)
+    val p = broadcast(plan.select(col("k").as("__pk"),
+      col("salt_buckets").cast("int").as("__nb")))
+    val dimCopies = dim.join(p, dim("k") === col("__pk"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__nb"), lit(1)) - 1)))
+      .count()
+    assert(dimCopies == 51L - 1L + 9L)
+  }
+
   test("dpNoisyCounts: deterministic, bounded noise, exact rides along") {
     val df = (1 to 50).map(i => s"g${i % 3}").toDF("g")
     val a = graft.ext.Privacy.dpNoisyCounts(df, "g", 1.0, "s1", includeExact = true)
