@@ -243,7 +243,23 @@ object ScaleBench {
     "x122_hopping_window",
     // 4 day-appends of O(buckets) subtotal rows + an O(buckets) read —
     // commit-I/O floor like x114, expect near-flat growth
-    "x123_hist_store")
+    "x123_hist_store",
+    // bucket equi-join + exact re-check; intervals fixed at 50 users'
+    // horizons, points grow with rows — expect ~linear in events
+    "x124_range_join",
+    // session intervals capped at users < 100 on BOTH sides — pair
+    // volume bounded by the user-pair count; the staging replicates
+    // events per replica, so sessions (and overlap counts) grow with
+    // rows but the candidate join stays bucket-pruned
+    "x125_session_overlap",
+    // native streaming hopping agg — state O(active windows × types);
+    // per-batch cost tracks batch size plus the replay floor
+    "x126_stream_hopping",
+    // one (user, group) window rank + O(groups) noise map — ~linear
+    "x127_dp_bounded",
+    // probe is |Q| × centroids with |Q|=8 fixed; ADC scores only probed
+    // buckets' codes — expect ~linear in corpus (assignment pass)
+    "x128_ivf_pq")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

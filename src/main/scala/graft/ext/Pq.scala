@@ -129,4 +129,42 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("__id").as(idCol), col("est_d9"))
   }
+
+  /** ADC top-k over an explicit CANDIDATE set — the IVF + PQ composition
+    * ([[Similarity.probeCentroids]] + [[Similarity.ivfAssign]] produce
+    * `candidates` = (query_id, idCol) pairs from the probed buckets;
+    * this scores ONLY those, so per-query work is the probed buckets'
+    * code rows, not the corpus). Same LUT, grid, and (est_d9 ASC, id
+    * ASC) ranking as [[adcTopK]].
+    */
+  def adcTopKCandidates(
+      queries: DataFrame,
+      candidates: DataFrame,
+      codes: DataFrame,
+      cb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val d = dim / m
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * d + 1, d).as("qv"))): _*)).as("__e"))
+      .select(col("query_id"), col("__e.sub").as("sub"), col("__e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(d2(col("qv"), col("cv")) * lit(1e9d), 0).cast("long").as("pd9"))
+    val scored = candidates.select(col("query_id"), col(idCol).as("__id"))
+      .join(codes.withColumnRenamed(idCol, "__id"), Seq("__id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("pd9")).as("est_d9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_d9").asc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__id").as(idCol), col("est_d9"))
+  }
 }

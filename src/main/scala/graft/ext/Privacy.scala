@@ -57,6 +57,49 @@ object Privacy {
     * `n_noisy`. The Spark shape — noise as a narrow codegen'd map over
     * the ALREADY-aggregated groups — is the production path unchanged.
     */
+  /** ε-DP counts with CONTRIBUTION BOUNDING — the piece [[dpNoisyCounts]]
+    * assumes away: a user who contributes many rows to one group raises
+    * the count query's sensitivity to their row count, so the mechanism
+    * first caps each (user, group) at `capPerUser` rows (keeping the
+    * first by `orderCol` — a deterministic, user-data-independent rule)
+    * and then adds Laplace(cap/ε) noise, the scale the bounded
+    * sensitivity actually requires. This is the standard user-level-DP
+    * preprocessing (cf. Wilson et al. 2020's differentially private SQL).
+    *
+    * Spark shape: one windowed rank per (user, group) — the only
+    * row-sized stage, shuffling on the composite key — then the same
+    * O(groups) narrow noise map as dpNoisyCounts. Same seed-secrecy
+    * contract; `includeBounded` is the gates' audit flag for the
+    * pre-noise bounded count.
+    */
+  def dpBoundedCounts(
+      df: DataFrame,
+      userCol: String,
+      groupCol: String,
+      orderCol: String,
+      capPerUser: Int,
+      epsilon: Double,
+      seed: String,
+      includeBounded: Boolean = false): DataFrame = {
+    require(capPerUser >= 1, s"dpBoundedCounts: capPerUser=$capPerUser")
+    require(epsilon > 0, s"dpBoundedCounts: epsilon=$epsilon")
+    require(seed.nonEmpty, "dpBoundedCounts: a secret seed is required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(groupCol)).orderBy(col(orderCol))
+    val bounded = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capPerUser)
+    val u48 = conv(substring(md5(concat(lit(seed), lit("|"),
+      col(groupCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val u = (u48 + lit(0.5d)) / lit(281474976710656.0d)
+    val cent = u - lit(0.5d)
+    val noise = (lit(-capPerUser.toDouble / epsilon) * signum(cent)) *
+      log(lit(1.0d) - lit(2.0d) * abs(cent))
+    val agg = bounded.groupBy(col(groupCol)).agg(count(lit(1)).as("n_bounded"))
+      .withColumn("n_noisy", round(col("n_bounded").cast("double") + noise, 6))
+    if (includeBounded) agg else agg.drop("n_bounded")
+  }
+
   def dpNoisyCounts(
       df: DataFrame,
       groupCol: String,

@@ -133,6 +133,24 @@ object Similarity {
   /** IVF search: probe the `nprobe` nearest centroid buckets per query,
     * exact-rerank within them. Returns (query_id, rank, neighbor_id, cosine).
     */
+  /** The nprobe nearest centroids per query — the probe half of
+    * [[ivfTopK]], public so compositions that rerank differently (e.g.
+    * IVF + PQ's ADC) can reuse it. (small × small; NO self-id exclusion
+    * — centroid ids and query ids are different namespaces.) Output:
+    * (query_id, centroid_id).
+    */
+  def probeCentroids(
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int): DataFrame =
+    topK(
+      centroids.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe,
+      excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+
   def ivfTopK(
       assigned: DataFrame, // corpus with centroid_id (from ivfAssign)
       centroids: DataFrame,
@@ -141,13 +159,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int): DataFrame = {
-    // nearest nprobe centroids per query (small × small; NO self-id
-    // exclusion — centroid ids and query ids are different namespaces)
-    val qProbes = topK(
-      centroids.select(col(idCol), col(vecCol)),
-      queries.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe,
-      excludeSelf = false)
-      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+    val qProbes = probeCentroids(queries, centroids, idCol, vecCol, nprobe)
     val qs = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))

@@ -3785,29 +3785,38 @@ object ExtQueries {
       "vec_id", "embedding", dim = 64, m = 4, k = 10)
   }
 
-  val x120Sql: String = {
-    def d2(a: String, b: String): String =
-      s"""CAST(round((list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i]))
-         + list_sum(list_transform(range(1, 17), i -> $b[i] * $b[i]))
-         - 2 * list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))) * 1e9)
-         AS BIGINT)"""
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       subs AS (SELECT unnest(range(0, 4)) AS sub),
+  private def pqD2(a: String, b: String): String =
+    s"""CAST(round((list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i]))
+       + list_sum(list_transform(range(1, 17), i -> $b[i] * $b[i]))
+       - 2 * list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))) * 1e9)
+       AS BIGINT)"""
+
+  /** Shared PQ CTE chain over a pre-defined `v(vec_id, ..., ve)`:
+    * codebook `cb`, per-vector subspaces `vsub`, argmin `codes`, and
+    * the x07-slice query LUT `lut` — reused by x120 and the x128 IVF+PQ
+    * composition.
+    */
+  private val pqCtes: String =
+    s"""subs AS (SELECT unnest(range(0, 4)) AS sub),
        cb AS (SELECT s.sub, c.vec_id // 3 AS code,
            c.ve[s.sub * 16 + 1 : s.sub * 16 + 16] AS cv
          FROM v c CROSS JOIN subs s
          WHERE c.vec_id % 3 = 0 AND c.vec_id < 48 AND c.vec_id >= 0),
        vsub AS (SELECT vec_id, s.sub, ve[s.sub * 16 + 1 : s.sub * 16 + 16] AS sv
          FROM v CROSS JOIN subs s),
-       dist AS (SELECT vs.vec_id, vs.sub, cb.code, ${d2("vs.sv", "cb.cv")} AS d9
+       pqdist AS (SELECT vs.vec_id, vs.sub, cb.code, ${pqD2("vs.sv", "cb.cv")} AS d9
          FROM vsub vs JOIN cb ON vs.sub = cb.sub),
        codes AS (SELECT vec_id, sub, code FROM (
            SELECT vec_id, sub, code,
              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d9, code) AS rn
-           FROM dist) WHERE rn = 1),
+           FROM pqdist) WHERE rn = 1),
        lut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
-           ${d2("q.sv", "cb.cv")} AS pd9
-         FROM vsub q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 8),
+           ${pqD2("q.sv", "cb.cv")} AS pd9
+         FROM vsub q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 8)"""
+
+  val x120Sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       $pqCtes,
        scored AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
          FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
          GROUP BY 1, 2),
@@ -3815,7 +3824,6 @@ object ExtQueries {
            row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rank
          FROM scored)
        SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
-  }
 
   // --- x121: cross-dataset exact n-gram contamination matrix --------------
   // GPT-3-style exact-overlap audit generalized to all source pairs:
@@ -3907,6 +3915,204 @@ object ExtQueries {
        FROM w, qs
        WHERE CAST(floor(q * (n - 1)) + 1 AS BIGINT) > cum - cnt
          AND CAST(floor(q * (n - 1)) + 1 AS BIGINT) <= cum"""
+
+  // --- x124: binned range join (point-in-interval, NO equi-key) ----------
+  // The range-predicate join Spark has no operator for: per-user audit
+  // intervals (each user's first event + a user-scaled horizon) matched
+  // against EVERY event's timestamp — no equi-key, so the naive plan is
+  // a nested loop. RangeJoin.pointInInterval turns it into a bucket
+  // equi-join (30 min bins) + exact re-check; the spec pins that no
+  // BroadcastNestedLoopJoin/CartesianProduct survives in the plan.
+  def x124RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val ev = Dedup.materialize(
+      e.select(col("user_id"), Events.epochMicros(e).as("pt")))
+    val iv = ev.filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .agg(min(col("pt")).as("lo"))
+      .select(col("user_id").as("iv_user"), col("lo"),
+        (col("lo") + (col("user_id") + 1) * lit(600000000L)).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select(col("pt")), iv, "pt", "lo", "hi",
+        bucketWidth = 30L * 60 * 1000000L)
+      .groupBy(col("iv_user"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pt")).as("first_hit"),
+        max(col("pt")).as("last_hit"))
+  }
+
+  val x124Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS pt FROM events),
+       iv AS (SELECT user_id AS iv_user, min(pt) AS lo,
+           min(pt) + (user_id + 1) * 600000000 AS hi
+         FROM e WHERE user_id < 50 GROUP BY user_id)
+       SELECT iv_user, CAST(count(*) AS BIGINT) AS n_hits,
+         min(e.pt) AS first_hit, max(e.pt) AS last_hit
+       FROM iv JOIN e ON e.pt >= iv.lo AND e.pt < iv.hi GROUP BY 1"""
+
+  // --- x125: binned interval-overlap join (concurrent sessions) ----------
+  // x08's sessions turned into validity intervals, then the overlap
+  // join: which user pairs were active at the same moment, and how many
+  // of their session pairs overlapped. The canonical-bucket trick
+  // dedupes pairs without a distinct; the exact overlap predicate
+  // re-checks candidates. Users capped at < 100 so pair volume is
+  // bounded by the USER pair count, not corpus size.
+  def x125SessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val sess = Dedup.materialize(Events.sessionizeBatch(
+        e.filter(col("user_id") < 100)
+          .withColumn("ts_us", Events.epochMicros(e)),
+        "user_id", "ts_us", gap = 30L * 60 * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("lo"),
+        (max(col("ts_us")) + 1L).as("hi")))
+    val a = sess.select(col("user_id").as("ua"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val b = sess.select(col("user_id").as("ub"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    graft.operators.RangeJoin.intervalOverlap(
+        a, b, "alo", "ahi", "blo", "bhi",
+        bucketWidth = 6L * 3600 * 1000000L)
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
+  val x125Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events WHERE user_id < 100),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY e)),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM s),
+       iv AS (SELECT user_id, seq, min(e) AS lo, max(e) + 1 AS hi
+         FROM g GROUP BY 1, 2)
+       SELECT a.user_id AS ua, b.user_id AS ub,
+         CAST(count(*) AS BIGINT) AS n_overlaps
+       FROM iv a JOIN iv b
+         ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+       GROUP BY 1, 2"""
+
+  // --- x126: STREAMING hopping windows ------------------------------------
+  // x122's hopping aggregation as a NATIVE Structured Streaming window
+  // (window(ts, span, slide) — Spark expands each event into its 4
+  // windows inside the streaming agg; state is O(active windows ×
+  // event_types), bounded by the horizon). Complete-mode drain over the
+  // staged events must equal the batch hopping pass exactly, so the
+  // oracle is x122's.
+  def x126StreamHopping(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/shop_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val e = t(spark, dir, "events")
+    val src = e.select(timestamp_micros(Events.epochMicros(e)).as("tss"),
+      col("event_type"), col("value"))
+    src.write.parquet(s"$base/in")
+    val qname = s"x126_shop_$tag"
+    spark.catalog.dropTempView(qname)
+    val agg = spark.readStream.schema(src.schema).parquet(s"$base/in")
+      .groupBy(window(col("tss"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).as("__tv"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x126: drain timeout") }
+    finally q.stop()
+    spark.table(qname).select(
+      unix_micros(col("window.start")).as("window_start"),
+      col("event_type"), col("n_events"),
+      col("__tv").cast("double").as("total_value"),
+      unix_micros(col("window.end")).as("window_end"))
+  }
+
+  // Spark's window(ts, span, slide) and Events.hopping produce the same
+  // epoch-aligned half-open windows, so the streaming drain shares the
+  // batch oracle
+  val x126Sql: String = x122Sql
+
+  // --- x127: DP counts with per-user contribution bounding ----------------
+  // The user-level-DP preprocessing x107 assumes away: each user's rows
+  // per event_type capped at 5 (first by event_id — a deterministic,
+  // data-independent rule), then Laplace(cap/eps) noise at the scale
+  // the bounded sensitivity requires. Fixture seed + audit flag mark
+  // this as a portability oracle, like x107.
+  def x127DpBounded(spark: SparkSession, dir: String): DataFrame =
+    Privacy.dpBoundedCounts(t(spark, dir, "events"),
+      "user_id", "event_type", "event_id", capPerUser = 5,
+      epsilon = 1.0, seed = DpFixtureSeed, includeBounded = true)
+
+  val x127Sql: String =
+    s"""WITH b AS (SELECT event_type FROM (
+           SELECT event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY event_id) AS rn
+           FROM events) WHERE rn <= 5),
+       ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bounded
+         FROM b GROUP BY 1),
+       h AS (SELECT event_type, n_bounded,
+           md5('$DpFixtureSeed' || '|' || event_type) AS hx FROM ex),
+       u AS (SELECT event_type, n_bounded,
+           (CAST(${duckHex48("hx")} AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+         FROM h)
+       SELECT event_type, n_bounded,
+         round(CAST(n_bounded AS DOUBLE) +
+           ((-5.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS n_noisy
+       FROM u"""
+
+  // --- x128: IVF + PQ — the production ANN pipeline end to end ------------
+  // x11's bucket pruning composed with x120's compression: queries probe
+  // their 3 nearest centroid buckets, then ADC-score ONLY those buckets'
+  // code rows through the integer LUT — per-query work is the probed
+  // partitions' codes, not the corpus, and the scored payload is m
+  // one-byte codes per vector, not the float vector. At write time the
+  // centroid assignment is the table's partition key, so the probe
+  // prunes whole partitions. Self-matches excluded like ivfTopK.
+  def x128IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+    val queries = data.filter(col("vec_id") < 8)
+    val probes = Similarity.probeCentroids(queries, cents,
+      "vec_id", "embedding", nprobe = 3)
+    val candidates = probes
+      .join(assigned.select(col("centroid_id"), col("vec_id")), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cb = Pq.codebook(data, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, stride = 3)
+    val codes = Pq.encode(data, cb, "vec_id", "embedding", dim = 64, m = 4)
+    Pq.adcTopKCandidates(queries, candidates, codes, cb,
+      "vec_id", "embedding", dim = 64, m = 4, k = 10)
+  }
+
+  val x128Sql: String =
+    s"""WITH $ivfCtes,
+       $pqCtes,
+       pr0 AS (SELECT q.vec_id AS query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.ve) + 1), i -> q.ve[i] * c.cv[i])) / (q.nrm * c.cn) AS sim
+         FROM n q CROSS JOIN c WHERE q.vec_id < 8),
+       pr AS (SELECT query_id, centroid_id FROM (
+           SELECT query_id, centroid_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM pr0) WHERE rn <= 3),
+       cand AS (SELECT pr.query_id, asg.vec_id
+         FROM pr JOIN asg USING (centroid_id)
+         WHERE asg.vec_id <> pr.query_id),
+       scored AS (SELECT ca.query_id, ca.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
+         FROM cand ca JOIN codes cd ON ca.vec_id = cd.vec_id
+         JOIN lut l ON l.query_id = ca.query_id
+           AND l.sub = cd.sub AND l.code = cd.code
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, est_d9,
+           row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
 
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain

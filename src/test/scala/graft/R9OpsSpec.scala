@@ -132,6 +132,114 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin point-in-interval: exact matches incl. bucket straddles") {
+    // width 10; interval [5, 25) straddles buckets 0,1,2; [-7, 3) crosses 0
+    val pts = Seq(-8L, -7L, 2L, 3L, 5L, 14L, 24L, 25L).toDF("pt")
+    val ivs = Seq(("a", 5L, 25L), ("b", -7L, 3L), ("e", 9L, 9L)).toDF("iv", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "pt", "lo", "hi", bucketWidth = 10L)
+      .select("iv", "pt").collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(("a", 5L), ("a", 14L), ("a", 24L),
+      ("b", -7L), ("b", 2L))) // half-open: 25 out, 3 out; empty iv matches none
+  }
+
+  test("rangeJoin point-in-interval plans equi-joins, never a nested loop") {
+    val pts = (0L to 1000L).toDF("pt")
+    val ivs = Seq((1L, 100L, 300L), (2L, 500L, 900L)).toDF("iv", "lo", "hi")
+    val out = graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "pt", "lo", "hi", bucketWidth = 100L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(out.count() == 200L + 400L)
+  }
+
+  test("rangeJoin intervalOverlap: canonical bucket emits each pair once") {
+    // [0,35) vs [30,60): shared buckets 3 (w=10) -> without the canonical
+    // filter the pair would surface in bucket 3 only; [0,35) vs [5,95)
+    // shares buckets 0..3 (4 copies without dedup)
+    val a = Seq(("a1", 0L, 35L)).toDF("ai", "alo", "ahi")
+    val b = Seq(("b1", 30L, 60L), ("b2", 5L, 95L), ("b3", 40L, 50L)).toDF("bi", "blo", "bhi")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 10L)
+      .select("ai", "bi").collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq(("a1", "b1"), ("a1", "b2"))) // b3 disjoint
+  }
+
+  test("rangeJoin intervalOverlap equals the brute-force overlap join") {
+    val rnd = new scala.util.Random(7)
+    val ivsA = (1 to 80).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .map { case (i, lo) => (i, lo, lo + 1 + rnd.nextInt(200)) }
+    val ivsB = (1 to 80).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .map { case (i, lo) => (i, lo, lo + 1 + rnd.nextInt(200)) }
+    val a = ivsA.toDF("ai", "alo", "ahi")
+    val b = ivsB.toDF("bi", "blo", "bhi")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 64L)
+      .select("ai", "bi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ai, alo, ahi) <- ivsA
+      (bi, blo, bhi) <- ivsB
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)).toSet
+    assert(got == want)
+    // and exactly once each (Set comparison would hide duplicates)
+    assert(graft.operators.RangeJoin
+      .intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 64L)
+      .count() == want.size.toLong)
+  }
+
+  test("dpBoundedCounts: cap bounds each user's contribution before noise") {
+    // u1 floods g1 with 100 rows; cap 3 keeps 3 of them
+    val rows = (1 to 100).map(i => (1L, "g1", i.toLong)) ++
+      Seq((2L, "g1", 1L), (2L, "g2", 2L), (3L, "g2", 3L))
+    val df = rows.toDF("u", "g", "id")
+    val out = graft.ext.Privacy.dpBoundedCounts(df, "u", "g", "id",
+        capPerUser = 3, epsilon = 1.0, seed = "s", includeBounded = true)
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("g1", 4L), ("g2", 2L))) // 3 (capped) + 1, and 2
+    // noise scale is cap/eps = 3: bound |noise| < 3 * 40 like the
+    // dpNoisyCounts grid argument
+    out.foreach(r => assert(math.abs(r.getDouble(2) - r.getLong(1)) < 120.0))
+    // default output hides the bounded count
+    assert(graft.ext.Privacy.dpBoundedCounts(df, "u", "g", "id", 3, 1.0, "s")
+      .columns.toSeq == Seq("g", "n_noisy"))
+  }
+
+  test("ivf+pq composition: candidates restricted to probed buckets") {
+    val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val assigned = graft.ext.Similarity
+      .ivfAssign(data, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+    val queries = data.filter(col("vec_id") < 4)
+    val probes = graft.ext.Similarity.probeCentroids(
+      queries, cents, "vec_id", "embedding", nprobe = 2)
+    assert(probes.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ == 2L))
+    val candidates = probes
+      .join(assigned.select(col("centroid_id"), col("vec_id")), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cb = Pq.codebook(data, "vec_id", "embedding", 64, 4, 16, 3)
+    val codes = Pq.encode(data, cb, "vec_id", "embedding", 64, 4)
+    val top = Pq.adcTopKCandidates(queries, candidates, codes, cb,
+      "vec_id", "embedding", 64, 4, k = 5)
+    // every returned neighbor must sit in one of its query's probed buckets
+    val bad = top.join(assigned, Seq("vec_id"))
+      .join(probes.withColumnRenamed("centroid_id", "probed"), Seq("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(when(col("centroid_id") === col("probed"), 1).otherwise(0)).as("ok"))
+      .filter(col("ok") === 0)
+    assert(bad.count() == 0L)
+    assert(top.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 5L))
+  }
+
   test("histogram store: cells merge to the batch histogram, quantiles bound") {
     val df = (1 to 1000).map(i => i.toLong).toDF("v")
     val cells = Sketches.histCells(df, "v", bucketWidth = 100L)
