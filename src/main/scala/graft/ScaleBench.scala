@@ -259,7 +259,15 @@ object ScaleBench {
     "x127_dp_bounded",
     // probe is |Q| × centroids with |Q|=8 fixed; ADC scores only probed
     // buckets' codes — expect ~linear in corpus (assignment pass)
-    "x128_ivf_pq")
+    "x128_ivf_pq",
+    // build + 2 appends + 2 probes: encode passes are linear, probes
+    // scan only probed partitions; commit I/O floors the 1× side
+    "x129_vector_store",
+    // one aggregation pass for 4 checks + one anti-join — ~linear scan
+    "x130_expectations",
+    // rides x04's pair bound + x23's components + one groupBy — the
+    // leakage require adds one more pair-sized join
+    "x131_cluster_split")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
+
+/** Persisted, day-over-day-maintained VECTOR index — the embedding-side
+  * sibling of [[DedupStores]], completing the maintained-store family
+  * across modalities (text fp/LSH x65, count-min x114, data card x88,
+  * histogram x123): an IVF + PQ index as three ManifestStore tables so
+  * the daily refresh is an O(increment) encode + partition-pruned merge
+  * and a probe is an O(probed partitions) scan — the historical
+  * embedding corpus is never rescanned and the raw vectors never leave
+  * their partitions (the store holds m one-byte codes per vector).
+  *
+  * Layout under `root`:
+  *  - `codes`      — (centroid_id, vec_id, sub, code), PARTITIONED BY
+  *    centroid_id: the IVF invariant "assignment is the partition key"
+  *    made literal, so [[probe]]'s [[ManifestStore.readPartitions]]
+  *    touches exactly the probed buckets' files;
+  *  - `centroids`  — (centroid_id, vector), the probe's routing table
+  *    (O(centroids), broadcast);
+  *  - `codebook`   — (sub, code, cv), the PQ model (m×k rows).
+  * Geometry (dim, m, k, stride) rides a `_graft_geometry.json` sidecar
+  * validated on every call — a silent mismatch would encode increments
+  * against a different codebook and quietly corrupt ranking (the
+  * DedupStores failure mode, same cure).
+  *
+  * Model provenance: centroids and codebook are frozen at [[build]]
+  * (stride-sampled here, k-means-trained in production — x67's
+  * machinery); appends ENCODE AGAINST THE FROZEN MODEL, the standard
+  * IVF contract (re-training is a rebuild, not an append).
+  */
+object VectorStore {
+
+  private case class Geometry(dim: Int, m: Int, k: Int, stride: Long)
+
+  private def geomPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_geometry.json")
+
+  private def writeGeometry(spark: SparkSession, root: String, g: Geometry): Unit = {
+    val p = geomPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"dim":${g.dim},"m":${g.m},"k":${g.k},"stride":${g.stride}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def requireGeometry(spark: SparkSession, root: String, want: Geometry): Unit = {
+    val p = geomPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    for (d <- f("dim"); m <- f("m"); k <- f("k"); s <- f("stride")) {
+      val got = Geometry(d.toInt, m.toInt, k.toInt, s)
+      require(got == want,
+        s"VectorStore: $root was built with $got but this call uses $want — " +
+          "appends against a different codebook silently corrupt ranking")
+    }
+  }
+
+  private def codesT(root: String) = s"$root/codes"
+  private def centroidsT(root: String) = s"$root/centroids"
+  private def codebookT(root: String) = s"$root/codebook"
+
+  /** Build (or rebuild) the index from a corpus slice, freezing the
+    * centroid and codebook model tables. `centroids` supplies the
+    * routing vectors (any id/vec frame); the codebook is stride-sampled
+    * from `data` (see [[Pq.codebook]]).
+    */
+  def build(
+      spark: SparkSession,
+      data: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long): Unit = {
+    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    val cb = Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
+    ManifestStore.write(spark, cb, codebookT(root), "sub")
+    ManifestStore.write(spark,
+      centroids.select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+        .withColumn("__pt", lit(0L)),
+      centroidsT(root), "__pt")
+    ManifestStore.write(spark, encodeRows(spark, data, root, idCol, vecCol, dim, m),
+      codesT(root), "centroid_id")
+    writeGeometry(spark, root, Geometry(dim, m, k, stride))
+  }
+
+  /** Fold a day's vectors in: encode against the FROZEN model, merge on
+    * vec_id — partition-pruned to the centroids the increment lands in,
+    * and replay-idempotent (re-appending a day replaces its rows).
+    */
+  def appendDay(
+      spark: SparkSession,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long): Unit = {
+    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    ManifestStore.merge(spark, codesT(root),
+      encodeRows(spark, increment, root, idCol, vecCol, dim, m),
+      Seq("vec_id", "sub"), "centroid_id")
+  }
+
+  private def encodeRows(
+      spark: SparkSession,
+      data: DataFrame,
+      root: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    val cents = ManifestStore.read(spark, centroidsT(root))
+      .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
+    val cb = ManifestStore.read(spark, codebookT(root))
+    val assigned = Similarity.ivfAssign(data, cents, idCol, vecCol)
+      .select(col(idCol).as("vec_id"), col("centroid_id"))
+    Pq.encode(data, cb, idCol, vecCol, dim, m)
+      .withColumnRenamed(idCol, "vec_id")
+      .join(assigned, "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** ADC top-k against the store: route each query to its `nprobe`
+    * nearest centroids, scan ONLY those partitions of the codes table
+    * ([[ManifestStore.readPartitions]] — O(probed partitions) files),
+    * and rank through the PQ LUT. Self-matches (same id) excluded, the
+    * ivfTopK convention. Output: (query_id, rank, idCol, est_d9).
+    */
+  def probe(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    val cents = ManifestStore.read(spark, centroidsT(root))
+      .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
+    val cb = ManifestStore.read(spark, codebookT(root))
+    val probes = Dedup.materialize(
+      Similarity.probeCentroids(queries, cents, idCol, vecCol, nprobe))
+    // the probed partition set is O(queries × nprobe) distinct ids —
+    // driver-sized routing metadata by construction (same class as the
+    // ManifestStore partition listings)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val codes = ManifestStore.readPartitions(spark, codesT(root),
+      probedIds.map(id => s"centroid_id=$id"))
+    val candidates = probes
+      .join(codes.select(col("centroid_id"), col("vec_id")).distinct(),
+        Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    Pq.adcTopKCandidates(
+      queries.select(col(idCol).as("vec_id"), col(vecCol)), candidates,
+      codes.select(col("vec_id"), col("sub"), col("code")), cb,
+      "vec_id", vecCol, dim, m, topK)
+  }
+}

@@ -4114,6 +4114,165 @@ object ExtQueries {
          FROM scored)
        SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
 
+  // --- x129: maintained vector-index store (IVF + PQ, day over day) ------
+  // x128's pipeline as a PERSISTED index (ext/VectorStore): codes
+  // partitioned by centroid assignment, model tables frozen at build.
+  // The gate splits the corpus into history and a day's increment
+  // (chosen OFF the model ids, so the frozen model equals the full-data
+  // model and the oracle is x128's); builds from history, proves the
+  // pre-append probe cannot see the increment, folds the day in TWICE
+  // (replay-idempotence is part of the contract), and returns the
+  // post-append probe — which must equal the one-shot IVF+PQ pass over
+  // the full corpus, bit for bit.
+  def x129VectorStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val incPred = col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0
+    val hist = data.filter(!incPred)
+    val inc = Dedup.materialize(data.filter(incPred))
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "vecstore")
+    VectorStore.build(spark, hist, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val queries = data.filter(col("vec_id") < 8)
+    val pre = VectorStore.probe(spark, queries, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10)
+    require(pre.filter(col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0)
+        .count() == 0L,
+      "x129: pre-append probe must not see the increment")
+    VectorStore.appendDay(spark, inc, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    // replay the day: merge on (vec_id, sub) must replace, not duplicate
+    VectorStore.appendDay(spark, inc, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val nCodes = graft.sources.ManifestStore.read(spark, s"$root/codes").count()
+    require(nCodes == data.count() * 4,
+      s"x129: store holds $nCodes code rows, expected corpus x m")
+    VectorStore.probe(spark, queries, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10)
+  }
+
+  // the final store state IS the full-corpus IVF+PQ index (frozen model
+  // == full-data model by construction), so the oracle is x128's
+  val x129Sql: String = x128Sql
+
+  // --- x130: data-quality expectation suite --------------------------------
+  // The promote-gate audit (Deequ-style): five checks over documents —
+  // null lang, unique doc_id, length range, accepted languages, and
+  // doc->embedding referential integrity. All row-local checks + the
+  // uniqueness check ride ONE aggregation pass; the ref check is one
+  // broadcast anti-join. Checks are chosen so both pass AND fail rows
+  // exist (zh is deliberately outside the accepted set; n_chars range
+  // is deliberately tight).
+  def x130Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Expectations._
+    audit(t(spark, dir, "documents"), Seq(
+      NotNull("c1_lang_notnull", "lang"),
+      Unique("c2_docid_unique", "doc_id"),
+      InRange("c3_len_range", "n_chars", lo = 50, hi = 500),
+      Accepted("c4_lang_accepted", "lang", Seq("en", "de", "es", "fr")),
+      RefIntegrity("c5_has_embedding", "doc_id",
+        t(spark, dir, "embeddings"), "vec_id")))
+  }
+
+  val x130Sql: String =
+    """SELECT 'c1_lang_notnull' AS check_id, 'not_null' AS check_type,
+         'lang' AS col_name,
+         CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+         count(CASE WHEN lang IS NULL THEN 1 END) = 0 AS pass
+       FROM documents
+       UNION ALL
+       SELECT 'c2_docid_unique', 'unique', 'doc_id',
+         CAST(count(CASE WHEN doc_id IS NOT NULL THEN 1 END)
+           - count(DISTINCT doc_id) AS BIGINT) AS v,
+         count(CASE WHEN doc_id IS NOT NULL THEN 1 END)
+           - count(DISTINCT doc_id) = 0
+       FROM documents
+       UNION ALL
+       SELECT 'c3_len_range', 'in_range', 'n_chars',
+         CAST(count(CASE WHEN n_chars IS NOT NULL
+           AND (n_chars < 50 OR n_chars > 500) THEN 1 END) AS BIGINT) AS v,
+         count(CASE WHEN n_chars IS NOT NULL
+           AND (n_chars < 50 OR n_chars > 500) THEN 1 END) = 0
+       FROM documents
+       UNION ALL
+       SELECT 'c4_lang_accepted', 'accepted', 'lang',
+         CAST(count(CASE WHEN lang IS NOT NULL
+           AND lang NOT IN ('en', 'de', 'es', 'fr') THEN 1 END) AS BIGINT) AS v,
+         count(CASE WHEN lang IS NOT NULL
+           AND lang NOT IN ('en', 'de', 'es', 'fr') THEN 1 END) = 0
+       FROM documents
+       UNION ALL
+       SELECT 'c5_has_embedding', 'ref_integrity', 'doc_id',
+         CAST((SELECT count(*) FROM documents d
+           WHERE d.doc_id IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS BIGINT) AS v,
+         (SELECT count(*) FROM documents d
+           WHERE d.doc_id IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) = 0"""
+
+  // --- x131: cluster-aware split (the FIX for x80's leakage finding) ------
+  // x80 AUDITS near-dup leakage across a doc-keyed split; this gate
+  // removes it: the split key is the doc's near-dup CLUSTER (connected
+  // component label; singletons key on their own id), so an entire
+  // duplicate family lands in one split and cross-split near-dup pairs
+  // are ZERO by construction — require'd in-gate on the same banded
+  // pair set x80 audits.
+  def x131ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7))
+    val clusters = Dedup.duplicateClusters(pairs)
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("label"), col("doc_id")))
+    val split = Dedup.materialize(Sampling.hashSplit(keyed, "ckey",
+        Seq(("train", 52429), ("val", 58982)), "test")
+      .select(col("doc_id"), col("ckey"), col("split")))
+    val sp = split.select(col("doc_id"), col("split"))
+    val leaks = pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    require(leaks == 0L,
+      s"x131: $leaks near-dup pairs cross splits — cluster keying is broken")
+    split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("ckey")).as("n_clusters"))
+  }
+
+  val x131Sql: String = {
+    val bkt = (c: String) =>
+      s"""CAST((strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 4, 1)) - 1) AS BIGINT)"""
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id),
+       keyed AS (SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS ckey
+         FROM documents d LEFT JOIN cl USING (doc_id)),
+       sp AS (SELECT doc_id, ckey,
+           CASE WHEN ${bkt("ckey")} < 52429 THEN 'train'
+                WHEN ${bkt("ckey")} < 58982 THEN 'val' ELSE 'test' END AS split
+         FROM keyed)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters
+       FROM sp GROUP BY 1"""
+  }
+
   // --- x110: session-scoped conversion funnel ----------------------------
   // x08's gap sessions composed with x94's ordered funnel: the chain
   // must complete INSIDE one session — the composite (user, session)

@@ -338,6 +338,23 @@ object ManifestStore {
     readLeafs(spark, path, m, m.partitions.keys.toSeq)
   }
 
+  /** PARTITION-RESTRICTED snapshot read: scans only the live leaf
+    * partitions whose hive-style dir name (e.g. `centroid_id=7`, or
+    * `a=1/b=2` for multi-level tables) is in `leafs` — the read an
+    * index probe wants, touching O(probed partitions) files no matter
+    * how large the table is. Requested leafs that don't exist in the
+    * snapshot are skipped; if none exist the table's schema comes back
+    * with zero rows.
+    */
+  def readPartitions(spark: SparkSession, path: String, leafs: Seq[String]): DataFrame = {
+    val fs = fsFor(spark, new Path(path))
+    val m = latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
+    val live = leafs.filter(m.partitions.contains)
+    if (live.isEmpty) read(spark, path).limit(0)
+    else readLeafs(spark, path, m, live)
+  }
+
   /** Scan of `leafs` only, at snapshot `m` — the partition-restricted
     * read that [[changes]] builds on. Commits whose files predate a
     * schema evolution lack the added columns; `unionByName` with

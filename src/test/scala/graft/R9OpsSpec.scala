@@ -240,6 +240,97 @@ class R9OpsSpec extends SparkSpec {
       .select("count").as[Long].collect().forall(_ <= 5L))
   }
 
+  test("readPartitions scans only the requested leafs; missing leafs are empty") {
+    val table = s"/tmp/graft_rp_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = (0L to 99L).map(i => (i, i % 4)).toDF("id", "p")
+    graft.sources.ManifestStore.write(spark, df, table, "p")
+    val one = graft.sources.ManifestStore.readPartitions(spark, table, Seq("p=2"))
+    assert(one.count() == 25L)
+    assert(one.inputFiles.nonEmpty && one.inputFiles.forall(_.contains("p=2")),
+      one.inputFiles.mkString(","))
+    val none = graft.sources.ManifestStore.readPartitions(spark, table, Seq("p=9"))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "p"))
+    val mixed = graft.sources.ManifestStore
+      .readPartitions(spark, table, Seq("p=0", "p=9", "p=3"))
+    assert(mixed.count() == 50L)
+  }
+
+  test("vector store: frozen model, increment visibility, pruned probe") {
+    import graft.ext.VectorStore
+    val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val incPred = col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0
+    val root = s"/tmp/graft_vstore_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    VectorStore.build(spark, data.filter(!incPred),
+      data.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val queries = data.filter(col("vec_id") < 4)
+    val pre = VectorStore.probe(spark, queries, "vec_id", "embedding", root,
+      64, 4, 16, 3, nprobe = 2, topK = 5)
+    assert(pre.filter(incPred).count() == 0L)
+    VectorStore.appendDay(spark, data.filter(incPred), "vec_id", "embedding",
+      root, 64, 4, 16, 3)
+    val post = VectorStore.probe(spark, queries, "vec_id", "embedding", root,
+      64, 4, 16, 3, nprobe = 2, topK = 5)
+    // the increment is rankable now, and the store equals the one-shot
+    // build over the full corpus (frozen model == full-data model here)
+    val full = s"${root}_full"
+    VectorStore.build(spark, data, data.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", full, 64, 4, 16, 3)
+    val direct = VectorStore.probe(spark, queries, "vec_id", "embedding", full,
+      64, 4, 16, 3, nprobe = 2, topK = 5)
+    assert(sortedRows(post) == sortedRows(direct))
+    // geometry sidecar: a mismatched call must fail loudly
+    intercept[IllegalArgumentException] {
+      VectorStore.probe(spark, queries, "vec_id", "embedding", root,
+        64, 4, 16, stride = 5, nprobe = 2, topK = 5)
+    }
+    // the probe's codes scan touches ONLY probed partitions
+    val cents = graft.sources.ManifestStore.read(spark, s"$root/centroids")
+      .select(col("centroid_id").as("vec_id"), col("cv").as("embedding"))
+    val probed = graft.ext.Similarity
+      .probeCentroids(queries, cents, "vec_id", "embedding", 2)
+      .select("centroid_id").distinct().collect().map(_.get(0).toString).toSet
+    val scan = graft.sources.ManifestStore.readPartitions(spark, s"$root/codes",
+      probed.toSeq.map(id => s"centroid_id=$id"))
+    assert(scan.inputFiles.nonEmpty &&
+      scan.inputFiles.forall(f => probed.exists(id => f.contains(s"centroid_id=$id"))))
+  }
+
+  test("expectations: every check kind counts its violations exactly") {
+    import graft.ext.Expectations._
+    val df = Seq(
+      (1L, Some("en"), 10L), (2L, Some("de"), 700L), (3L, None, 55L),
+      (4L, Some("zz"), 60L), (5L, Some("en"), 65L), (5L, Some("en"), 70L)
+    ).toDF("id", "lang", "n")
+    val ref = Seq(1L, 2L, 3L).toDF("k")
+    val out = audit(df, Seq(
+      NotNull("a", "lang"),
+      InRange("b", "n", 50, 500),
+      Accepted("c", "lang", Seq("en", "de")),
+      Unique("d", "id"),
+      RefIntegrity("e", "id", ref, "k")))
+      .orderBy("check_id").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, false), // null lang row 3
+      ("b", 2L, false), // 10 and 700 out of range
+      ("c", 1L, false), // zz
+      ("d", 1L, false), // id 5 twice: 6 non-null - 5 distinct
+      ("e", 3L, false))) // ids 4, 5, 5 missing from ref
+    // a clean slice passes everything
+    val clean = audit(Seq((1L, "en", 100L)).toDF("id", "lang", "n"), Seq(
+      NotNull("a", "lang"), InRange("b", "n", 50, 500),
+      Accepted("c", "lang", Seq("en")), Unique("d", "id")))
+    assert(clean.collect().forall(_.getBoolean(4)))
+    // an EMPTY table violates nothing (aggregates of zero rows)
+    val empty = audit(df.filter(lit(false)), Seq(
+      NotNull("a", "lang"), Unique("d", "id")))
+    assert(empty.collect().forall(r => r.getLong(3) == 0L && r.getBoolean(4)))
+    intercept[IllegalArgumentException] {
+      audit(df, Seq(NotNull("a", "lang"), Unique("a", "id")))
+    }
+  }
+
   test("histogram store: cells merge to the batch histogram, quantiles bound") {
     val df = (1 to 1000).map(i => i.toLong).toDF("v")
     val cells = Sketches.histCells(df, "v", bucketWidth = 100L)
