@@ -88,7 +88,11 @@ object Bench {
   /** Write `BENCH_DETAIL_r{NN}.json` to the repo root. Round number:
     * `SPARK_GRAFT_ROUND` if set, else 1 + the highest `BENCH_r{NN}.json`
     * already on disk (the driver commits round N's headline AFTER the
-    * round, so during round N the newest committed file is N−1's).
+    * round, so during round N the newest committed file is N−1's and the
+    * inference is stable across every in-round re-run). The inference
+    * assumes cwd = repo root, which is where both the driver and the
+    * documented bench invocation run; set SPARK_GRAFT_ROUND explicitly
+    * when benching from elsewhere or after the round's headline landed.
     */
   private def writeDetail(
       results: Map[String, Double],

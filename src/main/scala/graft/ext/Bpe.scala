@@ -132,34 +132,53 @@ object Bpe {
       rounds: Int): (Seq[(Long, String, String, Long)], Array[(String, Long, String)]) = {
     val vocab = vocab0.clone()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // INCREMENTAL pair bookkeeping (classic BPE trainers' shape): pair
+    // counts and a pair -> word-index occurrence map are built once and
+    // UPDATED per merge for only the words containing the merged pair —
+    // a round is O(affected words), not O(total vocab chars), which is
+    // what makes 30k-50k production merges minutes, not a re-scan of
+    // the 64 MiB vocab per round. Occurrence sets may go stale (a word
+    // that lost the pair through an unrelated merge) — harmless false
+    // positives, filtered by the contains() check when the pair wins.
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def account(i: Int, seq: String, cnt: Long, sign: Long): Unit = {
+      val syms = seq.split(' ')
+      var j = 0
+      while (j < syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        val nv = pc.getOrElse(k, 0L) + sign * cnt
+        if (nv == 0L) pc.remove(k) else pc.update(k, nv)
+        if (sign > 0)
+          occ.getOrElseUpdate(k, scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < vocab.length) {
+      val (_, cnt, seq) = vocab(i)
+      account(i, seq, cnt, 1L)
+      i += 1
+    }
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var i = 0
-      while (i < vocab.length) {
-        val (_, cnt, seq) = vocab(i)
-        val syms = seq.split(' ')
-        var j = 0
-        while (j < syms.length - 1) {
-          val k = (syms(j), syms(j + 1))
-          pc.update(k, pc.getOrElse(k, 0L) + cnt)
-          j += 1
-        }
-        i += 1
-      }
       if (pc.isEmpty) exhausted = true
       else {
         val ((a, b), best) = pc.minBy { case ((a, b), c) => (-c, a, b) }
         merges += ((r.toLong, a, b, best))
         val (pat, rep) = (s" $a $b ", s" $a$b ")
-        var m = 0
-        while (m < vocab.length) {
+        occ.remove((a, b)).foreach(_.foreach { m =>
           val (w, cnt, seq) = vocab(m)
-          if (seq.contains(pat.trim)) // cheap pre-filter; replace is exact
-            vocab(m) = (w, cnt, (" " + seq + " ").replace(pat, rep).trim)
-          m += 1
-        }
+          val padded = " " + seq + " "
+          if (padded.contains(pat)) { // stale occurrences filter here
+            account(m, seq, cnt, -1L)
+            val next = padded.replace(pat, rep).trim
+            vocab(m) = (w, cnt, next)
+            account(m, next, cnt, 1L)
+          }
+        })
       }
       r += 1
     }

@@ -923,7 +923,10 @@ object Dedup {
     * a second aggregation of the SAME set. `maxGroupsPerShingle` drops
     * boilerplate shingles present in more than that many groups (they
     * carry no contamination signal and dominate the pair volume when
-    * #groups is large); the default keeps everything.
+    * #groups is large); the default keeps everything. With a cutoff,
+    * BOTH shared counts and vocabulary sizes come from the post-cut
+    * set, so the jaccard is the Jaccard of the cut vocabularies — a
+    * self-consistent measure, not a mixed one.
     *
     * Output: (group_a, group_b, shared, n_a, n_b, jaccard 6 dp) for
     * pairs with shared ≥ 1, group_a < group_b.
@@ -946,7 +949,6 @@ object Dedup {
       shingleRows(tagged, "__gid", textCol, n)
         .select(col("id.g").as("g"), md5(col("s")).as("fp"))
         .distinct())
-    val sizes = gsh.groupBy(col("g")).agg(count(lit(1)).as("nsh"))
     val byFp =
       if (maxGroupsPerShingle == Int.MaxValue) gsh
       else {
@@ -954,6 +956,11 @@ object Dedup {
           .filter(col("__gc") <= maxGroupsPerShingle).select(col("fp"))
         gsh.join(keep, "fp")
       }
+    // sizes come from the CUT set, so with a cutoff the jaccard is the
+    // Jaccard of the post-cut vocabularies — a self-consistent measure
+    // (shared from the cut set over raw sizes would be the jaccard of
+    // nothing in particular)
+    val sizes = byFp.groupBy(col("g")).agg(count(lit(1)).as("nsh"))
     val shared = byFp.select(col("fp"), col("g").as("ga"))
       .join(byFp.select(col("fp"), col("g").as("gb")), Seq("fp"))
       .filter(col("ga") < col("gb"))

@@ -43,6 +43,33 @@ object Pq {
   private def d2(a: Column, b: Column): Column =
     Similarity.dot(a, a) + Similarity.dot(b, b) - lit(2.0d) * Similarity.dot(a, b)
 
+  /** Explode a vector frame into its m subspace rows (outId, sub,
+    * `sliceName`) via a STATICALLY-built struct array — every slice has
+    * literal bounds, so the whole expansion stays in codegen.
+    */
+  private def subspaces(
+      df: DataFrame, idCol: String, vecCol: String,
+      outId: String, sliceName: String, d: Int, m: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col(outId), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("__v"), s * d + 1, d).as(sliceName))): _*)).as("__e"))
+      .select(col(outId), col("__e.sub").as("sub"),
+        col(s"__e.$sliceName").as(sliceName))
+
+  /** The per-query ADC lookup table: (query_id, sub, code, pd9) — the
+    * 1e-9-grid integer distance from each query subvector to each
+    * codeword. O(|Q|·m·k) rows; both ADC paths broadcast it.
+    */
+  private def lut(
+      queries: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, d: Int, m: Int): DataFrame =
+    subspaces(queries, idCol, vecCol, "query_id", "qv", d, m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(d2(col("qv"), col("cv")) * lit(1e9d), 0).cast("long").as("pd9"))
+
   /** The sampled codebook: (sub, code, cv) — subspace `sub`'s codeword
     * `code` is the sub-slice of the corpus vector with id = code ·
     * stride. `dim` must be divisible by `m`.
@@ -58,14 +85,13 @@ object Pq {
     require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
     require(k >= 1 && stride >= 1, s"Pq: k=$k stride=$stride")
     val d = dim / m
-    data
-      .filter(col(idCol) % stride === 0 && col(idCol) < k * stride && col(idCol) >= 0)
-      .select(expr(s"`$idCol` div ${stride}L").as("code"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .select(col("code"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(col("__v"), s * d + 1, d).as("cv"))): _*)).as("__e"))
-      .select(col("__e.sub").as("sub"), col("code"), col("__e.cv").as("cv"))
+    subspaces(
+      data.filter(col(idCol) % stride === 0 &&
+          col(idCol) < k * stride && col(idCol) >= 0)
+        .select(expr(s"`$idCol` div ${stride}L").as("__code"),
+          col(vecCol).as(vecCol)),
+      "__code", vecCol, "code", "cv", d, m)
+      .select(col("sub"), col("code"), col("cv"))
   }
 
   /** Encode the corpus: (idCol, sub, code) — per (vector, subspace), the
@@ -80,13 +106,9 @@ object Pq {
       vecCol: String,
       dim: Int,
       m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
     val d = dim / m
-    val subs = data.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .select(col("id"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(col("__v"), s * d + 1, d).as("sv"))): _*)).as("__e"))
-      .select(col("id"), col("__e.sub").as("sub"), col("__e.sv").as("sv"))
+    val subs = subspaces(data, idCol, vecCol, "id", "sv", d, m)
     subs.join(broadcast(cb), Seq("sub"))
       .select(col("id"), col("sub"),
         struct(round(d2(col("sv"), col("cv")) * lit(1e9d), 0).cast("long").as("d9"),
@@ -110,18 +132,10 @@ object Pq {
       dim: Int,
       m: Int,
       k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
     val d = dim / m
-    val qsubs = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .select(col("query_id"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(col("__v"), s * d + 1, d).as("qv"))): _*)).as("__e"))
-      .select(col("query_id"), col("__e.sub").as("sub"), col("__e.qv").as("qv"))
-    val lut = qsubs.join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        round(d2(col("qv"), col("cv")) * lit(1e9d), 0).cast("long").as("pd9"))
     val scored = codes.withColumnRenamed(idCol, "__id")
-      .join(broadcast(lut), Seq("sub", "code"))
+      .join(broadcast(lut(queries, cb, idCol, vecCol, d, m)), Seq("sub", "code"))
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("pd9")).as("est_d9"))
     val w = Window.partitionBy(col("query_id"))
@@ -147,19 +161,12 @@ object Pq {
       dim: Int,
       m: Int,
       k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
     val d = dim / m
-    val qsubs = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .select(col("query_id"), explode(array((0 until m).map(s =>
-        struct(lit(s.toLong).as("sub"),
-          slice(col("__v"), s * d + 1, d).as("qv"))): _*)).as("__e"))
-      .select(col("query_id"), col("__e.sub").as("sub"), col("__e.qv").as("qv"))
-    val lut = qsubs.join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        round(d2(col("qv"), col("cv")) * lit(1e9d), 0).cast("long").as("pd9"))
     val scored = candidates.select(col("query_id"), col(idCol).as("__id"))
       .join(codes.withColumnRenamed(idCol, "__id"), Seq("__id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .join(broadcast(lut(queries, cb, idCol, vecCol, d, m)),
+        Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("__id"))
       .agg(sum(col("pd9")).as("est_d9"))
     val w = Window.partitionBy(col("query_id"))

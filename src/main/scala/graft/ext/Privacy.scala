@@ -40,23 +40,6 @@ object Privacy {
         count_distinct(col(sensitiveCol)).as("l_distinct"))
       .withColumn("at_risk", col("class_size") < k)
 
-  /** ε-differentially-private release counts (Laplace mechanism,
-    * sensitivity 1) with a SEEDED engine-portable noise draw: the
-    * uniform u = (hex48(md5(seed ∥ "|" ∥ group)) + 0.5)/2⁴⁸ ∈ (0,1)
-    * feeds the Laplace inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|).
-    *
-    * The privacy of the release rests ENTIRELY on `seed` staying secret:
-    * the draw is a deterministic function of (seed, group), so a
-    * published or guessable seed lets an adversary reconstruct the noise
-    * and recover the exact counts — callers must treat `seed` like key
-    * material (the gate fixture uses a checked-in seed precisely because
-    * its output is NOT a privacy release, just a portability oracle).
-    * `n_exact` is the raw count the mechanism exists to hide; it is
-    * emitted only under `includeExact = true`, the explicit audit flag
-    * the gates set — a real release keeps the default and publishes only
-    * `n_noisy`. The Spark shape — noise as a narrow codegen'd map over
-    * the ALREADY-aggregated groups — is the production path unchanged.
-    */
   /** ε-DP counts with CONTRIBUTION BOUNDING — the piece [[dpNoisyCounts]]
     * assumes away: a user who contributes many rows to one group raises
     * the count query's sensitivity to their row count, so the mechanism
@@ -100,6 +83,23 @@ object Privacy {
     if (includeBounded) agg else agg.drop("n_bounded")
   }
 
+  /** ε-differentially-private release counts (Laplace mechanism,
+    * sensitivity 1) with a SEEDED engine-portable noise draw: the
+    * uniform u = (hex48(md5(seed ∥ "|" ∥ group)) + 0.5)/2⁴⁸ ∈ (0,1)
+    * feeds the Laplace inverse CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|).
+    *
+    * The privacy of the release rests ENTIRELY on `seed` staying secret:
+    * the draw is a deterministic function of (seed, group), so a
+    * published or guessable seed lets an adversary reconstruct the noise
+    * and recover the exact counts — callers must treat `seed` like key
+    * material (the gate fixture uses a checked-in seed precisely because
+    * its output is NOT a privacy release, just a portability oracle).
+    * `n_exact` is the raw count the mechanism exists to hide; it is
+    * emitted only under `includeExact = true`, the explicit audit flag
+    * the gates set — a real release keeps the default and publishes only
+    * `n_noisy`. The Spark shape — noise as a narrow codegen'd map over
+    * the ALREADY-aggregated groups — is the production path unchanged.
+    */
   def dpNoisyCounts(
       df: DataFrame,
       groupCol: String,

@@ -260,11 +260,7 @@ object Sketches {
     import graft.sources.ManifestStore
     val cells = countMinCells(df, valueCol, depth, width)
       .withColumn("day", lit(day))
-    try ManifestStore.merge(spark, table, cells, Seq("r", "cell", "day"), "day")
-    catch {
-      case _: java.io.FileNotFoundException =>
-        ManifestStore.write(spark, cells, table, "day")
-    }
+    ManifestStore.mergeOrCreate(spark, table, cells, Seq("r", "cell", "day"), "day")
   }
 
   /** The full-history cell table from a [[countMinAppendDay]] store. */
@@ -306,11 +302,7 @@ object Sketches {
       table: String): Unit = {
     import graft.sources.ManifestStore
     val cells = histCells(df, valueCol, bucketWidth).withColumn("day", lit(day))
-    try ManifestStore.merge(spark, table, cells, Seq("bucket", "day"), "day")
-    catch {
-      case _: java.io.FileNotFoundException =>
-        ManifestStore.write(spark, cells, table, "day")
-    }
+    ManifestStore.mergeOrCreate(spark, table, cells, Seq("bucket", "day"), "day")
   }
 
   /** The full-history bucket table from a [[histAppendDay]] store. */

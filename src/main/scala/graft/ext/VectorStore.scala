@@ -49,10 +49,23 @@ object VectorStore {
     finally out.close()
   }
 
-  private def requireGeometry(spark: SparkSession, root: String, want: Geometry): Unit = {
+  /** Validate the sidecar. `mustExist = true` (probe/append) makes a
+    * MISSING sidecar a hard error too: a build that crashed between its
+    * table writes would otherwise leave a store silently accepting
+    * geometry-mismatched appends — the exact corruption the sidecar
+    * exists to prevent.
+    */
+  private def requireGeometry(
+      spark: SparkSession, root: String, want: Geometry,
+      mustExist: Boolean = false): Unit = {
     val p = geomPath(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return
+    if (!fs.exists(p)) {
+      require(!mustExist,
+        s"VectorStore: $root has no geometry sidecar — the build did not " +
+          "complete (or this is not a VectorStore root); rebuild before use")
+      return
+    }
     val in = fs.open(p)
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -86,7 +99,13 @@ object VectorStore {
       m: Int,
       k: Int,
       stride: Long): Unit = {
-    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    // the sidecar is written FIRST: build() is the rebuild authority (a
+    // deliberate new geometry overwrites it), and any later probe/append
+    // validates against it — so a build that crashes mid-way leaves a
+    // store whose sidecar either predates the crash (tables consistent
+    // with it) or names the new geometry (appends against half-built
+    // tables still fail on the ManifestStore side, not silently)
+    writeGeometry(spark, root, Geometry(dim, m, k, stride))
     val cb = Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
     ManifestStore.write(spark, cb, codebookT(root), "sub")
     ManifestStore.write(spark,
@@ -96,7 +115,6 @@ object VectorStore {
       centroidsT(root), "__pt")
     ManifestStore.write(spark, encodeRows(spark, data, root, idCol, vecCol, dim, m),
       codesT(root), "centroid_id")
-    writeGeometry(spark, root, Geometry(dim, m, k, stride))
   }
 
   /** Fold a day's vectors in: encode against the FROZEN model, merge on
@@ -113,7 +131,7 @@ object VectorStore {
       m: Int,
       k: Int,
       stride: Long): Unit = {
-    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    requireGeometry(spark, root, Geometry(dim, m, k, stride), mustExist = true)
     ManifestStore.merge(spark, codesT(root),
       encodeRows(spark, increment, root, idCol, vecCol, dim, m),
       Seq("vec_id", "sub"), "centroid_id")
@@ -156,7 +174,7 @@ object VectorStore {
       stride: Long,
       nprobe: Int,
       topK: Int): DataFrame = {
-    requireGeometry(spark, root, Geometry(dim, m, k, stride))
+    requireGeometry(spark, root, Geometry(dim, m, k, stride), mustExist = true)
     val cents = ManifestStore.read(spark, centroidsT(root))
       .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
     val cb = ManifestStore.read(spark, codebookT(root))

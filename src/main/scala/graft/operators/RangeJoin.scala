@@ -41,12 +41,14 @@ object RangeJoin {
       bucketWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth >= 1, s"RangeJoin: bucketWidth=$bucketWidth")
-    val p = points.withColumn("__b", bucketOf(col(ptCol), bucketWidth))
+    val p = points.withColumn("__b", bucketExpr(ptCol, bucketWidth))
     val iv = intervals
       .filter(col(loCol) < col(hiCol))
+      .withColumn("__hi1", col(hiCol) - lit(1L))
       .withColumn("__b", explode(sequence(
-        bucketOf(col(loCol), bucketWidth),
-        bucketOf(col(hiCol) - lit(1L), bucketWidth))))
+        bucketExpr(loCol, bucketWidth),
+        bucketExpr("__hi1", bucketWidth))))
+      .drop("__hi1")
     p.join(iv, Seq("__b") ++ keys)
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__b")
@@ -69,21 +71,24 @@ object RangeJoin {
     require(bucketWidth >= 1, s"RangeJoin: bucketWidth=$bucketWidth")
     def expand(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(lo) < col(hi))
+      .withColumn("__hi1", col(hi) - lit(1L))
       .withColumn("__b", explode(sequence(
-        bucketOf(col(lo), bucketWidth),
-        bucketOf(col(hi) - lit(1L), bucketWidth))))
+        bucketExpr(lo, bucketWidth),
+        bucketExpr("__hi1", bucketWidth))))
+      .drop("__hi1")
     expand(a, aLo, aHi).join(expand(b, bLo, bHi), Seq("__b") ++ keys)
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
-      .filter(col("__b") === bucketOf(greatest(col(aLo), col(bLo)), bucketWidth))
-      .drop("__b")
+      .withColumn("__mx", greatest(col(aLo), col(bLo)))
+      .filter(col("__b") === bucketExpr("__mx", bucketWidth))
+      .drop("__b", "__mx")
   }
 
-  /** Floor bucket, exact on negative values too (the pmod pre-subtract
-    * makes truncation floor — the epochMicros convention). The division
-    * runs in double precision, exact while |v| < 2^53 — true of any
-    * epoch in micros (year 9999 is ~2.5e14) and of the fixture domains;
-    * callers with genuinely wider LONG domains should pre-scale.
+  /** Floor bucket in EXACT integer arithmetic over the whole LONG
+    * domain: the pmod pre-subtract makes `div`'s truncation a floor on
+    * negative values too (the epochMicros convention), and integral
+    * `div` never loses precision the way a double division would past
+    * 2^53 (epoch micros exceed that within the calendar).
     */
-  private def bucketOf(v: Column, w: Long): Column =
-    ((v - pmod(v, lit(w))) / lit(w)).cast("long")
+  private def bucketExpr(colName: String, w: Long): Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
 }

@@ -338,6 +338,23 @@ object ManifestStore {
     readLeafs(spark, path, m, m.partitions.keys.toSeq)
   }
 
+  /** Upsert-or-bootstrap: [[merge]] when the table exists, [[write]] on
+    * the first call — the maintained-store append primitive, centralized
+    * so every store family shares ONE missing-table signal instead of
+    * hand-rolled catch clauses.
+    */
+  def mergeOrCreate(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String): Unit =
+    try merge(spark, path, batch, keyCols, partitionCol)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        write(spark, batch, path, partitionCol)
+    }
+
   /** PARTITION-RESTRICTED snapshot read: scans only the live leaf
     * partitions whose hive-style dir name (e.g. `centroid_id=7`, or
     * `a=1/b=2` for multi-level tables) is in `leafs` — the read an
@@ -350,7 +367,9 @@ object ManifestStore {
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
-    val live = leafs.filter(m.partitions.contains)
+    // distinct: a duplicated leaf name must not scan (and return) that
+    // partition's rows twice
+    val live = leafs.distinct.filter(m.partitions.contains)
     if (live.isEmpty) read(spark, path).limit(0)
     else readLeafs(spark, path, m, live)
   }

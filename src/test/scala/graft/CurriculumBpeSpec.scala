@@ -131,6 +131,22 @@ class CurriculumBpeSpec extends SparkSpec {
     assert(lv.sortBy(_._1).toSeq == dvRows.toSeq)
   }
 
+  test("bpe: incremental bookkeeping matches recount on repeated-symbol runs") {
+    // merging (x,x) on runs recreates the merged pair at replace
+    // junctions (" x xx " survives one scan-resume pass) — the
+    // incremental pair-count update must account the re-created
+    // adjacency exactly like the distributed recount does
+    val docs = Seq((1L, "xxxxx xxxxx xxxxxxx zz")).toDF("doc_id", "text")
+    val seqDf = Bpe.collapse(docs, "doc_id", "text")
+    val rows = seqDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val (lm, lv) = Bpe.runLocal(rows, rounds = 6)
+    val (dm, dv) = Bpe.runDistributed(seqDf, rounds = 6)
+    assert(lm == dm)
+    assert(lv.sortBy(_._1).toSeq == dv.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq)
+  }
+
   test("bpe: 150 merge rounds run in seconds on the local path") {
     // the r8 verdict's weak grade: a per-round driver loop of Spark jobs
     // cannot reach production merge counts. The vocab-local loop must

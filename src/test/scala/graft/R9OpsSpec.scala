@@ -331,6 +331,38 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup stores: N daily appends -> compact -> probe unchanged (lifecycle)") {
+    // the x117 lifecycle applied to the OTHER maintained-store family
+    // (r8 verdict missing #2 named DedupStores explicitly): 4 daily
+    // appends accumulate live commits; compaction collapses each store
+    // to one commit and the probe result is bit-identical
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (fpT, idxT) = (s"/tmp/graft_dsl_fp_$tag", s"/tmp/graft_dsl_idx_$tag")
+    // 64 hash buckets + small daily slices: each day touches a SUBSET of
+    // partitions, so merge commits accumulate (a day spanning every
+    // bucket would supersede the whole table and self-compact — the
+    // interesting lifecycle is the sparse-touch one)
+    DedupStores.build(spark, docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", fpT, idxT, partitions = 64)
+    for (d <- 1 to 4)
+      DedupStores.append(spark, docs.filter(col("doc_id") % 5 === d),
+        "doc_id", "text", fpT, idxT, partitions = 64)
+    val inc = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val pre = sortedRows(DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT))
+    val cFp = ManifestStore.compact(spark, fpT)
+    val cIdx = ManifestStore.compact(spark, idxT)
+    assert(cFp >= 2 && cIdx >= 2, s"expected >=2 live commits, got $cFp/$cIdx")
+    assert(ManifestStore.vacuum(spark, fpT, 0L) >= 1)
+    assert(ManifestStore.compact(spark, fpT) == 0) // single commit now
+    assert(ManifestStore.compact(spark, idxT) == 0)
+    val post = sortedRows(DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT))
+    assert(pre == post)
+  }
+
   test("histogram store: cells merge to the batch histogram, quantiles bound") {
     val df = (1 to 1000).map(i => i.toLong).toDF("v")
     val cells = Sketches.histCells(df, "v", bucketWidth = 100L)

@@ -101,9 +101,11 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    # every gated query has a full oracle — no rows-only checks remain
-    print(f"== {n_pass} pass / {n_fail} fail (of {len(oracle)} oracled)")
+    # every gated query has a full oracle — no rows-only checks remain.
+    # The artifact check runs BEFORE the summary line so the established
+    # "== N pass / M fail" signal never reads clean on a failing run.
     n_fail += untracked_artifacts()
+    print(f"== {n_pass} pass / {n_fail} fail (of {len(oracle)} oracled)")
     return 1 if n_fail else 0
 
 
