@@ -44,12 +44,26 @@ object LangModel {
     * shuffle on id; downstream per-doc aggregations reuse the
     * partitioning.
     */
-  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramRowsBy(df, idCol, textCol, Nil)
+
+  /** [[bigramRows]] carrying extra per-document columns (constant per id
+    * — a language tag, say) through the explode and the lead window, so
+    * group-keyed models ([[knScoreBy]]) never join the corpus back to
+    * itself just to recover the group.
+    */
+  def bigramRowsBy(
+      df: DataFrame, idCol: String, textCol: String,
+      byCols: Seq[String]): DataFrame = {
+    val by = byCols.map(col)
+    val toks = df.select(col(idCol).as("id") +: by :+
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "w")): _*)
+      .filter(col("w") =!= "")
     val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
-    tokenRows(df, idCol, textCol)
+    toks
       .withColumn("w2", lead(col("w"), 1).over(byId))
       .filter(col("w2").isNotNull)
-      .select(col("id"), col("w").as("w1"), col("w2"))
+      .select(col("id") +: by :+ col("w").as("w1") :+ col("w2"): _*)
   }
 
   /** Mean bigram log-probability of every document in `docs` under an
@@ -115,29 +129,56 @@ object LangModel {
     * per-bigram log-probs round to 1e-9 LONGs and sum order-free.
     * Output: (idCol, n_bigrams, avg_lp), docs with ≥ 2 tokens.
     */
-  def knScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = Dedup.materialize(bigramRows(docs, idCol, textCol))
+  def knScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    knScoreBy(docs, idCol, textCol, Nil)
+
+  /** [[knScore]] with the LM trained PER GROUP (`byCols` — typically the
+    * language column): each group gets its own bigram counts,
+    * continuation counts and normalizer, so a document is scored only
+    * against its own group's model — the CCNet per-language setup
+    * (Wenzek et al. 2020), where pooling languages into one model would
+    * let the dominant language's statistics drown the rest.
+    *
+    * 100 TB design: identical to [[knScore]] with `byCols` prepended to
+    * every model key — the one corpus-scale join (bg ⋈ c2) stays
+    * co-keyed, ctx/back stay vocab-bounded broadcasts (the group column
+    * adds no volume: Σ_g vocab_g rows), and np collapses from a 1-row
+    * cross join to an O(groups) broadcast join. Output: (idCol, byCols…,
+    * n_bigrams, avg_lp), docs with ≥ 2 tokens.
+    */
+  def knScoreBy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCols: Seq[String]): DataFrame = {
+    val by = byCols.map(col)
+    val bg = Dedup.materialize(bigramRowsBy(docs, idCol, textCol, byCols))
     val c2 = Dedup.materialize(
-      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
-    val ctx = c2.groupBy(col("w1"))
+      bg.groupBy(by :+ col("w1") :+ col("w2"): _*)
+        .agg(count(lit(1)).as("c2")))
+    val ctx = c2.groupBy(by :+ col("w1"): _*)
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
-    val back = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
-    val np = c2.agg(count(lit(1)).as("np"))
-    val scored = bg.join(c2, Seq("w1", "w2"))
-      .join(broadcast(ctx), Seq("w1"))
-      .join(broadcast(back), Seq("w2"))
-      .crossJoin(broadcast(np))
+    val back = c2.groupBy(by :+ col("w2"): _*).agg(count(lit(1)).as("n1b"))
+    val joined = bg.join(c2, byCols ++ Seq("w1", "w2"))
+      .join(broadcast(ctx), byCols :+ "w1")
+      .join(broadcast(back), byCols :+ "w2")
+    val scored =
+      if (byCols.isEmpty)
+        joined.crossJoin(broadcast(c2.agg(count(lit(1)).as("np"))))
+      else
+        joined.join(
+          broadcast(c2.groupBy(by: _*).agg(count(lit(1)).as("np"))), byCols)
     // pinned order: ((c2 − 0.75) + ((0.75·n1f)·(n1b/np))) / c1
     val p = (col("c2").cast("double") - lit(0.75d) +
       lit(0.75d) * col("n1f").cast("double") *
         (col("n1b").cast("double") / col("np").cast("double"))) /
       col("c1").cast("double")
     scored
-      .select(col("id"), round(log(p) * lit(1e9d), 0).cast("long").as("lp9"))
-      .groupBy(col("id"))
+      .select(col("id") +: by :+ round(log(p) * lit(1e9d), 0).cast("long").as("lp9"): _*)
+      .groupBy(col("id") +: by: _*)
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("slp"))
-      .select(col("id").as(idCol), col("n_bigrams"),
-        round((col("slp").cast("double") / lit(1e9d)) /
-          col("n_bigrams").cast("double"), 6).as("avg_lp"))
+      .select(col("id").as(idCol) +: by :+ col("n_bigrams") :+
+        (round((col("slp").cast("double") / lit(1e9d)) /
+          col("n_bigrams").cast("double"), 6).as("avg_lp")): _*)
   }
 }

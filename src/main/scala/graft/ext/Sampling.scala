@@ -198,6 +198,43 @@ object Sampling {
       .drop("__salt", "__r1")
   }
 
+  /** Temporal train/embargo/test split for time-ordered data — the
+    * forecasting-eval hygiene move ([[hashSplit]] is the i.i.d. twin,
+    * x131's cluster split the near-dup twin): rows before the train
+    * cutoff train, rows after the embargo-window end test, and the
+    * window between is DROPPED so short-horizon leakage (a session, a
+    * trend, an autocorrelated feature straddling the boundary) cannot
+    * cross it — the purged/embargoed split of de Prado (2018) §7.
+    * Cutoffs sit at integer percentiles of the observed [min, max]
+    * time RANGE (exact LONG arithmetic: mn + (mx−mn)·pct div 100), so
+    * the split is a pure function of the data. Adds a `split` column
+    * ('train' | 'embargo' | 'test'); null timestamps get null split.
+    *
+    * 100 TB design: the bounds are ONE 1-row aggregate broadcast back
+    * (the justified 1-row cross join); the assignment is a narrow
+    * expression — no shuffle, no sort.
+    */
+  def embargoSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainPct: Int,
+      embargoPct: Int): DataFrame = {
+    require(trainPct > 0 && embargoPct >= 0 && trainPct + embargoPct < 100,
+      s"embargoSplit: trainPct=$trainPct embargoPct=$embargoPct")
+    val bounds = df.agg(min(col(tsCol)).as("__mn"), max(col(tsCol)).as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__t1",
+        col("__mn") + expr(s"((__mx - __mn) * $trainPct) div 100"))
+      .withColumn("__t2",
+        col("__mn") + expr(s"((__mx - __mn) * ${trainPct + embargoPct}) div 100"))
+      .withColumn("split",
+        when(col(tsCol).isNull, lit(null).cast("string"))
+          .when(col(tsCol) < col("__t1"), lit("train"))
+          .when(col(tsCol) < col("__t2"), lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("__mn", "__mx", "__t1", "__t2")
+  }
+
   /** Deterministic train/val/test (or any) split by md5 hash bucket —
     * a narrow expression per row, no shuffle, stable under reruns and
     * corpus growth (a doc's split never changes when other docs arrive,
@@ -252,6 +289,48 @@ object Sampling {
         Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__s"), expr(s"($phases * __cum) div __n").as("phase"))
     df.join(broadcast(cum), col(scoreCol) === col("__s"), "left").drop("__s")
+  }
+
+  /** [[curriculumPhases]] with the phase boundaries computed PER GROUP
+    * (`byCols` — a language column, say): phase = floor(phases ·
+    * strictlyBetterInGroup / nGroup), so every group gets its own
+    * head/middle/tail cut regardless of how its score distribution sits
+    * against the others' — the CCNet per-language bucketing move (Wenzek
+    * et al. 2020). Phase 0 is the BEST bucket (highest scores).
+    *
+    * 100 TB design: the corpus collapses to the O(Σ_g distinct scores)
+    * per-group distribution in one map-side-combined groupBy; the only
+    * windows run over that distribution partitioned by group (no global
+    * sort, no single reducer), and the assignment join broadcasts the
+    * distribution. Null scores are excluded from the distribution and
+    * come back with phase = null (row-preserving), as in
+    * [[curriculumPhases]].
+    */
+  def groupedPhases(
+      df: DataFrame,
+      byCols: Seq[String],
+      scoreCol: String,
+      phases: Int): DataFrame = {
+    require(byCols.nonEmpty, "groupedPhases: use curriculumPhases for no groups")
+    require(phases >= 1, s"groupedPhases: phases=$phases")
+    val by = byCols.map(col)
+    val dist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(by :+ col(scoreCol).as("__s"): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(by: _*).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wg = Window.partitionBy(by: _*)
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gsel = byCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") }
+    val cum = dist
+      .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .select(gsel :+ col("__s") :+ expr(s"($phases * __cum) div __n").as("phase"): _*)
+    val cond = byCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> col(s"__g$i") }
+      .reduce(_ && _) && (col(scoreCol) === col("__s"))
+    df.join(broadcast(cum), cond, "left")
+      .drop(byCols.indices.map(i => s"__g$i") :+ "__s": _*)
   }
 
   /** One cycle of iterative proportional fitting (raking; Deming &

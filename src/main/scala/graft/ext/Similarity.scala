@@ -289,4 +289,39 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Blocked edit-distance candidate pairs — the entity-resolution
+    * blocking pattern (Fellegi & Sunter 1969; Christen 2012): records
+    * meet only inside their block (`blockKey` — a phonetic key, a name
+    * prefix + region, …), where the O(Σ_b |b|²) within-block pair volume
+    * replaces the O(n²) all-pairs cross join that can never run at
+    * corpus scale. Emits (id_a, id_b, dist) for ordered within-block
+    * pairs with `levenshtein ≤ maxDist`.
+    *
+    * 100 TB design: ONE shuffle on the block key (an equi-join, never a
+    * cartesian); block sizing is the caller's quality/cost dial exactly
+    * as bands are for MinHash — [[graft.ext.Quantiles.keySkewStats]] on
+    * the block key is the pre-flight for a skewed blocking scheme. The
+    * distance itself is Spark's codegen'd `levenshtein`, computed only
+    * on within-block pairs. Null names and null block keys are excluded
+    * (a null key would otherwise form its own giant block).
+    */
+  def blockedEditPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"blockedEditPairs: maxDist=$maxDist")
+    val b = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+        blockKey.as("bk"))
+      .filter(col("nm").isNotNull && col("bk").isNotNull)
+    b.select(col("bk"), col("id").as("id_a"), col("nm").as("nm_a"))
+      .join(b.select(col("bk"), col("id").as("id_b"), col("nm").as("nm_b")),
+        Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -4309,4 +4309,251 @@ object ExtQueries {
        SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
        UNION ALL
        SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3"""
+
+  // --- x132: per-language KN scoring + CCNet quality buckets --------------
+  // The CCNet curation cut (Wenzek et al. 2020): every language gets its
+  // OWN Kneser-Ney model (LangModel.knScoreBy — pooling would let the
+  // dominant language's statistics drown the rest) and its own
+  // head/middle/tail boundaries (Sampling.groupedPhases — per-group
+  // thirds of the score distribution, phase 0 = most reference-like).
+  // The rollup re-rounds the 6-dp score to exact integer micro-units
+  // before summing, so the per-bucket totals are order-free LONGs.
+  def x132PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangModel.knScoreBy(
+      t(spark, dir, "documents"), "doc_id", "text", Seq("lang"))
+    Sampling.groupedPhases(scored, Seq("lang"), "avg_lp", 3)
+      .groupBy(col("lang"), col("phase").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(round(col("avg_lp") * lit(1e6d), 0).cast("long")).as("sum_lp6"))
+  }
+
+  val x132Sql: String =
+    """WITH t AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       bi AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws FROM t),
+       bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM bi),
+       c2 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2, 3),
+       ctx AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1, 2),
+       back AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1, 2),
+       np AS (SELECT lang, CAST(count(*) AS BIGINT) AS np FROM c2 GROUP BY 1),
+       sc AS (SELECT bg.doc_id, bg.lang,
+           CAST(round(ln(
+             (CAST(c2.c2 AS DOUBLE) - 0.75 +
+              0.75 * CAST(ctx.n1f AS DOUBLE) *
+                (CAST(back.n1b AS DOUBLE) / CAST(np.np AS DOUBLE)))
+             / CAST(ctx.c1 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS lp9
+         FROM bg JOIN c2 USING (lang, w1, w2) JOIN ctx USING (lang, w1)
+         JOIN back USING (lang, w2) JOIN np USING (lang)),
+       d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round((CAST(sum(lp9) AS DOUBLE) / 1000000000.0)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_lp
+         FROM sc GROUP BY 1, 2),
+       dist AS (SELECT lang, avg_lp AS s, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+       cb AS (SELECT lang, s,
+           CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         FROM dist),
+       ph AS (SELECT lang, s, (3 * cum) // n AS bucket FROM cb),
+       j AS (SELECT d.lang, ph.bucket, d.n_bigrams, d.avg_lp
+         FROM d JOIN ph ON d.lang = ph.lang AND d.avg_lp = ph.s)
+       SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(avg_lp * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_lp6
+       FROM j GROUP BY 1, 2"""
+
+  // --- x133: fuzzy benchmark decontamination (MinHash probe) --------------
+  // The fuzzy complement to x31/x55's exact n-gram overlap: eval items
+  // that were PARAPHRASED or lightly edited into the corpus don't share
+  // exact 5-grams but do share most shingles — the near-dup
+  // decontamination pass of GPT-3 appendix C / Dodge et al. 2021. The
+  // %10 = 0 slice stands in for the benchmark; the corpus probes the
+  // benchmark's LSH band index (x48's machinery: O(corpus x bands)
+  // probe, never all-pairs, exact-Jaccard verify), and contaminated
+  // docs roll up per source. Oracle = exact cross-slice Jaccard (banded
+  // recall at 0.7 is exact to well past oracle precision).
+  def x133FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val pairs = Dedup.minhashPairsAgainst(corpus, bench, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+    val hit = pairs.select(col("inc_id").as("doc_id")).distinct()
+      .withColumn("__hit", lit(1))
+    corpus.join(hit, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__hit").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_contaminated"))
+      .withColumn("n_clean", col("n_docs") - col("n_contaminated"))
+  }
+
+  val x133Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       inter AS (SELECT a.doc_id AS inc_id, b.doc_id AS hist_id, count(*) AS i
+                 FROM posts a JOIN posts b ON a.s = b.s
+                 WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       hits AS (SELECT DISTINCT inc_id AS doc_id
+         FROM inter JOIN sizes na ON na.doc_id = inc_id
+         JOIN sizes nb ON nb.doc_id = hist_id
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7)
+       SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+         CAST(count(*) - count(h.doc_id) AS BIGINT) AS n_clean
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 10 <> 0
+       GROUP BY 1"""
+
+  // --- x134: blocked edit-distance entity matching ------------------------
+  // Entity-resolution blocking (Fellegi-Sunter; Christen 2012) on the
+  // customer master: candidate duplicate records meet only inside their
+  // (nation, name-prefix) block — one equi-join shuffle, O(sum block^2)
+  // pairs, never the O(n^2) cross join — then the codegen'd levenshtein
+  // keeps pairs within edit distance 1. DuckDB's levenshtein is the
+  // same unit-cost DP distance, so the oracle is exact.
+  def x134BlockedEr(spark: SparkSession, dir: String): DataFrame =
+    Similarity.blockedEditPairs(t(spark, dir, "customer"),
+      "c_custkey", "c_name",
+      concat_ws("|", col("c_nationkey").cast("string"),
+        substring(col("c_name"), 1, 16)),
+      maxDist = 1)
+
+  val x134Sql: String =
+    """WITH b AS (SELECT c_custkey AS id, c_name AS nm,
+           CAST(c_nationkey AS VARCHAR) || '|' || substr(c_name, 1, 16) AS bk
+         FROM customer)
+       SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.nm, c.nm) AS dist
+       FROM b a JOIN b c ON a.bk = c.bk AND a.id < c.id
+       WHERE levenshtein(a.nm, c.nm) <= 1"""
+
+  // --- x135: temporal embargo split (purged time-series holdout) ----------
+  // The time-ordered eval-hygiene split (de Prado 2018): train before
+  // the 70th percentile of the time RANGE, test after the 80th, the
+  // embargo window between DROPPED so autocorrelated state cannot
+  // straddle the boundary. The audit reports per-split volume plus
+  // cold-start users (test users never seen in train) — the number that
+  // tells you whether the test split actually measures generalization
+  // to new users or only to new time.
+  def x135EmbargoSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val ev = e.select(col("event_id"), col("user_id"),
+      Events.epochMicros(e).as("ts_us"))
+    val sp = Dedup.materialize(Sampling.embargoSplit(ev, "ts_us", 70, 10))
+    val trainUsers = sp.filter(col("split") === "train")
+      .select(col("user_id")).distinct().withColumn("__seen", lit(1))
+    sp.join(trainUsers, Seq("user_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("__seen").isNull, col("user_id")))
+          .as("n_cold_users"))
+  }
+
+  val x135Sql: String =
+    """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+       b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM x),
+       s AS (SELECT user_id,
+           CASE WHEN ts_us < mn + ((mx - mn) * 70) // 100 THEN 'train'
+                WHEN ts_us < mn + ((mx - mn) * 80) // 100 THEN 'embargo'
+                ELSE 'test' END AS split
+         FROM x CROSS JOIN b),
+       tu AS (SELECT DISTINCT user_id FROM s WHERE split = 'train')
+       SELECT s.split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT CASE WHEN tu.user_id IS NULL THEN s.user_id END) AS BIGINT) AS n_cold_users
+       FROM s LEFT JOIN tu ON s.user_id = tu.user_id
+       GROUP BY 1"""
+
+  // --- x136: approximate-FD profile (g3 error) ----------------------------
+  // Dependency DISCOVERY next to x130's declared checks: how far is each
+  // candidate lhs -> rhs from holding exactly, by the g3 measure TANE
+  // minimizes (rows to delete / total). l_orderkey -> l_linestatus is a
+  // near-FD (line items of an order mostly ship together), the others
+  // are deliberately weak — the profile's job is the NUMBER, not a
+  // boolean.
+  def x136FdProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiling.fdProfile(t(spark, dir, "lineitem"), Seq(
+      ("l_orderkey", "l_linestatus"),
+      ("l_partkey", "l_suppkey"),
+      ("l_suppkey", "l_returnflag")))
+
+  val x136Sql: String = {
+    def one(lhs: String, rhs: String): String =
+      s"""SELECT '$lhs' AS lhs, '$rhs' AS rhs,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(count(*) FILTER (WHERE k > 1) AS BIGINT) AS n_violating_groups,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(n - m) AS BIGINT) AS n_violations,
+         round(CAST(sum(n - m) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS g3_rate
+       FROM (SELECT l, sum(c) AS n, max(c) AS m, count(*) AS k
+             FROM (SELECT $lhs AS l, $rhs AS r, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1, 2) GROUP BY 1)"""
+    s"""${one("l_orderkey", "l_linestatus")}
+       UNION ALL ${one("l_partkey", "l_suppkey")}
+       UNION ALL ${one("l_suppkey", "l_returnflag")}"""
+  }
+
+  // --- x137: STREAMING vector-index maintenance ---------------------------
+  // x129's maintained IVF+PQ store fed by a STREAM: the day's embedding
+  // increment arrives in micro-batches (file-per-batch replay), each
+  // folded in by VectorStore.appendDay inside foreachBatch — encode
+  // against the frozen model, partition-pruned merge on (vec_id, sub).
+  // Appends commute and replays replace, so the final store state is
+  // micro-batch-invariant AND at-least-once-safe (one batch is
+  // deliberately re-appended after the drain); the closing probe must
+  // equal the one-shot IVF+PQ pass over the full corpus, bit for bit —
+  // x129's contract, reached through the streaming door.
+  def x137StreamVectorStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    import org.apache.spark.sql.streaming.Trigger
+    val data = t(spark, dir, "embeddings")
+    val incPred = col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0
+    val hist = data.filter(!incPred)
+    val inc = Dedup.materialize(data.filter(incPred))
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "svecstore")
+    VectorStore.build(spark, hist, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val batchKey = expr("pmod(vec_id div 3, 3)").cast("int")
+    val base = FreshTables.next(spark, dir, "svecin")
+    (0 until 3).foreach { b =>
+      inc.filter(batchKey === b).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VectorStore.appendDay(spark, batch, "vec_id", "embedding", root,
+          dim = 64, m = 4, k = 16, stride = 3)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x137: drain timeout")
+    } finally q.stop()
+    // at-least-once replay: re-deliver one batch AFTER the drain — the
+    // (vec_id, sub) merge must replace, not duplicate
+    VectorStore.appendDay(spark, inc.filter(batchKey === 1),
+      "vec_id", "embedding", root, dim = 64, m = 4, k = 16, stride = 3)
+    val nCodes = graft.sources.ManifestStore.read(spark, s"$root/codes").count()
+    require(nCodes == data.count() * 4,
+      s"x137: store holds $nCodes code rows, expected corpus x m")
+    VectorStore.probe(spark, data.filter(col("vec_id") < 8),
+      "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10)
+  }
+
+  // final store state == the full-corpus IVF+PQ index (the frozen model
+  // is the full-data model by construction, as in x129)
+  val x137Sql: String = x128Sql
 }
