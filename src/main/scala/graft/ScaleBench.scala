@@ -269,6 +269,50 @@ object ScaleBench {
     // leakage require adds one more pair-sized join
     "x131_cluster_split")
 
+  /** Round-9 second wave (x132–x137). */
+  val R9bFamily: Seq[String] = Seq(
+    // per-lang bigram tables grow with distinct bigrams (staging widens
+    // vocab ~10×), score join with corpus rows; the bucket window runs
+    // on the O(distinct scores) distribution — expect ~linear
+    "x132_ppl_buckets",
+    // corpus probes the benchmark band index — O(corpus × bands) probe
+    // + cross-pair verify; staging keeps near-dups within replicas so
+    // pairs grow ~10× — expect ~linear
+    "x133_fuzzy_decontam",
+    // one equi-join on the block key; staged names follow shifted keys,
+    // so blocks keep their size and pair volume grows with rows —
+    // expect ~linear
+    "x134_blocked_er",
+    // one 1-row bounds aggregate + a narrow split map + a user-keyed
+    // cold-start join — expect ~linear
+    "x135_embargo_split",
+    // three map-side-combined cell groupBys to O(distinct pairs) +
+    // O(cells) rollups — expect ~linear scan cost
+    "x136_fd_profile",
+    // build encode linear; 3 micro-batch appends of 10× rows each;
+    // probe scans only probed partitions — commit I/O floors the 1×
+    // side, expect sub-linear
+    "x137_stream_vecstore")
+
+  /** Round-9 third wave (x138–x142). */
+  val R9cFamily: Seq[String] = Seq(
+    // one map-side-combined groupBy collapses to ≤ groups × 256
+    // registers; the estimate runs on register rows — expect ~linear
+    // scan cost
+    "x138_hll_distinct",
+    // ONE aggregation pass (multi-distinct Expand ×4) + a 1-row stack —
+    // expect ~linear
+    "x139_column_profile",
+    // x04's pair bound + x23's contraction + the salted top-k — pair
+    // volume grows ~10× with staged near-dups
+    "x140_dedup_weighted",
+    // one user-shuffle session window + lead windows on the same
+    // partitioning + an O(|types|^3) rollup — expect ~linear
+    "x141_session_paths",
+    // 3 micro-batch JS passes, each O(ref + batch) with the replay
+    // floor; result store commits are O(days × types) — expect ~linear
+    "x142_stream_drift")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -321,8 +365,19 @@ object ScaleBench {
     }
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey"))
-    rep("customer", Seq("c_custkey"))
     rep("events", Seq("user_id"))
+    // customer: names follow the shifted keys (replica 0 reproduces the
+    // generator's Customer#%09d format exactly) — each replica is a
+    // self-contained sub-corpus of NEW entities; leaving 10 identical
+    // copies of every name would inflate x134's name-prefix blocks 10×
+    // (quadratic pair volume), which is a staging artifact, not growth
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    (0 until reps).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     for (dim <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$baseDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
@@ -383,7 +438,8 @@ object ScaleBench {
       "dedup_scale" -> Family, "core_scale" -> CoreFamily,
       "stream_scale" -> StreamFamily, "r6_scale" -> R6Family,
       "r7_scale" -> R7Family, "r8_scale" -> R8Family,
-      "r9_scale" -> R9Family)
+      "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
+      "r9c_scale" -> R9cFamily)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

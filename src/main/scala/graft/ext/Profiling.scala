@@ -51,4 +51,38 @@ object Profiling {
             col("n_rows").cast("double"), 6).as("g3_rate"))
     }.reduce(_ union _)
   }
+
+  /** Per-column profile (the Deequ/pandas-profiling summary a promote
+    * gate reads before trusting a new source): one row per requested
+    * column with row count, null count, exact distinct count, and
+    * min/max — aggregated under the COLUMN'S OWN type (numeric min, not
+    * lexicographic) and cast to string only for the uniform output
+    * schema. Callers profiling float columns should note min/max string
+    * formatting is engine-specific; integral and string columns render
+    * identically everywhere.
+    *
+    * 100 TB design: ONE aggregation pass computes every column's stats
+    * (Spark plans the multi-distinct via Expand — one shuffle, state
+    * O(distinct values) per column), and the per-column rows come from
+    * `stack` over the single 1-row result — no per-column scans, no
+    * melt of the data itself.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: no columns")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__nn_$i"),
+        count_distinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__mn_$i"),
+        max(col(c)).cast("string").as(s"__mx_$i"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __nn_$i, __nd_$i, __mn_$i, __mx_$i"
+    }.mkString(", ")
+    one.select(col("__n"),
+      expr(s"stack(${cols.size}, $stackArgs) AS (col_name, __nn, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__nn")).as("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
 }

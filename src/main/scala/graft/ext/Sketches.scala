@@ -346,4 +346,70 @@ object Sketches {
         (col("bucket") * bucketWidth + (bucketWidth - 1)).as("hi"),
         col("cnt"))
   }
+
+  /** HyperLogLog register table (Flajolet et al. 2007) — the
+    * constant-state distinct sketch next to [[kmvDistinct]]'s k-order-
+    * statistics one: 2^p one-byte registers per group, period, however
+    * many distinct values arrive. Portable by the same trick as every
+    * sketch here: the hash is the 48-bit md5 prefix, the register index
+    * its top p bits, and the rank rho = leading zeros of the remaining
+    * (48−p)-bit field + 1 — computed as (48−p)+1 − bitlength via the
+    * BINARY STRING of the field (`bin()`, identical in Spark and
+    * DuckDB), never floating log2, whose 1-ulp wobble at exact powers
+    * of two could cross the floor boundary between engines.
+    *
+    * Registers are mergeable by MAX — the [[countMinAppendDay]]
+    * day-keyed-store pattern applies verbatim (max, not sum, at read).
+    * Scale shape: one map-side-combined groupBy collapses the corpus to
+    * ≤ groups × 2^p rows; nothing downstream sees data volume.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 12, s"hllRegisters: p=$p (alpha formula needs m >= 128)")
+    val suffix = 48 - p
+    val h = org.apache.spark.sql.graftfn.HashExpressions
+      .md5Prefix48(col(valueCol).cast("string"))
+    val idx = shiftright(h, suffix)
+    val w = h.bitwiseAND(lit((1L << suffix) - 1L))
+    val rho = when(w === 0L, lit(suffix + 1))
+      .otherwise(lit(suffix + 1) - length(bin(w)))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), idx.as("idx"), rho.as("rho"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("g").as(groupCol), col("idx"), col("rho"))
+  }
+
+  /** Distinct-count estimate from a [[hllRegisters]] table: raw
+    * E = alpha_m · m² / (Σ_present 2^(−rho) + zeroRegisters), with the
+    * standard small-range linear-counting correction E ≤ 2.5m ∧ V > 0 →
+    * m·ln(m/V). Cross-engine determinism: every 2^(−rho) is an exact
+    * binary fraction and the sum's exponent window (≤ 49 bits at p = 8)
+    * fits a double mantissa, so Z is EXACT and order-free; alpha and
+    * the division are pinned-order double expressions; the one ln goes
+    * through a 4-dp round (the x107 convention for libm calls). Output:
+    * (groupCol, n_registers, n_zero, hll_est).
+    */
+  def hllEstimate(
+      registers: DataFrame,
+      groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 12, s"hllEstimate: p=$p")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val agg0 = registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_registers"),
+        sum(pow(lit(2.0), -col("rho"))).as("__zsum"))
+    val v = lit(m.toLong) - col("n_registers")
+    val z = col("__zsum") + v.cast("double")
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / z
+    val est = when(raw <= lit(2.5 * m) && v > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    agg0.select(col(groupCol), col("n_registers"), v.as("n_zero"),
+      round(est, 4).as("hll_est"))
+  }
 }

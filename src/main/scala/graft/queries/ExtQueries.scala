@@ -4556,4 +4556,259 @@ object ExtQueries {
   // final store state == the full-corpus IVF+PQ index (the frozen model
   // is the full-data model by construction, as in x129)
   val x137Sql: String = x128Sql
+
+  // --- x138: HyperLogLog distinct counts (verified sketch) ----------------
+  // The constant-state sketch completing the quartet (KMV x40, MG x70,
+  // CM x96/x98): 256 one-byte registers per group regardless of
+  // cardinality. The gate unions a LOW-cardinality slice (150 users per
+  // event type — the linear-counting correction branch) with a HIGH one
+  // (distinct orderkeys per returnflag — the raw-estimate branch), so
+  // both estimator paths are exercised and gated; n_exact rides along
+  // for the accuracy audit. rho comes from bin()-string bit length —
+  // never floating log2, whose ulp wobble at exact powers of two could
+  // cross the floor boundary between engines.
+  def x138HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(concat(lit("ev_"), col("event_type")).as("grp"),
+        col("user_id").cast("string").as("v"))
+    val li = t(spark, dir, "lineitem")
+      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
+        col("l_orderkey").cast("string").as("v"))
+    val u = Dedup.materialize(ev.unionByName(li))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(u, "grp", "v", p = 8), "grp", p = 8)
+    est.join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
+      Seq("grp"))
+  }
+
+  val x138Sql: String = {
+    val hex48 = duckHex48("md5(v)")
+    s"""WITH src AS (SELECT 'ev_' || event_type AS grp, CAST(user_id AS VARCHAR) AS v FROM events
+         UNION ALL
+         SELECT 'li_' || l_returnflag, CAST(l_orderkey AS VARCHAR) FROM lineitem),
+       dv AS (SELECT DISTINCT grp, v FROM src),
+       b AS (SELECT grp, $hex48 AS h48 FROM dv),
+       r0 AS (SELECT grp, h48 // 1099511627776 AS idx, h48 % 1099511627776 AS w FROM b),
+       r AS (SELECT grp, idx,
+           CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rho FROM r0),
+       reg AS (SELECT grp, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+       ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_registers,
+           sum(power(2.0, -rho)) AS zsum FROM reg GROUP BY 1),
+       e0 AS (SELECT grp, n_registers, CAST(256 - n_registers AS BIGINT) AS n_zero,
+           (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0
+             / (zsum + CAST(256 - n_registers AS DOUBLE)) AS raw
+         FROM ag),
+       ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM dv GROUP BY 1)
+       SELECT e0.grp, n_registers, n_zero,
+         round(CASE WHEN raw <= 640.0 AND n_zero > 0
+               THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE)) ELSE raw END, 4) AS hll_est,
+         n_exact
+       FROM e0 JOIN ex ON e0.grp = ex.grp"""
+  }
+
+  // --- x139: per-column profile -------------------------------------------
+  // The promote-gate datasheet next to x130's declared checks and x136's
+  // dependency profile: ONE aggregation pass (multi-distinct via Expand,
+  // one shuffle) + stack over the 1-row result — no per-column scans.
+  def x139ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiling.columnProfile(t(spark, dir, "documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  val x139Sql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+       FROM documents"""
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(one).mkString("\n       UNION ALL ")
+  }
+
+  // --- x140: dedup-weighted sampling --------------------------------------
+  // The soft alternative to dropping duplicates (keep everything, weight
+  // down duplicated content — the Dolma/RedPajama "dedup by weighting"
+  // option): each doc's A-Res weight is 1000 / near-dup-cluster size, so
+  // a 5-doc cluster carries ~1 doc of expected mass. Rides x04's pairs,
+  // x23's components, and x39's exact-k machinery end to end.
+  def x140DedupWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7))
+    val clusters = Dedup.duplicateClusters(pairs)
+    val sizes = clusters.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("label"), "left")
+      .withColumn("n_dupes", coalesce(col("__sz"), lit(1L)))
+      .select(col("doc_id"), col("n_dupes"))
+    Sampling.weightedTopK(keyed, "doc_id",
+      lit(1000.0d) / col("n_dupes").cast("double"), k = 100)
+      .select(col("doc_id"), col("n_dupes"), col("sample_rank"), col("es_key"))
+  }
+
+  val x140Sql: String = {
+    val hex48 = duckHex48("hx")
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id),
+       csz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY 1),
+       kd AS (SELECT d.doc_id, coalesce(csz.sz, 1) AS n_dupes
+         FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         LEFT JOIN csz ON csz.label = cl.label),
+       h AS (SELECT doc_id, n_dupes, md5(CAST(doc_id AS VARCHAR)) AS hx FROM kd),
+       k AS (SELECT doc_id, n_dupes,
+             round(ln((CAST($hex48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                   / greatest(1000.0 / CAST(n_dupes AS DOUBLE), 1.0), 6) AS es_key FROM h),
+       r AS (SELECT doc_id, n_dupes, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k)
+       SELECT doc_id, CAST(n_dupes AS BIGINT) AS n_dupes,
+         CAST(rn AS BIGINT) AS sample_rank, es_key
+       FROM r WHERE rn <= 100"""
+  }
+
+  // --- x141: session path mining ------------------------------------------
+  // The "what do users actually do" product question: top-10 in-session
+  // event-type trigrams. Paths are per-session lead windows (one user
+  // shuffle, reusing the session partitioning); the rollup collapses to
+  // O(|types|^3) path rows before the only global window (<= 125 rows —
+  // the justified tiny-input class).
+  def x141SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "events")
+    val sess = Events.sessionizeBatch(
+      e.withColumn("ts_us", Events.epochMicros(e)),
+      "user_id", "ts_us", gap = 30L * 60 * 1000000L)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tri = sess
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    val counts = tri.groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+    val rw = Window.orderBy(col("n_occurrences").desc, col("path"))
+    counts.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("path"), col("n_occurrences"))
+  }
+
+  val x141Sql: String =
+    """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, event_id, event_type, e,
+           CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS ns
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+       g AS (SELECT user_id, event_id, event_type, e,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY e, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM s),
+       t0 AS (SELECT event_type AS e1, lead(event_type, 1) OVER w2 AS e2,
+           lead(event_type, 2) OVER w2 AS e3
+         FROM g WINDOW w2 AS (PARTITION BY user_id, seq ORDER BY e, event_id)),
+       tri AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM t0
+         WHERE e3 IS NOT NULL),
+       c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM tri GROUP BY 1),
+       r AS (SELECT path, n_occurrences,
+           row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank FROM c)
+       SELECT CAST(rank AS BIGINT) AS rank, path, n_occurrences
+       FROM r WHERE rank <= 10"""
+
+  // --- x142: STREAMING drift monitor --------------------------------------
+  // x77's JS divergence as the per-ingest-day production monitor: each
+  // micro-batch (file-per-batch replay, day-keyed) compares its
+  // distribution of the JSON `props.k` metric against the full reference
+  // per event_type, and the result lands in a day-partitioned
+  // ManifestStore merge — replay-idempotent (one day is deliberately
+  // re-delivered after the drain). The metric goes through JSON
+  // extraction to an exact integer in BOTH engines (double casts would
+  // hit the round-vs-truncate divergence).
+  def x142StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestStore
+    val e = t(spark, dir, "events")
+    val ev = Dedup.materialize(e.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      concat(lit("d"), pmod(col("event_id"), lit(3)).cast("string")).as("day")))
+    val base = FreshTables.next(spark, dir, "sdrift_in")
+    (0 until 3).foreach { b =>
+      ev.filter(col("day") === s"d$b").repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val resT = FreshTables.next(spark, dir, "sdrift_res")
+    def fold(batch: DataFrame): Unit = {
+      val d = batch.agg(min(col("day"))).head().getString(0)
+      if (d != null) {
+        val js = graft.ext.Drift.jsDivergence(ev, batch, "event_type", "k",
+          bins = 16).withColumn("day", lit(d))
+        ManifestStore.mergeOrCreate(spark, resT, js,
+          Seq("day", "event_type"), "day")
+      }
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x142: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day d1 — the keyed merge must replace
+    fold(ev.filter(col("day") === "d1"))
+    ManifestStore.read(spark, resT)
+      .select(col("day"), col("event_type"), col("n_a"), col("n_b"), col("js"))
+  }
+
+  val x142Sql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           'd' || CAST(event_id % 3 AS VARCHAR) AS day FROM events),
+       days AS (SELECT DISTINCT day FROM ev),
+       u AS (SELECT d.day, e.event_type AS g, e.k AS v, 0 AS side
+             FROM ev e CROSS JOIN days d
+         UNION ALL
+         SELECT e.day, e.event_type, e.k, 1 FROM ev e),
+       bd AS (SELECT CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx
+         FROM ev WHERE k IS NOT NULL),
+       bn AS (SELECT day, g, side, ((v - mn) * 16) // (mx - mn + 1) AS bin
+         FROM u CROSS JOIN bd WHERE v IS NOT NULL),
+       h AS (SELECT day, g, bin,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM bn GROUP BY 1, 2, 3),
+       tt AS (SELECT day, g, CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1, 2
+         HAVING sum(ca) > 0 AND sum(cb) > 0),
+       terms AS (SELECT h.day, h.g,
+           CASE WHEN ca > 0 THEN CAST(round(
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS ta,
+           CASE WHEN cb > 0 THEN CAST(round(
+             (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS tb,
+           na, nb
+         FROM h JOIN tt ON tt.day = h.day AND tt.g = h.g)
+       SELECT day, g AS event_type, max(na) AS n_a, max(nb) AS n_b,
+         round((CAST(sum(ta) AS DOUBLE) / 1000000000.0
+              + CAST(sum(tb) AS DOUBLE) / 1000000000.0) / 2.0, 6) AS js
+       FROM terms GROUP BY 1, 2"""
 }
