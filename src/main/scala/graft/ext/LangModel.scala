@@ -36,8 +36,17 @@ object LangModel {
     * empty split fragments were filtered; consumers only need order.
     */
   def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "w")))
+    tokenRowsBy(df, idCol, textCol, Nil)
+
+  /** [[tokenRows]] carrying extra per-document columns — the ONE
+    * definition of the token boundary (a change here reaches every
+    * token- and bigram-based consumer).
+    */
+  def tokenRowsBy(
+      df: DataFrame, idCol: String, textCol: String,
+      byCols: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id") +: byCols.map(col) :+
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "w")): _*)
       .filter(col("w") =!= "")
 
   /** Adjacent-token bigram ROWS (id, w1, w2), non-distinct. One window
@@ -56,11 +65,8 @@ object LangModel {
       df: DataFrame, idCol: String, textCol: String,
       byCols: Seq[String]): DataFrame = {
     val by = byCols.map(col)
-    val toks = df.select(col(idCol).as("id") +: by :+
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "w")): _*)
-      .filter(col("w") =!= "")
     val byId = Window.partitionBy(col("id")).orderBy(col("pos"))
-    toks
+    tokenRowsBy(df, idCol, textCol, byCols)
       .withColumn("w2", lead(col("w"), 1).over(byId))
       .filter(col("w2").isNotNull)
       .select(col("id") +: by :+ col("w").as("w1") :+ col("w2"): _*)

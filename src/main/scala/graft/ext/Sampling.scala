@@ -274,21 +274,39 @@ object Sampling {
   def curriculumPhases(
       df: DataFrame,
       scoreCol: String,
+      phases: Int): DataFrame =
+    phasesCore(df, Nil, scoreCol, phases)
+
+  /** Shared phase-assignment core for [[curriculumPhases]] (no groups —
+    * ONE global distribution whose only windows run over O(distinct
+    * scores) rows) and [[groupedPhases]] (per-group windows). Null
+    * scores are unrankable: they are excluded from the distribution (so
+    * they cannot skew every real row's phase) and come back with
+    * phase = null via the LEFT join — row-preserving either way.
+    */
+  private def phasesCore(
+      df: DataFrame,
+      byCols: Seq[String],
+      scoreCol: String,
       phases: Int): DataFrame = {
-    require(phases >= 1, s"curriculumPhases: phases=$phases")
-    // null scores are unrankable: they are excluded from the
-    // distribution (so they cannot skew every real row's phase) and come
-    // back with phase = null via the LEFT join — row-preserving either way
+    require(phases >= 1, s"phases=$phases")
+    val by = byCols.map(col)
     val dist = df.filter(col(scoreCol).isNotNull)
-      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__s").desc)
+      .groupBy(by :+ col(scoreCol).as("__s"): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(by: _*).orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wg = Window.partitionBy(by: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gsel = byCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") }
     val cum = dist
       .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(
-        Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__s"), expr(s"($phases * __cum) div __n").as("phase"))
-    df.join(broadcast(cum), col(scoreCol) === col("__s"), "left").drop("__s")
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .select(gsel :+ col("__s") :+ expr(s"($phases * __cum) div __n").as("phase"): _*)
+    val cond = byCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> col(s"__g$i") }
+      .foldRight(col(scoreCol) === col("__s"))(_ && _)
+    df.join(broadcast(cum), cond, "left")
+      .drop(byCols.indices.map(i => s"__g$i") :+ "__s": _*)
   }
 
   /** [[curriculumPhases]] with the phase boundaries computed PER GROUP
@@ -312,25 +330,7 @@ object Sampling {
       scoreCol: String,
       phases: Int): DataFrame = {
     require(byCols.nonEmpty, "groupedPhases: use curriculumPhases for no groups")
-    require(phases >= 1, s"groupedPhases: phases=$phases")
-    val by = byCols.map(col)
-    val dist = df.filter(col(scoreCol).isNotNull)
-      .groupBy(by :+ col(scoreCol).as("__s"): _*).agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(by: _*).orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wg = Window.partitionBy(by: _*)
-      .orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val gsel = byCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") }
-    val cum = dist
-      .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wg))
-      .select(gsel :+ col("__s") :+ expr(s"($phases * __cum) div __n").as("phase"): _*)
-    val cond = byCols.zipWithIndex
-      .map { case (c, i) => df(c) <=> col(s"__g$i") }
-      .reduce(_ && _) && (col(scoreCol) === col("__s"))
-    df.join(broadcast(cum), cond, "left")
-      .drop(byCols.indices.map(i => s"__g$i") :+ "__s": _*)
+    phasesCore(df, byCols, scoreCol, phases)
   }
 
   /** One cycle of iterative proportional fitting (raking; Deming &

@@ -409,7 +409,19 @@ object Sketches {
     val est = when(raw <= lit(2.5 * m) && v > 0L,
         lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
       .otherwise(raw)
+    // fail loudly on a geometry mismatch (the minhashProbe convention):
+    // a registers table built with a larger p holds up to 2^pBuilt rows
+    // per group, and silently emitting negative n_zero / garbage
+    // estimates is exactly the degradation the sidecar checks elsewhere
+    // exist to prevent. assert_true returns null on success, so gating
+    // the estimate on it keeps the check in the executed plan (a
+    // dropped helper column would be pruned away).
+    val guarded = when(
+      assert_true(col("n_registers") <= lit(m.toLong),
+        lit(s"hllEstimate: group holds more than 2^$p registers — " +
+          "the registers table was built with a larger p")).isNull,
+      round(est, 4))
     agg0.select(col(groupCol), col("n_registers"), v.as("n_zero"),
-      round(est, 4).as("hll_est"))
+      guarded.as("hll_est"))
   }
 }

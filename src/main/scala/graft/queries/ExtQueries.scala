@@ -4319,8 +4319,10 @@ object ExtQueries {
   // The rollup re-rounds the 6-dp score to exact integer micro-units
   // before summing, so the per-bucket totals are order-free LONGs.
   def x132PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = LangModel.knScoreBy(
-      t(spark, dir, "documents"), "doc_id", "text", Seq("lang"))
+    // materialized: groupedPhases consumes the scored frame twice (the
+    // distribution pass and the join-back) — x05 multi-consumer rule
+    val scored = Dedup.materialize(LangModel.knScoreBy(
+      t(spark, dir, "documents"), "doc_id", "text", Seq("lang")))
     Sampling.groupedPhases(scored, Seq("lang"), "avg_lp", 3)
       .groupBy(col("lang"), col("phase").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -4420,7 +4422,10 @@ object ExtQueries {
   def x134BlockedEr(spark: SparkSession, dir: String): DataFrame =
     Similarity.blockedEditPairs(t(spark, dir, "customer"),
       "c_custkey", "c_name",
-      concat_ws("|", col("c_nationkey").cast("string"),
+      // concat (not concat_ws): NULL-PROPAGATING like the oracle's ||,
+      // so a null nationkey excludes the record in BOTH engines instead
+      // of silently blocking on the bare name prefix in one
+      concat(col("c_nationkey").cast("string"), lit("|"),
         substring(col("c_name"), 1, 16)),
       maxDist = 1)
 
@@ -4586,7 +4591,7 @@ object ExtQueries {
     s"""WITH src AS (SELECT 'ev_' || event_type AS grp, CAST(user_id AS VARCHAR) AS v FROM events
          UNION ALL
          SELECT 'li_' || l_returnflag, CAST(l_orderkey AS VARCHAR) FROM lineitem),
-       dv AS (SELECT DISTINCT grp, v FROM src),
+       dv AS (SELECT DISTINCT grp, v FROM src WHERE v IS NOT NULL),
        b AS (SELECT grp, $hex48 AS h48 FROM dv),
        r0 AS (SELECT grp, h48 // 1099511627776 AS idx, h48 % 1099511627776 AS w FROM b),
        r AS (SELECT grp, idx,
