@@ -311,7 +311,10 @@ object ScaleBench {
     "x141_session_paths",
     // 3 micro-batch JS passes, each O(ref + batch) with the replay
     // floor; result store commits are O(days × types) — expect ~linear
-    "x142_stream_drift")
+    "x142_stream_drift",
+    // 4 day-appends of ≤ groups × 256 register rows + an O(store) read
+    // — commit-I/O floor like x114/x123, expect sub-linear
+    "x143_hll_store")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -424,4 +424,42 @@ object Sketches {
     agg0.select(col(groupCol), col("n_registers"), v.as("n_zero"),
       guarded.as("hll_est"))
   }
+
+  /** Day-over-day MAINTAINED HLL store — [[countMinAppendDay]]'s
+    * pattern on the distinct sketch, closing the maintained family
+    * across all four sketches (CM x114, histogram x123, and now HLL;
+    * KMV merges the same way through its min-hash arrays). Each day's
+    * registers land as day-keyed rows; because registers merge by MAX
+    * (not sum), re-appending a day REPLACES its rows and the read-time
+    * max across days is EXACTLY the batch sketch over the union —
+    * distinct counting is insensitive to how history was sliced.
+    * Daily cost: one O(day) pass + ≤ groups × 2^p register rows of
+    * commit I/O; history never recomputes.
+    */
+  def hllAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      day: String,
+      table: String,
+      p: Int = 8): Unit = {
+    import graft.sources.ManifestStore
+    val regs = hllRegisters(df, groupCol, valueCol, p)
+      .withColumn("day", lit(day))
+    ManifestStore.mergeOrCreate(spark, table, regs,
+      Seq(groupCol, "idx", "day"), "day")
+  }
+
+  /** The full-history register table from a [[hllAppendDay]] store —
+    * max-merge across days, feeding [[hllEstimate]] unchanged.
+    */
+  def hllRegistersFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      groupCol: String): DataFrame = {
+    import graft.sources.ManifestStore
+    ManifestStore.read(spark, table)
+      .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("rho"))
+  }
 }

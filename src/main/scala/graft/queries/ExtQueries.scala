@@ -4816,4 +4816,49 @@ object ExtQueries {
          round((CAST(sum(ta) AS DOUBLE) / 1000000000.0
               + CAST(sum(tb) AS DOUBLE) / 1000000000.0) / 2.0, 6) AS js
        FROM terms GROUP BY 1, 2"""
+
+  // --- x143: maintained HLL store (day-over-day distinct counts) ----------
+  // x114's day-keyed-subtotal pattern on the DISTINCT sketch: registers
+  // merge by MAX, so the store read across any day slicing is EXACTLY
+  // the batch sketch — and because max is idempotent, a replayed day
+  // cannot even in principle corrupt the estimate (the in-gate row
+  // accounting still proves the partition-pruned merge REPLACED d1's
+  // rows rather than duplicating store rows). Oracle = x138's: the
+  // maintained store must reproduce the one-shot sketch bit for bit.
+  def x143HllStore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(concat(lit("ev_"), col("event_type")).as("grp"),
+        col("user_id").cast("string").as("v"))
+    val li = t(spark, dir, "lineitem")
+      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
+        col("l_orderkey").cast("string").as("v"))
+    val u = Dedup.materialize(ev.unionByName(li)
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "hllstore")
+    (0 until 3).foreach { b =>
+      Sketches.hllAppendDay(spark, u.filter(col("day") === s"d$b"),
+        "grp", "v", s"d$b", table)
+    }
+    // replay day d1: the day-partitioned merge must REPLACE its rows
+    Sketches.hllAppendDay(spark, u.filter(col("day") === "d1"),
+      "grp", "v", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = u
+      .select(col("grp"), col("day"),
+        shiftright(org.apache.spark.sql.graftfn.HashExpressions
+          .md5Prefix48(col("v")), 40).as("idx"))
+      .distinct().count()
+    require(stored == expected,
+      s"x143: store holds $stored register rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    Sketches.hllEstimate(
+      Sketches.hllRegistersFromStore(spark, table, "grp"), "grp")
+      .join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
+        Seq("grp"))
+  }
+
+  // the maintained store read IS the batch sketch (max-mergeable
+  // registers), so the oracle is x138's
+  val x143Sql: String = x138Sql
 }
