@@ -314,7 +314,13 @@ object ScaleBench {
     "x142_stream_drift",
     // 4 day-appends of ≤ groups × 256 register rows + an O(store) read
     // — commit-I/O floor like x114/x123, expect sub-linear
-    "x143_hll_store")
+    "x143_hll_store",
+    // brute-force side is |Q|=8 × corpus (the audit's deliberate cost);
+    // IVF side is the x11 shape — expect ~linear
+    "x144_ann_recall",
+    // candidates are |Q| × probed buckets; ADC + exact rerank both run
+    // on that bounded set — expect ~linear in the assignment pass
+    "x145_pq_distortion")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

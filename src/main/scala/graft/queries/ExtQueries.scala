@@ -4861,4 +4861,158 @@ object ExtQueries {
   // the maintained store read IS the batch sketch (max-mergeable
   // registers), so the oracle is x138's
   val x143Sql: String = x138Sql
+
+  // --- x144: ANN recall audit (IVF vs brute force) ------------------------
+  // The approximation-quality measurement every deployed ANN index
+  // ships with: per-query recall@10 of the IVF bucket-pruned search
+  // (x11) against the exact brute-force top-10 (x07). Both pipelines
+  // are deterministic, so the recall numbers themselves are exact and
+  // fully oracled — the nprobe dial's quality cost, measured rather
+  // than assumed. At scale the audit runs on a FIXED query sample, so
+  // its cost is the brute-force pass over that sample only.
+  def x144AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val queries = data.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(data, queries,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, cents, "vec_id", "embedding")
+    val approx = Similarity.ivfTopK(assigned, cents, queries,
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__h"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("__h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6))
+  }
+
+  val x144Sql: String =
+    s"""WITH $ivfCtes,
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       sce AS (SELECT q.query_id, c2.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c2.ve[i])) / (q.qn * c2.nrm) AS cos
+         FROM n c2 JOIN q ON c2.vec_id <> q.query_id),
+       rex AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sce) WHERE rn <= 10),
+       pr0 AS (SELECT q.query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
+         FROM q CROSS JOIN c),
+       pr AS (SELECT query_id, centroid_id FROM (
+           SELECT query_id, centroid_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM pr0) WHERE rn <= 3),
+       sca AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.ve[i])) / (q.qn * n.nrm) AS cos
+         FROM n JOIN asg ON n.vec_id = asg.vec_id
+         JOIN pr ON asg.centroid_id = pr.centroid_id
+         JOIN q ON pr.query_id = q.query_id
+         WHERE n.vec_id <> q.query_id),
+       ra AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sca) WHERE rn <= 10),
+       j AS (SELECT rex.query_id,
+           CASE WHEN ra.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM rex LEFT JOIN ra ON ra.query_id = rex.query_id
+           AND ra.neighbor_id = rex.neighbor_id)
+       SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(hit) AS BIGINT) AS n_hit,
+         round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       FROM j GROUP BY 1"""
+
+  // --- x145: PQ rank-distortion audit -------------------------------------
+  // x144's sibling for the COMPRESSION side: within the SAME probed
+  // candidate set, recall@10 of the ADC (code-approximated) ranking
+  // against the exact-distance ranking — isolating quantization error
+  // from IVF pruning error (x144 measures that one). Exact distances
+  // use the same a·a + b·b − 2·a·b form and 1e-9 grid as the PQ LUT,
+  // through the codegen'd dot product.
+  def x145PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+    val queries = data.filter(col("vec_id") < 8)
+    val probes = Similarity.probeCentroids(queries, cents,
+      "vec_id", "embedding", nprobe = 3)
+    val candidates = Dedup.materialize(probes
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")))
+    val cb = Pq.codebook(data, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, stride = 3)
+    val codes = Pq.encode(data, cb, "vec_id", "embedding", dim = 64, m = 4)
+    val adc = Pq.adcTopKCandidates(queries, candidates, codes, cb,
+      "vec_id", "embedding", dim = 64, m = 4, k = 10)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__h"))
+    val dot = Similarity.dot _
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__q"))
+    val dv = data.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__d"))
+    val d9 = round((dot(col("__q"), col("__q")) + dot(col("__d"), col("__d")) -
+      lit(2.0d) * dot(col("__q"), col("__d"))) * lit(1e9d), 0).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d9").asc, col("vec_id").asc)
+    val exact = candidates.join(qv, Seq("query_id")).join(dv, Seq("vec_id"))
+      .withColumn("d9", d9)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(adc, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("__h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6))
+  }
+
+  val x145Sql: String = {
+    val fullD9 =
+      """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))
+       + list_sum(list_transform(range(1, 65), i -> c2.ve[i] * c2.ve[i]))
+       - 2 * list_sum(list_transform(range(1, 65), i -> q.ve[i] * c2.ve[i]))) * 1e9)
+       AS BIGINT)"""
+    s"""WITH $ivfCtes,
+       $pqCtes,
+       pr0 AS (SELECT q.vec_id AS query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.ve) + 1), i -> q.ve[i] * c.cv[i])) / (q.nrm * c.cn) AS sim
+         FROM n q CROSS JOIN c WHERE q.vec_id < 8),
+       pr AS (SELECT query_id, centroid_id FROM (
+           SELECT query_id, centroid_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM pr0) WHERE rn <= 3),
+       cand AS (SELECT pr.query_id, asg.vec_id
+         FROM pr JOIN asg USING (centroid_id)
+         WHERE asg.vec_id <> pr.query_id),
+       scored AS (SELECT ca.query_id, ca.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
+         FROM cand ca JOIN codes cd ON ca.vec_id = cd.vec_id
+         JOIN lut l ON l.query_id = ca.query_id
+           AND l.sub = cd.sub AND l.code = cd.code
+         GROUP BY 1, 2),
+       ra AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rn
+           FROM scored) WHERE rn <= 10),
+       ex0 AS (SELECT ca.query_id, ca.vec_id, $fullD9 AS d9
+         FROM cand ca JOIN v q ON q.vec_id = ca.query_id
+         JOIN v c2 ON c2.vec_id = ca.vec_id),
+       rex AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d9, vec_id) AS rn
+           FROM ex0) WHERE rn <= 10),
+       j AS (SELECT rex.query_id,
+           CASE WHEN ra.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM rex LEFT JOIN ra ON ra.query_id = rex.query_id
+           AND ra.vec_id = rex.vec_id)
+       SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(hit) AS BIGINT) AS n_hit,
+         round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       FROM j GROUP BY 1"""
+  }
 }
