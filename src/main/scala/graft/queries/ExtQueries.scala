@@ -4832,7 +4832,11 @@ object ExtQueries {
     val li = t(spark, dir, "lineitem")
       .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
         col("l_orderkey").cast("string").as("v"))
+    // null values sketch to nothing (hllRegisters filters them), so they
+    // must not count toward the store-row accounting either — mirror the
+    // x138 oracle's null filter up front
     val u = Dedup.materialize(ev.unionByName(li)
+      .filter(col("v").isNotNull)
       .withColumn("day",
         concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
     val table = FreshTables.next(spark, dir, "hllstore")
@@ -4870,6 +4874,19 @@ object ExtQueries {
   // fully oracled — the nprobe dial's quality cost, measured rather
   // than assumed. At scale the audit runs on a FIXED query sample, so
   // its cost is the brute-force pass over that sample only.
+  /** Per-query recall@k of `approx` against `exact` (both (query_id,
+    * `idName`) top-k lists) — the shared rollup of the x144/x145
+    * approximation audits, so the recall definition lives once.
+    */
+  private def recallRollup(
+      exact: DataFrame, approx: DataFrame, idName: String): DataFrame =
+    exact.join(approx.withColumn("__h", lit(1)),
+        Seq("query_id", idName), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("__h")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k").cast("double"), 6))
+
   def x144AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val data = t(spark, dir, "embeddings")
     val queries = data.filter(col("vec_id") < 8)
@@ -4880,13 +4897,8 @@ object ExtQueries {
     val assigned = Similarity.ivfAssign(data, cents, "vec_id", "embedding")
     val approx = Similarity.ivfTopK(assigned, cents, queries,
       "vec_id", "embedding", k = 10, nprobe = 3)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("__h"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("k"),
-        sum(when(col("__h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hit"))
-      .withColumn("recall",
-        round(col("n_hit").cast("double") / col("k").cast("double"), 6))
+      .select(col("query_id"), col("neighbor_id"))
+    recallRollup(exact, approx, "neighbor_id")
   }
 
   val x144Sql: String =
@@ -4950,7 +4962,7 @@ object ExtQueries {
     val codes = Pq.encode(data, cb, "vec_id", "embedding", dim = 64, m = 4)
     val adc = Pq.adcTopKCandidates(queries, candidates, codes, cb,
       "vec_id", "embedding", dim = 64, m = 4, k = 10)
-      .select(col("query_id"), col("vec_id"), lit(1).as("__h"))
+      .select(col("query_id"), col("vec_id"))
     val dot = Similarity.dot _
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("__q"))
@@ -4964,12 +4976,7 @@ object ExtQueries {
       .withColumn("d9", d9)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"))
-    exact.join(adc, Seq("query_id", "vec_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("k"),
-        sum(when(col("__h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hit"))
-      .withColumn("recall",
-        round(col("n_hit").cast("double") / col("k").cast("double"), 6))
+    recallRollup(exact, adc, "vec_id")
   }
 
   val x145Sql: String = {
