@@ -320,7 +320,10 @@ object ScaleBench {
     "x144_ann_recall",
     // candidates are |Q| × probed buckets; ADC + exact rerank both run
     // on that bounded set — expect ~linear in the assignment pass
-    "x145_pq_distortion")
+    "x145_pq_distortion",
+    // native streaming agg with state ≤ groups × 256 registers forever;
+    // per-batch cost tracks batch size plus the replay floor
+    "x146_stream_hll")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

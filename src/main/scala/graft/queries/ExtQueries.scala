@@ -4979,6 +4979,52 @@ object ExtQueries {
     recallRollup(exact, adc, "vec_id")
   }
 
+  // --- x146: STREAMING HyperLogLog maintenance ----------------------------
+  // x111's bounded-state claim for the DISTINCT sketch: hllRegisters IS
+  // a native streaming aggregation (groupBy (grp, idx) max(rho)), so
+  // streaming state stays ≤ groups × 2^p rows for ANY stream length —
+  // the register table after the drain is the batch sketch exactly
+  // (max is order- and batching-insensitive), proven by sharing x138's
+  // oracle. Drained in genuine multi-batch increments
+  // (maxFilesPerTrigger = 1 over a 4-file stage).
+  def x146StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(spark, dir, "events")
+      .select(concat(lit("ev_"), col("event_type")).as("grp"),
+        col("user_id").cast("string").as("v"))
+    val li = t(spark, dir, "lineitem")
+      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
+        col("l_orderkey").cast("string").as("v"))
+    val u = Dedup.materialize(ev.unionByName(li))
+    val base = FreshTables.next(spark, dir, "shll_in")
+    u.repartition(4).write.parquet(s"$base/in")
+    val qname = s"x146_shll_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    spark.catalog.dropTempView(qname)
+    val regs = Sketches.hllRegisters(
+      spark.readStream.schema(u.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in"),
+      "grp", "v", p = 8)
+    val q = regs.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x146: drain timeout")
+    } finally q.stop()
+    val regTable = spark.table(qname)
+    require(regTable.count() <= 13L * 256L,
+      "x146: streaming state exceeded the groups x 2^p register bound")
+    Sketches.hllEstimate(regTable, "grp")
+      .join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
+        Seq("grp"))
+  }
+
+  // the drained register table IS the batch sketch (max-mergeable,
+  // batching-insensitive), so the oracle is x138's
+  val x146Sql: String = x138Sql
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))
