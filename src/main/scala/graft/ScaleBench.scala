@@ -323,7 +323,11 @@ object ScaleBench {
     "x145_pq_distortion",
     // native streaming agg with state ≤ groups × 256 registers forever;
     // per-batch cost tracks batch size plus the replay floor
-    "x146_stream_hll")
+    "x146_stream_hll",
+    // pair generation dominates (the x04 bound); the store cycle adds
+    // O(affected members) component passes + 3 commits — expect the
+    // pair curve plus a commit floor
+    "x147_cluster_store")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

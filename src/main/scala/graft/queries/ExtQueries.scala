@@ -5025,6 +5025,68 @@ object ExtQueries {
   // batching-insensitive), so the oracle is x138's
   val x146Sql: String = x138Sql
 
+  // --- x147: maintained near-dup cluster store ----------------------------
+  // The dedup-store capstone (ext/ClusterStore): persisted (id, label)
+  // components that a day's NEW pairs fold into by recomputing only the
+  // affected subgraph (new edges + member->old-label edges) — never the
+  // historical pair list. The gate splits the corpus's LSH pair set
+  // into two "days", builds from day 0, folds day 1 in (require:
+  // relabeling actually cascaded — at least one stored id changed
+  // label), replays day 1 (require: row accounting proves replace, not
+  // duplicate), and the final labels must equal the batch components
+  // over ALL pairs — the oracle's recursive CTE.
+  def x147ClusterStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ClusterStore
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7))
+    // label-aware day split: day 0 gets the edges NOT touching their
+    // cluster's min member, day 1 the min-touching ones — so every ≥3
+    // cluster (a clique in this fixture at all SFs) is seeded on day 0
+    // under a LARGER min and day 1's arrival of the true min forces the
+    // relabel cascade the store exists to handle
+    val full = Dedup.duplicateClusters(pairs)
+      .select(col("id").as("id_a"), col("label").as("__l"))
+    val pairsL = Dedup.materialize(pairs.join(full, Seq("id_a")))
+    val day0 = pairsL.filter(col("id_a") =!= col("__l")).drop("__l")
+    val day1 = pairsL.filter(col("id_a") === col("__l")).drop("__l")
+    val root = FreshTables.next(spark, dir, "clstore")
+    ClusterStore.build(spark, day0, root, partitions = 8)
+    val pre = Dedup.materialize(ClusterStore.readLabels(spark, root))
+    ClusterStore.appendPairs(spark, day1, root, partitions = 8)
+    val mid = Dedup.materialize(ClusterStore.readLabels(spark, root))
+    val changed = pre.withColumnRenamed("label", "l0")
+      .join(mid, Seq("id")).filter(col("l0") =!= col("label")).count()
+    require(changed > 0L,
+      "x147: day 1 must exercise relabeling — adjust the pair split")
+    // replay day 1: the keyed delete + merge must REPLACE, not duplicate
+    ClusterStore.appendPairs(spark, day1, root, partitions = 8)
+    val labels = ClusterStore.readLabels(spark, root)
+    val nIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct().count()
+    require(labels.count() == nIds,
+      s"x147: store holds ${labels.count()} rows for $nIds clustered ids")
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+  }
+
+  val x147Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       FROM cl GROUP BY 1"""
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))
