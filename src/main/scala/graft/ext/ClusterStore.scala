@@ -28,12 +28,14 @@ import graft.sources.ManifestStore
   * partition-pruned probes — the [[DedupStores]] layout note); member
   * retrieval prunes to the affected labels' hash-bucket partitions
   * ([[ManifestStore.readPartitions]]); the component pass runs on the
-  * affected subgraph only; and the delete + merge rewrite touched
-  * partitions. Re-appending a day is IDEMPOTENT: the local recompute
-  * reproduces the already-stored labels and the keyed delete/merge
-  * replace rather than duplicate (row accounting `require`d in the
-  * gate). The delete and merge are two commits — a reader between them
-  * misses the affected ids; production serializes readers against the
+  * affected subgraph only; and the merge + scoped delete rewrite
+  * touched partitions. Re-appending a day is IDEMPOTENT: the local
+  * recompute reproduces the already-stored labels and the keyed merge
+  * replaces rather than duplicates (row accounting `require`d in the
+  * gate). The merge and stale-copy delete are two commits, ordered so
+  * a crash between them leaves an id visible under BOTH labels (never
+  * missing) and the next replay converges; a reader inside that window
+  * sees the duplicate — production serializes readers against the
   * append the same way the streaming sinks fence replays.
   */
 object ClusterStore {
@@ -41,33 +43,20 @@ object ClusterStore {
   private def bucket(c: org.apache.spark.sql.Column, partitions: Int) =
     pmod(xxhash64(c.cast("string")), lit(partitions.toLong))
 
-  private def geomPath(table: String) =
-    new org.apache.hadoop.fs.Path(table, "_graft_geometry.json")
-
-  private def writeGeometry(spark: SparkSession, table: String, partitions: Int): Unit = {
-    val p = geomPath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"partitions":$partitions}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeGeometry(spark: SparkSession, table: String, partitions: Int): Unit =
+    StoreSidecar.write(spark, table, Seq("partitions" -> partitions.toLong))
 
   /** A partitions mismatch hashes existing labels to different buckets:
     * member retrieval misses them and the store accumulates duplicate
     * ids — fail loudly instead (the [[DedupStores]] sidecar cure).
     */
   private def requireGeometry(spark: SparkSession, table: String, partitions: Int): Unit = {
-    val p = geomPath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
+    val got = StoreSidecar.read(spark, table, Seq("partitions"))
+      .map(_("partitions").toInt)
+    require(got.isDefined,
       s"ClusterStore: $table has no geometry sidecar — build() first")
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val got = """"partitions":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
     require(got.contains(partitions),
-      s"ClusterStore: $table was built with partitions=${got.orNull}, not $partitions")
+      s"ClusterStore: $table was built with partitions=${got.get}, not $partitions")
   }
 
   /** Initialize the store from a pair set: labels = min-member
@@ -102,28 +91,47 @@ object ClusterStore {
       newPairs.select(col(idA).as("id"))
         .unionByName(newPairs.select(col(idB).as("id"))).distinct())
     if (touched.head(1).isEmpty) return // an empty day changes nothing
-    val stored = ManifestStore.read(spark, table)
-    val oldLabels = Dedup.materialize(
-      stored.join(touched, Seq("id")).select(col("label")).distinct())
-    val leafs = oldLabels
-      .select(bucket(col("label"), partitions).as("pt")).distinct()
-      .collect().map(r => s"pt=${r.getLong(0)}").sorted
+    // a store legitimately built from a no-dup-pairs day 0 has zero
+    // partitions; treat it as "no stored members" instead of bricking
+    // every later append on the read (the realistic first-day case)
     val members = Dedup.materialize(
-      ManifestStore.readPartitions(spark, table, leafs.toSeq)
-        .join(oldLabels, Seq("label"))
-        .select(col("id"), col("label")))
+      try {
+        val stored = ManifestStore.read(spark, table)
+        val oldLabels = Dedup.materialize(
+          stored.join(touched, Seq("id")).select(col("label")).distinct())
+        val leafs = oldLabels
+          .select(bucket(col("label"), partitions).as("pt")).distinct()
+          .collect().map(r => s"pt=${r.getLong(0)}").sorted
+        ManifestStore.readPartitions(spark, table, leafs.toSeq)
+          .join(oldLabels, Seq("label"))
+          .select(col("id"), col("label"))
+      } catch {
+        case _: IllegalStateException =>
+          newPairs.select(col(idA).as("id"), col(idA).as("label")).limit(0)
+      })
     // the affected subgraph: new edges + one (member -> old label) edge
     // per affected member — components of THIS graph carry the exact
     // min-member labels of the full-graph batch pass
     val edges = newPairs.select(col(idA).as("id_a"), col(idB).as("id_b"))
       .unionByName(members.select(col("id").as("id_a"), col("label").as("id_b")))
-    val relabeled = Dedup.duplicateClusters(edges)
-      .withColumn("pt", bucket(col("label"), partitions))
-    ManifestStore.delete(spark, table,
-      members.withColumn("pt", bucket(col("label"), partitions))
-        .select(col("id"), col("pt")),
-      Seq("id"), Seq("pt"))
+    val relabeled = Dedup.materialize(Dedup.duplicateClusters(edges)
+      .withColumn("pt", bucket(col("label"), partitions)))
+    // MERGE FIRST, then drop the stale copies of relabeled members from
+    // their OLD partitions. The reverse order (delete first) loses
+    // members forever if the process dies between the two commits; this
+    // order's crash window only leaves an id visible under both labels,
+    // and REPLAYING the append converges: the lookup sees both labels,
+    // the recompute reproduces the final labels, and the scoped delete
+    // clears the stale copy. A completed append replayed again is one
+    // idempotent merge commit (no stale rows -> no delete commit).
     ManifestStore.merge(spark, table, relabeled, Seq("id"), "pt")
+    val stale = members
+      .withColumn("__op", bucket(col("label"), partitions))
+      .join(relabeled.select(col("id"), col("pt").as("__np")), Seq("id"))
+      .filter(col("__op") =!= col("__np"))
+      .select(col("id"), col("__op").as("pt"))
+    if (!stale.head(1).isEmpty)
+      ManifestStore.delete(spark, table, stale, Seq("id"), Seq("pt"))
   }
 
   /** The current (id, label) table. */

@@ -53,31 +53,17 @@ object DedupStores {
     */
   private case class Geometry(shingleN: Int, bands: Int, rowsPerBand: Int, partitions: Int)
 
-  private def geomPath(table: String) =
-    new org.apache.hadoop.fs.Path(table, "_graft_geometry.json")
+  private def writeGeometry(spark: SparkSession, table: String, g: Geometry): Unit =
+    StoreSidecar.write(spark, table, Seq(
+      "shingleN" -> g.shingleN.toLong, "bands" -> g.bands.toLong,
+      "rowsPerBand" -> g.rowsPerBand.toLong, "partitions" -> g.partitions.toLong))
 
-  private def writeGeometry(spark: SparkSession, table: String, g: Geometry): Unit = {
-    val p = geomPath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"shingleN":${g.shingleN},"bands":${g.bands},"rowsPerBand":${g.rowsPerBand},"partitions":${g.partitions}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readGeometry(spark: SparkSession, table: String): Option[Geometry] = {
-    val p = geomPath(table)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-    for (s <- f("shingleN"); b <- f("bands"); r <- f("rowsPerBand"); pt <- f("partitions"))
-      yield Geometry(s, b, r, pt)
-  }
+  private def readGeometry(spark: SparkSession, table: String): Option[Geometry] =
+    StoreSidecar.read(spark, table,
+      Seq("shingleN", "bands", "rowsPerBand", "partitions")).map { m =>
+      Geometry(m("shingleN").toInt, m("bands").toInt,
+        m("rowsPerBand").toInt, m("partitions").toInt)
+    }
 
   private def requireGeometry(
       spark: SparkSession, table: String, want: Geometry, checkPartitions: Boolean): Unit =

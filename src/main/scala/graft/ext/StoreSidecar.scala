@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** The `_graft_geometry.json` sidecar shared by every maintained store
+  * ([[DedupStores]], [[VectorStore]], [[ClusterStore]]): a tiny
+  * flat-integer JSON at the table root — outside `manifests/`/
+  * `commits/`, so ManifestStore's reads and vacuum never touch it —
+  * recording the build-time geometry that later probes/appends must
+  * match. Each store keeps its OWN mismatch policy (lenient-if-missing,
+  * must-exist, …); this object holds the one copy of the IO + parse so
+  * a fix to sidecar handling lands everywhere at once.
+  */
+private[ext] object StoreSidecar {
+
+  private def path(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_geometry.json")
+
+  def write(spark: SparkSession, root: String, fields: Seq[(String, Long)]): Unit = {
+    val p = path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      fields.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All requested keys parsed from the sidecar, or None when the file
+    * is absent OR any key is missing/unparsable (a partial sidecar is
+    * as untrustworthy as none).
+    */
+  def read(spark: SparkSession, root: String, keys: Seq[String]): Option[Map[String, Long]] = {
+    val p = path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parsed = keys.flatMap { k =>
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(m => k -> m.group(1).toLong)
+    }.toMap
+    if (parsed.size == keys.size) Some(parsed) else None
+  }
+}

@@ -36,18 +36,10 @@ object VectorStore {
 
   private case class Geometry(dim: Int, m: Int, k: Int, stride: Long)
 
-  private def geomPath(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_graft_geometry.json")
-
-  private def writeGeometry(spark: SparkSession, root: String, g: Geometry): Unit = {
-    val p = geomPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"dim":${g.dim},"m":${g.m},"k":${g.k},"stride":${g.stride}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeGeometry(spark: SparkSession, root: String, g: Geometry): Unit =
+    StoreSidecar.write(spark, root, Seq(
+      "dim" -> g.dim.toLong, "m" -> g.m.toLong, "k" -> g.k.toLong,
+      "stride" -> g.stride))
 
   /** Validate the sidecar. `mustExist = true` (probe/append) makes a
     * MISSING sidecar a hard error too: a build that crashed between its
@@ -57,27 +49,18 @@ object VectorStore {
     */
   private def requireGeometry(
       spark: SparkSession, root: String, want: Geometry,
-      mustExist: Boolean = false): Unit = {
-    val p = geomPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) {
-      require(!mustExist,
-        s"VectorStore: $root has no geometry sidecar — the build did not " +
-          "complete (or this is not a VectorStore root); rebuild before use")
-      return
+      mustExist: Boolean = false): Unit =
+    StoreSidecar.read(spark, root, Seq("dim", "m", "k", "stride")) match {
+      case None =>
+        require(!mustExist,
+          s"VectorStore: $root has no geometry sidecar — the build did not " +
+            "complete (or this is not a VectorStore root); rebuild before use")
+      case Some(m) =>
+        val got = Geometry(m("dim").toInt, m("m").toInt, m("k").toInt, m("stride"))
+        require(got == want,
+          s"VectorStore: $root was built with $got but this call uses $want — " +
+            "appends against a different codebook silently corrupt ranking")
     }
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-    for (d <- f("dim"); m <- f("m"); k <- f("k"); s <- f("stride")) {
-      val got = Geometry(d.toInt, m.toInt, k.toInt, s)
-      require(got == want,
-        s"VectorStore: $root was built with $got but this call uses $want — " +
-          "appends against a different codebook silently corrupt ranking")
-    }
-  }
 
   private def codesT(root: String) = s"$root/codes"
   private def centroidsT(root: String) = s"$root/centroids"

@@ -109,6 +109,27 @@ object ExtQueries {
        sizes AS (SELECT doc_id, len(sh) AS n FROM sh)"""
   }
 
+  /** Recursive connected-components CTE chain over the exact 3-shingle
+    * Jaccard pairs at `threshold` — appended after [[jaccardCtes]]
+    * inside a WITH RECURSIVE. Defines pairs/edges/nodes/reach; each
+    * caller adds its own min(r) rollup (labels vs cluster ids vs split
+    * keys). ONE copy, because a subtle edit here (threshold, UNION vs
+    * UNION ALL) must reach every components oracle at once.
+    */
+  private def componentCtes(threshold: Double): String =
+    s"""pairs AS (
+         SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= $threshold),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id)"""
+
   private def jaccardOracle(n: Int, threshold: Double): String =
     s"""WITH ${jaccardCtes(n)}
        SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
@@ -429,17 +450,7 @@ object ExtQueries {
 
   val x23Sql: String =
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id)
+       ${componentCtes(0.7)}
        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
 
   // --- x20: rolling-hash document fingerprint (shard-key content hash) ----
@@ -1707,17 +1718,7 @@ object ExtQueries {
 
   val x50Sql: String =
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       ${componentCtes(0.7)},
        cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
        SELECT d.source, count(*) AS n_docs,
          CAST(sum(CASE WHEN cl.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
@@ -2725,18 +2726,7 @@ object ExtQueries {
 
   val x86Sql: String =
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a
-         JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       ${componentCtes(0.7)},
        cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
        und AS (SELECT id_a AS u, id_b AS v FROM pairs
                UNION ALL SELECT id_b, id_a FROM pairs),
@@ -4249,18 +4239,7 @@ object ExtQueries {
          + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 3, 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 4, 1)) - 1) AS BIGINT)"""
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a
-         JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       ${componentCtes(0.7)},
        cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id),
        keyed AS (SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS ckey
          FROM documents d LEFT JOIN cl USING (doc_id)),
@@ -4572,14 +4551,26 @@ object ExtQueries {
   // for the accuracy audit. rho comes from bin()-string bit length —
   // never floating log2, whose ulp wobble at exact powers of two could
   // cross the floor boundary between engines.
-  def x138HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared HLL gate source (x138 / x143 / x146): a LOW-cardinality
+    * slice (150 users per event type — the linear-counting branch)
+    * unioned with a HIGH one (distinct orderkeys per returnflag — the
+    * raw-estimate branch), null values excluded up front (they sketch
+    * to nothing and must not count in exact counts or store accounting
+    * either). ONE definition, because all three gates share x138's
+    * oracle — a drifting copy would silently break that equivalence.
+    */
+  private def hllSource(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(concat(lit("ev_"), col("event_type")).as("grp"),
         col("user_id").cast("string").as("v"))
     val li = t(spark, dir, "lineitem")
       .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
         col("l_orderkey").cast("string").as("v"))
-    val u = Dedup.materialize(ev.unionByName(li))
+    Dedup.materialize(ev.unionByName(li).filter(col("v").isNotNull))
+  }
+
+  def x138HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val u = hllSource(spark, dir)
     val est = Sketches.hllEstimate(
       Sketches.hllRegisters(u, "grp", "v", p = 8), "grp", p = 8)
     est.join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
@@ -4656,18 +4647,7 @@ object ExtQueries {
   val x140Sql: String = {
     val hex48 = duckHex48("hx")
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a
-         JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       ${componentCtes(0.7)},
        cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id),
        csz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM cl GROUP BY 1),
        kd AS (SELECT d.doc_id, coalesce(csz.sz, 1) AS n_dupes
@@ -4826,17 +4806,7 @@ object ExtQueries {
   // rows rather than duplicating store rows). Oracle = x138's: the
   // maintained store must reproduce the one-shot sketch bit for bit.
   def x143HllStore(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .select(concat(lit("ev_"), col("event_type")).as("grp"),
-        col("user_id").cast("string").as("v"))
-    val li = t(spark, dir, "lineitem")
-      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
-        col("l_orderkey").cast("string").as("v"))
-    // null values sketch to nothing (hllRegisters filters them), so they
-    // must not count toward the store-row accounting either — mirror the
-    // x138 oracle's null filter up front
-    val u = Dedup.materialize(ev.unionByName(li)
-      .filter(col("v").isNotNull)
+    val u = Dedup.materialize(hllSource(spark, dir)
       .withColumn("day",
         concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
     val table = FreshTables.next(spark, dir, "hllstore")
@@ -4989,13 +4959,7 @@ object ExtQueries {
   // (maxFilesPerTrigger = 1 over a 4-file stage).
   def x146StreamHll(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val ev = t(spark, dir, "events")
-      .select(concat(lit("ev_"), col("event_type")).as("grp"),
-        col("user_id").cast("string").as("v"))
-    val li = t(spark, dir, "lineitem")
-      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
-        col("l_orderkey").cast("string").as("v"))
-    val u = Dedup.materialize(ev.unionByName(li))
+    val u = hllSource(spark, dir)
     val base = FreshTables.next(spark, dir, "shll_in")
     u.repartition(4).write.parquet(s"$base/in")
     val qname = s"x146_shll_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -5071,18 +5035,7 @@ object ExtQueries {
 
   val x147Sql: String =
     s"""WITH RECURSIVE ${jaccardCtes(3)},
-       pairs AS (
-         SELECT id_a, id_b
-         FROM inter JOIN sizes na ON na.doc_id = id_a
-         JOIN sizes nb ON nb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       reach AS (
-         SELECT id, id AS r FROM nodes
-         UNION
-         SELECT e.src AS id, reach.r AS r FROM reach JOIN edges e ON e.dst = reach.id),
+       ${componentCtes(0.7)},
        cl AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id)
        SELECT label, CAST(count(*) AS BIGINT) AS n_members
        FROM cl GROUP BY 1"""
