@@ -51,6 +51,24 @@ class ClusterStoreSpec extends SparkSpec {
         Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("appendPairs: replay converges from the crash window (merge committed, delete not)") {
+    import graft.sources.ManifestStore
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
+    // replicate an append that died between its two commits: the
+    // relabeled rows are merged into their NEW partitions but the stale
+    // copies were never deleted — ids may be visible under both labels
+    val relabeled = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+      .withColumn("pt", pmod(xxhash64(col("label").cast("string")), lit(4L)))
+    ManifestStore.merge(spark, root, relabeled, Seq("id"), "pt")
+    // replaying the SAME day through the public API must clear the
+    // duplicates and land on exactly the final labels
+    ClusterStore.appendPairs(spark, Seq((1L, 2L)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("geometry: a partitions mismatch fails loudly") {
     val root = fresh()
     ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
