@@ -364,10 +364,17 @@ object CoreQueries {
          FROM orders) WHERE rnk <= 3"""
 
   // --- q20: JDBC roundtrip through embedded Derby (S4/K4) ----------------
+  // JVM-unique Derby dir: embedded Derby holds a single-JVM lock on its
+  // database directory, so a per-SF-only path makes any CONCURRENT
+  // local run (a second Verify, review tooling) fail q20 with a
+  // spurious lock conflict; stable within the JVM so bench passes reuse
+  // the same database.
+  private val derbyToken = java.util.UUID.randomUUID().toString.take(8)
+
   def q20JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     new java.io.File("/tmp/graft").mkdirs() // Derby won't create parents
-    val url = s"jdbc:derby:/tmp/graft/derby_$tag;create=true"
+    val url = s"jdbc:derby:/tmp/graft/derby_${tag}_$derbyToken;create=true"
     // Spark's JDBC writer quotes column identifiers at CREATE, so an
     // unquoted column list would fold to upper case in Derby — SELECT *
     // preserves the created names. sql_begin/sql_end run as harmless
