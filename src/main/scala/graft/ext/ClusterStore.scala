@@ -22,26 +22,48 @@ import graft.sources.ManifestStore
   * store equals [[Dedup.duplicateClusters]] over the union of all
   * pairs ever appended — the x147 gate's oracle.
   *
-  * 100 TB shape, per daily append: ONE column-pruned co-keyed scan of
-  * the store resolves the touched ids' current labels (at production
-  * scale this lookup would ride an id-bucketed twin index for
-  * partition-pruned probes — the [[DedupStores]] layout note); member
-  * retrieval prunes to the affected labels' hash-bucket partitions
-  * ([[ManifestStore.readPartitions]]); the component pass runs on the
-  * affected subgraph only; and the merge + scoped delete rewrite
-  * touched partitions. Re-appending a day is IDEMPOTENT: the local
-  * recompute reproduces the already-stored labels and the keyed merge
-  * replaces rather than duplicates (row accounting `require`d in the
-  * gate). The merge and stale-copy delete are two commits, ordered so
-  * a crash between them leaves an id visible under BOTH labels (never
-  * missing) and the next replay converges; a reader inside that window
-  * sees the duplicate — production serializes readers against the
-  * append the same way the streaming sinks fence replays.
+  * TWO tables, same merge cycle (the id-bucketed twin index):
+  *  - `<table>`: (id, label) partitioned by `pt` = hash(label) — member
+  *    retrieval for an affected cluster prunes to its label's bucket;
+  *  - `<table>/_idindex`: (id, label, prev_label) partitioned by
+  *    `ptid` = hash(id) — the id→label LOOKUP for a day's touched ids
+  *    prunes to the touched ids' buckets. `prev_label` is the id's
+  *    label BEFORE the append that last wrote the row; it exists purely
+  *    so a crash-window replay can still locate members under the
+  *    pre-append label buckets (see the commit-order note below).
+  *
+  * 100 TB shape, per daily append — O(affected) at EVERY step, the
+  * maintained-store contract: the touched ids' current labels come
+  * from a partition-pruned probe of the twin ([[ManifestStore
+  * .readPartitions]] on the touched ids' hash buckets — never a full
+  * scan of the label history); member retrieval prunes to the affected
+  * labels' buckets of the main table; the component pass runs on the
+  * affected subgraph only; and the merges + scoped delete rewrite
+  * touched partitions. An id's bucket never changes, so the twin needs
+  * no stale-copy deletion — the keyed merge replaces in place.
+  *
+  * Commit order per append: twin merge, then main merge, then the
+  * scoped stale-copy delete (keyed on (id, pt) so only the OLD-bucket
+  * copy dies — deleting by id alone would also kill the fresh copy
+  * when a relabeled cluster's new bucket coincides with another
+  * relabeled cluster's old bucket). Crash anywhere in that window and
+  * REPLAYING the same day converges: the twin probe returns label ∪
+  * prev_label, so members are found under both the pre- and post-
+  * append buckets whichever commits landed, the recompute reproduces
+  * the final labels, and the keyed merges replace rather than
+  * duplicate (row accounting `require`d in the gate). A completed
+  * append replayed again is two idempotent merge commits (no stale
+  * rows → no delete commit). As with the streaming sinks, production
+  * must replay a FAILED day before appending the next one — the
+  * prev_label breadcrumb is one step deep.
   */
 object ClusterStore {
 
   private def bucket(c: org.apache.spark.sql.Column, partitions: Int) =
     pmod(xxhash64(c.cast("string")), lit(partitions.toLong))
+
+  private def twinTable(table: String): String =
+    new org.apache.hadoop.fs.Path(table, "_idindex").toString
 
   private def writeGeometry(spark: SparkSession, table: String, partitions: Int): Unit =
     StoreSidecar.write(spark, table, Seq("partitions" -> partitions.toLong))
@@ -60,9 +82,9 @@ object ClusterStore {
   }
 
   /** Initialize the store from a pair set: labels = min-member
-    * components, partitioned by the LABEL's hash bucket so later
-    * appends retrieve an affected cluster's members with a
-    * partition-pruned read.
+    * components, written to BOTH tables — the main one partitioned by
+    * the LABEL's hash bucket (pruned member retrieval), the twin by
+    * the ID's (pruned lookups).
     */
   def build(
       spark: SparkSession,
@@ -70,14 +92,47 @@ object ClusterStore {
       table: String,
       partitions: Int = 8): Unit = {
     writeGeometry(spark, table, partitions)
-    val labels = Dedup.duplicateClusters(pairs)
-      .withColumn("pt", bucket(col("label"), partitions))
-    ManifestStore.write(spark, labels, table, "pt")
+    val labels = Dedup.materialize(Dedup.duplicateClusters(pairs))
+    ManifestStore.write(spark,
+      labels.withColumn("pt", bucket(col("label"), partitions)), table, "pt")
+    ManifestStore.write(spark,
+      labels.withColumn("prev_label", col("label"))
+        .withColumn("ptid", bucket(col("id"), partitions)),
+      twinTable(table), "ptid")
+  }
+
+  /** One-time migration for stores built before the twin index existed:
+    * derive it from the main table in a single full scan (the LAST such
+    * scan the store will ever do — every later lookup is pruned).
+    */
+  private def backfillTwin(spark: SparkSession, table: String, partitions: Int): Unit =
+    ManifestStore.write(spark,
+      ManifestStore.read(spark, table).select(col("id"), col("label"))
+        .withColumn("prev_label", col("label"))
+        .withColumn("ptid", bucket(col("id"), partitions)),
+      twinTable(table), "ptid")
+
+  /** The partition-pruned twin probe: (id, label, prev_label) rows of
+    * the touched ids, scanning ONLY their hash buckets' partitions —
+    * package-private so the plan spec can pin `inputFiles` ⊆ the
+    * touched buckets' leaf dirs (the x129 VectorStore pattern).
+    */
+  private[graft] def twinProbe(
+      spark: SparkSession,
+      table: String,
+      touched: DataFrame,
+      partitions: Int): DataFrame = {
+    // O(touched buckets) routing metadata, same class as the
+    // ManifestStore partition listings — never data-sized
+    val leafs = touched.select(bucket(col("id"), partitions).as("ptid")).distinct()
+      .collect().map(r => s"ptid=${r.getLong(0)}").sorted
+    ManifestStore.readPartitions(spark, twinTable(table), leafs.toSeq)
+      .join(touched, Seq("id"))
+      .select(col("id"), col("label"), col("prev_label"))
   }
 
   /** Fold a day's new pairs in. Touches O(affected members + day
-    * pairs) everywhere except the one co-keyed id→label lookup scan
-    * (see the object scaladoc).
+    * pairs) everywhere — the lookup included (see the object scaladoc).
     */
   def appendPairs(
       spark: SparkSession,
@@ -91,24 +146,34 @@ object ClusterStore {
       newPairs.select(col(idA).as("id"))
         .unionByName(newPairs.select(col(idB).as("id"))).distinct())
     if (touched.head(1).isEmpty) return // an empty day changes nothing
-    // a store legitimately built from a no-dup-pairs day 0 has zero
-    // partitions; treat it as "no stored members" instead of bricking
-    // every later append on the read (the realistic first-day case)
+    val twin = twinTable(table)
+    if (!ManifestStore.exists(spark, twin) && ManifestStore.hasData(spark, table))
+      backfillTwin(spark, table, partitions)
+    // touched ids' current labels via the pruned twin probe. prev_label
+    // rides along so a crash-window replay still finds members under
+    // the pre-append buckets; in steady state it names dead labels
+    // whose buckets simply hold no matching rows. A store legitimately
+    // built from a no-dup-pairs day 0 has no twin data — "no stored
+    // members" is an explicit probe, not an exception catch, so an
+    // unrelated failure inside the lookup propagates instead of
+    // silently computing labels from the new pairs alone.
+    val oldLabels = Dedup.materialize(
+      if (!ManifestStore.hasData(spark, twin))
+        newPairs.select(col(idA).as("label")).limit(0)
+      else
+        twinProbe(spark, table, touched, partitions)
+          .select(explode(array(col("label"), col("prev_label"))).as("label"))
+          .distinct())
+    val labelLeafs = oldLabels
+      .select(bucket(col("label"), partitions).as("pt")).distinct()
+      .collect().map(r => s"pt=${r.getLong(0)}").sorted
     val members = Dedup.materialize(
-      try {
-        val stored = ManifestStore.read(spark, table)
-        val oldLabels = Dedup.materialize(
-          stored.join(touched, Seq("id")).select(col("label")).distinct())
-        val leafs = oldLabels
-          .select(bucket(col("label"), partitions).as("pt")).distinct()
-          .collect().map(r => s"pt=${r.getLong(0)}").sorted
-        ManifestStore.readPartitions(spark, table, leafs.toSeq)
+      if (labelLeafs.isEmpty)
+        newPairs.select(col(idA).as("id"), col(idA).as("label")).limit(0)
+      else
+        ManifestStore.readPartitions(spark, table, labelLeafs.toSeq)
           .join(oldLabels, Seq("label"))
-          .select(col("id"), col("label"))
-      } catch {
-        case _: IllegalStateException =>
-          newPairs.select(col(idA).as("id"), col(idA).as("label")).limit(0)
-      })
+          .select(col("id"), col("label")))
     // the affected subgraph: new edges + one (member -> old label) edge
     // per affected member — components of THIS graph carry the exact
     // min-member labels of the full-graph batch pass
@@ -116,22 +181,33 @@ object ClusterStore {
       .unionByName(members.select(col("id").as("id_a"), col("label").as("id_b")))
     val relabeled = Dedup.materialize(Dedup.duplicateClusters(edges)
       .withColumn("pt", bucket(col("label"), partitions)))
-    // MERGE FIRST, then drop the stale copies of relabeled members from
-    // their OLD partitions. The reverse order (delete first) loses
-    // members forever if the process dies between the two commits; this
-    // order's crash window only leaves an id visible under both labels,
-    // and REPLAYING the append converges: the lookup sees both labels,
-    // the recompute reproduces the final labels, and the scoped delete
-    // clears the stale copy. A completed append replayed again is one
-    // idempotent merge commit (no stale rows -> no delete commit).
+    // prev_label = the id's pre-append label (min over the member rows:
+    // a crash-window replay can retrieve an id under two labels, and
+    // any one valid pre-append bucket pointer restores convergence);
+    // ids new to the store point at themselves
+    val twinRows = relabeled.select(col("id"), col("label"))
+      .join(members.groupBy(col("id")).agg(min(col("label")).as("prev_label")),
+        Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("prev_label"), col("label")).as("prev_label"))
+      .withColumn("ptid", bucket(col("id"), partitions))
+    // COMMIT ORDER (see the object scaladoc): twin first — its
+    // prev_label breadcrumb is what makes a crash before the main
+    // merge replayable; then the main merge; then the stale delete,
+    // scoped to (id, OLD pt) so a relabeled cluster landing in another
+    // relabeled cluster's old bucket never loses the fresh copy.
+    if (ManifestStore.exists(spark, twin))
+      ManifestStore.merge(spark, twin, twinRows, Seq("id"), "ptid")
+    else
+      ManifestStore.write(spark, twinRows, twin, "ptid")
     ManifestStore.merge(spark, table, relabeled, Seq("id"), "pt")
     val stale = members
-      .withColumn("__op", bucket(col("label"), partitions))
+      .withColumn("pt", bucket(col("label"), partitions))
       .join(relabeled.select(col("id"), col("pt").as("__np")), Seq("id"))
-      .filter(col("__op") =!= col("__np"))
-      .select(col("id"), col("__op").as("pt"))
+      .filter(col("pt") =!= col("__np"))
+      .select(col("id"), col("pt"))
     if (!stale.head(1).isEmpty)
-      ManifestStore.delete(spark, table, stale, Seq("id"), Seq("pt"))
+      ManifestStore.delete(spark, table, stale, Seq("id", "pt"), Seq("pt"))
   }
 
   /** The current (id, label) table. */

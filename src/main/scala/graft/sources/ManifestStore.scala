@@ -338,10 +338,28 @@ object ManifestStore {
     readLeafs(spark, path, m, m.partitions.keys.toSeq)
   }
 
+  /** Whether a committed manifest exists at `path` — the explicit
+    * missing-table probe. One metadata resolve, no data I/O.
+    */
+  def exists(spark: SparkSession, path: String): Boolean =
+    latest(fsFor(spark, new Path(path)), path).isDefined
+
+  /** Whether the table exists AND its latest snapshot has at least one
+    * live partition — distinguishes "never written" / "initialized from
+    * an empty frame" from a table with scannable data, without the
+    * exception-catching that can swallow real read failures.
+    */
+  def hasData(spark: SparkSession, path: String): Boolean =
+    latest(fsFor(spark, new Path(path)), path).exists(_.partitions.nonEmpty)
+
   /** Upsert-or-bootstrap: [[merge]] when the table exists, [[write]] on
     * the first call — the maintained-store append primitive, centralized
     * so every store family shares ONE missing-table signal instead of
-    * hand-rolled catch clauses.
+    * hand-rolled catch clauses. The branch is an explicit manifest
+    * probe, NOT a FileNotFoundException catch around the merge: an FNF
+    * thrown mid-merge by a missing DATA file (external cleanup, a
+    * concurrent vacuum with too-short retention) must propagate, never
+    * silently reinitialize the table to just the current batch.
     */
   def mergeOrCreate(
       spark: SparkSession,
@@ -349,11 +367,8 @@ object ManifestStore {
       batch: DataFrame,
       keyCols: Seq[String],
       partitionCol: String): Unit =
-    try merge(spark, path, batch, keyCols, partitionCol)
-    catch {
-      case _: java.io.FileNotFoundException =>
-        write(spark, batch, path, partitionCol)
-    }
+    if (exists(spark, path)) merge(spark, path, batch, keyCols, partitionCol)
+    else write(spark, batch, path, partitionCol)
 
   /** PARTITION-RESTRICTED snapshot read: scans only the live leaf
     * partitions whose hive-style dir name (e.g. `centroid_id=7`, or

@@ -69,6 +69,92 @@ class ClusterStoreSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("twin lookup is partition-pruned: inputFiles ⊆ the touched ids' buckets") {
+    val root = fresh()
+    // 12 clusters spread over all 4 id buckets
+    ClusterStore.build(spark,
+      (0L until 12L).map(i => (i * 10 + 1, i * 10 + 2)).toDF("id_a", "id_b"), root, 4)
+    val touched = Seq(11L, 42L).toDF("id")
+    val probe = ClusterStore.twinProbe(spark, root, touched, 4)
+    // the expected buckets via the same hash Spark uses: xxhash64 over
+    // the id strings mod 4
+    val expected = touched
+      .select(pmod(xxhash64(col("id").cast("string")), lit(4L)).as("b"))
+      .collect().map(r => s"ptid=${r.getLong(0)}").toSet
+    assert(probe.inputFiles.nonEmpty &&
+      probe.inputFiles.forall(f => expected.exists(b => f.contains(b))),
+      s"expected ⊆ $expected, got ${probe.inputFiles.mkString(",")}")
+  }
+
+  test("cross-bucket relabel collision: fresh rows survive the stale delete") {
+    // two clusters relabeled in ONE append where P's NEW label bucket
+    // equals Q's OLD label bucket: a stale delete keyed on id alone
+    // would also kill P's freshly merged rows in that partition — the
+    // delete must be (id, pt)-scoped. Find ids exhibiting the collision
+    // by searching the same hash Spark uses.
+    def b(v: Long): Long = spark.range(1).select(
+      pmod(xxhash64(lit(v).cast("string")), lit(4L))).head().getLong(0)
+    // cluster P: {p1, p2} later joined by newMinP < p1 with
+    // bucket(newMinP) == bucket(q1); cluster Q: {q1, q2} later joined
+    // by newMinQ < q1 (any bucket)
+    val cands = (1L to 200L)
+    val p1 = cands.find(v => v > 50).get // label of P, day 0
+    val q1 = cands.find(v => v > 50 && v != p1 && b(v) != b(p1)).get
+    val newMinP = cands.find(v => v < 50 && b(v) == b(q1)).get
+    val newMinQ = cands.find(v => v < newMinP).getOrElse(1L)
+    assume(newMinQ < q1 && newMinP < p1 && newMinQ != newMinP)
+    val root = fresh()
+    ClusterStore.build(spark,
+      Seq((p1, p1 + 500), (q1, q1 + 500)).toDF("id_a", "id_b"), root, 4)
+    // ONE append relabels both: P → newMinP (landing in Q's old
+    // bucket), Q → newMinQ (vacating that same bucket)
+    ClusterStore.appendPairs(spark,
+      Seq((newMinP, p1), (newMinQ, q1)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((newMinP, newMinP), (p1, newMinP), (p1 + 500, newMinP),
+      (newMinQ, newMinQ), (q1, newMinQ), (q1 + 500, newMinQ)),
+      s"p1=$p1 q1=$q1 newMinP=$newMinP newMinQ=$newMinQ got=$got")
+  }
+
+  test("replay converges from the crash window (twin committed, main not)") {
+    import graft.sources.ManifestStore
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
+    // replicate an append that died right after its FIRST commit: the
+    // twin carries the post-append labels (with prev_label = the
+    // pre-append ones) but the main table was never merged
+    val twinRows = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 2L))
+      .toDF("id", "label", "prev_label")
+      .withColumn("ptid", pmod(xxhash64(col("id").cast("string")), lit(4L)))
+    ManifestStore.merge(spark, s"$root/_idindex", twinRows, Seq("id"), "ptid")
+    // replaying the SAME day must locate the members via prev_label
+    // and land on exactly the final labels
+    ClusterStore.appendPairs(spark, Seq((1L, 2L)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("pre-twin stores are backfilled once, then appends work pruned") {
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L), (20L, 21L)).toDF("id_a", "id_b"), root, 4)
+    // simulate a store built before the twin index existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_idindex"), true)
+    ClusterStore.appendPairs(spark, Seq((1L, 2L)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L)))
+    // the backfilled twin now serves later appends
+    ClusterStore.appendPairs(spark, Seq((19L, 20L)).toDF("id_a", "id_b"), root, 4)
+    val got2 = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (19L, 19L), (20L, 19L), (21L, 19L)))
+  }
+
   test("geometry: a partitions mismatch fails loudly") {
     val root = fresh()
     ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)

@@ -12,25 +12,34 @@ class R9PropertySpec extends SparkSpec {
   import spark.implicits._
 
   test("ClusterStore: incremental over any random day split == batch components") {
-    for (seed <- 1 to 3) {
+    // 30 seeds × 3-day splits: wide enough to hit the cross-bucket
+    // relabel collision (two clusters relabeled in ONE append where P's
+    // new label bucket == Q's old label bucket — the stale delete must
+    // be (id, pt)-scoped or P's fresh rows vanish; first failing seed
+    // under the old id-only delete was 21) and multi-cascade appends
+    for (seed <- 1 to 30) {
       val rnd = new Random(seed)
       val edges = (1 to 40)
         .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter(p => p._1 != p._2)
         .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
         .distinct
-      val (day0, day1) = edges.partition(_ => rnd.nextBoolean())
+      val days = edges.groupBy(_ => rnd.nextInt(3))
+      val parts = (0 to 2).map(d => days.getOrElse(d, Seq.empty))
       val root = s"/tmp/graft/clprop_${seed}_${java.util.UUID.randomUUID().toString.take(8)}"
-      // day0 may legitimately be empty for some seeds — that exercises
+      // day 0 may legitimately be empty for some seeds — that exercises
       // the empty-first-day store path
-      ClusterStore.build(spark, day0.toDF("id_a", "id_b"), root, 4)
-      ClusterStore.appendPairs(spark, day1.toDF("id_a", "id_b"), root, 4)
-      ClusterStore.appendPairs(spark, day1.toDF("id_a", "id_b"), root, 4) // replay
+      ClusterStore.build(spark, parts(0).toDF("id_a", "id_b"), root, 4)
+      ClusterStore.appendPairs(spark, parts(1).toDF("id_a", "id_b"), root, 4)
+      ClusterStore.appendPairs(spark, parts(2).toDF("id_a", "id_b"), root, 4)
+      ClusterStore.appendPairs(spark, parts(2).toDF("id_a", "id_b"), root, 4) // replay
       val inc = ClusterStore.readLabels(spark, root)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val batch = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(inc == batch, s"seed=$seed day0=${day0.size} day1=${day1.size}")
+      assert(inc == batch,
+        s"seed=$seed days=${parts.map(_.size).mkString(",")} " +
+          s"missing=${(batch.map(_._1) -- inc.map(_._1)).toSeq.sorted.take(5)}")
     }
   }
 
