@@ -46,8 +46,21 @@ object Sketches {
       groupCol: String,
       valueCol: String,
       k: Int = 64,
+      saltBuckets: Int = 8): DataFrame =
+    kmvEstimate(kmvMins(df, groupCol, valueCol, k, saltBuckets), groupCol, k)
+
+  /** The KMV sketch STATE per group: the sorted array of the (up to) k
+    * smallest 12-hex md5 prefixes of `valueCol` — the mergeable partial
+    * that [[kmvDistinct]] estimates from and [[kmvAppendDay]] persists.
+    * Output: (`groupCol`, mins).
+    */
+  def kmvMins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 64,
       saltBuckets: Int = 8): DataFrame = {
-    require(k > 1 && saltBuckets > 0, s"kmvDistinct: k=$k, saltBuckets=$saltBuckets")
+    require(k > 1 && saltBuckets > 0, s"kmvMins: k=$k, saltBuckets=$saltBuckets")
     val g = col(groupCol)
     val hx = substring(md5(col(valueCol).cast("string")), 1, 12)
     // stage 1: partial sketch per (group, salt) — collect_set is the
@@ -58,11 +71,18 @@ object Sketches {
       .groupBy(col("g"), col("__salt"))
       .agg(slice(array_sort(collect_set(col("hx"))), 1, k).as("mins"))
     // stage 2: merge partials per group — union, dedupe, k smallest
-    val merged = partial.groupBy(col("g"))
+    partial.groupBy(col("g"))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
         .as("mins"))
-    merged.select(
-      col("g").as(groupCol),
+      .select(col("g").as(groupCol), col("mins"))
+  }
+
+  /** The estimator over a (group, mins) sketch-state table — shared by
+    * the one-shot path and the maintained store's read.
+    */
+  private def kmvEstimate(mins: DataFrame, groupCol: String, k: Int): DataFrame =
+    mins.select(
+      col(groupCol),
       size(col("mins")).cast("long").as("n_vals"),
       when(size(col("mins")) === k, element_at(col("mins"), k)).as("kth_hash"),
       when(size(col("mins")) === k,
@@ -70,7 +90,6 @@ object Sketches {
           (conv(element_at(col("mins"), k), 16, 10).cast("double") / lit(2.0d * (1L << 47))))
         .otherwise(size(col("mins")).cast("double"))
         .as("est_distinct"))
-  }
 
   /** Misra–Gries heavy hitters with EXACT verify — find every value with
     * count ≥ ceil(N / `minFractionDen`) exactly, without ever shuffling
@@ -427,8 +446,8 @@ object Sketches {
 
   /** Day-over-day MAINTAINED HLL store — [[countMinAppendDay]]'s
     * pattern on the distinct sketch, closing the maintained family
-    * across all four sketches (CM x114, histogram x123, and now HLL;
-    * KMV merges the same way through its min-hash arrays). Each day's
+    * across all four sketches (CM x114, histogram x123, HLL here, and
+    * KMV via [[kmvAppendDay]], x148). Each day's
     * registers land as day-keyed rows; because registers merge by MAX
     * (not sum), re-appending a day REPLACES its rows and the read-time
     * max across days is EXACTLY the batch sketch over the union —
@@ -462,4 +481,55 @@ object Sketches {
     ManifestStore.read(spark, table)
       .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("rho"))
   }
+
+  /** Day-over-day MAINTAINED KMV store — the day-keyed pattern on the
+    * k-minimum-values sketch, one row per (group, day) carrying that
+    * day's mins array. KMV states merge by "union → distinct → k
+    * smallest", and any of the GLOBAL k smallest hashes is necessarily
+    * within its own day's k smallest, so the read-time merge across
+    * days is EXACTLY the batch sketch over the union — bit-for-bit,
+    * including the kth-hash order statistic the estimator divides by.
+    * Re-appending a day REPLACES its row (day-partitioned keyed
+    * merge), and since the merge operator is idempotent a replay
+    * cannot corrupt the sketch even in principle. Daily cost: one
+    * O(day) pass + O(groups) array rows of commit I/O; read-time merge
+    * touches O(groups × days × k) hex strings, never the data.
+    */
+  def kmvAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      day: String,
+      table: String,
+      k: Int = 64,
+      saltBuckets: Int = 8): Unit = {
+    import graft.sources.ManifestStore
+    val mins = kmvMins(df, groupCol, valueCol, k, saltBuckets)
+      .withColumn("day", lit(day))
+    ManifestStore.mergeOrCreate(spark, table, mins, Seq(groupCol, "day"), "day")
+  }
+
+  /** The merged (group, mins) sketch state from a [[kmvAppendDay]]
+    * store — union → distinct → k smallest across days.
+    */
+  def kmvMinsFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      groupCol: String,
+      k: Int = 64): DataFrame = {
+    import graft.sources.ManifestStore
+    ManifestStore.read(spark, table)
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
+        .as("mins"))
+  }
+
+  /** [[kmvDistinct]]'s exact output from the maintained store. */
+  def kmvDistinctFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      groupCol: String,
+      k: Int = 64): DataFrame =
+    kmvEstimate(kmvMinsFromStore(spark, table, groupCol, k), groupCol, k)
 }

@@ -5040,6 +5040,44 @@ object ExtQueries {
        SELECT label, CAST(count(*) AS BIGINT) AS n_members
        FROM cl GROUP BY 1"""
 
+  // --- x148: maintained KMV store (day-over-day distinct sketch) ----------
+  // The fourth and last sketch family member gets its maintained gate
+  // (CM x114, histogram x123, HLL x143): day-keyed (group, mins) rows,
+  // merged at read by union -> distinct -> k smallest. Any of the
+  // GLOBAL k smallest hashes is within its own day's k smallest, so
+  // the store read is bit-identical to the one-shot sketch — x40's
+  // oracle applies unchanged, kth-hash order statistic included.
+  def x148KmvStore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Dedup.materialize(ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "kmvstore")
+    (0 until 3).foreach { b =>
+      Sketches.kmvAppendDay(spark, bg.filter(col("day") === s"d$b"),
+        "lang", "bg", s"d$b", table)
+    }
+    // replay day d1: the day-partitioned merge must REPLACE its rows
+    Sketches.kmvAppendDay(spark, bg.filter(col("day") === "d1"),
+      "lang", "bg", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = bg.select(col("lang"), col("day")).distinct().count()
+    require(stored == expected,
+      s"x148: store holds $stored sketch rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    Sketches.kmvDistinctFromStore(spark, table, "lang")
+  }
+
+  // the maintained store read IS the batch sketch (k-smallest arrays
+  // merge losslessly), so the oracle is x40's
+  val x148Sql: String = x40Sql
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))

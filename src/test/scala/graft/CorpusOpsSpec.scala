@@ -89,6 +89,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(salted.getString(2) == out.getString(2) && salted.getDouble(3) == out.getDouble(3))
   }
 
+  test("maintained KMV store reads back as the batch sketch, replay replaces") {
+    val k = 8
+    val rows = (0 until 300).map(i => (s"g${i % 2}", s"val$i", s"d${i % 3}"))
+    val df = rows.toDF("g", "v", "day")
+    val table = s"/tmp/graft/kmvstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    (0 until 3).foreach { d =>
+      Sketches.kmvAppendDay(spark, df.filter(col("day") === s"d$d"),
+        "g", "v", s"d$d", table, k = k)
+    }
+    Sketches.kmvAppendDay(spark, df.filter(col("day") === "d1"),
+      "g", "v", "d1", table, k = k) // replay: replace, not duplicate
+    assert(graft.sources.ManifestStore.read(spark, table).count() == 6L) // 2 groups x 3 days
+    val stored = Sketches.kmvDistinctFromStore(spark, table, "g", k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val batch = Sketches.kmvDistinct(df, "g", "v", k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(stored == batch) // bit-identical, kth-hash order statistic included
+  }
+
   // ------------------------------------------------------- weighted sample
 
   test("weightedTopK is salt-invariant and ranks by the E-S key") {
