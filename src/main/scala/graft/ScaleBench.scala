@@ -493,6 +493,26 @@ object ScaleBench {
       val (s1, sN) = (math.min(s1a, s1b), math.min(sNa, sNb))
       println(f"""{"metric":"srp_auto_scale","reps":$reps,"unit":"sec","x1":$s1%.3f,"x$reps":$sN%.3f,"growth":${sN / s1}%.2f}""")
     }
+    // IVF nprobe sizing law (ivfAutoNprobe): the measured recall-vs-
+    // nprobe CDF on the x11/x144 fixture shape (centroids = vec_id % 50,
+    // queries = vec_id < 8), reported as the nprobe needed for 0.5 /
+    // 0.9 recall@10 at each scale — how probe budgets move as the
+    // corpus (and its bucket occupancy) grows 10×
+    def nprobeLaw(dir: String): (Int, Int, Int, Double) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+      val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      val t0 = System.nanoTime()
+      val n50 = graft.ext.Similarity.ivfAutoNprobe(emb, cents, qs, "vec_id", "embedding", 10, 0.5)
+      val n90 = graft.ext.Similarity.ivfAutoNprobe(emb, cents, qs, "vec_id", "embedding", 10, 0.9)
+      (n50, n90, cents.count().toInt, (System.nanoTime() - t0) / 1e9)
+    }
+    if (want("ivf_nprobe_scale")) {
+      nprobeLaw(d1) // warm
+      val (a50, a90, ac, at) = nprobeLaw(d1)
+      val (b50, b90, bc, bt) = nprobeLaw(dN)
+      println(f"""{"metric":"ivf_nprobe_scale","reps":$reps,"unit":"nprobe","x1":{"n50":$a50,"n90":$a90,"centroids":$ac,"sec":$at%.3f},"x$reps":{"n50":$b50,"n90":$b90,"centroids":$bc,"sec":$bt%.3f}}""")
+    }
     spark.stop()
   }
 }

@@ -23,19 +23,35 @@ object Profiling {
     * g3_rate). NULLs group like values (a null lhs is one group, the
     * SQL GROUP BY convention) so a nullable key can't hide violations.
     *
-    * 100 TB design: each candidate costs one map-side-combined groupBy
-    * to the O(distinct (lhs, rhs)) cell table and one rollup over it —
-    * never a self-join, never row-sized intermediate state; candidates
-    * are independent single-pass aggregations unioned at O(candidates)
-    * rows. Everything is exact LONG arithmetic except the final 6-dp
-    * rate.
+    * 100 TB design: ALL candidates cost ONE scan of the input — the
+    * candidate (lhs, rhs) pairs become GROUPING SETS, so Catalyst's
+    * Expand fans each row into its candidates' cells inside a single
+    * map-side-combined aggregation to the O(Σ distinct (lhs, rhs))
+    * cell table (scan-count-independent of the candidate count: a
+    * 20-candidate profile of a 100 TB table reads it once, not 20
+    * times). The cell table is materialized, and each candidate's
+    * rollup runs over its own grouping set's cells — typed grouping
+    * throughout, so values never round-trip through strings. Never a
+    * self-join, never row-sized intermediate state. Everything is
+    * exact LONG arithmetic except the final 6-dp rate.
     */
   def fdProfile(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "fdProfile: no candidates")
+    val allCols = candidates.flatMap { case (l, r) => Seq(l, r) }.distinct
+    val cells = Dedup.materialize(fdCells(df, candidates))
+    // grouping_id bit i (MSB-first over allCols) is 1 when the column
+    // is NOT grouped in the output row — the standard SQL semantics;
+    // each candidate reads exactly its own grouping set's cells, so
+    // swapped-role candidates (a->b and b->a) share cells correctly
+    val n = allCols.size
+    def gidOf(s: Seq[String]): Long =
+      allCols.zipWithIndex.collect {
+        case (c, i) if !s.contains(c) => 1L << (n - 1 - i)
+      }.sum
     candidates.map { case (lhs, rhs) =>
-      val cells = df.groupBy(col(lhs).as("__l"), col(rhs).as("__r"))
-        .agg(count(lit(1)).as("__c"))
-      val groups = cells.groupBy(col("__l"))
+      val gid = gidOf(Seq(lhs, rhs).distinct)
+      val groups = cells.filter(col("__gid") === gid)
+        .groupBy(col(lhs))
         .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__m"),
           count(lit(1)).as("__k"))
       groups.agg(
@@ -50,6 +66,21 @@ object Profiling {
           round(col("n_violations").cast("double") /
             col("n_rows").cast("double"), 6).as("g3_rate"))
     }.reduce(_ union _)
+  }
+
+  /** The fused one-scan cell table: one row per (grouping set, lhs
+    * value, rhs value) with its count and `grouping_id` — package-
+    * private so the plan spec can pin "exactly one leaf scan, Expand
+    * present" on the frame that actually touches the input.
+    */
+  private[graft] def fdCells(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    val allCols = candidates.flatMap { case (l, r) => Seq(l, r) }.distinct
+    // sorted: a grouping SET is unordered, so (a, b) and its swapped
+    // twin (b, a) must canonicalize to ONE set — emitting both would
+    // double their shared cells under a single grouping_id
+    val sets = candidates.map { case (l, r) => Seq(l, r).distinct.sorted }.distinct
+    df.groupingSets(sets.map(_.map(col)), allCols.map(col): _*)
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("__c"))
   }
 
   /** Per-column profile (the Deequ/pandas-profiling summary a promote

@@ -177,6 +177,72 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** [[probeCentroids]] with EVERY centroid ranked per query (rank 1 =
+    * nearest) — the x-axis of the nprobe sizing law. Output:
+    * (query_id, centroid_id, c_rank). small × small, like the probe.
+    */
+  def probeCentroidsRanked(
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    topK(
+      centroids.select(col(idCol), col(vecCol)),
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, Int.MaxValue,
+      excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"),
+        col("rank").as("c_rank"))
+
+  /** MEASURED nprobe sizing — the [[srpAutoBits]] precedent applied to
+    * IVF probing (the x144 recall audit showed recall@10 as low as 0.3
+    * at nprobe=3; "pick 3" is not a law). The law: a true neighbor is
+    * found iff its centroid's rank in the query's centroid ordering is
+    * ≤ nprobe, so recall(nprobe) is the CDF of that rank over (query,
+    * true-neighbor) pairs — measure it on a query sample and return
+    * the smallest nprobe whose measured recall ≥ `targetRecall`.
+    *
+    * Cost: one brute-force top-k of the query SAMPLE against `data`
+    * (pass a corpus sample for a 100 TB corpus — sampled ground truth
+    * skews toward FARTHER neighbors, which sit in farther centroids,
+    * so the estimate errs toward larger nprobe, the safe side), one
+    * broadcast centroid ranking, and an O(centroids)-row histogram
+    * collect — the only driver state. `maxNprobe > 0` caps the answer
+    * (latency budget); an empty sample returns 1.
+    */
+  def ivfAutoNprobe(
+      data: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      maxNprobe: Int = 0): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"ivfAutoNprobe: targetRecall=$targetRecall must be in (0, 1]")
+    val truth = bruteForceTopK(data, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val assigned = ivfAssign(data, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val ranked = probeCentroidsRanked(queries, centroids, idCol, vecCol)
+    // every truth pair lands in exactly one histogram cell (its
+    // neighbor's centroid has exactly one rank), so the cells sum to
+    // the pair total — one collect of ≤ |centroids| rows
+    val hist = truth
+      .join(assigned, "neighbor_id")
+      .join(ranked, Seq("query_id", "centroid_id"))
+      .groupBy(col("c_rank")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    if (total == 0L) return 1
+    val cums = hist.scanLeft(0L)(_ + _._2).tail
+    val needed = hist.zip(cums)
+      .find { case (_, cum) => cum.toDouble / total >= targetRecall }
+      .map(_._1._1).getOrElse(hist.last._1)
+    val capped = if (maxNprobe > 0) math.min(needed, maxNprobe) else needed
+    math.max(1, capped)
+  }
+
   /** Deterministic signed-random-projection hyperplanes (Charikar 2002
     * SimHash-for-vectors): component j of plane i is a uniform in [-1, 1)
     * derived from the md5 48-bit prefix of "srp_<i>_<j>" — the same value

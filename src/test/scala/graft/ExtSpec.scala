@@ -37,6 +37,43 @@ class ExtSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("ivfAutoNprobe: chosen nprobe achieves the target recall, monotone, capped") {
+    // 4 angular clusters of 6 points each in 2D — true top-5 neighbors
+    // SPAN adjacent clusters, so nprobe=1 cannot reach full recall
+    val pts = (for {
+      c <- 0 until 4
+      j <- 0 until 6
+    } yield {
+      val theta = c * (math.Pi / 8) + j * (math.Pi / 48)
+      ((c * 6 + j).toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { c =>
+      val theta = c * (math.Pi / 8) + 2.5 * (math.Pi / 48)
+      (c.toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = pts.filter(col("vec_id").isin(0L, 5L, 11L, 17L, 23L))
+    def recallAt(nprobe: Int): Double = {
+      val assigned = Similarity.ivfAssign(pts, cents, "vec_id", "embedding")
+      val truth = Similarity.bruteForceTopK(pts, queries, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val got = Similarity.ivfTopK(assigned, cents, queries, "vec_id", "embedding", 5, nprobe)
+        .select("query_id", "neighbor_id")
+      truth.join(got, Seq("query_id", "neighbor_id")).count().toDouble / truth.count()
+    }
+    val n90 = Similarity.ivfAutoNprobe(pts, cents, queries, "vec_id", "embedding", 5, 0.9)
+    val n50 = Similarity.ivfAutoNprobe(pts, cents, queries, "vec_id", "embedding", 5, 0.5)
+    val n100 = Similarity.ivfAutoNprobe(pts, cents, queries, "vec_id", "embedding", 5, 1.0)
+    // the law is exact on the measuring sample: IVF recall@k at nprobe
+    // IS the centroid-rank CDF the helper thresholds
+    assert(recallAt(n90) >= 0.9, s"n90=$n90 recall=${recallAt(n90)}")
+    assert(recallAt(n100) == 1.0, s"n100=$n100")
+    assert(n50 <= n90 && n90 <= n100)
+    // the fixture needs >1 probe for full recall (else the law is vacuous)
+    assert(n100 > 1, s"fixture too separable: n100=$n100")
+    assert(Similarity.ivfAutoNprobe(pts, cents, queries, "vec_id", "embedding", 5, 1.0,
+      maxNprobe = 1) == 1)
+  }
+
   test("hardNegatives returns only different-label neighbors, ranked") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

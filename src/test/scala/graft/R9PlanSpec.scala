@@ -33,6 +33,21 @@ class R9PlanSpec extends SparkSpec {
       s"a shuffle join on the corpus defeats the design:\n$plan")
   }
 
+  test("fdProfile cells: ONE leaf scan of the input with Expand, however many candidates") {
+    val dir = s"/tmp/graft/fdplan_${java.util.UUID.randomUUID().toString.take(8)}"
+    (1 to 300).map(i => (s"k${i % 7}", s"v${i % 5}", i.toLong, s"w${i % 3}"))
+      .toDF("a", "b", "c", "d").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val cells = graft.ext.Profiling.fdCells(df,
+      Seq(("a", "b"), ("c", "b"), ("d", "a"), ("b", "a")))
+    val leaves = cells.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"4 candidates must cost ONE scan, got ${leaves.size} leaves:\n${cells.queryExecution.optimizedPlan}")
+    val plan = planOf(cells)
+    assert(plan.contains("Expand"),
+      s"grouping sets should fan out via Expand inside the single scan:\n$plan")
+  }
+
   test("embargoSplit: narrow assignment — no shuffle beyond the 1-row bounds aggregate") {
     val df = (1L to 1000L).toDF("ts")
     val plan = planOf(Sampling.embargoSplit(df, "ts", 70, 10))

@@ -105,4 +105,19 @@ class R9bOpsSpec extends SparkSpec {
       ("id", 6L, 0L, 6L, 0L, 0.0),
       ("l", 3L, 2L, 6L, 2L, 0.333333)))
   }
+
+  test("fdProfile: swapped-role and duplicate candidates share one scan's cells correctly") {
+    val df = Seq(
+      ("k1", "x"), ("k1", "x"), ("k1", "y"),
+      ("k2", "z"), ("k2", "z"),
+      ("k3", "x")).toDF("l", "r")
+    // l->r: k1 violates (3 rows, max 2); r->l: x violates (3 rows, max
+    // 2 for k1); the duplicate (l, r) must come back twice, row-equal
+    val out = Profiling.fdProfile(df, Seq(("l", "r"), ("r", "l"), ("l", "r")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val lr = ("l", "r", 3L, 1L, 6L, 1L, 0.166667)
+    val rl = ("r", "l", 3L, 1L, 6L, 1L, 0.166667)
+    assert(out == Seq(lr, rl, lr))
+  }
 }
