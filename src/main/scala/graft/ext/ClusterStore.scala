@@ -210,7 +210,28 @@ object ClusterStore {
       ManifestStore.delete(spark, table, stale, Seq("id", "pt"), Seq("pt"))
   }
 
-  /** The current (id, label) table. */
-  def readLabels(spark: SparkSession, table: String): DataFrame =
-    ManifestStore.read(spark, table).select(col("id"), col("label"))
+  /** The (id, label) table — the LATEST snapshot by default, or a
+    * pinned `version` for snapshot-isolated reads. Version pinning is
+    * the documented SAFE-READER pattern for the append's crash window:
+    * an append is three commits (twin, main merge, stale delete), and
+    * a live reader between the main merge and the delete sees a
+    * relabeled id under BOTH labels. A reader that resolves
+    * [[versions]] ONCE and pins it reads a consistent pre- or post-
+    * append snapshot regardless of concurrent appends or crash
+    * windows — manifest snapshots are immutable, so the pinned view
+    * can never tear (the x101 time-travel machinery; retention is the
+    * vacuum fence). Production readers that must never observe the
+    * duplicate window pin; ad-hoc readers that tolerate it read live.
+    */
+  def readLabels(
+      spark: SparkSession,
+      table: String,
+      version: Option[Int] = None): DataFrame =
+    ManifestStore.read(spark, table, version).select(col("id"), col("label"))
+
+  /** Readable snapshot versions of the label table, newest first —
+    * what a safe reader pins (see [[readLabels]]).
+    */
+  def versions(spark: SparkSession, table: String): Seq[Int] =
+    ManifestStore.versions(spark, table)
 }

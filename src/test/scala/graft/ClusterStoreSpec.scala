@@ -155,6 +155,36 @@ class ClusterStoreSpec extends SparkSpec {
       (19L, 19L), (20L, 19L), (21L, 19L)))
   }
 
+  test("pinned readers are snapshot-isolated across the crash window") {
+    import graft.sources.ManifestStore
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
+    // a safe reader pins the newest version BEFORE the append starts
+    val pinned = ClusterStore.versions(spark, root).head
+    // simulate an append crashed between its main merge and its stale
+    // delete: the live view shows ids under BOTH labels
+    val relabeled = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+      .withColumn("pt", pmod(xxhash64(col("label").cast("string")), lit(4L)))
+    ManifestStore.merge(spark, root, relabeled, Seq("id"), "pt")
+    val live = ClusterStore.readLabels(spark, root).collect()
+    assert(live.length > 3, "the crash window should expose duplicates live")
+    // the pinned reader sees the consistent PRE-append snapshot: one
+    // row per id, the old labels, no duplicates
+    val atPin = ClusterStore.readLabels(spark, root, Some(pinned))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atPin == Set((2L, 2L), (3L, 2L)))
+    // replaying the day completes the append; a fresh pin is clean
+    ClusterStore.appendPairs(spark, Seq((1L, 2L)).toDF("id_a", "id_b"), root, 4)
+    val after = ClusterStore.readLabels(spark, root,
+      Some(ClusterStore.versions(spark, root).head))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    // and the original pin STILL reads the old snapshot (immutability)
+    val atPin2 = ClusterStore.readLabels(spark, root, Some(pinned))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atPin2 == atPin)
+  }
+
   test("geometry: a partitions mismatch fails loudly") {
     val root = fresh()
     ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
