@@ -140,7 +140,22 @@ object ClusterStore {
       table: String,
       partitions: Int = 8,
       idA: String = "id_a",
-      idB: String = "id_b"): Unit = {
+      idB: String = "id_b"): Unit =
+    appendPairsFp(spark, newPairs, table, partitions, idA, idB, _ => ())
+
+  /** [[appendPairs]] with a failpoint hook invoked AFTER each commit
+    * ("twin", "main", "delete") — the test seam that lets the spec
+    * crash an append at any point of its three-commit window and prove
+    * replays converge. Production (the public overload) passes a no-op.
+    */
+  private[graft] def appendPairsFp(
+      spark: SparkSession,
+      newPairs: DataFrame,
+      table: String,
+      partitions: Int,
+      idA: String,
+      idB: String,
+      failpoint: String => Unit): Unit = {
     requireGeometry(spark, table, partitions)
     val touched = Dedup.materialize(
       newPairs.select(col(idA).as("id"))
@@ -181,12 +196,18 @@ object ClusterStore {
       .unionByName(members.select(col("id").as("id_a"), col("label").as("id_b")))
     val relabeled = Dedup.materialize(Dedup.duplicateClusters(edges)
       .withColumn("pt", bucket(col("label"), partitions)))
-    // prev_label = the id's pre-append label (min over the member rows:
-    // a crash-window replay can retrieve an id under two labels, and
-    // any one valid pre-append bucket pointer restores convergence);
-    // ids new to the store point at themselves
+    // prev_label = the id's PRE-append label = max over the member
+    // rows. During a crash-window REPLAY an id's member rows are at
+    // most {newLabel, preAppendLabel} with newLabel <= preAppendLabel
+    // (labels only shrink), so max is exactly the pre-append bucket
+    // pointer — min would pick the NEW label and overwrite the
+    // breadcrumb to the not-yet-deleted stale copy on the replay's
+    // first commit, leaving that copy unreachable if the replay itself
+    // crashes before its stale delete (the double-crash spec). In all
+    // no-crash paths an id has one member row, so max == min. Ids new
+    // to the store point at themselves.
     val twinRows = relabeled.select(col("id"), col("label"))
-      .join(members.groupBy(col("id")).agg(min(col("label")).as("prev_label")),
+      .join(members.groupBy(col("id")).agg(max(col("label")).as("prev_label")),
         Seq("id"), "left")
       .select(col("id"), col("label"),
         coalesce(col("prev_label"), col("label")).as("prev_label"))
@@ -200,7 +221,9 @@ object ClusterStore {
       ManifestStore.merge(spark, twin, twinRows, Seq("id"), "ptid")
     else
       ManifestStore.write(spark, twinRows, twin, "ptid")
+    failpoint("twin")
     ManifestStore.merge(spark, table, relabeled, Seq("id"), "pt")
+    failpoint("main")
     val stale = members
       .withColumn("pt", bucket(col("label"), partitions))
       .join(relabeled.select(col("id"), col("pt").as("__np")), Seq("id"))
@@ -208,6 +231,7 @@ object ClusterStore {
       .select(col("id"), col("pt"))
     if (!stale.head(1).isEmpty)
       ManifestStore.delete(spark, table, stale, Seq("id", "pt"), Seq("pt"))
+    failpoint("delete")
   }
 
   /** The (id, label) table — the LATEST snapshot by default, or a

@@ -136,6 +136,42 @@ class ClusterStoreSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("double crash: after main merge, replay, after twin merge, replay — no duplicates") {
+    // the sequence that would orphan stale rows if prev_label were
+    // min(member labels): append crashes between main merge and stale
+    // delete, the REPLAY (whose member rows hold an id under BOTH
+    // labels) crashes right after its twin merge — a min-based
+    // breadcrumb would already point at the not-yet-deleted stale
+    // copy's own (new) bucket, so the final replay could never find
+    // and delete it. With max (= the pre-append bucket) it converges.
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
+    val day = Seq((1L, 2L)).toDF("id_a", "id_b")
+    case class Crash(at: String) extends RuntimeException(at)
+    def crashAfter(stage: String): String => Unit =
+      s => if (s == stage) throw Crash(stage)
+    // crash 1: twin + main committed, stale delete not
+    intercept[Crash] {
+      ClusterStore.appendPairsFp(spark, day, root, 4, "id_a", "id_b",
+        crashAfter("main"))
+    }
+    // fixture guard: the crash window really exposes live duplicates
+    assert(ClusterStore.readLabels(spark, root).count() > 3,
+      "crash 1 should leave ids visible under two labels")
+    // crash 2: the replay dies right after its FIRST commit — the twin
+    // merge must not have destroyed the pre-append breadcrumb
+    intercept[Crash] {
+      ClusterStore.appendPairsFp(spark, day, root, 4, "id_a", "id_b",
+        crashAfter("twin"))
+    }
+    // final replay through the public API: exactly the final labels,
+    // no duplicate ids, no orphaned stale rows
+    ClusterStore.appendPairs(spark, day, root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)), s"got=$got")
+  }
+
   test("pre-twin stores are backfilled once, then appends work pruned") {
     val root = fresh()
     ClusterStore.build(spark, Seq((2L, 3L), (20L, 21L)).toDF("id_a", "id_b"), root, 4)
