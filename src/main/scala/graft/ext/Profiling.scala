@@ -37,6 +37,13 @@ object Profiling {
     */
   def fdProfile(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "fdProfile: no candidates")
+    // the per-candidate rollup is a C-way union of single-row
+    // aggregates over the (small, materialized) cell table — fine for
+    // the declared use (tens of declared candidate pairs), but C in
+    // the hundreds builds a C-way union PLAN on the driver; fail
+    // loudly rather than degrade (a profile that wide should batch)
+    require(candidates.size <= 64,
+      s"fdProfile: ${candidates.size} candidates > 64 — profile in batches")
     val allCols = candidates.flatMap { case (l, r) => Seq(l, r) }.distinct
     val cells = Dedup.materialize(fdCells(df, candidates))
     // grouping_id bit i (MSB-first over allCols) is 1 when the column

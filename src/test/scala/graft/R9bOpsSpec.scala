@@ -106,6 +106,33 @@ class R9bOpsSpec extends SparkSpec {
       ("l", 3L, 2L, 6L, 2L, 0.333333)))
   }
 
+  test("fdProfile gid bit-order: 4 columns, 3 disjoint nonzero grouping sets, values") {
+    // allCols = [a, b, c, d] (appearance order), sets {a,b} (gid 3),
+    // {c,d} (gid 12), {b,c} (gid 9) under Spark's MSB-first convention.
+    // A bit-order mismatch routes a candidate to another set's cells,
+    // where its lhs column is NULL (not grouped) — n_groups collapses
+    // to 1 — so this fails on VALUES, not just plan shape. Data is
+    // asymmetric so the three candidates' stats are pairwise distinct.
+    val df = Seq(
+      ("a1", "b1", "c1", 1L), ("a1", "b2", "c2", 1L),
+      ("a2", "b2", "c2", 2L), ("a2", "b2", "c3", 2L),
+      ("a2", "b2", "c3", 2L)).toDF("a", "b", "c", "d")
+    val cands = Seq(("a", "b"), ("c", "d"), ("b", "c"))
+    // the cell table carries exactly the three expected grouping ids
+    val gids = Profiling.fdCells(df, cands)
+      .select("__gid").distinct().collect().map(_.getLong(0)).toSet
+    assert(gids == Set(3L, 12L, 9L), s"gids=$gids")
+    val out = Profiling.fdProfile(df, cands)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // a->b: a1 {b1,b2} violates; a2 clean.  c->d: c2 {1,2} violates;
+    // c1, c3 clean.  b->c: b2 {c2 x2, c3 x2} -> 2 violations; b1 clean.
+    assert(out == Seq(
+      ("a", "b", 2L, 1L, 5L, 1L, 0.2),
+      ("c", "d", 3L, 1L, 5L, 1L, 0.2),
+      ("b", "c", 2L, 1L, 5L, 2L, 0.4)), s"out=$out")
+  }
+
   test("fdProfile: swapped-role and duplicate candidates share one scan's cells correctly") {
     val df = Seq(
       ("k1", "x"), ("k1", "x"), ("k1", "y"),
