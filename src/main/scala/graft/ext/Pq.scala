@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * through a per-query lookup table of exact query-to-codeword
   * distances — the standard memory-bound ANN scale path.
   *
-  * Codebooks here are STRIDE-SAMPLED corpus subvectors (vec_id = c ·
-  * stride), not trained: production trains per-subspace k-means — x67's
-  * fixed-point Lloyd machinery applied per subspace — while sampling
-  * keeps the gate's DuckDB oracle tractable and exercises the identical
-  * encode/ADC mechanics (the codebook's provenance is orthogonal to the
-  * quantizer's dataflow).
+  * Codebooks come in two provenances sharing one dataflow: STRIDE-
+  * SAMPLED corpus subvectors ([[codebook]], vec_id = c · stride — the
+  * seed and the oracle-cheap baseline) and K-MEANS-TRAINED
+  * ([[codebookKmeans]] — per-subspace Lloyd under squared L2 on the
+  * fixed-point grid, seeded from the sampled codebook, the production
+  * path: on real clustered embeddings a sampled codebook wastes most
+  * of the quantization budget on duplicated codewords, while Lloyd
+  * monotonically lowers distortion from the seed — the x149 gate
+  * measures both on the same corpus and pins trained ≤ sampled per
+  * subspace).
   *
   * 100 TB design:
   *  - the codebook is m×k rows — broadcast; encoding is one narrow pass
@@ -94,6 +98,24 @@ object Pq {
       .select(col("sub"), col("code"), col("cv"))
   }
 
+  /** Per (vector, subspace) argmin against a broadcast codebook:
+    * (id, sub, sv, code, d9) — d9 the winning fixed-point distance,
+    * ties on the lower code id. The shared kernel of [[encode]], the
+    * Lloyd assignment step, and [[distortion]]: one broadcast join +
+    * one map-side-combined argmin. sv rides through `first` — every
+    * row of an (id, sub) group carries the identical subvector, so the
+    * usual first-is-nondeterministic caveat is moot.
+    */
+  private def assignSub(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"), col("sv"),
+        struct(round(d2(col("sv"), col("cv")) * lit(1e9d), 0).cast("long").as("d9"),
+          col("code")).as("__s"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(col("__s")).as("__m"), first(col("sv")).as("sv"))
+      .select(col("id"), col("sub"), col("sv"),
+        col("__m.code").as("code"), col("__m.d9").as("d9"))
+
   /** Encode the corpus: (idCol, sub, code) — per (vector, subspace), the
     * codeword minimizing the fixed-point squared L2 distance (ties break
     * on the lower code id). One broadcast join + one map-side-combined
@@ -108,14 +130,76 @@ object Pq {
       m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
     val d = dim / m
-    val subs = subspaces(data, idCol, vecCol, "id", "sv", d, m)
-    subs.join(broadcast(cb), Seq("sub"))
-      .select(col("id"), col("sub"),
-        struct(round(d2(col("sv"), col("cv")) * lit(1e9d), 0).cast("long").as("d9"),
-          col("code")).as("__s"))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(col("__s")).as("__m"))
-      .select(col("id").as(idCol), col("sub"), col("__m.code").as("code"))
+    assignSub(subspaces(data, idCol, vecCol, "id", "sv", d, m), cb)
+      .select(col("id").as(idCol), col("sub"), col("code"))
+  }
+
+  /** K-MEANS-TRAINED codebook: `iters` Lloyd steps per subspace under
+    * the fixed-point squared-L2 metric, ALL subspaces trained
+    * simultaneously — assignment is ONE broadcast-join pass over the
+    * exploded (id, sub, sv) table per iteration (never m separate
+    * loops), and the recompute shuffles only (sub, code, pos)
+    * aggregates, O(m·k·d) rows, never vectors. Seeded from the stride-
+    * sampled [[codebook]], so iters = 0 returns it unchanged and every
+    * iteration monotonically lowers the total distortion [[distortion]]
+    * measures (Lloyd's guarantee, on the grid up to the 1e-9 rounding
+    * quantum). Centroid components are the x67 fixed-point means
+    * (Σ round(x·10⁶) LONG, order-free, divided once) — bit-identical on
+    * any engine. Codewords no vector picks drop out (standard Lloyd's),
+    * so a trained codebook may hold < k codes per subspace; code ids
+    * are stable across iterations (a codeword keeps its seed id).
+    */
+  def codebookKmeans(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"Pq: iters=$iters")
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
+    val d = dim / m
+    var cents = codebook(data, idCol, vecCol, dim, m, k, stride)
+    if (iters == 0) return cents
+    // each iteration re-reads the subvector table and the next
+    // broadcast needs the previous centroids' VALUES — materialize both
+    val subs = Dedup.materialize(subspaces(data, idCol, vecCol, "id", "sv", d, m))
+    for (_ <- 0 until iters)
+      cents = Dedup.materialize(
+        assignSub(subs, cents)
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(sum(round(col("x") * 1e6d, 0).cast("long")).as("s"),
+            count(lit(1)).as("c"))
+          .groupBy(col("sub"), col("code"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), (col("s").cast("double") /
+              col("c").cast("double") / 1e6d).as("m")))),
+            p => p.getField("m")).as("cv")))
+    cents
+  }
+
+  /** Total quantization distortion per subspace under a codebook:
+    * (sub, n_codes, d9_total) — n_codes the codewords at least one
+    * vector picked, d9_total the exact-integer sum of every vector's
+    * argmin distance. The measure Lloyd minimizes; the x149 gate pins
+    * trained ≤ sampled with it.
+    */
+  def distortion(
+      data: DataFrame,
+      cb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"Pq: dim=$dim not divisible by m=$m")
+    val d = dim / m
+    assignSub(subspaces(data, idCol, vecCol, "id", "sv", d, m), cb)
+      .groupBy(col("sub"))
+      .agg(count_distinct(col("code")).as("n_codes"),
+        sum(col("d9")).as("d9_total"))
   }
 
   /** ADC top-k: per query (same id/vec shape as the corpus), the k codes

@@ -5078,6 +5078,77 @@ object ExtQueries {
   // merge losslessly), so the oracle is x40's
   val x148Sql: String = x40Sql
 
+  // --- x149: k-means-trained PQ codebook ----------------------------------
+  // Closes the Pq scaladoc's production promise: the codebook is now
+  // TRAINED (2 per-subspace Lloyd steps under fixed-point squared L2,
+  // all subspaces in one pass per iteration), not just stride-sampled.
+  // The gate measures both codebooks' total quantization distortion on
+  // the same corpus and REQUIRES trained ≤ seed per subspace (Lloyd's
+  // guarantee, on the grid); the oracle replicates seed, both Lloyd
+  // iterations, and both distortion rollups on the identical
+  // fixed-point conventions, so every centroid component and every
+  // argmin must agree bit-for-bit.
+  def x149PqTrainedCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val seed = Pq.codebook(data, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, stride = 3)
+    val trained = Pq.codebookKmeans(data, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, stride = 3, iters = 2)
+    val ds = Pq.distortion(data, seed, "vec_id", "embedding", dim = 64, m = 4)
+      .select(col("sub"), col("d9_total").as("seed_d9"))
+    val dt = Pq.distortion(data, trained, "vec_id", "embedding", dim = 64, m = 4)
+      .select(col("sub"), col("n_codes"), col("d9_total").as("trained_d9"))
+    val out = Dedup.materialize(ds.join(dt, Seq("sub"))
+      .select(col("sub"), col("n_codes"), col("seed_d9"), col("trained_d9")))
+    val worse = out.filter(col("trained_d9") > col("seed_d9")).count()
+    require(worse == 0L,
+      s"x149: $worse subspaces regressed vs the seed codebook — " +
+        "Lloyd must not raise distortion")
+    out
+  }
+
+  val x149Sql: String = {
+    // one unrolled Lloyd iteration: argmin assignment against $prev,
+    // then fixed-point per-(sub, code, pos) means — the kmeansCtes
+    // conventions under the PQ metric
+    def iter(i: Int, prev: String): String =
+      s"""a$i AS (SELECT vec_id, sub, code, sv FROM (
+           SELECT vs.vec_id, vs.sub, cb.code, vs.sv,
+             row_number() OVER (PARTITION BY vs.vec_id, vs.sub
+               ORDER BY ${pqD2("vs.sv", "cb.cv")}, cb.code) AS rn
+           FROM vsub vs JOIN $prev cb ON vs.sub = cb.sub) WHERE rn = 1),
+         e$i AS (SELECT sub, code, p.p AS pos, sv[p.p] AS x
+           FROM a$i CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
+         s$i AS (SELECT sub, code, pos,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS c
+           FROM e$i GROUP BY 1, 2, 3),
+         t$i AS (SELECT sub, code,
+             list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+           FROM s$i GROUP BY 1, 2)"""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       $pqCtes,
+       ${iter(1, "cb")},
+       ${iter(2, "t1")},
+       smin AS (SELECT vec_id, sub, code, d9 FROM (
+           SELECT vec_id, sub, code, d9,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d9, code) AS rn
+           FROM pqdist) WHERE rn = 1),
+       sd AS (SELECT sub, CAST(sum(d9) AS BIGINT) AS seed_d9 FROM smin GROUP BY 1),
+       tdist AS (SELECT vs.vec_id, vs.sub, cb.code,
+           ${pqD2("vs.sv", "cb.cv")} AS d9
+         FROM vsub vs JOIN t2 cb ON vs.sub = cb.sub),
+       tmin AS (SELECT vec_id, sub, code, d9 FROM (
+           SELECT vec_id, sub, code, d9,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d9, code) AS rn
+           FROM tdist) WHERE rn = 1),
+       td AS (SELECT sub, CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           CAST(sum(d9) AS BIGINT) AS trained_d9
+         FROM tmin GROUP BY 1)
+       SELECT sd.sub, td.n_codes, sd.seed_d9, td.trained_d9
+       FROM sd JOIN td ON sd.sub = td.sub"""
+  }
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))
