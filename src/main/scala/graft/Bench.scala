@@ -67,6 +67,14 @@ object Bench {
     // the headline total; broken queries surface as an explicit count
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
+    // engine-vs-lifecycle split (SparkEntry.lifecycleQueries): the
+    // lifecycle family's wall-time is micro-batch + store-commit floors,
+    // so its subtotal tracks commit-cycle count, not engine speed —
+    // per-query regression signal lives in the ENGINE subtotal
+    def familyTotal(in: String => Boolean): Double =
+      results.collect { case (k, v) if in(k) && v >= 0 => v }.sum
+    val lifecycleT = familyTotal(SparkEntry.lifecycleQueries.contains)
+    val engineT = familyTotal(k => !SparkEntry.lifecycleQueries.contains(k))
     // The COMPLETE per-query map as a first-class committed artifact
     // (r8 verdict #1): the stdout line above is captured through a
     // bounded tail that has repeatedly truncated the middle of the map,
@@ -76,12 +84,13 @@ object Bench {
     writeDetail(results, passes, calibs, sfDir)
     val noise =
       s""""pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},"calib":${calibs.map(f3).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$noise,"queries":$qs,"sf":"$sfDir"}""")
+    val fams = s""""engine":${f3(engineT)},"lifecycle":${f3(lifecycleT)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$fams,$noise,"queries":$qs,"sf":"$sfDir"}""")
     // Repeat the headline + slowest queries as a SHORT self-contained JSON
     // line LAST: whatever the capture buffer size, this one survives whole.
     val top = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$noise,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$fams,$noise,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -114,8 +123,14 @@ object Bench {
           "\"" + k + "\":" + (if (v.isNaN) "-1.0" else f3(v)) }
         .mkString("{", ",", "}")
       val passJson = passes.map(qmap).mkString("[", ",", "]")
+      def famTotal(in: String => Boolean): Double =
+        results.collect { case (k, v) if in(k) && v >= 0 => v }.sum
+      val fams =
+        s""""engine":${f3(famTotal(k => !SparkEntry.lifecycleQueries.contains(k)))},""" +
+          s""""lifecycle":${f3(famTotal(SparkEntry.lifecycleQueries.contains))}"""
       val json =
         s"""{"round":$round,"sf":"$sfDir","passes":3,
+           |$fams,
            |"calib":${calibs.map(f3).mkString("[", ",", "]")},
            |"min":${qmap(results)},
            |"per_pass":$passJson}""".stripMargin

@@ -329,6 +329,32 @@ object ScaleBench {
     // pair curve plus a commit floor
     "x147_cluster_store")
 
+  /** Round-11 curve set: the two r10 pieces whose implementations
+    * changed AFTER their last measured curves, plus the r11 additions.
+    */
+  val R11Family: Seq[String] = Seq(
+    // RE-MEASURE (fused rewrite): all candidate pairs in ONE scan via
+    // grouping sets — the sf0.1 absolute lost to the old 3-scan shape,
+    // and this curve measures the bet that scan-count independence
+    // wins as the input grows — expect ~linear with a better constant
+    // at 10× than the 1× comparison suggests
+    "x136_fd_profile",
+    // RE-MEASURE (twin index): the id-bucketed lookup made every append
+    // step O(affected); the curve now carries the third merge commit —
+    // expect the pair curve plus the commit floor
+    "x147_cluster_store",
+    // 4 day-appends of (groups × k)-row min-arrays + an O(days) read —
+    // commit floor like x143, expect sub-linear
+    "x148_kmv_store",
+    // two Lloyd passes over the exploded subvector table (broadcast
+    // codebook, map-side-combined argmin) + two distortion passes —
+    // expect ~linear
+    "x149_pq_trained",
+    // law measurement is |Q|=8 brute force × corpus + an O(centroids)
+    // histogram; the probe scans probed partitions only — expect
+    // ~linear from the measurement pass
+    "x150_auto_probe")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -455,7 +481,7 @@ object ScaleBench {
       "stream_scale" -> StreamFamily, "r6_scale" -> R6Family,
       "r7_scale" -> R7Family, "r8_scale" -> R8Family,
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
-      "r9c_scale" -> R9cFamily)
+      "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

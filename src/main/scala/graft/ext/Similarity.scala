@@ -217,22 +217,50 @@ object Similarity {
       vecCol: String,
       k: Int,
       targetRecall: Double,
-      maxNprobe: Int = 0): Int = {
-    require(targetRecall > 0.0 && targetRecall <= 1.0,
-      s"ivfAutoNprobe: targetRecall=$targetRecall must be in (0, 1]")
+      maxNprobe: Int = 0): Int =
+    nprobeFromHist(
+      nprobeRankHist(data, centroids, queries, idCol, vecCol, k)
+        .collect().map(r => (r.getInt(0), r.getLong(1))),
+      targetRecall, maxNprobe)
+
+  /** The sizing law's raw MEASUREMENT, as a frame so a deployed index
+    * can persist it ([[VectorStore.writeNprobeLaw]]) and answer any
+    * later target without re-measuring: (c_rank, hits) — how many
+    * (query, true-neighbor) pairs sit at each centroid rank. Every
+    * truth pair lands in exactly one cell (its neighbor's centroid has
+    * exactly one rank), so the cells sum to the pair total; the frame
+    * is ≤ |centroids| rows.
+    */
+  def nprobeRankHist(
+      data: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val truth = bruteForceTopK(data, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     val assigned = ivfAssign(data, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"))
     val ranked = probeCentroidsRanked(queries, centroids, idCol, vecCol)
-    // every truth pair lands in exactly one histogram cell (its
-    // neighbor's centroid has exactly one rank), so the cells sum to
-    // the pair total — one collect of ≤ |centroids| rows
-    val hist = truth
+    truth
       .join(assigned, "neighbor_id")
       .join(ranked, Seq("query_id", "centroid_id"))
       .groupBy(col("c_rank")).agg(count(lit(1)).as("hits"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+  }
+
+  /** Resolve a collected histogram to the smallest nprobe whose recall
+    * CDF meets `targetRecall` — the other half of [[ivfAutoNprobe]],
+    * shared with the persisted-law path. An empty histogram returns 1;
+    * `maxNprobe > 0` caps the answer.
+    */
+  def nprobeFromHist(
+      rows: Seq[(Int, Long)],
+      targetRecall: Double,
+      maxNprobe: Int = 0): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"nprobeFromHist: targetRecall=$targetRecall must be in (0, 1]")
+    val hist = rows.sortBy(_._1)
     val total = hist.map(_._2).sum
     if (total == 0L) return 1
     val cums = hist.scanLeft(0L)(_ + _._2).tail

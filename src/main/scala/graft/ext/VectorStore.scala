@@ -15,31 +15,40 @@ import graft.sources.ManifestStore
   * their partitions (the store holds m one-byte codes per vector).
   *
   * Layout under `root`:
-  *  - `codes`      — (centroid_id, vec_id, sub, code), PARTITIONED BY
+  *  - `codes`       — (centroid_id, vec_id, sub, code), PARTITIONED BY
   *    centroid_id: the IVF invariant "assignment is the partition key"
   *    made literal, so [[probe]]'s [[ManifestStore.readPartitions]]
   *    touches exactly the probed buckets' files;
-  *  - `centroids`  — (centroid_id, vector), the probe's routing table
+  *  - `centroids`   — (centroid_id, vector), the probe's routing table
   *    (O(centroids), broadcast);
-  *  - `codebook`   — (sub, code, cv), the PQ model (m×k rows).
-  * Geometry (dim, m, k, stride) rides a `_graft_geometry.json` sidecar
-  * validated on every call — a silent mismatch would encode increments
-  * against a different codebook and quietly corrupt ranking (the
-  * DedupStores failure mode, same cure).
+  *  - `codebook`    — (sub, code, cv), the PQ model (m×k rows);
+  *  - `nprobe_hist` — (c_rank, hits, law_k), the MEASURED nprobe sizing
+  *    law ([[Similarity.nprobeRankHist]] persisted by
+  *    [[writeNprobeLaw]]): O(centroids) rows recording where a truth
+  *    sample's neighbors rank in the centroid ordering, so
+  *    [[autoNprobe]] answers ANY target recall without re-measuring and
+  *    [[probeAuto]] — the production probe entry — runs at a recall the
+  *    operator DECLARED instead of a hand-picked constant (the x144
+  *    audit measured recall@10 as low as 0.3 at a hand-picked 3).
+  * Geometry (dim, m, k, stride, trainIters) rides a
+  * `_graft_geometry.json` sidecar validated on every call — a silent
+  * mismatch would encode increments against a different codebook and
+  * quietly corrupt ranking (the DedupStores failure mode, same cure).
   *
-  * Model provenance: centroids and codebook are frozen at [[build]]
-  * (stride-sampled here, k-means-trained in production — x67's
-  * machinery); appends ENCODE AGAINST THE FROZEN MODEL, the standard
-  * IVF contract (re-training is a rebuild, not an append).
+  * Model provenance: centroids and codebook are frozen at [[build]] —
+  * stride-sampled at `trainIters = 0`, k-means-trained
+  * ([[Pq.codebookKmeans]]) at `trainIters > 0`, the production setting;
+  * appends ENCODE AGAINST THE FROZEN MODEL, the standard IVF contract
+  * (re-training is a rebuild, not an append).
   */
 object VectorStore {
 
-  private case class Geometry(dim: Int, m: Int, k: Int, stride: Long)
+  private case class Geometry(dim: Int, m: Int, k: Int, stride: Long, trainIters: Int)
 
   private def writeGeometry(spark: SparkSession, root: String, g: Geometry): Unit =
     StoreSidecar.write(spark, root, Seq(
       "dim" -> g.dim.toLong, "m" -> g.m.toLong, "k" -> g.k.toLong,
-      "stride" -> g.stride))
+      "stride" -> g.stride, "iters" -> g.trainIters.toLong))
 
   /** Validate the sidecar. `mustExist = true` (probe/append) makes a
     * MISSING sidecar a hard error too: a build that crashed between its
@@ -50,13 +59,14 @@ object VectorStore {
   private def requireGeometry(
       spark: SparkSession, root: String, want: Geometry,
       mustExist: Boolean = false): Unit =
-    StoreSidecar.read(spark, root, Seq("dim", "m", "k", "stride")) match {
+    StoreSidecar.read(spark, root, Seq("dim", "m", "k", "stride", "iters")) match {
       case None =>
         require(!mustExist,
           s"VectorStore: $root has no geometry sidecar — the build did not " +
             "complete (or this is not a VectorStore root); rebuild before use")
       case Some(m) =>
-        val got = Geometry(m("dim").toInt, m("m").toInt, m("k").toInt, m("stride"))
+        val got = Geometry(m("dim").toInt, m("m").toInt, m("k").toInt, m("stride"),
+          m("iters").toInt)
         require(got == want,
           s"VectorStore: $root was built with $got but this call uses $want — " +
             "appends against a different codebook silently corrupt ranking")
@@ -65,11 +75,14 @@ object VectorStore {
   private def codesT(root: String) = s"$root/codes"
   private def centroidsT(root: String) = s"$root/centroids"
   private def codebookT(root: String) = s"$root/codebook"
+  private def lawT(root: String) = s"$root/nprobe_hist"
 
   /** Build (or rebuild) the index from a corpus slice, freezing the
     * centroid and codebook model tables. `centroids` supplies the
     * routing vectors (any id/vec frame); the codebook is stride-sampled
-    * from `data` (see [[Pq.codebook]]).
+    * from `data` at `trainIters = 0` (see [[Pq.codebook]]) or k-means-
+    * trained with that seed at `trainIters > 0`
+    * ([[Pq.codebookKmeans]] — the production setting).
     */
   def build(
       spark: SparkSession,
@@ -81,15 +94,18 @@ object VectorStore {
       dim: Int,
       m: Int,
       k: Int,
-      stride: Long): Unit = {
+      stride: Long,
+      trainIters: Int = 0): Unit = {
     // the sidecar is written FIRST: build() is the rebuild authority (a
     // deliberate new geometry overwrites it), and any later probe/append
     // validates against it — so a build that crashes mid-way leaves a
     // store whose sidecar either predates the crash (tables consistent
     // with it) or names the new geometry (appends against half-built
     // tables still fail on the ManifestStore side, not silently)
-    writeGeometry(spark, root, Geometry(dim, m, k, stride))
-    val cb = Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
+    writeGeometry(spark, root, Geometry(dim, m, k, stride, trainIters))
+    val cb =
+      if (trainIters == 0) Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
+      else Pq.codebookKmeans(data, idCol, vecCol, dim, m, k, stride, trainIters)
     ManifestStore.write(spark, cb, codebookT(root), "sub")
     ManifestStore.write(spark,
       centroids.select(col(idCol).as("centroid_id"),
@@ -113,8 +129,10 @@ object VectorStore {
       dim: Int,
       m: Int,
       k: Int,
-      stride: Long): Unit = {
-    requireGeometry(spark, root, Geometry(dim, m, k, stride), mustExist = true)
+      stride: Long,
+      trainIters: Int = 0): Unit = {
+    requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
+      mustExist = true)
     ManifestStore.merge(spark, codesT(root),
       encodeRows(spark, increment, root, idCol, vecCol, dim, m),
       Seq("vec_id", "sub"), "centroid_id")
@@ -156,8 +174,10 @@ object VectorStore {
       k: Int,
       stride: Long,
       nprobe: Int,
-      topK: Int): DataFrame = {
-    requireGeometry(spark, root, Geometry(dim, m, k, stride), mustExist = true)
+      topK: Int,
+      trainIters: Int = 0): DataFrame = {
+    requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
+      mustExist = true)
     val cents = ManifestStore.read(spark, centroidsT(root))
       .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
     val cb = ManifestStore.read(spark, codebookT(root))
@@ -180,4 +200,72 @@ object VectorStore {
       codes.select(col("vec_id"), col("sub"), col("code")), cb,
       "vec_id", vecCol, dim, m, topK)
   }
+
+  /** Measure the nprobe sizing law against the STORED routing table and
+    * persist it: one brute-force pass of `queries` (a fixed sample at
+    * corpus scale) against `data`, one centroid ranking, and an
+    * O(centroids)-row histogram written as the `nprobe_hist` table —
+    * re-runnable (a re-measure replaces the law; `law_k` records the
+    * truth depth so a mismatched later read fails loudly). Run at build
+    * time and after appends that materially shift the distribution.
+    */
+  def writeNprobeLaw(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      k: Int): Unit = {
+    val cents = ManifestStore.read(spark, centroidsT(root))
+      .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
+    ManifestStore.write(spark,
+      Similarity.nprobeRankHist(data, cents, queries, idCol, vecCol, k)
+        .withColumn("law_k", lit(k.toLong))
+        .withColumn("__pt", lit(0L)),
+      lawT(root), "__pt")
+  }
+
+  /** Resolve the smallest nprobe meeting `targetRecall` from the
+    * persisted law — O(centroids) rows read, no corpus work. `k` must
+    * match the depth the law was measured at.
+    */
+  def autoNprobe(
+      spark: SparkSession,
+      root: String,
+      k: Int,
+      targetRecall: Double,
+      maxNprobe: Int = 0): Int = {
+    val rows = ManifestStore.read(spark, lawT(root))
+      .select(col("c_rank"), col("hits"), col("law_k"))
+      .collect()
+    require(rows.forall(_.getLong(2) == k.toLong),
+      s"VectorStore: $root's nprobe law was measured at " +
+        s"k=${rows.headOption.map(_.getLong(2)).getOrElse(-1L)}, not $k — " +
+        "re-run writeNprobeLaw at the depth you probe at")
+    Similarity.nprobeFromHist(
+      rows.map(r => (r.getInt(0), r.getLong(1))).toSeq, targetRecall, maxNprobe)
+  }
+
+  /** The PRODUCTION probe entry: nprobe comes from the persisted sizing
+    * law at a DECLARED target recall, not a hand-picked constant —
+    * [[autoNprobe]] then [[probe]]. `maxNprobe > 0` is the latency
+    * budget cap (recall degrades honestly when it binds).
+    */
+  def probeAuto(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      targetRecall: Double,
+      topK: Int,
+      maxNprobe: Int = 0,
+      trainIters: Int = 0): DataFrame =
+    probe(spark, queries, idCol, vecCol, root, dim, m, k, stride,
+      autoNprobe(spark, root, topK, targetRecall, maxNprobe), topK, trainIters)
 }

@@ -5149,6 +5149,76 @@ object ExtQueries {
        FROM sd JOIN td ON sd.sub = td.sub"""
   }
 
+  // --- x150: auto-sized probe — the nprobe law wired into the store -------
+  // Closes the r10 integration gap: production probes no longer hand-
+  // pick nprobe. The gate builds the VectorStore, MEASURES the sizing
+  // law against the stored routing table (writeNprobeLaw → the
+  // persisted rank-CDF histogram), resolves nprobe for a DECLARED
+  // target recall (autoNprobe — pure histogram read, no corpus work),
+  // and probes at the resolved width (probeAuto). The oracle replicates
+  // the measurement (brute-force truth → neighbor-centroid ranks →
+  // CDF), resolves the SAME nprobe as a scalar subquery, and replays
+  // the IVF+PQ probe at that width — so the law's resolution itself is
+  // hash-checked, not just the probe it feeds.
+  def x150AutoProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "autoprobe")
+    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val queries = data.filter(col("vec_id") < 8)
+    VectorStore.writeNprobeLaw(spark, data, queries, "vec_id", "embedding",
+      root, k = 10)
+    val np90 = VectorStore.autoNprobe(spark, root, k = 10, targetRecall = 0.9)
+    val np50 = VectorStore.autoNprobe(spark, root, k = 10, targetRecall = 0.5)
+    require(np90 >= np50 && np50 >= 1,
+      s"x150: stored law not monotone: np90=$np90 np50=$np50")
+    VectorStore.probeAuto(spark, queries, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, targetRecall = 0.9, topK = 10)
+  }
+
+  val x150Sql: String =
+    s"""WITH $ivfCtes,
+       $pqCtes,
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       sce AS (SELECT q.query_id, c2.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c2.ve[i])) / (q.qn * c2.nrm) AS cos
+         FROM n c2 JOIN q ON c2.vec_id <> q.query_id),
+       rex AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sce) WHERE rn <= 10),
+       pr0 AS (SELECT q.query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
+         FROM q CROSS JOIN c),
+       prr AS (SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS c_rank
+         FROM pr0),
+       ranks AS (SELECT prr.c_rank
+         FROM rex JOIN asg ON rex.neighbor_id = asg.vec_id
+         JOIN prr ON prr.query_id = rex.query_id
+           AND prr.centroid_id = asg.centroid_id),
+       np AS (SELECT min(c_rank) AS v FROM (
+           SELECT c_rank,
+             CAST(count(*) OVER (ORDER BY c_rank) AS DOUBLE)
+               / CAST((SELECT count(*) FROM ranks) AS DOUBLE) AS cdf
+           FROM ranks) WHERE cdf >= 0.9),
+       pr AS (SELECT query_id, centroid_id FROM prr
+         WHERE c_rank <= (SELECT v FROM np)),
+       cand AS (SELECT pr.query_id, asg.vec_id
+         FROM pr JOIN asg USING (centroid_id)
+         WHERE asg.vec_id <> pr.query_id),
+       scored AS (SELECT ca.query_id, ca.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
+         FROM cand ca JOIN codes cd ON ca.vec_id = cd.vec_id
+         JOIN lut l ON l.query_id = ca.query_id
+           AND l.sub = cd.sub AND l.code = cd.code
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, est_d9,
+           row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))
