@@ -5107,10 +5107,13 @@ object ExtQueries {
     out
   }
 
-  val x149Sql: String = {
-    // one unrolled Lloyd iteration: argmin assignment against $prev,
-    // then fixed-point per-(sub, code, pos) means — the kmeansCtes
-    // conventions under the PQ metric
+  /** Two unrolled per-subspace Lloyd iterations from the sampled seed
+    * `cb` (of [[pqCtes]]) to the trained codebook `t2` — each is argmin
+    * assignment then fixed-point per-(sub, code, pos) means, the
+    * kmeansCtes conventions under the PQ metric. Shared by the x149
+    * (distortion) and x151 (trained store end-to-end) oracles.
+    */
+  private val pqTrainCtes: String = {
     def iter(i: Int, prev: String): String =
       s"""a$i AS (SELECT vec_id, sub, code, sv FROM (
            SELECT vs.vec_id, vs.sub, cb.code, vs.sv,
@@ -5126,10 +5129,14 @@ object ExtQueries {
          t$i AS (SELECT sub, code,
              list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
            FROM s$i GROUP BY 1, 2)"""
+    s"""${iter(1, "cb")},
+       ${iter(2, "t1")}"""
+  }
+
+  val x149Sql: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        $pqCtes,
-       ${iter(1, "cb")},
-       ${iter(2, "t1")},
+       $pqTrainCtes,
        smin AS (SELECT vec_id, sub, code, d9 FROM (
            SELECT vec_id, sub, code, d9,
              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d9, code) AS rn
@@ -5147,7 +5154,6 @@ object ExtQueries {
          FROM tmin GROUP BY 1)
        SELECT sd.sub, td.n_codes, sd.seed_d9, td.trained_d9
        FROM sd JOIN td ON sd.sub = td.sub"""
-  }
 
   // --- x150: auto-sized probe — the nprobe law wired into the store -------
   // Closes the r10 integration gap: production probes no longer hand-
@@ -5212,6 +5218,80 @@ object ExtQueries {
        scored AS (SELECT ca.query_id, ca.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
          FROM cand ca JOIN codes cd ON ca.vec_id = cd.vec_id
          JOIN lut l ON l.query_id = ca.query_id
+           AND l.sub = cd.sub AND l.code = cd.code
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id, est_d9,
+           row_number() OVER (PARTITION BY query_id ORDER BY est_d9, vec_id) AS rank
+         FROM scored)
+       SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
+
+  // --- x151: the production store config, end to end -----------------------
+  // x129's store with BOTH production dials engaged at once: the
+  // codebook is k-means-TRAINED at build (x149's machinery, frozen in
+  // the store and geometry-guarded by the sidecar's iters field) and
+  // the probe width comes from the PERSISTED sizing law at a declared
+  // target recall (x150's machinery) — no sampled codebook, no
+  // hand-picked nprobe anywhere on the path. The oracle composes the
+  // trained-codebook Lloyd CTEs with the law resolution and replays
+  // the ADC probe against trained codes + trained LUT.
+  def x151TrainedStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "trainstore")
+    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, trainIters = 2)
+    val queries = data.filter(col("vec_id") < 8)
+    VectorStore.writeNprobeLaw(spark, data, queries, "vec_id", "embedding",
+      root, k = 10)
+    VectorStore.probeAuto(spark, queries, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, targetRecall = 0.9, topK = 10,
+      trainIters = 2)
+  }
+
+  val x151Sql: String =
+    s"""WITH $ivfCtes,
+       $pqCtes,
+       $pqTrainCtes,
+       tcodes AS (SELECT vec_id, sub, code FROM (
+           SELECT vs.vec_id, vs.sub, cb.code,
+             row_number() OVER (PARTITION BY vs.vec_id, vs.sub
+               ORDER BY ${pqD2("vs.sv", "cb.cv")}, cb.code) AS rn
+           FROM vsub vs JOIN t2 cb ON vs.sub = cb.sub) WHERE rn = 1),
+       tlut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+           ${pqD2("q.sv", "cb.cv")} AS pd9
+         FROM vsub q JOIN t2 cb ON q.sub = cb.sub WHERE q.vec_id < 8),
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       sce AS (SELECT q.query_id, c2.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c2.ve[i])) / (q.qn * c2.nrm) AS cos
+         FROM n c2 JOIN q ON c2.vec_id <> q.query_id),
+       rex AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sce) WHERE rn <= 10),
+       pr0 AS (SELECT q.query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
+         FROM q CROSS JOIN c),
+       prr AS (SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS c_rank
+         FROM pr0),
+       ranks AS (SELECT prr.c_rank
+         FROM rex JOIN asg ON rex.neighbor_id = asg.vec_id
+         JOIN prr ON prr.query_id = rex.query_id
+           AND prr.centroid_id = asg.centroid_id),
+       np AS (SELECT min(c_rank) AS v FROM (
+           SELECT c_rank,
+             CAST(count(*) OVER (ORDER BY c_rank) AS DOUBLE)
+               / CAST((SELECT count(*) FROM ranks) AS DOUBLE) AS cdf
+           FROM ranks) WHERE cdf >= 0.9),
+       pr AS (SELECT query_id, centroid_id FROM prr
+         WHERE c_rank <= (SELECT v FROM np)),
+       cand AS (SELECT pr.query_id, asg.vec_id
+         FROM pr JOIN asg USING (centroid_id)
+         WHERE asg.vec_id <> pr.query_id),
+       scored AS (SELECT ca.query_id, ca.vec_id, CAST(sum(l.pd9) AS BIGINT) AS est_d9
+         FROM cand ca JOIN tcodes cd ON ca.vec_id = cd.vec_id
+         JOIN tlut l ON l.query_id = ca.query_id
            AND l.sub = cd.sub AND l.code = cd.code
          GROUP BY 1, 2),
        r AS (SELECT query_id, vec_id, est_d9,
