@@ -109,4 +109,49 @@ object Drift {
         Similarity.norm(col("va")), Similarity.norm(col("vb"))), 6))
       .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("drift_cosine"))
   }
+
+  /** All-pairs two-sample Kolmogorov–Smirnov statistic over `groupCol`'s
+    * distributions of integer `valCol` — the EXACT distribution-shape
+    * complement of [[jsDivergence]]'s binned view: KS needs no bin
+    * dial, and D = max_v |F_a(v) − F_b(v)| is sensitive to shape
+    * differences a fixed 16-bin grid blurs. The standard promote-gate
+    * companion to the x121 vocabulary-overlap matrix: which sources'
+    * LENGTH profiles diverge, exactly.
+    *
+    * Scale shape: ONE (group, value) count shuffle with map-side
+    * combine collapses the data to O(S × V) rows (S = groups, V =
+    * distinct values — both bounded domains, never row count); a dense
+    * S × V grid gets per-group exact cumulative counts from one
+    * window; the pair join runs grid × grid on the value key —
+    * O(V · S²), data-size-independent after the first pass. Null
+    * groups/values are excluded (a null has no place on a CDF axis).
+    * Determinism: cumulatives are exact LONGs, F divisions are the
+    * same IEEE doubles on any engine, 6-dp round at the end.
+    * Output: (group_a, group_b, n_a, n_b, ks_d), group_a < group_b.
+    */
+  def ksMatrix(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = Dedup.materialize(
+      df.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+        .filter(col("g").isNotNull && col("v").isNotNull)
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    // dense grid: every group needs an F value at every pooled v, or
+    // the pair join would silently skip steps where one side is flat
+    val grid = counts.select(col("v")).distinct()
+      .crossJoin(totals.select(col("g")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val cum = grid.join(counts, Seq("g", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .join(totals, Seq("g"))
+      .select(col("g"), col("v"), col("cum"), col("n"))
+    cum.as("a").join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        abs(col("a.cum").cast("double") / col("a.n").cast("double")
+          - col("b.cum").cast("double") / col("b.n").cast("double")).as("d"))
+      .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+  }
 }

@@ -5299,6 +5299,86 @@ object ExtQueries {
          FROM scored)
        SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"""
 
+  // --- x152: KS drift matrix (exact, all source pairs) ---------------------
+  // The exact-CDF complement of x77's binned JS divergence: two-sample
+  // Kolmogorov–Smirnov D over every source pair's doc-length
+  // distribution — no bin dial, sensitive where a fixed grid blurs.
+  // After one (source, length) count pass the whole computation lives
+  // on the O(sources × distinct lengths) grid, row-count-independent.
+  def x152KsMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.ksMatrix(t(spark, dir, "documents"), "source", "n_chars")
+
+  val x152Sql: String =
+    """WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         GROUP BY 1, 2),
+       t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       vg AS (SELECT DISTINCT v FROM c),
+       grid AS (SELECT t.g, vg.v FROM t CROSS JOIN vg),
+       cum0 AS (SELECT grid.g, grid.v,
+           CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum
+         FROM grid LEFT JOIN c ON c.g = grid.g AND c.v = grid.v),
+       cn AS (SELECT cum0.g, cum0.v, cum0.cum, t.n
+         FROM cum0 JOIN t ON t.g = cum0.g),
+       d AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           abs(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE)) AS d
+         FROM cn a JOIN cn b ON a.v = b.v AND a.g < b.g)
+       SELECT group_a, group_b, n_a, n_b, round(max(d), 6) AS ks_d
+       FROM d GROUP BY 1, 2, 3, 4"""
+
+  // --- x153: dimension-truncation retrieval audit (MRL-style) --------------
+  // The measurement behind Matryoshka-style dimension cuts (Kusupati
+  // et al. 2022, public recipe): per-query overlap@10 of brute-force
+  // retrieval on the FIRST-16-dim prefix against full-64-dim retrieval
+  // — the exact recall price of a 4× embedding storage cut, measured
+  // before anyone deploys the cut. Both pipelines are deterministic
+  // brute force (the x07 shape), so the audit is fully oracled; cosine
+  // renormalizes per slice by construction.
+  def x153TruncationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    def prefix(d: DataFrame) = d.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val queries = data.filter(col("vec_id") < 8)
+    val full = Similarity.bruteForceTopK(data, queries,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val cut = Similarity.bruteForceTopK(prefix(data), prefix(queries),
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    recallRollup(full, cut, "neighbor_id")
+  }
+
+  val x153Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       sce AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.ve[i])) / (q.qn * c.nrm) AS cos
+         FROM n c JOIN q ON c.vec_id <> q.query_id),
+       rex AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sce) WHERE rn <= 10),
+       p AS (SELECT vec_id, ve[1:16] AS pv,
+           sqrt(list_sum(list_transform(ve[1:16], x -> x * x))) AS pn FROM v),
+       pq AS (SELECT vec_id AS query_id, pv AS qv, pn AS qn FROM p WHERE vec_id < 8),
+       scp AS (SELECT pq.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 17), i -> pq.qv[i] * c.pv[i])) / (pq.qn * c.pn) AS cos
+         FROM p c JOIN pq ON c.vec_id <> pq.query_id),
+       rcut AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scp) WHERE rn <= 10),
+       j AS (SELECT rex.query_id,
+           CASE WHEN rcut.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM rex LEFT JOIN rcut ON rcut.query_id = rex.query_id
+           AND rcut.neighbor_id = rex.neighbor_id)
+       SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(hit) AS BIGINT) AS n_hit,
+         round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       FROM j GROUP BY 1"""
+
   val x145Sql: String = {
     val fullD9 =
       """CAST(round((list_sum(list_transform(range(1, 65), i -> q.ve[i] * q.ve[i]))

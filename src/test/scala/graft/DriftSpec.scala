@@ -72,6 +72,31 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("ksMatrix: hand-computed D, identical groups score 0, disjoint score 1") {
+    // A = {1, 2, 3, 4}, B = {3, 4, 5, 6}: max CDF gap is at v=2
+    // (F_A = 0.5, F_B = 0) → D = 0.5. C duplicates A exactly → D = 0.
+    // E = {100} is disjoint from A → D = 1 at v=4. Group pairs order
+    // lexicographically; nulls drop.
+    val df = (
+      Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("b", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("c", _)) ++
+      Seq(100L).map(("e", _)) :+
+      (null.asInstanceOf[String], 7L)
+    ).toDF("g", "v")
+    val got = Drift.ksMatrix(df, "g", "v")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("a", "e"),
+      ("b", "c"), ("b", "e"), ("c", "e")))
+    assert(got(("a", "b")) == ((4L, 4L, 0.5)))
+    assert(got(("a", "c")) == ((4L, 4L, 0.0)))
+    assert(got(("a", "e")) == ((4L, 1L, 1.0)))
+    assert(got(("b", "e")) == ((4L, 1L, 1.0)))
+    assert(got(("b", "c"))._3 == 0.5)
+  }
+
   test("coverage is monotone in k on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", Seq(5, 10, 20))
