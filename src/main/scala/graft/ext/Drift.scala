@@ -110,6 +110,51 @@ object Drift {
       .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("drift_cosine"))
   }
 
+  /** Per-group two-sample Kolmogorov–Smirnov statistic between slice
+    * `a` and slice `b`'s distributions of integer `valCol` — the
+    * exact-CDF counterpart of [[jsDivergence]] with the same slice
+    * semantics (groups present in only one slice are omitted; null
+    * groups/values drop). D = max_v |F_a(v) − F_b(v)| over the group's
+    * pooled value set. Same grid shape as [[ksMatrix]] — after one
+    * (group, value, side) count pass everything lives on the
+    * O(groups × V × 2) grid. Output: (groupCol, n_a, n_b, ks_d).
+    */
+  def ksTwoSample(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      valCol: String): DataFrame = {
+    def tag(df: DataFrame, s: Int) = df
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .withColumn("__side", lit(s))
+    val counts = Dedup.materialize(
+      tag(a, 0).unionByName(tag(b, 1))
+        .groupBy(col("g"), col("v"), col("__side")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("g"))
+      .agg(sum(when(col("__side") === 0, col("c")).otherwise(0L)).as("n_a"),
+        sum(when(col("__side") === 1, col("c")).otherwise(0L)).as("n_b"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    // dense per-group grid: both sides need an F value at every pooled
+    // v of THAT group, or a step where one side is flat goes missing
+    val grid = counts.select(col("g"), col("v")).distinct()
+      .withColumn("__side", explode(array(lit(0), lit(1))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("__side")).orderBy(col("v"))
+    val cum = grid.join(counts, Seq("g", "v", "__side"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(when(col("__side") === 0, col("cum")).otherwise(0L)).as("ca"),
+        sum(when(col("__side") === 1, col("cum")).otherwise(0L)).as("cb"))
+    cum.join(totals, Seq("g"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        abs(col("ca").cast("double") / col("n_a").cast("double")
+          - col("cb").cast("double") / col("n_b").cast("double")).as("d"))
+      .groupBy(col("g"), col("n_a"), col("n_b"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("ks_d"))
+  }
+
   /** All-pairs two-sample Kolmogorov–Smirnov statistic over `groupCol`'s
     * distributions of integer `valCol` — the EXACT distribution-shape
     * complement of [[jsDivergence]]'s binned view: KS needs no bin

@@ -5422,4 +5422,144 @@ object ExtQueries {
          round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
        FROM j GROUP BY 1"""
   }
+
+  // --- x154: STREAMING KS drift monitor ------------------------------------
+  // Completes the drift-family matrix (batch JS x77 / stream JS x142 /
+  // batch KS x152 / stream KS here): x142's file-per-batch replay
+  // harness with the exact-CDF statistic — each day-batch's props.k
+  // distribution scored per event_type against the full reference by
+  // two-sample Kolmogorov–Smirnov D, landing in a day-partitioned
+  // replay-idempotent ManifestStore merge (day d1 deliberately
+  // re-delivered after the drain). Per batch the work lives on the
+  // O(types × distinct k × 2) grid after one count pass.
+  def x154StreamKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestStore
+    val e = t(spark, dir, "events")
+    val ev = Dedup.materialize(e.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      concat(lit("d"), pmod(col("event_id"), lit(3)).cast("string")).as("day")))
+    val base = FreshTables.next(spark, dir, "sks_in")
+    (0 until 3).foreach { b =>
+      ev.filter(col("day") === s"d$b").repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val resT = FreshTables.next(spark, dir, "sks_res")
+    def fold(batch: DataFrame): Unit = {
+      val d = batch.agg(min(col("day"))).head().getString(0)
+      if (d != null) {
+        val ks = graft.ext.Drift.ksTwoSample(ev, batch, "event_type", "k")
+          .withColumn("day", lit(d))
+        ManifestStore.mergeOrCreate(spark, resT, ks,
+          Seq("day", "event_type"), "day")
+      }
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x154: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day d1 — the keyed merge must replace
+    fold(ev.filter(col("day") === "d1"))
+    ManifestStore.read(spark, resT)
+      .select(col("day"), col("event_type"), col("n_a"), col("n_b"), col("ks_d"))
+  }
+
+  // per (day, event_type): D between the day's k distribution and the
+  // full reference. The batch is a subset of the reference, so the
+  // pooled value set per group IS the reference's — the grid mirrors
+  // ksTwoSample's dense per-group pooling exactly.
+  val x154Sql: String =
+    """WITH ev AS (SELECT event_type AS g,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS v,
+           'd' || CAST(event_id % 3 AS VARCHAR) AS day FROM events),
+       e AS (SELECT * FROM ev WHERE v IS NOT NULL AND g IS NOT NULL),
+       days AS (SELECT DISTINCT day FROM e),
+       ca AS (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+       cb AS (SELECT day, g, v, count(*) AS c FROM e GROUP BY 1, 2, 3),
+       ta AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_a FROM ca GROUP BY 1),
+       tb AS (SELECT day, g, CAST(sum(c) AS BIGINT) AS n_b FROM cb GROUP BY 1, 2),
+       grid AS (SELECT d.day, p.g, p.v
+         FROM days d CROSS JOIN (SELECT DISTINCT g, v FROM e) p),
+       cuma AS (SELECT g, v,
+           CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cav
+         FROM ca),
+       cumb AS (SELECT grid.day, grid.g, grid.v,
+           CAST(sum(coalesce(cb.c, 0)) OVER (
+             PARTITION BY grid.day, grid.g ORDER BY grid.v) AS BIGINT) AS cbv
+         FROM grid LEFT JOIN cb ON cb.day = grid.day
+           AND cb.g = grid.g AND cb.v = grid.v),
+       d AS (SELECT cumb.day, cumb.g, ta.n_a, tb.n_b,
+           abs(CAST(cuma.cav AS DOUBLE) / CAST(ta.n_a AS DOUBLE)
+             - CAST(cumb.cbv AS DOUBLE) / CAST(tb.n_b AS DOUBLE)) AS d
+         FROM cumb JOIN cuma ON cuma.g = cumb.g AND cuma.v = cumb.v
+         JOIN ta ON ta.g = cumb.g
+         JOIN tb ON tb.day = cumb.day AND tb.g = cumb.g)
+       SELECT day, g AS event_type, n_a, n_b, round(max(d), 6) AS ks_d
+       FROM d GROUP BY 1, 2, 3, 4"""
+
+  // --- x155: STREAMING cluster-store maintenance --------------------------
+  // The last maintained store joins the streaming matrix (vector x137,
+  // CM x111/x114, HLL x146, KMV x148, drift x142/x154): the corpus's
+  // LSH pair set arrives as micro-batched "days" (file-per-batch
+  // replay), each folded into ext/ClusterStore by appendPairs inside
+  // foreachBatch — incremental min-member relabeling, O(affected +
+  // batch pairs) per batch, the replay fence's started/completed
+  // fingerprints recorded along the way. foreachBatch runs batches
+  // sequentially, which is exactly the ordering the fence's one-step
+  // prev_label breadcrumb needs. After the drain one batch is
+  // re-appended (at-least-once): no open window, so the fence lets the
+  // stale replay through, and keyed merges make it converge without
+  // duplicates. Final labels == batch components over ALL pairs —
+  // x147's recursive-CTE oracle, reached through the streaming door.
+  def x155StreamCluster(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ClusterStore
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
+      .withColumn("day", pmod(xxhash64(col("id_a").cast("string")), lit(3L))))
+    val root = FreshTables.next(spark, dir, "sclstore")
+    // geometry + empty tables up front; every pair arrives via a batch
+    ClusterStore.build(spark, pairs.limit(0).drop("day"), root, partitions = 8)
+    val base = FreshTables.next(spark, dir, "sclin")
+    (0 until 3).foreach { b =>
+      pairs.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ClusterStore.appendPairs(spark, batch.drop("day"), root, partitions = 8)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x155: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver one already-folded batch — keyed
+    // merges must replace, never duplicate
+    ClusterStore.appendPairs(spark,
+      pairs.filter(col("day") === 1L).drop("day"), root, partitions = 8)
+    val labels = ClusterStore.readLabels(spark, root)
+    val nIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct().count()
+    require(labels.count() == nIds,
+      s"x155: store holds ${labels.count()} rows for $nIds clustered ids")
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+  }
+
+  // final store state == batch components over the union of all
+  // streamed pair batches — x147's oracle verbatim
+  val x155Sql: String = x147Sql
 }

@@ -97,6 +97,57 @@ class DriftSpec extends SparkSpec {
     assert(got(("b", "c"))._3 == 0.5)
   }
 
+  test("ksTwoSample: hand-computed per-group D; one-slice groups drop") {
+    // group g: a = {1, 2, 3, 4}, b = {3, 4, 5, 6} → D = 0.5 (at v = 2).
+    // group h: identical slices → D = 0. group z: only in a → dropped.
+    val a = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L),
+      ("h", 7L), ("h", 8L), ("z", 1L)).toDF("t", "v")
+    val b = Seq(("g", 3L), ("g", 4L), ("g", 5L), ("g", 6L),
+      ("h", 7L), ("h", 8L)).toDF("t", "v")
+    val got = Drift.ksTwoSample(a, b, "t", "v")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set("g", "h"))
+    assert(got("g") == ((4L, 4L, 0.5)))
+    assert(got("h") == ((2L, 2L, 0.0)))
+    // values present only on side b still contribute CDF steps: a's F
+    // is flat at 1.0 over b's tail {5, 6} while b's is still climbing
+    val a2 = Seq(("g", 1L)).toDF("t", "v")
+    val b2 = Seq(("g", 2L), ("g", 3L)).toDF("t", "v")
+    assert(Drift.ksTwoSample(a2, b2, "t", "v")
+      .head().getDouble(3) == 1.0) // at v=1: F_a=1, F_b=0
+  }
+
+  test("ksMatrix law: 10 random seeds match an in-memory brute-force reference") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val groups = Seq("g0", "g1", "g2")
+      val rows = (0 until 120).map { _ =>
+        (groups(rnd.nextInt(3)), rnd.nextInt(12).toLong)
+      }
+      val got = Drift.ksMatrix(rows.toDF("g", "v"), "g", "v")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+      // brute-force reference: D = max over pooled values of |F_a - F_b|
+      val by = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val pooled = rows.map(_._2).distinct.sorted
+      for {
+        a <- groups; b <- groups if a < b
+      } {
+        val (xa, xb) = (by.getOrElse(a, Nil), by.getOrElse(b, Nil))
+        if (xa.nonEmpty && xb.nonEmpty) {
+          val d = pooled.map { v =>
+            math.abs(xa.count(_ <= v).toDouble / xa.size -
+              xb.count(_ <= v).toDouble / xb.size)
+          }.max
+          val want = math.rint(d * 1e6) / 1e6
+          assert(got((a, b)) == want, s"seed=$seed pair=($a,$b)")
+        }
+      }
+    }
+  }
+
   test("coverage is monotone in k on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", Seq(5, 10, 20))
