@@ -53,14 +53,36 @@ import graft.sources.ManifestStore
   * the final labels, and the keyed merges replace rather than
   * duplicate (row accounting `require`d in the gate). A completed
   * append replayed again is two idempotent merge commits (no stale
-  * rows → no delete commit). As with the streaming sinks, production
-  * must replay a FAILED day before appending the next one — the
-  * prev_label breadcrumb is one step deep.
+  * rows → no delete commit). A FAILED day must be replayed before the
+  * next one appends — the prev_label breadcrumb is one step deep —
+  * and that is ENFORCED, not operator discipline: each append records
+  * its pair-set fingerprint on the twin's first commit (started) and
+  * again on the window's final main-table commit (completed); while
+  * the two diverge, [[appendPairs]] refuses any pair set except the
+  * crashed day's own replay (the `TxnApp` fence).
   */
 object ClusterStore {
 
   private def bucket(c: org.apache.spark.sql.Column, partitions: Int) =
     pmod(xxhash64(c.cast("string")), lit(partitions.toLong))
+
+  /** Manifest txn key carrying the replay fence's fingerprints: the
+    * TWIN records the last STARTED append (atomically with its merge,
+    * the first commit of the window), the MAIN table the last COMPLETED
+    * one (atomically with the window's final commit — the stale delete
+    * when one is needed, the main merge otherwise). started != completed
+    * is exactly "a crash window is open".
+    */
+  private val TxnApp = "graft.cluster.append"
+
+  /** Order-independent content fingerprint of a day's pair set — the
+    * identity the replay fence compares: a replay of the crashed day
+    * carries the same fingerprint and is let through; any other pair
+    * set is refused while a window is open.
+    */
+  private def pairFingerprint(pairs: DataFrame, idA: String, idB: String): Long =
+    pairs.select(xxhash64(col(idA).cast("string"), col(idB).cast("string")).as("h"))
+      .agg(expr("xxhash64(bit_xor(h), count(1))")).head().getLong(0)
 
   private def twinTable(table: String): String =
     new org.apache.hadoop.fs.Path(table, "_idindex").toString
@@ -162,6 +184,20 @@ object ClusterStore {
         .unionByName(newPairs.select(col(idB).as("id"))).distinct())
     if (touched.head(1).isEmpty) return // an empty day changes nothing
     val twin = twinTable(table)
+    // REPLAY FENCE: the scaladoc's "production must replay a FAILED day
+    // before appending the next one" is enforced here, not left to
+    // operator discipline — a one-step-deep prev_label breadcrumb
+    // overwritten by a different day's append would strand the crashed
+    // day's stale copies forever. Started (twin) vs completed (main)
+    // fingerprints diverge exactly while a crash window is open; only
+    // the same pair set (the replay) may append through it.
+    val fp = pairFingerprint(newPairs, idA, idB)
+    for (p <- ManifestStore.lastTxn(spark, twin, TxnApp)
+         if !ManifestStore.lastTxn(spark, table, TxnApp).contains(p) && p != fp)
+      throw new IllegalStateException(
+        s"ClusterStore: $table has an unreplayed crashed append (fingerprint $p) — " +
+          "replay that day's pairs to convergence before appending a new day; " +
+          "the prev_label breadcrumb is one step deep")
     if (!ManifestStore.exists(spark, twin) && ManifestStore.hasData(spark, table))
       backfillTwin(spark, table, partitions)
     // touched ids' current labels via the pruned twin probe. prev_label
@@ -212,25 +248,40 @@ object ClusterStore {
       .select(col("id"), col("label"),
         coalesce(col("prev_label"), col("label")).as("prev_label"))
       .withColumn("ptid", bucket(col("id"), partitions))
+    // stale copies = pre-append member rows whose bucket differs from
+    // their id's new one. A copy living in ANY partition the main merge
+    // rewrites dies in that merge's keyed anti-join (its id is in the
+    // batch), so only copies OUTSIDE the merge's touched partitions
+    // need a delete commit — computing that BEFORE any commit both
+    // trims the delete's I/O and decides which commit carries the
+    // fence's completion record.
+    val newPts = relabeled.select(col("pt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val staleLive = Dedup.materialize(members
+      .withColumn("pt", bucket(col("label"), partitions))
+      .join(relabeled.select(col("id"), col("pt").as("__np")), Seq("id"))
+      .filter(col("pt") =!= col("__np") && !col("pt").isin(newPts: _*))
+      .select(col("id"), col("pt")))
+    val willDelete = !staleLive.head(1).isEmpty
     // COMMIT ORDER (see the object scaladoc): twin first — its
     // prev_label breadcrumb is what makes a crash before the main
     // merge replayable; then the main merge; then the stale delete,
     // scoped to (id, OLD pt) so a relabeled cluster landing in another
-    // relabeled cluster's old bucket never loses the fresh copy.
-    if (ManifestStore.exists(spark, twin))
-      ManifestStore.merge(spark, twin, twinRows, Seq("id"), "ptid")
-    else
-      ManifestStore.write(spark, twinRows, twin, "ptid")
+    // relabeled cluster's old bucket never loses the fresh copy. The
+    // twin bootstraps via an empty write + merge (not a bare write) so
+    // the started-fingerprint records atomically with the first real
+    // twin commit on every path.
+    if (!ManifestStore.exists(spark, twin))
+      ManifestStore.write(spark, twinRows.limit(0), twin, "ptid")
+    ManifestStore.merge(spark, twin, twinRows, Seq("id"), Seq("ptid"),
+      txnRecord = Map(TxnApp -> fp))
     failpoint("twin")
-    ManifestStore.merge(spark, table, relabeled, Seq("id"), "pt")
+    ManifestStore.merge(spark, table, relabeled, Seq("id"), Seq("pt"),
+      txnRecord = if (willDelete) Map.empty else Map(TxnApp -> fp))
     failpoint("main")
-    val stale = members
-      .withColumn("pt", bucket(col("label"), partitions))
-      .join(relabeled.select(col("id"), col("pt").as("__np")), Seq("id"))
-      .filter(col("pt") =!= col("__np"))
-      .select(col("id"), col("pt"))
-    if (!stale.head(1).isEmpty)
-      ManifestStore.delete(spark, table, stale, Seq("id", "pt"), Seq("pt"))
+    if (willDelete)
+      ManifestStore.delete(spark, table, staleLive, Seq("id", "pt"), Seq("pt"),
+        txnRecord = Map(TxnApp -> fp))
     failpoint("delete")
   }
 

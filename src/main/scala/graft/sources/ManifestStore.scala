@@ -446,9 +446,10 @@ object ManifestStore {
       partitionCols: Seq[String],
       maxRetries: Int = 3,
       txn: Option[(String, Long)] = None,
-      evolveSchema: Boolean = false): Unit =
+      evolveSchema: Boolean = false,
+      txnRecord: Map[String, Long] = Map.empty): Unit =
     withClaimRetry(maxRetries) { () =>
-      mergeAttempt(spark, path, batch, keyCols, partitionCols, txn, evolveSchema)
+      mergeAttempt(spark, path, batch, keyCols, partitionCols, txn, evolveSchema, txnRecord)
     }
 
   /** Bounded optimistic retry shared by [[merge]], [[delete]] and
@@ -500,7 +501,8 @@ object ManifestStore {
       keyCols: Seq[String],
       partitionCols: Seq[String],
       txn: Option[(String, Long)] = None,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      txnRecord: Map[String, Long] = Map.empty): Unit = {
     import org.apache.spark.sql.functions._
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
@@ -559,8 +561,12 @@ object ManifestStore {
         PartitionedStore.upsertPlan(cur2, bat2, keyCols)
       }
     val (uuid, staged) = writeCommit(spark, path, out, partitionCols)
+    // txnRecord entries commit atomically with the data but are NEVER
+    // consulted as a fence — progress markers whose consumers define
+    // their own check (the ClusterStore replay fence), vs `txn` whose
+    // >= skip is the streaming idempotence contract above
     try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
-      m.partitions ++ staged.map(_ -> s"commits/$uuid"), m.txn ++ txn))
+      m.partitions ++ staged.map(_ -> s"commits/$uuid"), m.txn ++ txnRecord ++ txn))
     catch { case e: java.io.IOException =>
       // our commit never became visible — no manifest references `uuid`,
       // so reclaiming it immediately (instead of waiting for vacuum)
@@ -605,15 +611,17 @@ object ManifestStore {
       keys: DataFrame,
       keyCols: Seq[String],
       partitionCols: Seq[String],
-      maxRetries: Int = 3): Unit =
-    withClaimRetry(maxRetries)(() => deleteAttempt(spark, path, keys, keyCols, partitionCols))
+      maxRetries: Int = 3,
+      txnRecord: Map[String, Long] = Map.empty): Unit =
+    withClaimRetry(maxRetries)(() => deleteAttempt(spark, path, keys, keyCols, partitionCols, txnRecord))
 
   private def deleteAttempt(
       spark: SparkSession,
       path: String,
       keys: DataFrame,
       keyCols: Seq[String],
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      txnRecord: Map[String, Long] = Map.empty): Unit = {
     import org.apache.spark.sql.functions._
     val fs = fsFor(spark, new Path(path))
     val m = latest(fs, path).getOrElse(
@@ -664,7 +672,7 @@ object ManifestStore {
     // emptied partitions are exactly touched -- staged: their leaf entries
     // drop from the manifest instead of pointing at stale data
     try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
-      (m.partitions -- touchedLeafs) ++ staged.map(_ -> s"commits/$uuid"), m.txn))
+      (m.partitions -- touchedLeafs) ++ staged.map(_ -> s"commits/$uuid"), m.txn ++ txnRecord))
     catch { case e: java.io.IOException =>
       try fs.delete(new Path(path, s"commits/$uuid"), true)
       catch { case _: java.io.IOException => () }

@@ -191,6 +191,72 @@ class ClusterStoreSpec extends SparkSpec {
       (19L, 19L), (20L, 19L), (21L, 19L)))
   }
 
+  test("replay fence: a crashed day refuses a different day's append until replayed") {
+    val root = fresh()
+    ClusterStore.build(spark, Seq((2L, 3L)).toDF("id_a", "id_b"), root, 4)
+    val day1 = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val day2 = Seq((5L, 6L)).toDF("id_a", "id_b")
+    // day 1 dies right after its first commit (the twin merge): the
+    // started fingerprint is recorded, the completed one is not
+    intercept[RuntimeException] {
+      ClusterStore.appendPairsFp(spark, day1, root, 4, "id_a", "id_b",
+        s => if (s == "twin") sys.error("boom"))
+    }
+    // a DIFFERENT day must fail loudly while the window is open
+    val e = intercept[IllegalStateException] {
+      ClusterStore.appendPairs(spark, day2, root, 4)
+    }
+    assert(e.getMessage.contains("unreplayed crashed append"))
+    // the crashed day's own replay is let through; then day 2 proceeds
+    ClusterStore.appendPairs(spark, day1, root, 4)
+    ClusterStore.appendPairs(spark, day2, root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("replay fence: covers the delete leg; a completed append opens the gate") {
+    // a day whose relabel leaves stale copies OUTSIDE the merged
+    // buckets (willDelete): the completion record rides the DELETE
+    // commit, so a crash between main merge and delete keeps the
+    // window open — and a crash after the delete does not
+    def b(v: Long): Long = spark.range(1).select(
+      pmod(xxhash64(lit(v).cast("string")), lit(4L))).head().getLong(0)
+    val v1 = 1L
+    val v2 = (2L to 200L).find(v => b(v) != b(v1)).get
+    val day1 = Seq((v1, v2)).toDF("id_a", "id_b")
+    val day2 = Seq((501L, 502L)).toDF("id_a", "id_b")
+    // crash AFTER the main merge, BEFORE the stale delete
+    val root = fresh()
+    ClusterStore.build(spark, Seq((v2, v2 + 300)).toDF("id_a", "id_b"), root, 4)
+    intercept[RuntimeException] {
+      ClusterStore.appendPairsFp(spark, day1, root, 4, "id_a", "id_b",
+        s => if (s == "main") sys.error("boom"))
+    }
+    intercept[IllegalStateException] {
+      ClusterStore.appendPairs(spark, day2, root, 4)
+    }
+    ClusterStore.appendPairs(spark, day1, root, 4) // replay closes it
+    ClusterStore.appendPairs(spark, day2, root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((v1, v1), (v2, v1), (v2 + 300, v1),
+      (501L, 501L), (502L, 501L)))
+    // same fixture, but the crash lands after the delete committed:
+    // the append is complete and the next day needs no replay
+    val root2 = fresh()
+    ClusterStore.build(spark, Seq((v2, v2 + 300)).toDF("id_a", "id_b"), root2, 4)
+    intercept[RuntimeException] {
+      ClusterStore.appendPairsFp(spark, day1, root2, 4, "id_a", "id_b",
+        s => if (s == "delete") sys.error("boom"))
+    }
+    ClusterStore.appendPairs(spark, day2, root2, 4) // no fence trip
+    val got2 = ClusterStore.readLabels(spark, root2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((v1, v1), (v2, v1), (v2 + 300, v1),
+      (501L, 501L), (502L, 501L)))
+  }
+
   test("pinned readers are snapshot-isolated across the crash window") {
     import graft.sources.ManifestStore
     val root = fresh()
