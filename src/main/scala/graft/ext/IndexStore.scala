@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
+
+/** Maintained BM25 inverted index — the lexical sibling of
+  * [[VectorStore]], completing the maintained-store matrix on the
+  * retrieval side: day-over-day ingest keeps postings, document
+  * lengths, and corpus-stat subtotals in [[ManifestStore]] tables, and
+  * a query probe reads ONLY the probed terms' partitions yet scores
+  * bit-identically to [[Retrieval.bm25TopK]] over the union of every
+  * day ingested (the x156 gate's contract — x69's oracle applies
+  * verbatim).
+  *
+  * THREE tables under `root`, all keyed merges (day replays REPLACE):
+  *  - `postings`: (id, w, tf) partitioned by `pt` = hash(term) bucket —
+  *    every posting of a term lives in that term's bucket, so a query's
+  *    tf AND df come from a [[ManifestStore.readPartitions]] probe of
+  *    the query vocabulary's buckets, never a postings scan. Keyed
+  *    (w, id): a doc contributes its (term, doc) cells exactly once.
+  *  - `lens`: (id, len) partitioned by `dpt` = hash(id) bucket — BM25's
+  *    length norm, joined only for MATCHED docs via a second pruned
+  *    probe of the matched ids' buckets. Zero-token docs are stored
+  *    (len 0): they can never match, but they are corpus members.
+  *  - `stats`: one (day, nd, tl) subtotal row per ingested day, keyed
+  *    and partitioned by day — N and avgdl at probe time are an
+  *    O(days) rollup, never a lens scan (counts and sums merge
+  *    losslessly; avgdl's division happens once, on the rolled-up
+  *    LONGs, so it equals the batch pass's bit for bit).
+  *
+  * 100 TB shape: a day's append tokenizes the DAY's docs only and
+  * issues three keyed merges touching O(day tokens) rows; the probe
+  * touches O(query-vocab buckets + matched-id buckets) partitions and
+  * O(matched postings) rows. Docs are immutable corpus members (the
+  * ingest contract shared with every store family): re-delivering a
+  * day replaces its rows; ingesting a CHANGED doc under an old id is
+  * not a supported operation on any of the maintained stores.
+  */
+object IndexStore {
+
+  private def bucket(c: Column, partitions: Int) =
+    pmod(xxhash64(c.cast("string")), lit(partitions.toLong))
+
+  private def sub(root: String, name: String): String =
+    new org.apache.hadoop.fs.Path(root, name).toString
+
+  private def requireGeometry(spark: SparkSession, root: String, partitions: Int): Unit = {
+    val got = StoreSidecar.read(spark, root, Seq("partitions"))
+      .map(_("partitions").toInt)
+    if (got.isEmpty)
+      StoreSidecar.write(spark, root, Seq("partitions" -> partitions.toLong))
+    else require(got.contains(partitions),
+      s"IndexStore: $root was built with partitions=${got.get}, not $partitions")
+  }
+
+  /** Fold one day's documents into the index: tf per (doc, term), doc
+    * lengths, and the day's corpus-stat subtotal — three keyed merges,
+    * each touching only the day's rows' partitions.
+    */
+  def appendDay(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      day: String,
+      root: String,
+      partitions: Int = 8): Unit = {
+    requireGeometry(spark, root, partitions)
+    val tf = Dedup.materialize(
+      LangModel.tokenRows(docs, idCol, textCol)
+        .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf")))
+    val lens = Dedup.materialize(docs.select(col(idCol).as("id"))
+      .join(tf.groupBy(col("id")).agg(sum(col("tf")).as("len")), Seq("id"), "left")
+      .na.fill(0L, Seq("len")))
+    ManifestStore.mergeOrCreate(spark,  sub(root, "postings"),
+      tf.withColumn("pt", bucket(col("w"), partitions)), Seq("w", "id"), "pt")
+    ManifestStore.mergeOrCreate(spark, sub(root, "lens"),
+      lens.withColumn("dpt", bucket(col("id"), partitions)), Seq("id"), "dpt")
+    ManifestStore.mergeOrCreate(spark, sub(root, "stats"),
+      lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
+        .withColumn("day", lit(day)), Seq("day"), "day")
+  }
+
+  /** BM25 top-k over the maintained index: same query contract, output
+    * shape, fixed-point partials, and (score DESC, id ASC) ranking as
+    * [[Retrieval.bm25TopK]] — but tf/df come from the query
+    * vocabulary's postings buckets and lengths from the matched ids'
+    * buckets, so the probe's I/O is query-sized, not corpus-sized.
+    */
+  def bm25Probe(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      idCol: String,
+      topK: Int,
+      partitions: Int = 8): DataFrame = {
+    requireGeometry(spark, root, partitions)
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("w"))
+      .distinct()
+    val qVocab = Dedup.materialize(qt.select(col("w")).distinct())
+    // O(query-vocab buckets) routing metadata (the ClusterStore /
+    // VectorStore probe convention) — never data-sized
+    val wLeafs = qVocab.select(bucket(col("w"), partitions).as("pt")).distinct()
+      .collect().map(r => s"pt=${r.getLong(0)}").sorted
+    val tf = Dedup.materialize(
+      ManifestStore.readPartitions(spark, sub(root, "postings"), wLeafs.toSeq)
+        .join(qVocab, Seq("w"))
+        .select(col("id"), col("w"), col("tf")))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idLeafs = tf.select(bucket(col("id"), partitions).as("dpt")).distinct()
+      .collect().map(r => s"dpt=${r.getLong(0)}").sorted
+    val lens = ManifestStore.readPartitions(spark, sub(root, "lens"), idLeafs.toSeq)
+      .select(col("id"), col("len"))
+    val stats = ManifestStore.read(spark, sub(root, "stats"))
+      .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+      .select(col("nd"),
+        (col("tl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val scored = tf
+      .join(df_, Seq("w"))
+      .join(qt, Seq("w"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0d) +
+        (col("nd").cast("double") - col("df").cast("double") + lit(0.5d)) /
+          (col("df").cast("double") + lit(0.5d))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(2.2d)) /
+          (col("tf").cast("double") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("len").cast("double") / col("avgdl")))))
+      .withColumn("p9", round(col("idf") * col("tfn") * lit(1e9d), 0).cast("long"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("p9")).as("s9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s9").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("id").as(idCol),
+        round(col("s9").cast("double") / lit(1e9d), 6).as("score"))
+  }
+
+  /** Postings rows of the probed terms' buckets only — package-private
+    * so the plan spec can pin `inputFiles` ⊆ those buckets' leaf dirs.
+    */
+  private[graft] def postingsProbe(
+      spark: SparkSession,
+      root: String,
+      terms: DataFrame,
+      partitions: Int): DataFrame = {
+    val leafs = terms.select(bucket(col("w"), partitions).as("pt")).distinct()
+      .collect().map(r => s"pt=${r.getLong(0)}").sorted
+    ManifestStore.readPartitions(spark, sub(root, "postings"), leafs.toSeq)
+      .join(terms, Seq("w"))
+  }
+}

@@ -5562,4 +5562,47 @@ object ExtQueries {
   // final store state == batch components over the union of all
   // streamed pair batches — x147's oracle verbatim
   val x155Sql: String = x147Sql
+
+  // --- x156: maintained BM25 inverted-index store --------------------------
+  // The lexical retrieval index becomes a MAINTAINED store
+  // (ext/IndexStore), completing the maintained-store matrix on the
+  // retrieval side (vector x129, dedup x65, cluster x147, sketches
+  // x114/x123/x143/x148): the corpus ingests as three hash-split
+  // "days" (postings keyed (term, doc) in term-hash buckets, lengths
+  // in id-hash buckets, per-day corpus-stat subtotals), day d1 is
+  // re-delivered (at-least-once — keyed merges must replace, row
+  // accounting require'd), and the closing probe reads ONLY the query
+  // vocabulary's buckets + matched ids' buckets yet must score
+  // bit-identically to the one-shot Retrieval.bm25TopK pass — x69's
+  // fixed queries, k, and oracle verbatim.
+  def x156IndexStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "idxstore")
+    val dayKey = pmod(xxhash64(col("doc_id").cast("string")), lit(3L))
+    (0 until 3).foreach { b =>
+      IndexStore.appendDay(spark, docs.filter(dayKey === b.toLong),
+        "doc_id", "text", s"d$b", root, partitions = 8)
+    }
+    // at-least-once: re-deliver day d1 — every table must replace
+    IndexStore.appendDay(spark, docs.filter(dayKey === 1L),
+      "doc_id", "text", "d1", root, partitions = 8)
+    val storedLens = graft.sources.ManifestStore.read(spark, s"$root/lens").count()
+    require(storedLens == docs.count(),
+      s"x156: lens holds $storedLens rows for ${docs.count()} docs — " +
+        "the d1 replay duplicated instead of replacing")
+    val statRows = graft.sources.ManifestStore.read(spark, s"$root/stats").count()
+    require(statRows == 3L,
+      s"x156: stats holds $statRows day subtotals, expected 3")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8)
+  }
+
+  // the maintained index scores the same corpus the batch pass scans,
+  // so x69's oracle applies verbatim
+  val x156Sql: String = x69Sql
 }
