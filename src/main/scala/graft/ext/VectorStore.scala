@@ -22,6 +22,10 @@ import graft.sources.ManifestStore
   *  - `centroids`   — (centroid_id, vector), the probe's routing table
   *    (O(centroids), broadcast);
   *  - `codebook`    — (sub, code, cv), the PQ model (m×k rows);
+  *  - `assign`      — (vec_id, centroid_id), PARTITIONED BY id-hash
+  *    bucket: [[forget]]'s id→centroid lookup twin (the ClusterStore
+  *    twin-index pattern), so right-to-be-forgotten deletes prune to
+  *    the doomed ids' buckets and their centroids' partitions;
   *  - `nprobe_hist` — (c_rank, hits, law_k), the MEASURED nprobe sizing
   *    law ([[Similarity.nprobeRankHist]] persisted by
   *    [[writeNprobeLaw]]): O(centroids) rows recording where a truth
@@ -76,6 +80,16 @@ object VectorStore {
   private def centroidsT(root: String) = s"$root/centroids"
   private def codebookT(root: String) = s"$root/codebook"
   private def lawT(root: String) = s"$root/nprobe_hist"
+  private def assignT(root: String) = s"$root/assign"
+
+  /** id-hash bucket count of the `assign` twin (the ClusterStore
+    * twin-index pattern): [[forget]]'s id→centroid lookup prunes to the
+    * doomed ids' buckets instead of scanning the codes table.
+    */
+  private val IdBuckets = 8
+
+  private def idBucket(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c.cast("string")), lit(IdBuckets.toLong))
 
   /** Build (or rebuild) the index from a corpus slice, freezing the
     * centroid and codebook model tables. `centroids` supplies the
@@ -112,8 +126,13 @@ object VectorStore {
         col(vecCol).cast("array<double>").as("cv"))
         .withColumn("__pt", lit(0L)),
       centroidsT(root), "__pt")
-    ManifestStore.write(spark, encodeRows(spark, data, root, idCol, vecCol, dim, m),
-      codesT(root), "centroid_id")
+    val codes = Dedup.materialize(
+      encodeRows(spark, data, root, idCol, vecCol, dim, m))
+    ManifestStore.write(spark,
+      codes.select(col("vec_id"), col("centroid_id")).distinct()
+        .withColumn("ptid", idBucket(col("vec_id"))),
+      assignT(root), "ptid")
+    ManifestStore.write(spark, codes, codesT(root), "centroid_id")
   }
 
   /** Fold a day's vectors in: encode against the FROZEN model, merge on
@@ -133,9 +152,72 @@ object VectorStore {
       trainIters: Int = 0): Unit = {
     requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
       mustExist = true)
-    ManifestStore.merge(spark, codesT(root),
-      encodeRows(spark, increment, root, idCol, vecCol, dim, m),
+    val codes = Dedup.materialize(
+      encodeRows(spark, increment, root, idCol, vecCol, dim, m))
+    // assign twin first: a crash between the two merges leaves the
+    // twin ahead of the codes (a [[forget]] for those ids deletes
+    // nothing yet), and replaying the day converges — both merges are
+    // keyed replaces
+    ManifestStore.merge(spark, assignT(root),
+      codes.select(col("vec_id"), col("centroid_id")).distinct()
+        .withColumn("ptid", idBucket(col("vec_id"))),
+      Seq("vec_id"), "ptid")
+    ManifestStore.merge(spark, codesT(root), codes,
       Seq("vec_id", "sub"), "centroid_id")
+  }
+
+  /** Right-to-be-forgotten over the ANN index (the [[ManifestStore
+    * .delete]] privacy primitive applied to the vector side): remove
+    * `ids`' code rows and their assignment rows, touching O(doomed ids'
+    * buckets + their centroid partitions) — never a codes scan. The
+    * id→centroid lookup probes the `assign` twin's id-hash buckets
+    * (backfilled in one last full scan for stores built before the twin
+    * existed), then the codes delete is keyed (vec_id) and
+    * partition-pruned to exactly the doomed assignments' centroids.
+    *
+    * Commit order: codes first (the data the subject asked to erase),
+    * twin second; a crash between them leaves a twin row pointing at an
+    * already-emptied partition, and RE-RUNNING the same forget converges
+    * (both deletes are idempotent). Model caveat, stated honestly: the
+    * frozen centroids/codebook were trained on the full corpus and are
+    * not unlearned by row deletion — erasure of model influence is a
+    * scheduled rebuild, the standard IVF operating contract.
+    */
+  def forget(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      root: String): Unit = {
+    val doomed = Dedup.materialize(
+      ids.select(col(idCol).as("vec_id")).distinct())
+    if (doomed.head(1).isEmpty) return
+    if (!ManifestStore.exists(spark, assignT(root)))
+      ManifestStore.write(spark,
+        ManifestStore.read(spark, codesT(root))
+          .select(col("vec_id"), col("centroid_id")).distinct()
+          .withColumn("ptid", idBucket(col("vec_id"))),
+        assignT(root), "ptid")
+    val asg = Dedup.materialize(
+      assignProbe(spark, root, doomed).select(col("vec_id"), col("centroid_id")))
+    if (!asg.head(1).isEmpty)
+      ManifestStore.delete(spark, codesT(root), asg,
+        Seq("vec_id"), Seq("centroid_id"))
+    ManifestStore.delete(spark, assignT(root),
+      doomed.withColumn("ptid", idBucket(col("vec_id"))),
+      Seq("vec_id"), Seq("ptid"))
+  }
+
+  /** Assignment rows of the doomed ids' buckets only — package-private
+    * so the plan spec can pin `inputFiles` ⊆ those buckets' leaf dirs.
+    */
+  private[graft] def assignProbe(
+      spark: SparkSession,
+      root: String,
+      ids: DataFrame): DataFrame = {
+    val leafs = ids.select(idBucket(col("vec_id")).as("ptid")).distinct()
+      .collect().map(r => s"ptid=${r.getLong(0)}").sorted
+    ManifestStore.readPartitions(spark, assignT(root), leafs.toSeq)
+      .join(ids, Seq("vec_id"))
   }
 
   private def encodeRows(

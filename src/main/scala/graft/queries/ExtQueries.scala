@@ -5605,4 +5605,48 @@ object ExtQueries {
   // the maintained index scores the same corpus the batch pass scans,
   // so x69's oracle applies verbatim
   val x156Sql: String = x69Sql
+
+  // --- x157: right-to-be-forgotten over the ANN index ----------------------
+  // The privacy family (x52 lakehouse delete, x94 k-anonymity, x104 DP)
+  // reaches the vector side: VectorStore.forget removes a subject's
+  // code + assignment rows via the id-bucketed assign twin — O(doomed
+  // buckets + their centroid partitions) I/O, never a codes scan. The
+  // gate builds the full-corpus store, forgets vec_id % 7 == 2
+  // (accounting: zero surviving code/assign rows), re-runs the same
+  // forget (the crash-recovery path must converge), and probes: the
+  // result is the one-shot IVF+PQ pass with the forgotten ids excluded
+  // from the candidate set — the frozen model is unchanged (deletion
+  // does not unlearn the codebook; rebuild is the documented cure), so
+  // x128's oracle with one exclusion predicate is exact.
+  def x157VectorForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "vforget")
+    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    val doomed = data.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
+    VectorStore.forget(spark, doomed, "vec_id", root)
+    val ms = graft.sources.ManifestStore
+    val leftCodes = ms.read(spark, s"$root/codes")
+      .join(doomed, Seq("vec_id"), "left_semi").count()
+    val leftAsg = ms.read(spark, s"$root/assign")
+      .join(doomed, Seq("vec_id"), "left_semi").count()
+    require(leftCodes == 0L && leftAsg == 0L,
+      s"x157: $leftCodes code / $leftAsg assign rows survived the forget")
+    // idempotent re-run — the recovery path after a crash between the
+    // codes delete and the twin delete
+    VectorStore.forget(spark, doomed, "vec_id", root)
+    VectorStore.probe(spark, data.filter(col("vec_id") < 8),
+      "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10)
+  }
+
+  // x128's pipeline with the forgotten ids excluded from the candidate
+  // set (the model CTEs are untouched — frozen model contract)
+  val x157Sql: String = {
+    val anchor = "WHERE asg.vec_id <> pr.query_id"
+    require(x128Sql.contains(anchor), "x157: x128Sql anchor moved")
+    x128Sql.replace(anchor, anchor + " AND asg.vec_id % 7 <> 2")
+  }
 }
