@@ -315,6 +315,52 @@ object TextAnalysis {
         (col("score_fp3") > 0L).as("pred"))
   }
 
+  /** Class-based TF-IDF topic terms (Grootendorst 2022's c-TF-IDF, the
+    * public BERTopic labeling recipe): given a document→class
+    * assignment (any classing — k-means clusters, sources, languages),
+    * rank each class's most DISTINCTIVE terms by
+    * W(t, c) = tf(t, c) · ln(1 + A / f(t)), where tf(t, c) is the
+    * term's frequency within the class, f(t) its frequency across all
+    * classed docs, and A the average token count per class. The
+    * human-readable name a semantic cluster gets in a data card.
+    *
+    * 100 TB shape: one token pass → one map-side-combined (class,
+    * term) count; everything after rides that O(distinct class-term)
+    * table (f(t) and A are its rollups, A broadcast as one row); the
+    * per-class top-k is a WindowGroupLimit-pushed rank filter. Scores
+    * are fixed-point 1e-9 LONGs before ranking (the BM25 convention) —
+    * engine-portable ordering with (score DESC, term ASC) total order.
+    *
+    * @param classes (idCol, classCol) — one class per doc; unclassed
+    *                docs drop (they are outside every class's corpus)
+    * @return (classCol, rank, term, ctfidf) — top `topK` per class
+    */
+  def classTopTerms(
+      docs: DataFrame,
+      classes: DataFrame,
+      idCol: String,
+      textCol: String,
+      classCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = LangModel.tokenRows(docs, idCol, textCol)
+      .join(classes.select(col(idCol).as("id"), col(classCol).as("cls")),
+        Seq("id"))
+    val tfc = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy(col("w")).agg(sum(col("tf")).as("ft"))
+    val avgw = tfc.groupBy(col("cls")).agg(sum(col("tf")).as("cw"))
+      .agg(sum(col("cw")).as("tw"), count(lit(1)).as("nc"))
+      .select((col("tw").cast("double") / col("nc").cast("double")).as("avgw"))
+    val scored = tfc.join(ft, Seq("w")).crossJoin(broadcast(avgw))
+      .withColumn("s9", round(col("tf").cast("double") *
+        log(lit(1.0d) + col("avgw") / col("ft").cast("double")) * lit(1e9d), 0)
+        .cast("long"))
+    val w = Window.partitionBy(col("cls")).orderBy(col("s9").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("cls").as(classCol), col("rank"), col("w").as("term"),
+        round(col("s9").cast("double") / lit(1e9d), 6).as("ctfidf"))
+  }
+
   /** One-call document profile used by pipeline pruning. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("word_count", wordCount(col(textCol)))

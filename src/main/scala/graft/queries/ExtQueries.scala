@@ -5649,4 +5649,43 @@ object ExtQueries {
     require(x128Sql.contains(anchor), "x157: x128Sql anchor moved")
     x128Sql.replace(anchor, anchor + " AND asg.vec_id % 7 <> 2")
   }
+
+  // --- x158: c-TF-IDF cluster labeling -------------------------------------
+  // The human-readable names the x67 semantic clusters get in a data
+  // card (Grootendorst 2022's class-based TF-IDF, the public BERTopic
+  // labeling recipe): k-means assignments (vec_id ≡ doc_id per the x81
+  // referential audit) join the documents' tokens, and each cluster's
+  // top-5 most DISTINCTIVE terms rank by tf(t,c) · ln(1 + A/f(t)) in
+  // fixed-point. The oracle unrolls the identical Lloyd iterations
+  // (x67's CTEs) plus the scoring rollups, so every assignment and
+  // every score must agree bit-for-bit.
+  def x158ClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val assign = graft.ext.Clustering.kmeansAssign(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      stride = 50L, iters = 2)
+      .withColumnRenamed("vec_id", "doc_id")
+    TextAnalysis.classTopTerms(t(spark, dir, "documents"), assign,
+      "doc_id", "text", "cid", topK = 5)
+  }
+
+  val x158Sql: String =
+    s"""WITH $kmeansCtes,
+       toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         FROM documents),
+       ct AS (SELECT af.cid, t.w FROM toks t JOIN af ON af.id = t.doc_id),
+       tfc AS (SELECT cid, w, CAST(count(*) AS BIGINT) AS tf FROM ct GROUP BY 1, 2),
+       ft AS (SELECT w, CAST(sum(tf) AS BIGINT) AS ft FROM tfc GROUP BY 1),
+       aw AS (SELECT CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgw
+         FROM (SELECT cid, CAST(sum(tf) AS BIGINT) AS cw FROM tfc GROUP BY 1)),
+       sc AS (SELECT cid, w,
+           CAST(round(CAST(tf AS DOUBLE) * ln(1.0 + avgw / CAST(ft AS DOUBLE))
+             * 1000000000.0) AS BIGINT) AS s9
+         FROM tfc JOIN ft USING (w) CROSS JOIN aw),
+       r AS (SELECT cid, w, s9,
+           row_number() OVER (PARTITION BY cid ORDER BY s9 DESC, w) AS rank
+         FROM sc)
+       SELECT cid, rank, w AS term,
+         round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS ctfidf
+       FROM r WHERE rank <= 5"""
 }

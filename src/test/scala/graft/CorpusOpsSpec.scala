@@ -279,4 +279,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(after.getLong(6) == 3L) // dup_docs: all three hello-world rows
     assert(after.getLong(1) == 4L) // n_docs grew by the day-3 doc
   }
+
+  // ------------------------------------------------- c-TF-IDF class terms
+
+  test("classTopTerms: hand-computed c-TF-IDF; unclassed docs drop") {
+    // class A: apple×3 banana cherry (5 tokens); class B: banana×3
+    // cherry date (5 tokens). A = 10/2 = 5. W(t,c) = tf · ln(1+5/f(t)).
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "cherry date"),
+      (5L, "unclassed noise words")).toDF("doc_id", "text")
+    val classes = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "cls")
+    val got = TextAnalysis.classTopTerms(docs, classes,
+      "doc_id", "text", "cls", topK = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 6)
+    // A: apple 3·ln(1+5/3)=2.942488 > cherry ln(1+5/2)=1.252763 >
+    //    banana ln(1+5/4)=0.81093
+    assert(got(("A", 1)) == (("apple", 2.942488)))
+    assert(got(("A", 2)) == (("cherry", 1.252763)))
+    assert(got(("A", 3)) == (("banana", 0.81093)))
+    // B: banana 3·ln(2.25)=2.432791 > date ln(6)=1.791759 > cherry
+    assert(got(("B", 1)) == (("banana", 2.432791)))
+    assert(got(("B", 2)) == (("date", 1.791759)))
+    assert(got(("B", 3)) == (("cherry", 1.252763)))
+    // the unclassed doc's vocabulary never appears
+    assert(!got.values.exists(_._1 == "noise"))
+  }
 }
