@@ -353,7 +353,25 @@ object ScaleBench {
     // law measurement is |Q|=8 brute force × corpus + an O(centroids)
     // histogram; the probe scans probed partitions only — expect
     // ~linear from the measurement pass
-    "x150_auto_probe")
+    "x150_auto_probe",
+    // one count pass per day-batch to the O(types × V × 2) grid, then
+    // row-count-independent; micro-batch + commit floors dominate —
+    // expect sub-linear
+    "x154_stream_ks",
+    // pair generation dominates (x147's bound) split over 3 streamed
+    // batches; per-batch O(affected + batch pairs) + the commit floor
+    // tripled — expect the x147 shape
+    "x155_stream_cluster",
+    // 3 day-appends tokenize the day's docs only (3 keyed merges each);
+    // the probe reads the query vocab's buckets + matched ids' buckets
+    // — expect ~linear from the append tokenization, probe flat-ish
+    "x156_index_store",
+    // build dominates (full-corpus encode); forget itself is O(doomed
+    // buckets + their centroid partitions) — expect the build curve
+    "x157_vector_forget",
+    // one token pass + (class, term) count; scoring rides the distinct
+    // class-term table — expect ~linear from tokenization
+    "x158_cluster_labels")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -174,11 +174,32 @@ object Drift {
     * same IEEE doubles on any engine, 6-dp round at the end.
     * Output: (group_a, group_b, n_a, n_b, ks_d), group_a < group_b.
     */
-  def ksMatrix(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val counts = Dedup.materialize(
+  def ksMatrix(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    ksMatrixCore(Dedup.materialize(
       df.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
         .filter(col("g").isNotNull && col("v").isNotNull)
-        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))))
+
+  /** [[ksMatrix]] over PRE-AGGREGATED (group, value, count) cells — the
+    * store-fed monitor (x160): a maintained histogram store's day cells
+    * drive the all-pairs KS directly, so day-over-day drift costs
+    * O(cells) and never recomputes over raw data. The count shuffle the
+    * raw-data entry pays was already paid at ingest by the store's
+    * append; everything downstream (dense grid, exact cumulative LONGs,
+    * pair join) is count-based and shared.
+    */
+  def ksMatrixFromCounts(
+      cells: DataFrame,
+      groupCol: String,
+      valCol: String,
+      cntCol: String): DataFrame =
+    ksMatrixCore(Dedup.materialize(
+      cells.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"),
+        col(cntCol).cast("long").as("c"))
+        .filter(col("g").isNotNull && col("v").isNotNull)
+        .groupBy(col("g"), col("v")).agg(sum(col("c")).as("c"))))
+
+  private def ksMatrixCore(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
     // dense grid: every group needs an F value at every pooled v, or
     // the pair join would silently skip steps where one side is flat

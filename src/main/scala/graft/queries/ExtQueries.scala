@@ -5688,4 +5688,109 @@ object ExtQueries {
        SELECT cid, rank, w AS term,
          round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS ctfidf
        FROM r WHERE rank <= 5"""
+
+  // --- x159: STREAMING BM25 index maintenance ------------------------------
+  // x156's maintained inverted index fed by a STREAM: document "days"
+  // arrive as micro-batches (file-per-batch replay), each folded in by
+  // IndexStore.appendDay inside foreachBatch — three keyed merges per
+  // batch, all replay-idempotent, so the final index is micro-batch-
+  // invariant AND at-least-once-safe (one batch re-appended after the
+  // drain, row accounting require'd). The closing pruned probe must
+  // score bit-identically to the one-shot batch BM25 — x69's oracle,
+  // reached through the streaming door (the x137/x155 pattern).
+  def x159StreamIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .withColumn("day", pmod(xxhash64(col("doc_id").cast("string")), lit(3L))))
+    val root = FreshTables.next(spark, dir, "sidxstore")
+    val base = FreshTables.next(spark, dir, "sidxin")
+    (0 until 3).foreach { b =>
+      docs.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        IndexStore.appendDay(spark, batch.drop("day"),
+          "doc_id", "text", s"d$d", root, partitions = 8)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x159: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — all three tables must replace
+    IndexStore.appendDay(spark, docs.filter(col("day") === 1L).drop("day"),
+      "doc_id", "text", "d1", root, partitions = 8)
+    val ms = graft.sources.ManifestStore
+    require(ms.read(spark, s"$root/lens").count() == docs.count(),
+      "x159: the d1 replay duplicated lens rows")
+    require(ms.read(spark, s"$root/stats").count() == 3L,
+      "x159: the d1 replay duplicated stats rows")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8)
+  }
+
+  val x159Sql: String = x69Sql
+
+  // --- x160: drift matrix FROM the maintained histogram store --------------
+  // The monitor consumes the STORE, not the raw data: four event "days"
+  // ingest their props.k histograms via Sketches.histAppendDay
+  // (bucketWidth 1 → exact value cells), day d1 is re-delivered
+  // (day-keyed merge must replace), and the all-pairs day-drift KS
+  // matrix is computed from the store's O(cells) rows by
+  // Drift.ksMatrixFromCounts — the count shuffle was paid once at
+  // ingest, so day-over-day drift monitoring never rescans events. The
+  // oracle recomputes the per-day counts and the exact-CDF pair matrix
+  // from the raw table.
+  def x160StoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Dedup.materialize(t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        concat(lit("d"), pmod(col("event_id"), lit(4)).cast("string")).as("day")))
+    val table = FreshTables.next(spark, dir, "histdrift")
+    (0 until 4).foreach { b =>
+      Sketches.histAppendDay(spark, ev.filter(col("day") === s"d$b"),
+        "k", bucketWidth = 1L, s"d$b", table)
+    }
+    // replay day d1: the (bucket, day)-keyed merge must replace
+    Sketches.histAppendDay(spark, ev.filter(col("day") === "d1"),
+      "k", bucketWidth = 1L, "d1", table)
+    val cells = graft.sources.ManifestStore.read(spark, table)
+    val expected = ev.filter(col("k").isNotNull)
+      .select(col("day"), col("k")).distinct().count()
+    require(cells.count() == expected,
+      s"x160: store holds ${cells.count()} cells, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    graft.ext.Drift.ksMatrixFromCounts(cells, "day", "bucket", "cnt")
+  }
+
+  val x160Sql: String =
+    """WITH ev AS (SELECT 'd' || CAST(event_id % 4 AS VARCHAR) AS g,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events),
+       c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM ev
+         WHERE v IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       vg AS (SELECT DISTINCT v FROM c),
+       grid AS (SELECT t.g, vg.v FROM t CROSS JOIN vg),
+       cum0 AS (SELECT grid.g, grid.v,
+           CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum
+         FROM grid LEFT JOIN c ON c.g = grid.g AND c.v = grid.v),
+       cn AS (SELECT cum0.g, cum0.v, cum0.cum, t.n
+         FROM cum0 JOIN t ON t.g = cum0.g),
+       d AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           abs(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE)) AS d
+         FROM cn a JOIN cn b ON a.v = b.v AND a.g < b.g)
+       SELECT group_a, group_b, n_a, n_b, round(max(d), 6) AS ks_d
+       FROM d GROUP BY 1, 2, 3, 4"""
 }

@@ -148,6 +148,28 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("ksMatrixFromCounts on pre-aggregated cells equals ksMatrix on raw rows") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 150).map { _ =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(9).toLong)
+    }
+    val raw = rows.toDF("g", "v")
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val want = keyOf(Drift.ksMatrix(raw, "g", "v"))
+    val cells = raw.groupBy(col("g"), col("v")).count()
+    assert(keyOf(Drift.ksMatrixFromCounts(cells, "g", "v", "count")) == want)
+    // duplicate (g, v) cell rows (a store mid-compaction) still SUM
+    val split = cells
+      .withColumn("count",
+        col("count") - when(col("count") > 1L, 1L).otherwise(0L))
+      .unionByName(cells.filter(col("count") > 1L)
+        .withColumn("count", lit(1L)))
+      .filter(col("count") > 0L)
+    assert(keyOf(Drift.ksMatrixFromCounts(split, "g", "v", "count")) == want)
+  }
+
   test("coverage is monotone in k on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", Seq(5, 10, 20))
