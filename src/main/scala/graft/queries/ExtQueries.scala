@@ -5793,4 +5793,111 @@ object ExtQueries {
          FROM cn a JOIN cn b ON a.v = b.v AND a.g < b.g)
        SELECT group_a, group_b, n_a, n_b, round(max(d), 6) AS ks_d
        FROM d GROUP BY 1, 2, 3, 4"""
+
+  // --- x161: STREAMING histogram-store maintenance --------------------------
+  // The histogram store (x123) joins the streaming matrix, closing the
+  // sketch-store stream column next to CM (x111) and HLL (x146):
+  // document days arrive as micro-batches, each day's n_chars cells
+  // folded by Sketches.histAppendDay in foreachBatch (day-keyed
+  // subtotal merge, replay-idempotent; one batch re-delivered after
+  // the drain with cell accounting). The store read merges day
+  // subtotals losslessly, so the closing quantile estimates are
+  // x123's — its oracle verbatim, through the streaming door.
+  def x161StreamHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("n_chars"), pmod(col("doc_id"), lit(3)).cast("long").as("day")))
+    val table = FreshTables.next(spark, dir, "shiststore")
+    val base = FreshTables.next(spark, dir, "shistin")
+    (0 until 3).foreach { b =>
+      docs.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        Sketches.histAppendDay(spark, batch, "n_chars",
+          bucketWidth = 32L, day = s"day$d", table = table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x161: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the (bucket, day) merge replaces
+    Sketches.histAppendDay(spark, docs.filter(col("day") === 1L), "n_chars",
+      bucketWidth = 32L, day = "day1", table = table)
+    val cells = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = docs.filter(col("n_chars").isNotNull)
+      .select(col("day"), expr("n_chars div 32L")).distinct().count()
+    require(cells == expected,
+      s"x161: store holds $cells cells, expected $expected — " +
+        "the day1 replay duplicated instead of replacing")
+    Sketches.histQuantiles(
+      Sketches.histCellsFromStore(spark, table), bucketWidth = 32L,
+      qs = Seq(0.5, 0.9, 0.99))
+  }
+
+  // day subtotals merge losslessly, so the stream-fed store read is the
+  // batch histogram — x123's oracle verbatim
+  val x161Sql: String = x123Sql
+
+  // --- x162: STREAMING KMV-store maintenance --------------------------------
+  // The last sketch store joins the streaming matrix (CM x111, HLL
+  // x146, histogram x161): x148's per-language bigram sketch fed by a
+  // STREAM — each micro-batch's day folded by Sketches.kmvAppendDay in
+  // foreachBatch ((group, day)-keyed min-array merge), one batch
+  // re-delivered post-drain with row accounting. Any global k-minimum
+  // hash is within its own day's k minima, so the store read is
+  // bit-identical to the one-shot sketch — x40's oracle, kth-hash
+  // order statistic included, through the streaming door.
+  def x162StreamKmv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val ws = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Dedup.materialize(ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+      .withColumn("day", pmod(TextAnalysis.md5Bucket(col("bg")), lit(3))))
+    val table = FreshTables.next(spark, dir, "skmvstore")
+    val base = FreshTables.next(spark, dir, "skmvin")
+    (0 until 3).foreach { b =>
+      bg.filter(col("day") === b).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(bg.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().get(0).toString
+        Sketches.kmvAppendDay(spark, batch, "lang", "bg", s"d$d", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x162: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day d1 — the (lang, day) merge replaces
+    Sketches.kmvAppendDay(spark, bg.filter(col("day") === 1), "lang", "bg",
+      "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = bg.select(col("lang"), col("day")).distinct().count()
+    require(stored == expected,
+      s"x162: store holds $stored sketch rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    Sketches.kmvDistinctFromStore(spark, table, "lang")
+  }
+
+  val x162Sql: String = x40Sql
 }
