@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * must-exist, …); this object holds the one copy of the IO + parse so
   * a fix to sidecar handling lands everywhere at once.
   */
-private[ext] object StoreSidecar {
+private[graft] object StoreSidecar {
 
   private def path(root: String) =
     new org.apache.hadoop.fs.Path(root, "_graft_geometry.json")

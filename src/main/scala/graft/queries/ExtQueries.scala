@@ -5900,4 +5900,37 @@ object ExtQueries {
   }
 
   val x162Sql: String = x40Sql
+
+  // --- x163: zone-map data skipping ----------------------------------------
+  // Min/max zone maps over a NON-partition column (the Delta/Iceberg
+  // data-skipping statistic, sources/ZoneMaps): the corpus is laid out
+  // clustered by length (pt = n_chars div 64 — what a 1-D Z-order
+  // produces), the maps are refreshed against the snapshot, and a
+  // BETWEEN query scans ONLY the partitions whose measured [lo, hi]
+  // overlaps — require'd via the plan's selected-partition count, with
+  // results equal to the plain filter (the oracle; zone maps may only
+  // skip provably-empty partitions, never change results).
+  def x163ZoneSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ManifestStore, ZoneMaps}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = FreshTables.next(spark, dir, "zonemap")
+    ManifestStore.write(spark,
+      docs.withColumn("pt", expr("n_chars div 64L")), table, "pt")
+    ZoneMaps.refresh(spark, table, "n_chars")
+    val out = ZoneMaps.readWhere(spark, table, "n_chars",
+      lo = 150L, hi = 300L, requireFresh = true)
+    val scanned = graft.sources.PartitionedStore.selectedPartitionCount(out)
+    val total = docs.select(expr("n_chars div 64L")).distinct().count()
+    require(scanned.exists(n => n > 0L && n < total),
+      s"x163: scanned $scanned of $total partitions — the zone maps " +
+        "skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  // zone maps only decide which partitions are provably empty of
+  // matches — the result is the plain range filter
+  val x163Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE n_chars BETWEEN 150 AND 300"""
 }

@@ -344,6 +344,26 @@ object ManifestStore {
   def exists(spark: SparkSession, path: String): Boolean =
     latest(fsFor(spark, new Path(path)), path).isDefined
 
+  /** The table's declared partition columns (from the newest manifest) —
+    * what derived index maintainers ([[ZoneMaps]]) group stats by.
+    */
+  def partitionColsOf(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, new Path(path))
+    latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
+      .partitionCols
+  }
+
+  /** The newest readable snapshot version — the freshness stamp derived
+    * indexes pin themselves to.
+    */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val fs = fsFor(spark, new Path(path))
+    latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path"))
+      .version
+  }
+
   /** Whether the table exists AND its latest snapshot has at least one
     * live partition — distinguishes "never written" / "initialized from
     * an empty frame" from a table with scannable data, without the

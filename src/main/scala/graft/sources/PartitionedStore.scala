@@ -132,4 +132,17 @@ object PartitionedStore {
       case s: FileSourceScanExec => s.selectedPartitions.partitionCount.toLong
     }
   }
+
+  /** [[selectedPartitionCount]] summed over EVERY scan in the plan — a
+    * multi-commit ManifestStore read is a union of one scan per live
+    * commit, and filter-based skipping (ZoneMaps) prunes each scan
+    * independently; `inputFiles` cannot see that pruning (it lists the
+    * FileIndex before filters apply).
+    */
+  def selectedPartitionTotal(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.selectedPartitions.partitionCount.toLong
+    }.sum
+  }
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.StoreSidecar
+
+/** Per-partition min/max zone maps over a NON-partition column — the
+  * Delta/Iceberg data-skipping statistic for [[ManifestStore]] tables:
+  * a range predicate on the mapped column prunes every partition whose
+  * measured [lo, hi] cannot overlap it, BEFORE any file is opened. The
+  * payoff of a clustered layout ([[graft.ext.ZOrder]], ingest-time
+  * ordering) made queryable: partition pruning skips on the partition
+  * KEY for free; zone maps extend that to any long-typed column whose
+  * values happen to cluster per partition.
+  *
+  * The maps are a DERIVED index, version-stamped to the snapshot they
+  * measured ([[ManifestStore.currentVersion]]): one (partition values,
+  * lo, hi) row per live partition in a `_zones/<col>` side table, plus
+  * the stamped version in its sidecar. [[readWhere]] consults them
+  * ONLY when the stamp matches the current snapshot — a stale map
+  * (the table committed since the refresh) silently degrades to the
+  * unskipped scan (correctness-first; `requireFresh = true` makes
+  * staleness loud for ops gates instead). A partition with no zone row
+  * or a NULL range (all-null column) is conservatively scanned.
+  *
+  * 100 TB shape: refresh is ONE column-pruned scan aggregating to
+  * O(partitions) rows (re-run after ingest, like the nprobe law);
+  * readWhere's qualifying set is O(partitions) driver-side routing
+  * metadata, the skip itself is Catalyst partition pruning on the
+  * balanced OR-of-AND partition-value predicate (the ManifestStore
+  * merge convention — depth log(partitions)), and the residual range
+  * filter rides the pruned scan. Results NEVER depend on the maps —
+  * they only decide which partitions can be proven empty of matches.
+  */
+object ZoneMaps {
+
+  private def zonesT(table: String, col: String): String =
+    new org.apache.hadoop.fs.Path(table, s"_zones/$col").toString
+
+  /** (Re)measure the zone maps of `valCol` (long-castable) for the
+    * CURRENT snapshot: one column-pruned scan, O(partitions) output
+    * rows, version-stamped. Re-run after appends — [[readWhere]]
+    * degrades gracefully until then.
+    */
+  def refresh(spark: SparkSession, table: String, valCol: String): Unit = {
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    require(!pcols.contains(valCol),
+      s"ZoneMaps: $valCol is a partition column of $table — partition " +
+        "pruning already skips on it; zone maps add nothing")
+    val version = ManifestStore.currentVersion(spark, table)
+    val stats = ManifestStore.read(spark, table)
+      .groupBy(pcols.map(col): _*)
+      .agg(min(col(valCol).cast("long")).as("__lo"),
+        max(col(valCol).cast("long")).as("__hi"))
+      .withColumn("__zpt", lit(0L))
+    ManifestStore.write(spark, stats, zonesT(table, valCol), "__zpt")
+    StoreSidecar.write(spark, zonesT(table, valCol),
+      Seq("version" -> version.toLong))
+  }
+
+  /** Rows of `table` with `valCol` in [lo, hi], scanning only the
+    * partitions whose zone range overlaps when the maps are fresh —
+    * the full (still filtered, still correct) scan when they are not.
+    * `requireFresh = true` turns staleness into a loud error.
+    */
+  def readWhere(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      lo: Long,
+      hi: Long,
+      requireFresh: Boolean = false): DataFrame = {
+    val pred = col(valCol).cast("long").between(lo, hi)
+    val zt = zonesT(table, valCol)
+    val stamped = StoreSidecar.read(spark, zt, Seq("version"))
+      .map(_("version").toInt)
+    val current = ManifestStore.currentVersion(spark, table)
+    val fresh = stamped.contains(current)
+    require(fresh || !requireFresh,
+      s"ZoneMaps: $table/$valCol maps are stamped v${stamped.getOrElse(-1)} " +
+        s"but the snapshot is v$current — refresh() before a requireFresh read")
+    if (!fresh) return ManifestStore.read(spark, table).filter(pred)
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    // qualifying = ranges that can overlap [lo, hi]; NULL ranges
+    // (all-null partitions) are conservatively scanned — O(partitions)
+    // driver-side routing metadata, the ManifestStore listing class
+    val qualifying = ManifestStore.read(spark, zt)
+      .filter(col("__lo").isNull || (col("__lo") <= hi && col("__hi") >= lo))
+      .select(pcols.map(col): _*)
+      .collect().map(r => pcols.indices.map(r.get))
+    val base = ManifestStore.read(spark, table)
+    if (qualifying.isEmpty) return base.limit(0).filter(pred)
+    // balanced OR-of-AND on the partition values (the merge touchedPred
+    // convention) — prunes directories at planning time
+    def balanced(cs: Seq[Column]): Column = {
+      var cur = cs
+      while (cur.size > 1) cur = cur.grouped(2).map(_.reduce(_ || _)).toSeq
+      cur.head
+    }
+    val skipPred =
+      if (pcols.size == 1) col(pcols.head).isin(qualifying.map(_.head): _*)
+      else balanced(qualifying.map(tuple =>
+        pcols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
+    base.filter(skipPred).filter(pred)
+  }
+}
