@@ -371,7 +371,33 @@ object ScaleBench {
     "x157_vector_forget",
     // one token pass + (class, term) count; scoring rides the distinct
     // class-term table — expect ~linear from tokenization
-    "x158_cluster_labels")
+    "x158_cluster_labels",
+    // x156 through the streaming door: per-batch tokenization linear,
+    // 9 commits + micro-batch floor fixed — expect the x156 shape
+    // plus the scheduling floor
+    "x159_stream_index",
+    // 4 hist appends (count pass each) + the O(cells) KS matrix —
+    // day-pair work is cell-count-bound, expect sub-linear
+    "x160_store_drift",
+    // day-keyed subtotal merges against a fixed commit floor; the
+    // growing part is each batch's count pass — expect sub-linear
+    "x161_stream_hist",
+    // per-batch (group, salt) k-least pass over 10× bigrams against
+    // the commit + scheduling floor — expect the x148 shape
+    "x162_stream_kmv",
+    // refresh is one column-pruned scan; the skipped read touches the
+    // qualifying partitions only — expect ~linear from the write+
+    // refresh, read share shrinking
+    "x163_zone_skip",
+    // refresh adds the ×K explode + (partition, word) shuffle over the
+    // write; the probed read opens ONE lang partition at every SF —
+    // expect ~linear from write+refresh, read share shrinking faster
+    // than x163's
+    "x164_bloom_skip",
+    // the mergeAppend is O(index + batch) against the two-commit write
+    // and one full refresh — expect the x164 shape plus the second
+    // commit's floor
+    "x165_bloom_maintained")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

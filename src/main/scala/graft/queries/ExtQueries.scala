@@ -5933,4 +5933,73 @@ object ExtQueries {
   val x163Sql: String =
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
        FROM documents WHERE n_chars BETWEEN 150 AND 300"""
+
+  // --- x164: Bloom-index equality skipping ----------------------------------
+  // Per-partition Bloom filters over a NON-partition column
+  // (sources/BloomIndex) — the equality complement to x163: the corpus
+  // is partitioned by language (a natural layout where doc_id min/max
+  // ranges overlap everywhere and zone maps prune NOTHING), and a point
+  // lookup on doc_id scans only the one partition whose bloom might
+  // contain it — require'd via the plan's selected-partition count,
+  // results equal to the plain filter (no false negatives, so skipping
+  // only drops provably-empty partitions).
+  def x164BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = FreshTables.next(spark, dir, "bloomidx")
+    ManifestStore.write(spark, docs.withColumn("pt", col("lang")), table, "pt")
+    BloomIndex.refresh(spark, table, "doc_id")
+    val out = BloomIndex.readEq(spark, table, "doc_id", 42L, requireFresh = true)
+    val scanned = PartitionedStore.selectedPartitionCount(out)
+    val total = docs.select(col("lang")).distinct().count()
+    require(scanned.exists(n => n > 0L && n < total),
+      s"x164: scanned $scanned of $total partitions — the blooms " +
+        "skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  // blooms only decide which partitions are provably empty of matches —
+  // the result is the plain point lookup
+  val x164Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id = 42"""
+
+  // --- x165: maintained Bloom index (incremental day-over-day) -------------
+  // The x164 index kept fresh WITHOUT rescanning history: bloom(A ∪ B)
+  // = bloom(A) | bloom(B), so each ingest commit's words bit_or into
+  // the stored maps (BloomIndex.mergeAppend, O(index + batch)) and the
+  // stamp advances with the snapshot. The gate ingests the corpus in
+  // two commits — full refresh after the first, mergeAppend after the
+  // second — then point-looks-up one doc from EACH commit with
+  // requireFresh = true: both must come back scanning only their
+  // language's partition. Replay convergence, version-gap refusal, and
+  // bit-identity to a from-scratch refresh are specced
+  // (BloomIndexSpec); the oracle is the plain two-point lookup.
+  def x165BloomMaintained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pt", col("lang"))
+    val table = FreshTables.next(spark, dir, "bloommnt")
+    ManifestStore.write(spark, docs.filter(col("doc_id") % 3 < 2), table, "pt")
+    BloomIndex.refresh(spark, table, "doc_id")
+    val day2 = docs.filter(col("doc_id") % 3 === 2)
+    ManifestStore.merge(spark, table, day2, Seq("doc_id"), "pt")
+    BloomIndex.mergeAppend(spark, table, "doc_id", day2)
+    val total = docs.select(col("lang")).distinct().count()
+    val out = Seq(42L, 44L).map { id => // 42 → commit 1, 44 → commit 2
+      val hit = BloomIndex.readEq(spark, table, "doc_id", id, requireFresh = true)
+      val scanned = PartitionedStore.selectedPartitionTotal(hit)
+      require(scanned > 0L && scanned < total,
+        s"x165: doc $id scanned $scanned of $total partitions — the " +
+          "maintained blooms skipped nothing (or everything)")
+      hit
+    }.reduce(_ unionByName _)
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x165Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id IN (42, 44)"""
 }

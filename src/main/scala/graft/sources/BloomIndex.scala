@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.StoreSidecar
+
+/** Per-partition Bloom filters over a NON-partition column — the
+  * equality-skipping complement to [[ZoneMaps]] (Bloom 1970; the
+  * Parquet/ORC bloom-filter statistic lifted to partition granularity
+  * for [[ManifestStore]] tables). Zone maps skip RANGE predicates on
+  * columns that CLUSTER with the layout; blooms skip point lookups
+  * (`col = v`) on high-cardinality columns that DON'T — the "find one
+  * document by id in a date-partitioned 100 TB corpus" query, where
+  * min/max ranges cover everything and prune nothing.
+  *
+  * The filter is the textbook m-bit / K-hash Bloom built from Spark
+  * primitives only (codegen'd, mergeable): each non-null value sets K
+  * positions `pmod(xxhash64(cast(v as string), i), m)`; a partition's
+  * bitset is the `bit_or` of its rows' one-hot words, stored SPARSE as
+  * a `map<word index, 64-bit word>` — a partition touching few of the
+  * m/64 words pays only for those. No false negatives by construction
+  * (a stored value's K bits are all set), so skipping is always sound;
+  * false positives only cost an extra partition scan (fpp per
+  * partition ≈ (1 − e^(−K·n/m))^K for n distinct values).
+  *
+  * Freshness follows the [[ZoneMaps]] contract: the index is stamped
+  * with the snapshot version it measured; [[readEq]] consults it only
+  * when the stamp matches, degrading to the unskipped (still filtered,
+  * still correct) scan otherwise — `requireFresh = true` makes
+  * staleness loud. A partition with ONLY nulls in the column writes no
+  * bloom row and is safely skipped: `col = v` is never true on null.
+  *
+  * 100 TB shape: refresh is ONE column-pruned scan whose shuffle is
+  * O(partitions × touched words) — bounded by partitions × m/64, not
+  * by rows; the probe reads the O(partitions)-row side table, collects
+  * only the QUALIFYING partitions' values (driver-side routing
+  * metadata, same class as the ManifestStore listing), and the skip is
+  * planning-time directory pruning via the shared balanced OR-of-AND
+  * predicate. Because bloom(A ∪ B) = bloom(A) | bloom(B), day-over-day
+  * maintenance can bit_or a new day's words into the stored map
+  * instead of rescanning history.
+  */
+object BloomIndex {
+
+  private def bloomT(table: String, col: String): String =
+    new org.apache.hadoop.fs.Path(table, s"_bloom/$col").toString
+
+  /** (Re)build the per-partition blooms of `valCol` for the CURRENT
+    * snapshot: one column-pruned scan, O(partitions × m/64) output,
+    * version-stamped with (m, K) so probes hash identically.
+    */
+  def refresh(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      bits: Int = 1 << 17,
+      hashes: Int = 5): Unit = {
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    require(!pcols.contains(valCol),
+      s"BloomIndex: $valCol is a partition column of $table — partition " +
+        "pruning already skips on it; a bloom adds nothing")
+    require(bits >= 64 && hashes >= 1,
+      s"BloomIndex: need bits >= 64 and hashes >= 1, got ($bits, $hashes)")
+    val version = ManifestStore.currentVersion(spark, table)
+    // the value is hashed THROUGH ITS STRING FORM so the probe (a
+    // driver-side literal) provably hashes like the refresh (a column)
+    val positions = (0 until hashes).map(i =>
+      pmod(xxhash64(col(valCol).cast("string"), lit(i)), lit(bits.toLong)))
+    val words = ManifestStore.read(spark, table)
+      .filter(col(valCol).isNotNull)
+      .select(pcols.map(col) :+ explode(array(positions: _*)).as("__pos"): _*)
+      .groupBy(pcols.map(col) :+ expr("__pos div 64").as("__w"): _*)
+      .agg(bit_or(expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(__pos, 64) as int))"))
+        .as("__bits"))
+    val packed = words
+      .groupBy(pcols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__words"))
+      .withColumn("__bpt", lit(0L))
+    ManifestStore.write(spark, packed, bloomT(table, valCol), "__bpt")
+    StoreSidecar.write(spark, bloomT(table, valCol), Seq(
+      "version" -> version.toLong,
+      "bits" -> bits.toLong,
+      "hashes" -> hashes.toLong))
+  }
+
+  /** Fold ONE ManifestStore commit's rows into the stored blooms
+    * WITHOUT rescanning history — bloom(A ∪ B) = bloom(A) | bloom(B),
+    * so the appended batch's words bit_or into the stored maps and the
+    * stamp advances to the new snapshot. Cost is O(index size +
+    * batch), independent of the table's history.
+    *
+    * Contract: call IMMEDIATELY after the commit that wrote `batch`,
+    * with the same rows — the stored stamp must be exactly one version
+    * behind the snapshot (any interleaved commit means the index no
+    * longer covers the table; that degrades LOUDLY here, never to
+    * false negatives — refresh() instead). Sound for replace-merges
+    * and deletes too: a replaced/removed value's bits linger, which
+    * can only ADD false positives (fpp creeps until the next full
+    * refresh re-measures; pure appends stay bit-identical to it).
+    */
+  def mergeAppend(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      batch: DataFrame): Unit = {
+    val bt = bloomT(table, valCol)
+    val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"BloomIndex: no index for $table/$valCol — refresh() first"))
+    val current = ManifestStore.currentVersion(spark, table)
+    require(meta("version") + 1 == current.toLong,
+      s"BloomIndex: index stamped v${meta("version")} but the snapshot " +
+        s"is v$current — mergeAppend covers exactly ONE commit; refresh()")
+    val bits = meta("bits")
+    val hashes = meta("hashes").toInt
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    val positions = (0 until hashes).map(i =>
+      pmod(xxhash64(col(valCol).cast("string"), lit(i)), lit(bits)))
+    val batchWords = batch
+      .filter(col(valCol).isNotNull)
+      .select(pcols.map(col) :+ explode(array(positions: _*)).as("__pos"): _*)
+      .groupBy(pcols.map(col) :+ expr("__pos div 64").as("__w"): _*)
+      .agg(bit_or(expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(__pos, 64) as int))"))
+        .as("__bits"))
+    val storedWords = ManifestStore.read(spark, bt)
+      .select(pcols.map(col) :+ explode(col("__words")).as(Seq("__w", "__bits")): _*)
+    val packed = storedWords.unionByName(batchWords)
+      .groupBy(pcols.map(col) :+ col("__w"): _*)
+      .agg(bit_or(col("__bits")).as("__bits"))
+      .groupBy(pcols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__words"))
+      .withColumn("__bpt", lit(0L))
+    ManifestStore.write(spark, packed, bt, "__bpt")
+    StoreSidecar.write(spark, bt, Seq(
+      "version" -> current.toLong,
+      "bits" -> bits,
+      "hashes" -> hashes.toLong))
+  }
+
+  /** Rows of `table` with `valCol = value` (non-null), scanning only
+    * the partitions whose bloom might contain the value when the index
+    * is fresh — the full (still filtered, still correct) scan when it
+    * is not. Results NEVER depend on the blooms: no false negatives, so
+    * they only prove partitions empty of matches.
+    */
+  def readEq(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      value: Any,
+      requireFresh: Boolean = false): DataFrame = {
+    require(value != null, "BloomIndex.readEq: `col = null` is never true")
+    val pred = col(valCol) === lit(value)
+    val bt = bloomT(table, valCol)
+    val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
+    val current = ManifestStore.currentVersion(spark, table)
+    val fresh = meta.exists(_("version") == current.toLong)
+    require(fresh || !requireFresh,
+      s"BloomIndex: $table/$valCol index is stamped " +
+        s"v${meta.map(_("version")).getOrElse(-1L)} but the snapshot is " +
+        s"v$current — refresh() before a requireFresh read")
+    if (!fresh) return ManifestStore.read(spark, table).filter(pred)
+    val stamped = meta.get // fresh implies Some
+    val bits = stamped("bits")
+    val hashes = stamped("hashes").toInt
+    // the value's K positions, computed through the SAME expressions as
+    // refresh (one 1-row local job — no second hash implementation to
+    // drift); collapsed to per-word masks (two hashes may share a word)
+    val probed = spark.range(1).select((0 until hashes).map(i =>
+      pmod(xxhash64(lit(value).cast("string"), lit(i)), lit(bits))
+        .as(s"p$i")): _*).head()
+    val wordMasks = (0 until hashes)
+      .map(probed.getLong)
+      .groupBy(_ / 64)
+      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
+    val mightContain = wordMasks.map { case (w, msk) =>
+      coalesce(element_at(col("__words"), lit(w)), lit(0L))
+        .bitwiseAND(lit(msk)) === lit(msk)
+    }.reduce(_ && _)
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    // qualifying partitions: O(partitions)-row side-table scan, collect
+    // is routing metadata; all-null partitions have no row => skipped
+    // (sound: the probed value is non-null)
+    val qualifying = ManifestStore.read(spark, bt)
+      .filter(mightContain)
+      .select(pcols.map(col): _*)
+      .collect().map(r => pcols.indices.map(r.get))
+    val base = ManifestStore.read(spark, table)
+    if (qualifying.isEmpty) return base.limit(0).filter(pred)
+    base.filter(PartitionedStore.partitionValuesPred(pcols, qualifying.toSeq))
+      .filter(pred)
+  }
+}

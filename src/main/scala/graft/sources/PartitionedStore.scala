@@ -133,6 +133,29 @@ object PartitionedStore {
     }
   }
 
+  /** Balanced OR-of-AND membership predicate on partition values — the
+    * ManifestStore merge `touchedPred` convention shared by the derived
+    * skipping indexes ([[ZoneMaps]], [[BloomIndex]]): `tuples` are the
+    * qualifying partitions' values in `pcols` order; the OR tree is
+    * balanced (depth log n) so thousands of qualifying partitions never
+    * build a right-deep Catalyst expression.
+    */
+  def partitionValuesPred(
+      pcols: Seq[String],
+      tuples: Seq[Seq[Any]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    require(tuples.nonEmpty, "partitionValuesPred: empty qualifying set")
+    def balanced(cs: Seq[Column]): Column = {
+      var cur = cs
+      while (cur.size > 1) cur = cur.grouped(2).map(_.reduce(_ || _)).toSeq
+      cur.head
+    }
+    if (pcols.size == 1) col(pcols.head).isin(tuples.map(_.head): _*)
+    else balanced(tuples.map(tuple =>
+      pcols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
+  }
+
   /** [[selectedPartitionCount]] summed over EVERY scan in the plan — a
     * multi-commit ManifestStore read is a union of one scan per live
     * commit, and filter-based skipping (ZoneMaps) prunes each scan

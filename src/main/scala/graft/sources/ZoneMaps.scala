@@ -91,17 +91,7 @@ object ZoneMaps {
       .collect().map(r => pcols.indices.map(r.get))
     val base = ManifestStore.read(spark, table)
     if (qualifying.isEmpty) return base.limit(0).filter(pred)
-    // balanced OR-of-AND on the partition values (the merge touchedPred
-    // convention) — prunes directories at planning time
-    def balanced(cs: Seq[Column]): Column = {
-      var cur = cs
-      while (cur.size > 1) cur = cur.grouped(2).map(_.reduce(_ || _)).toSeq
-      cur.head
-    }
-    val skipPred =
-      if (pcols.size == 1) col(pcols.head).isin(qualifying.map(_.head): _*)
-      else balanced(qualifying.map(tuple =>
-        pcols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)))
-    base.filter(skipPred).filter(pred)
+    base.filter(PartitionedStore.partitionValuesPred(pcols, qualifying))
+      .filter(pred)
   }
 }
