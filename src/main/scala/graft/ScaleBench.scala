@@ -397,7 +397,10 @@ object ScaleBench {
     // the mergeAppend is O(index + batch) against the two-commit write
     // and one full refresh — expect the x164 shape plus the second
     // commit's floor
-    "x165_bloom_maintained")
+    "x165_bloom_maintained",
+    // min/max widen is O(partitions) against the same two-commit
+    // write + refresh — expect the x165 shape minus the ×K explode
+    "x166_zone_maintained")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -6002,4 +6002,38 @@ object ExtQueries {
   val x165Sql: String =
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
        FROM documents WHERE doc_id IN (42, 44)"""
+
+  // --- x166: maintained zone maps (incremental day-over-day) ---------------
+  // x163's maps kept fresh WITHOUT rescanning history: zone(A ∪ B) is
+  // the per-partition min/max merge, so each ingest commit's stats
+  // widen the stored rows at O(index + batch)
+  // (ZoneMaps.mergeAppend). Two-commit ingest of the length-clustered
+  // corpus — refresh after the first, mergeAppend after the second —
+  // then the x163 BETWEEN read with requireFresh = true must still
+  // prune (require'd via selected partitions) and still equal the
+  // plain filter. Pure-append identity to refresh, replay idempotence,
+  // version-gap refusal, and null-range pickup are specced
+  // (ZoneMapsSpec).
+  def x166ZoneMaintained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ManifestStore, PartitionedStore, ZoneMaps}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pt", expr("n_chars div 64L"))
+    val table = FreshTables.next(spark, dir, "zonemnt")
+    ManifestStore.write(spark, docs.filter(col("doc_id") % 3 < 2), table, "pt")
+    ZoneMaps.refresh(spark, table, "n_chars")
+    val day2 = docs.filter(col("doc_id") % 3 === 2)
+    ManifestStore.merge(spark, table, day2, Seq("doc_id"), "pt")
+    ZoneMaps.mergeAppend(spark, table, "n_chars", day2)
+    val out = ZoneMaps.readWhere(spark, table, "n_chars",
+      lo = 150L, hi = 300L, requireFresh = true)
+    val scanned = PartitionedStore.selectedPartitionTotal(out)
+    val total = docs.select(col("pt")).distinct().count()
+    require(scanned > 0L && scanned < total,
+      s"x166: scanned $scanned of $total partitions — the maintained " +
+        "maps skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x166Sql: String = x163Sql
 }

@@ -59,6 +59,46 @@ object ZoneMaps {
       Seq("version" -> version.toLong))
   }
 
+  /** Fold ONE ManifestStore commit's rows into the stored maps WITHOUT
+    * rescanning history: zone(A ∪ B) = [min(lo_A, lo_B), max(hi_A,
+    * hi_B)] per partition, so the batch's min/max widen the stored
+    * rows and the stamp advances — O(index + batch), independent of
+    * the table's history (the [[BloomIndex.mergeAppend]] contract,
+    * same loud version-gap refusal, same replay idempotence). Sound
+    * for replace-merges and deletes too: a removed value can only
+    * leave the range WIDER than the truth, which adds scans, never
+    * loses rows; a full [[refresh]] re-tightens. A stored NULL range
+    * (historically all-null partition) merges away the moment the
+    * batch brings real values — NULLs carry no range constraint.
+    */
+  def mergeAppend(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      batch: DataFrame): Unit = {
+    val zt = zonesT(table, valCol)
+    val meta = StoreSidecar.read(spark, zt, Seq("version"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ZoneMaps: no maps for $table/$valCol — refresh() first"))
+    val current = ManifestStore.currentVersion(spark, table)
+    require(meta("version") + 1 == current.toLong,
+      s"ZoneMaps: maps stamped v${meta("version")} but the snapshot is " +
+        s"v$current — mergeAppend covers exactly ONE commit; refresh()")
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    val batchStats = batch
+      .groupBy(pcols.map(col): _*)
+      .agg(min(col(valCol).cast("long")).as("__lo"),
+        max(col(valCol).cast("long")).as("__hi"))
+    val stored = ManifestStore.read(spark, zt)
+      .select(pcols.map(col) :+ col("__lo") :+ col("__hi"): _*)
+    val merged = stored.unionByName(batchStats)
+      .groupBy(pcols.map(col): _*)
+      .agg(min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+      .withColumn("__zpt", lit(0L))
+    ManifestStore.write(spark, merged, zt, "__zpt")
+    StoreSidecar.write(spark, zt, Seq("version" -> current.toLong))
+  }
+
   /** Rows of `table` with `valCol` in [lo, hi], scanning only the
     * partitions whose zone range overlaps when the maps are fresh —
     * the full (still filtered, still correct) scan when they are not.

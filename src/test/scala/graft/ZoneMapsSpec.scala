@@ -61,6 +61,74 @@ class ZoneMapsSpec extends SparkSpec {
     assert(again.count() == 4L)
   }
 
+  private def rangesOf(root: String) = {
+    val zt = new org.apache.hadoop.fs.Path(root, "_zones/v").toString
+    ManifestStore.read(spark, zt)
+      .select(col("pt"), col("__lo"), col("__hi"))
+      .collect().map(r => (r.get(0).toString, r.get(1), r.get(2))).toSet
+  }
+
+  test("mergeAppend: one commit widens the maps without rescanning history, identical to refresh on pure appends") {
+    val root = fresh()
+    val (first, second) = rows.partition(_._1 % 3 < 2) // pt-mixture in both
+    ManifestStore.write(spark,
+      first.toDF("id", "v").withColumn("pt", expr("v div 300L")), root, "pt")
+    ZoneMaps.refresh(spark, root, "v")
+    val batch = second.toDF("id", "v").withColumn("pt", expr("v div 300L"))
+    ManifestStore.merge(spark, root, batch, Seq("id"), "pt")
+    ZoneMaps.mergeAppend(spark, root, "v", batch)
+    // fresh at the NEW snapshot, skipping intact
+    val out = ZoneMaps.readWhere(spark, root, "v", 310L, 580L, requireFresh = true)
+    assert(PartitionedStore.selectedPartitionTotal(out) >= 1L)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      (104L to 193L).toSet)
+    val merged = rangesOf(root)
+    ZoneMaps.refresh(spark, root, "v")
+    assert(merged == rangesOf(root))
+  }
+
+  test("mergeAppend: refuses a version gap; replay after a crash before the stamp converges") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      rows.toDF("id", "v").withColumn("pt", expr("v div 300L")), root, "pt")
+    ZoneMaps.refresh(spark, root, "v")
+    val b1 = Seq((1001L, 40L)).toDF("id", "v").withColumn("pt", expr("v div 300L"))
+    ManifestStore.merge(spark, root, b1, Seq("id"), "pt")
+    ZoneMaps.mergeAppend(spark, root, "v", b1)
+    val once = rangesOf(root)
+    // crash window: maps committed, stamp not — roll back and replay
+    val zt = new org.apache.hadoop.fs.Path(root, "_zones/v").toString
+    val v = graft.ext.StoreSidecar.read(spark, zt, Seq("version")).get("version")
+    graft.ext.StoreSidecar.write(spark, zt, Seq("version" -> (v - 1)))
+    ZoneMaps.mergeAppend(spark, root, "v", b1)
+    assert(rangesOf(root) == once) // min/max re-merge is idempotent
+    // two commits past the stamp: loud refusal, never false negatives
+    ManifestStore.merge(spark, root,
+      Seq((1002L, 41L)).toDF("id", "v").withColumn("pt", expr("v div 300L")),
+      Seq("id"), "pt")
+    ManifestStore.merge(spark, root,
+      Seq((1003L, 42L)).toDF("id", "v").withColumn("pt", expr("v div 300L")),
+      Seq("id"), "pt")
+    intercept[IllegalArgumentException] {
+      ZoneMaps.mergeAppend(spark, root, "v",
+        Seq((1003L, 42L)).toDF("id", "v").withColumn("pt", expr("v div 300L")))
+    }
+  }
+
+  test("mergeAppend: an all-null history partition picks up the batch's real range") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      Seq((1L, Some(5L), 0L), (2L, None, 1L)).toDF("id", "v", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "v")
+    val batch = Seq((3L, Some(900L), 1L)).toDF("id", "v", "pt")
+    ManifestStore.merge(spark, root, batch, Seq("id"), "pt")
+    ZoneMaps.mergeAppend(spark, root, "v", batch)
+    // pt=1's NULL range merged away: a [800, 1000] read now prunes pt=0
+    val out = ZoneMaps.readWhere(spark, root, "v", 800L, 1000L, requireFresh = true)
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("all-null partitions scan conservatively; mapping a partition column is refused") {
     val root = fresh()
     val df = Seq((1L, Some(5L), 0L), (2L, None, 1L), (3L, None, 1L))
