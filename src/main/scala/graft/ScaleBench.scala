@@ -400,7 +400,11 @@ object ScaleBench {
     "x165_bloom_maintained",
     // min/max widen is O(partitions) against the same two-commit
     // write + refresh — expect the x165 shape minus the ×K explode
-    "x166_zone_maintained")
+    "x166_zone_maintained",
+    // per-batch merge rewrites the day's touched partitions + two
+    // O(index + batch) folds, against the micro-batch + commit floor —
+    // expect the x165/x166 shape plus the scheduling floor
+    "x167_stream_skip")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -6036,4 +6036,74 @@ object ExtQueries {
   }
 
   val x166Sql: String = x163Sql
+
+  // --- x167: stream-fed skipping indexes ------------------------------------
+  // x165/x166 through the streaming door, completing the skipping
+  // indexes' build → maintained → streamed matrix: each micro-batch is
+  // one ingest day — ManifestStore.merge, then maintainAppend on BOTH
+  // indexes (zone maps over the clustering column, blooms over
+  // doc_id). maintainAppend branches on an explicit version probe, so
+  // at-least-once delivery converges at every crash position: a
+  // replayed batch after a completed fold no-ops, a torn window (the
+  // re-delivered commit doubled the version gap) degrades to a full
+  // refresh, never to false negatives. The gate re-delivers the last
+  // day after the drain, then requires BOTH reads to prune under
+  // requireFresh — the range read is the output (x163's oracle), the
+  // point lookup's result is require'd in place.
+  def x167StreamSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore, ZoneMaps}
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pt", expr("n_chars div 64L"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)))
+    val table = FreshTables.next(spark, dir, "sskip")
+    val base = FreshTables.next(spark, dir, "sskipin")
+    // day 0 is the batch bootstrap; days 1-2 arrive as micro-batches
+    ManifestStore.write(spark, docs.filter(col("day") === 0).drop("day"),
+      table, "pt")
+    ZoneMaps.refresh(spark, table, "n_chars")
+    BloomIndex.refresh(spark, table, "doc_id")
+    (1 until 3).foreach { d =>
+      docs.filter(col("day") === d).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.drop("day").cache()
+        ManifestStore.merge(spark, table, b, Seq("doc_id"), "pt")
+        ZoneMaps.maintainAppend(spark, table, "n_chars", b)
+        BloomIndex.maintainAppend(spark, table, "doc_id", b)
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x167: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 2 through the same maintenance path
+    val replay = docs.filter(col("day") === 2).drop("day")
+    ManifestStore.merge(spark, table, replay, Seq("doc_id"), "pt")
+    ZoneMaps.maintainAppend(spark, table, "n_chars", replay)
+    BloomIndex.maintainAppend(spark, table, "doc_id", replay)
+    val hit = BloomIndex.readEq(spark, table, "doc_id", 42L, requireFresh = true)
+    val bScanned = PartitionedStore.selectedPartitionTotal(hit)
+    val total = docs.select(col("pt")).distinct().count()
+    require(bScanned > 0L && bScanned < total,
+      s"x167: point lookup scanned $bScanned of $total partitions")
+    require(hit.count() == 1L, "x167: point lookup lost doc 42")
+    val out = ZoneMaps.readWhere(spark, table, "n_chars",
+      lo = 150L, hi = 300L, requireFresh = true)
+    val zScanned = PartitionedStore.selectedPartitionTotal(out)
+    require(zScanned > 0L && zScanned < total,
+      s"x167: range read scanned $zScanned of $total partitions")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x167Sql: String = x163Sql
 }

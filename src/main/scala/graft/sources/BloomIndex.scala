@@ -142,6 +142,35 @@ object BloomIndex {
       "hashes" -> hashes.toLong))
   }
 
+  /** Total, idempotent per-ingest maintenance — the streaming door's
+    * form of [[mergeAppend]], branching on an EXPLICIT version probe
+    * (never a catch): stamp == snapshot → already folded (a replayed
+    * batch after a successful fold), no-op; one behind → fold the
+    * batch in at O(index + batch); further behind (the replay window
+    * tore — a crash landed between the table commit and the fold, so
+    * the re-delivered commit doubled the gap) → full [[refresh]],
+    * correct at O(table). Every at-least-once replay position
+    * converges: folds are idempotent, the torn window degrades to a
+    * rescan, never to false negatives.
+    */
+  def maintainAppend(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      batch: DataFrame): Unit = {
+    val meta = StoreSidecar
+      .read(spark, bloomT(table, valCol), Seq("version", "bits", "hashes"))
+    val current = ManifestStore.currentVersion(spark, table).toLong
+    meta match {
+      case Some(m) if m("version") == current => () // replay after a completed fold
+      case Some(m) if m("version") + 1 == current =>
+        mergeAppend(spark, table, valCol, batch)
+      case Some(m) => // torn window: rebuild, keeping the sized (m, K)
+        refresh(spark, table, valCol, m("bits").toInt, m("hashes").toInt)
+      case None => refresh(spark, table, valCol)
+    }
+  }
+
   /** Rows of `table` with `valCol = value` (non-null), scanning only
     * the partitions whose bloom might contain the value when the index
     * is fresh — the full (still filtered, still correct) scan when it

@@ -99,6 +99,28 @@ object ZoneMaps {
     StoreSidecar.write(spark, zt, Seq("version" -> current.toLong))
   }
 
+  /** Total, idempotent per-ingest maintenance — the streaming door's
+    * form of [[mergeAppend]], branching on an EXPLICIT version probe
+    * (the [[BloomIndex.maintainAppend]] contract): stamp == snapshot →
+    * no-op (replay after a completed fold); one behind → fold at
+    * O(index + batch); further behind or absent (torn replay window) →
+    * full [[refresh]]. Every at-least-once replay position converges.
+    */
+  def maintainAppend(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      batch: DataFrame): Unit = {
+    val stamped = StoreSidecar
+      .read(spark, zonesT(table, valCol), Seq("version")).map(_("version"))
+    val current = ManifestStore.currentVersion(spark, table).toLong
+    stamped match {
+      case Some(v) if v == current => ()
+      case Some(v) if v + 1 == current => mergeAppend(spark, table, valCol, batch)
+      case _ => refresh(spark, table, valCol)
+    }
+  }
+
   /** Rows of `table` with `valCol` in [lo, hi], scanning only the
     * partitions whose zone range overlaps when the maps are fresh —
     * the full (still filtered, still correct) scan when they are not.

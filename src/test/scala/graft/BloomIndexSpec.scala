@@ -168,6 +168,37 @@ class BloomIndexSpec extends SparkSpec {
     assert(PartitionedStore.selectedPartitionTotal(after) == 0L)
   }
 
+  test("maintainAppend: no-op at stamp==snapshot, fold at gap 1, sized rebuild at a torn window") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      rows.filter(_._3 < 2).toDF("id", "name", "pt"), root, "pt")
+    BloomIndex.refresh(spark, root, "name", bits = 1 << 12, hashes = 3)
+    // gap 0: replay after a completed fold must not touch the index
+    val before = wordsOf(root, "name")
+    BloomIndex.maintainAppend(spark, root, "name",
+      rows.filter(_._3 < 2).toDF("id", "name", "pt"))
+    assert(wordsOf(root, "name") == before)
+    // gap 1: folds
+    val d2 = rows.filter(_._3 == 2).toDF("id", "name", "pt")
+    ManifestStore.merge(spark, root, d2, Seq("id"), "pt")
+    BloomIndex.maintainAppend(spark, root, "name", d2)
+    assert(BloomIndex.readEq(spark, root, "name", "doc_250", requireFresh = true)
+      .count() == 1L)
+    // torn window: two commits land, the batch handed in covers one —
+    // maintainAppend must REBUILD (covering both), keeping (m, K)
+    val d3a = rows.filter(t => t._3 == 3 && t._1 % 2 == 0).toDF("id", "name", "pt")
+    val d3b = rows.filter(t => t._3 == 3 && t._1 % 2 == 1).toDF("id", "name", "pt")
+    ManifestStore.merge(spark, root, d3a, Seq("id"), "pt")
+    ManifestStore.merge(spark, root, d3b, Seq("id"), "pt")
+    BloomIndex.maintainAppend(spark, root, "name", d3b)
+    val found = BloomIndex.readEq(spark, root, "name", "doc_302", requireFresh = true)
+    assert(found.count() == 1L) // d3a's doc — only a full rebuild covers it
+    val bt = new org.apache.hadoop.fs.Path(root, "_bloom/name").toString
+    val meta = graft.ext.StoreSidecar.read(spark, bt,
+      Seq("bits", "hashes")).get
+    assert(meta("bits") == (1L << 12) && meta("hashes") == 3L)
+  }
+
   test("non-string columns hash consistently between refresh and probe") {
     val root = fresh()
     ManifestStore.write(spark, rows.toDF("id", "name", "pt"), root, "pt")

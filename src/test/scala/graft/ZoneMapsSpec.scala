@@ -129,6 +129,35 @@ class ZoneMapsSpec extends SparkSpec {
     assert(out.select(col("id")).collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("maintainAppend: no-op at stamp==snapshot, fold at gap 1, rebuild at a torn window") {
+    val root = fresh()
+    val (first, rest) = rows.partition(_._1 <= 200)
+    ManifestStore.write(spark,
+      first.toDF("id", "v").withColumn("pt", expr("v div 300L")), root, "pt")
+    ZoneMaps.refresh(spark, root, "v")
+    val before = rangesOf(root)
+    ZoneMaps.maintainAppend(spark, root, "v",
+      first.toDF("id", "v").withColumn("pt", expr("v div 300L")))
+    assert(rangesOf(root) == before) // gap 0 → untouched
+    val (b1, b2) = rest.partition(_._1 <= 300)
+    val d1 = b1.toDF("id", "v").withColumn("pt", expr("v div 300L"))
+    ManifestStore.merge(spark, root, d1, Seq("id"), "pt")
+    ZoneMaps.maintainAppend(spark, root, "v", d1) // gap 1 → fold
+    // torn window: two commits, one batch handed in → rebuild covers both
+    val (d2a, d2b) = (b2.filter(_._1 % 2 == 0), b2.filter(_._1 % 2 == 1))
+    ManifestStore.merge(spark, root,
+      d2a.toDF("id", "v").withColumn("pt", expr("v div 300L")), Seq("id"), "pt")
+    ManifestStore.merge(spark, root,
+      d2b.toDF("id", "v").withColumn("pt", expr("v div 300L")), Seq("id"), "pt")
+    ZoneMaps.maintainAppend(spark, root, "v",
+      d2b.toDF("id", "v").withColumn("pt", expr("v div 300L")))
+    val out = ZoneMaps.readWhere(spark, root, "v", 1L, 1200L, requireFresh = true)
+    assert(out.count() == 400L) // nothing lost anywhere in the window
+    val narrow = ZoneMaps.readWhere(spark, root, "v", 310L, 580L, requireFresh = true)
+    assert(narrow.count() == 90L)
+    assert(PartitionedStore.selectedPartitionTotal(narrow) < 5L)
+  }
+
   test("all-null partitions scan conservatively; mapping a partition column is refused") {
     val root = fresh()
     val df = Seq((1L, Some(5L), 0L), (2L, None, 1L), (3L, None, 1L))
