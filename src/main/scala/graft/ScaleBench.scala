@@ -404,7 +404,11 @@ object ScaleBench {
     // per-batch merge rewrites the day's touched partitions + two
     // O(index + batch) folds, against the micro-batch + commit floor —
     // expect the x165/x166 shape plus the scheduling floor
-    "x167_stream_skip")
+    "x167_stream_skip",
+    // write + three refreshes are the linear term; the composite read
+    // intersects O(partitions) routing sets and opens the surviving
+    // cells only — expect ~linear, read share shrinking
+    "x168_composite_skip")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

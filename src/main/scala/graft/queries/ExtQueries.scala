@@ -6106,4 +6106,61 @@ object ExtQueries {
   }
 
   val x167Sql: String = x163Sql
+
+  // --- x168: composite skipping over a Z-ordered layout --------------------
+  // The payoff x43 promised, made queryable end-to-end: the corpus is
+  // laid out by Morton z-bucket over (n_chars, doc_id)
+  // (graft.ext.ZOrder — each of B buckets covers ~1/sqrt(B) of EACH
+  // dimension's range), zone maps are refreshed on both columns plus a
+  // bloom on lang, and a 3-conjunct query goes through
+  // SkippingIndexes.readWhere: every fresh index's qualifying set is
+  // INTERSECTED, so the two range predicates prune multiplicatively —
+  // require'd: the composite scan opens at most as many partitions as
+  // either single-predicate scan, and strictly fewer than the table
+  // holds. Results equal the plain 3-conjunct filter (each set
+  // over-approximates, the intersection over-approximates the
+  // conjunction, the residual filter always applies).
+  def x168CompositeSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore,
+      SkippingIndexes, ZoneMaps}
+    import graft.sources.SkippingIndexes.{Between, Eq}
+    import graft.ext.ZOrder
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val b = docs.agg(
+      min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long"),
+      min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+    val zv = ZOrder.zValue(
+      ZOrder.rank16(col("n_chars"), lit(b.getLong(0)), lit(b.getLong(1))),
+      ZOrder.rank16(col("doc_id"), lit(b.getLong(2)), lit(b.getLong(3))))
+    val table = FreshTables.next(spark, dir, "zskip")
+    ManifestStore.write(spark,
+      docs.withColumn("__zv", zv)
+        .withColumn("pt", expr(s"(__zv * 16) div ${1L << 32}"))
+        .drop("__zv"),
+      table, "pt")
+    ZoneMaps.refresh(spark, table, "n_chars")
+    ZoneMaps.refresh(spark, table, "doc_id")
+    BloomIndex.refresh(spark, table, "lang")
+    val preds = Seq(Between("n_chars", 150L, 300L),
+      Between("doc_id", 100L, 249L), Eq("lang", "fr"))
+    val out = SkippingIndexes.readWhere(spark, table, preds, requireFresh = true)
+    val sBoth = PartitionedStore.selectedPartitionTotal(out)
+    val singles = preds.take(2).map { p =>
+      PartitionedStore.selectedPartitionTotal(
+        SkippingIndexes.readWhere(spark, table, Seq(p), requireFresh = true))
+    }
+    val total = ManifestStore.read(spark, table)
+      .select(col("pt")).distinct().count()
+    require(sBoth > 0L && sBoth <= singles.min && singles.max < total,
+      s"x168: composite scanned $sBoth, singles $singles, of $total — " +
+        "the z-layout intersection bought nothing")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x168Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents
+       WHERE n_chars BETWEEN 150 AND 300 AND doc_id BETWEEN 100 AND 249
+         AND lang = 'fr'"""
 }

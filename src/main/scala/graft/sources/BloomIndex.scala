@@ -185,18 +185,43 @@ object BloomIndex {
       requireFresh: Boolean = false): DataFrame = {
     require(value != null, "BloomIndex.readEq: `col = null` is never true")
     val pred = col(valCol) === lit(value)
+    qualifying(spark, table, valCol, value) match {
+      case None =>
+        require(!requireFresh,
+          s"BloomIndex: $table/$valCol index is absent or stale — " +
+            "refresh() before a requireFresh read")
+        ManifestStore.read(spark, table).filter(pred)
+      case Some(quals) =>
+        val base = ManifestStore.read(spark, table)
+        if (quals.isEmpty) base.limit(0).filter(pred)
+        else {
+          val pcols = ManifestStore.partitionColsOf(spark, table)
+          base.filter(PartitionedStore.partitionValuesPred(pcols, quals))
+            .filter(pred)
+        }
+    }
+  }
+
+  /** The partitions whose bloom might contain `value` — the routing
+    * half of [[readEq]], exposed for composite planning
+    * ([[SkippingIndexes]]): None when the index is absent or stale,
+    * Some(partition-value tuples) when fresh. All-null partitions have
+    * no bloom row and never qualify (sound: the probed value is
+    * non-null). O(partitions) driver-side routing metadata.
+    */
+  def qualifying(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      value: Any): Option[Seq[Seq[Any]]] = {
+    require(value != null, "BloomIndex: `col = null` is never true")
     val bt = bloomT(table, valCol)
     val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
-    val current = ManifestStore.currentVersion(spark, table)
-    val fresh = meta.exists(_("version") == current.toLong)
-    require(fresh || !requireFresh,
-      s"BloomIndex: $table/$valCol index is stamped " +
-        s"v${meta.map(_("version")).getOrElse(-1L)} but the snapshot is " +
-        s"v$current — refresh() before a requireFresh read")
-    if (!fresh) return ManifestStore.read(spark, table).filter(pred)
-    val stamped = meta.get // fresh implies Some
-    val bits = stamped("bits")
-    val hashes = stamped("hashes").toInt
+      .getOrElse(return None)
+    if (meta("version") != ManifestStore.currentVersion(spark, table).toLong)
+      return None
+    val bits = meta("bits")
+    val hashes = meta("hashes").toInt
     // the value's K positions, computed through the SAME expressions as
     // refresh (one 1-row local job — no second hash implementation to
     // drift); collapsed to per-word masks (two hashes may share a word)
@@ -212,16 +237,9 @@ object BloomIndex {
         .bitwiseAND(lit(msk)) === lit(msk)
     }.reduce(_ && _)
     val pcols = ManifestStore.partitionColsOf(spark, table)
-    // qualifying partitions: O(partitions)-row side-table scan, collect
-    // is routing metadata; all-null partitions have no row => skipped
-    // (sound: the probed value is non-null)
-    val qualifying = ManifestStore.read(spark, bt)
+    Some(ManifestStore.read(spark, bt)
       .filter(mightContain)
       .select(pcols.map(col): _*)
-      .collect().map(r => pcols.indices.map(r.get))
-    val base = ManifestStore.read(spark, table)
-    if (qualifying.isEmpty) return base.limit(0).filter(pred)
-    base.filter(PartitionedStore.partitionValuesPred(pcols, qualifying.toSeq))
-      .filter(pred)
+      .collect().toSeq.map(r => pcols.indices.map(r.get)))
   }
 }

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite data-skipping planner over a [[ManifestStore]] table — the
+  * Delta/Iceberg "combine all file statistics" step at partition
+  * granularity: a conjunction of predicates consults every FRESH index
+  * it can ([[ZoneMaps]] for ranges, [[BloomIndex]] for point lookups),
+  * INTERSECTS their qualifying partition sets (a partition must survive
+  * every skipping claim to be scanned), and applies the full predicate
+  * as the residual filter on the pruned scan. Predicates with no fresh
+  * index contribute no pruning — only their residual filter.
+  *
+  * This is what makes a Z-ordered layout pay off: each dimension's zone
+  * maps prune moderately on their own, and the intersection prunes
+  * multiplicatively (~1/sqrt(B) per dimension of a B-bucket Z-layout,
+  * [[graft.ext.ZOrder]]).
+  *
+  * Correctness never depends on the indexes: each qualifying set
+  * over-approximates its predicate's matches (no false negatives —
+  * specced per index), an intersection of over-approximations
+  * over-approximates the conjunction, and the residual filter is always
+  * applied in full. A stale index silently contributes nothing
+  * (correctness-first); `requireFresh = true` instead demands EVERY
+  * predicate's index be present and fresh — the ops-gate mode where a
+  * non-pruning read is a bug, not a degrade.
+  *
+  * 100 TB shape: each qualifying set is O(partitions) driver-side
+  * routing metadata from an O(partitions)-row side-table scan; the
+  * intersection is set arithmetic on that metadata; the data scan
+  * prunes at planning time via the shared balanced OR-of-AND predicate.
+  */
+object SkippingIndexes {
+
+  /** A skippable conjunct: ranges consult [[ZoneMaps]], equalities
+    * consult [[BloomIndex]].
+    */
+  sealed trait Pred { def column: String }
+  final case class Between(column: String, lo: Long, hi: Long) extends Pred
+  final case class Eq(column: String, value: Any) extends Pred
+
+  private def residual(p: Pred): Column = p match {
+    case Between(c, lo, hi) => col(c).cast("long").between(lo, hi)
+    case Eq(c, v) => col(c) === lit(v)
+  }
+
+  /** Rows satisfying ALL `preds`, scanning only the partitions that
+    * survive every fresh index's qualifying set.
+    */
+  def readWhere(
+      spark: SparkSession,
+      table: String,
+      preds: Seq[Pred],
+      requireFresh: Boolean = false): DataFrame = {
+    require(preds.nonEmpty, "SkippingIndexes.readWhere: no predicates")
+    val pred = preds.map(residual).reduce(_ && _)
+    val sets = preds.map {
+      case Between(c, lo, hi) => ZoneMaps.qualifying(spark, table, c, lo, hi)
+      case Eq(c, v) => BloomIndex.qualifying(spark, table, c, v)
+    }
+    require(!requireFresh || sets.forall(_.isDefined),
+      s"SkippingIndexes: ${sets.count(_.isEmpty)} of ${preds.size} " +
+        s"predicates on $table have no fresh index — refresh() before a " +
+        "requireFresh read")
+    val base = ManifestStore.read(spark, table)
+    val contributing = sets.flatten.map(_.toSet)
+    if (contributing.isEmpty) return base.filter(pred)
+    val surviving = contributing.reduce(_ intersect _)
+    if (surviving.isEmpty) return base.limit(0).filter(pred)
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    base.filter(PartitionedStore.partitionValuesPred(pcols, surviving.toSeq))
+      .filter(pred)
+  }
+}

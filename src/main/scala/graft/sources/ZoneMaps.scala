@@ -134,26 +134,46 @@ object ZoneMaps {
       hi: Long,
       requireFresh: Boolean = false): DataFrame = {
     val pred = col(valCol).cast("long").between(lo, hi)
+    qualifying(spark, table, valCol, lo, hi) match {
+      case None =>
+        require(!requireFresh,
+          s"ZoneMaps: $table/$valCol maps are absent or stale — refresh() " +
+            "before a requireFresh read")
+        ManifestStore.read(spark, table).filter(pred)
+      case Some(quals) =>
+        val base = ManifestStore.read(spark, table)
+        if (quals.isEmpty) base.limit(0).filter(pred)
+        else {
+          val pcols = ManifestStore.partitionColsOf(spark, table)
+          base.filter(PartitionedStore.partitionValuesPred(pcols, quals))
+            .filter(pred)
+        }
+    }
+  }
+
+  /** The partitions whose measured range can overlap [lo, hi] — the
+    * routing half of [[readWhere]], exposed for composite planning
+    * ([[SkippingIndexes]]): None when the maps are absent or stale (no
+    * skipping claim can be made), Some(partition-value tuples in
+    * partition-column order) when fresh. NULL ranges (all-null
+    * partitions) qualify conservatively. O(partitions) driver-side
+    * routing metadata.
+    */
+  def qualifying(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      lo: Long,
+      hi: Long): Option[Seq[Seq[Any]]] = {
     val zt = zonesT(table, valCol)
     val stamped = StoreSidecar.read(spark, zt, Seq("version"))
       .map(_("version").toInt)
-    val current = ManifestStore.currentVersion(spark, table)
-    val fresh = stamped.contains(current)
-    require(fresh || !requireFresh,
-      s"ZoneMaps: $table/$valCol maps are stamped v${stamped.getOrElse(-1)} " +
-        s"but the snapshot is v$current — refresh() before a requireFresh read")
-    if (!fresh) return ManifestStore.read(spark, table).filter(pred)
+    if (!stamped.contains(ManifestStore.currentVersion(spark, table)))
+      return None
     val pcols = ManifestStore.partitionColsOf(spark, table)
-    // qualifying = ranges that can overlap [lo, hi]; NULL ranges
-    // (all-null partitions) are conservatively scanned — O(partitions)
-    // driver-side routing metadata, the ManifestStore listing class
-    val qualifying = ManifestStore.read(spark, zt)
+    Some(ManifestStore.read(spark, zt)
       .filter(col("__lo").isNull || (col("__lo") <= hi && col("__hi") >= lo))
       .select(pcols.map(col): _*)
-      .collect().map(r => pcols.indices.map(r.get))
-    val base = ManifestStore.read(spark, table)
-    if (qualifying.isEmpty) return base.limit(0).filter(pred)
-    base.filter(PartitionedStore.partitionValuesPred(pcols, qualifying))
-      .filter(pred)
+      .collect().toSeq.map(r => pcols.indices.map(r.get)))
   }
 }

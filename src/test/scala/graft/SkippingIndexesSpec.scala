@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{BloomIndex, ManifestStore, PartitionedStore, SkippingIndexes, ZoneMaps}
+import graft.sources.SkippingIndexes.{Between, Eq}
+
+/** Composite skipping (x168): intersection prunes multiplicatively on
+  * grid layouts, stale indexes degrade silently, correctness never
+  * depends on any index.
+  */
+class SkippingIndexesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    s"/tmp/graft/skpspec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  // a 4x4 grid layout: x and y each cluster within a pt cell — each
+  // dimension's zone maps prune to one STRIPE, the intersection to one CELL
+  private val grid = for (i <- 0L until 400L) yield {
+    val (x, y) = (i % 20, i / 20)
+    (i, s"n_$i", x * 50, y * 50, (x / 5) * 4 + (y / 5))
+  }
+
+  test("intersection scans one cell where each single index scans a stripe") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "x")
+    ZoneMaps.refresh(spark, root, "y")
+    val both = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("x", 300L, 400L), Between("y", 300L, 400L)),
+      requireFresh = true)
+    val one = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("x", 300L, 400L)), requireFresh = true)
+    val sBoth = PartitionedStore.selectedPartitionTotal(both)
+    val sOne = PartitionedStore.selectedPartitionTotal(one)
+    assert(sBoth == 1L && sOne == 4L) // a cell vs an x-stripe
+    val expected = grid.filter(g => g._3 >= 300 && g._3 <= 400 &&
+      g._4 >= 300 && g._4 <= 400).map(_._1).toSet
+    assert(both.select(col("id")).collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("a bloom Eq composes with zone ranges; an indexless predicate only filters") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "x")
+    BloomIndex.refresh(spark, root, "name")
+    // n_137: x = 137%20*50 = 850, y = 137/20*50 = 300
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(Eq("name", "n_137"), Between("x", 800L, 900L), Between("y", 0L, 2000L)))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(137L))
+    // the y predicate has no maps: silent in default mode, loud in requireFresh
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+    intercept[IllegalArgumentException] {
+      SkippingIndexes.readWhere(spark, root,
+        Seq(Between("y", 0L, 2000L)), requireFresh = true)
+    }
+  }
+
+  test("stale indexes contribute nothing; the residual filter keeps results exact") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "x")
+    ManifestStore.merge(spark, root,
+      Seq((1000L, "n_new", 325L, 325L, 10L)).toDF("id", "name", "x", "y", "pt"),
+      Seq("id"), "pt")
+    // maps predate the merge: no pruning, but the new row is found
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("x", 300L, 400L), Between("y", 300L, 400L)))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet
+      .contains(1000L))
+    assert(PartitionedStore.selectedPartitionTotal(out) == 16L) // all cells
+  }
+
+  test("an out-of-domain range proves the table empty without scanning it") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "x")
+    ZoneMaps.refresh(spark, root, "y")
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("x", 2000L, 3000L), Between("y", 300L, 400L)),
+      requireFresh = true)
+    assert(out.count() == 0L)
+    assert(PartitionedStore.selectedPartitionTotal(out) == 0L)
+  }
+}
