@@ -74,6 +74,38 @@ class SkippingIndexesSpec extends SparkSpec {
     assert(PartitionedStore.selectedPartitionTotal(out) == 16L) // all cells
   }
 
+  test("lifecycle interplay: vacuum keeps indexes fresh, compact stales them, an empty fold re-stamps") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.filter(_._1 < 300).toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "x")
+    BloomIndex.refresh(spark, root, "name")
+    val d2 = grid.filter(_._1 >= 300).toDF("id", "name", "x", "y", "pt")
+    ManifestStore.merge(spark, root, d2, Seq("id"), "pt")
+    ZoneMaps.maintainAppend(spark, root, "x", d2)
+    BloomIndex.maintainAppend(spark, root, "name", d2)
+    val preds = Seq(Between("x", 300L, 400L), Eq("name", "n_126"))
+    def readBoth() = SkippingIndexes.readWhere(spark, root, preds,
+      requireFresh = true)
+    assert(readBoth().select(col("id")).collect()
+      .map(_.getLong(0)).toSeq == Seq(126L))
+    // vacuum drops superseded files only — no manifest flip, still fresh
+    ManifestStore.vacuum(spark, root, minAgeMillis = 0L)
+    assert(readBoth().count() == 1L)
+    // compact flips a (content-identical) manifest — the stamps now lie
+    // one version behind and requireFresh is LOUD
+    assert(ManifestStore.compact(spark, root) > 0)
+    intercept[IllegalArgumentException] { readBoth() }
+    // the cheap response: fold an EMPTY batch — content is unchanged, so
+    // maintainAppend just re-stamps at O(index), no table rescan
+    val empty = ManifestStore.read(spark, root).limit(0)
+    ZoneMaps.maintainAppend(spark, root, "x", empty)
+    BloomIndex.maintainAppend(spark, root, "name", empty)
+    val out = readBoth()
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(126L))
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+  }
+
   test("an out-of-domain range proves the table empty without scanning it") {
     val root = fresh()
     ManifestStore.write(spark,
