@@ -408,7 +408,10 @@ object ScaleBench {
     // write + three refreshes are the linear term; the composite read
     // intersects O(partitions) routing sets and opens the surviving
     // cells only — expect ~linear, read share shrinking
-    "x168_composite_skip")
+    "x168_composite_skip",
+    // the x168 shape with the three refreshes merged into two jobs —
+    // expect ~linear with a smaller refresh constant than x168's
+    "x169_refresh_all")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

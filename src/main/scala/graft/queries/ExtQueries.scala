@@ -6163,4 +6163,53 @@ object ExtQueries {
        FROM documents
        WHERE n_chars BETWEEN 150 AND 300 AND doc_id BETWEEN 100 AND 249
          AND lang = 'fr'"""
+
+  // --- x169: merged-pass index refresh --------------------------------------
+  // x168's three indexes rebuilt by SkippingIndexes.refreshAll in TWO
+  // jobs instead of three: all zone columns share one aggregate (one
+  // scan, one shuffle to O(partitions) rows carrying every column's
+  // [lo, hi]) and the bloom shares one tagged-explode aggregate — the
+  // refresh-cost story when a 100 TB table carries many indexed
+  // columns, since each merged pass costs ~the widest single one, not
+  // the sum (plan law specced: one leaf scan, bounded shuffles,
+  // side-table content identical to single-column refreshes). The gate
+  // then runs the composite read over the merged-built indexes:
+  // pruning require'd, results equal the plain filter.
+  def x169RefreshAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ManifestStore, PartitionedStore, SkippingIndexes}
+    import graft.sources.SkippingIndexes.{Between, Eq}
+    import graft.ext.ZOrder
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val b = docs.agg(
+      min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long"),
+      min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+    val zv = ZOrder.zValue(
+      ZOrder.rank16(col("n_chars"), lit(b.getLong(0)), lit(b.getLong(1))),
+      ZOrder.rank16(col("doc_id"), lit(b.getLong(2)), lit(b.getLong(3))))
+    val table = FreshTables.next(spark, dir, "refall")
+    ManifestStore.write(spark,
+      docs.withColumn("__zv", zv)
+        .withColumn("pt", expr(s"(__zv * 16) div ${1L << 32}"))
+        .drop("__zv"),
+      table, "pt")
+    SkippingIndexes.refreshAll(spark, table,
+      zoneCols = Seq("n_chars", "doc_id"), bloomCols = Seq("lang"))
+    val out = SkippingIndexes.readWhere(spark, table,
+      Seq(Between("n_chars", 150L, 300L), Between("doc_id", 50L, 199L),
+        Eq("lang", "de")), requireFresh = true)
+    val scanned = PartitionedStore.selectedPartitionTotal(out)
+    val total = ManifestStore.read(spark, table)
+      .select(col("pt")).distinct().count()
+    require(scanned > 0L && scanned < total,
+      s"x169: scanned $scanned of $total partitions — the merged-pass " +
+        "indexes skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x169Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents
+       WHERE n_chars BETWEEN 150 AND 300 AND doc_id BETWEEN 50 AND 199
+         AND lang = 'de'"""
 }

@@ -57,29 +57,73 @@ object BloomIndex {
       bits: Int = 1 << 17,
       hashes: Int = 5): Unit = {
     val pcols = ManifestStore.partitionColsOf(spark, table)
+    requireMappable(pcols, valCol, bits, hashes)
+    val version = ManifestStore.currentVersion(spark, table)
+    val packed = packedFrame(
+      ManifestStore.read(spark, table), pcols, Seq(valCol), bits, hashes)
+      .filter(col("__c") === valCol).drop("__c")
+    commitPacked(spark, table, valCol, packed, version, bits, hashes)
+  }
+
+  private[sources] def requireMappable(
+      pcols: Seq[String], valCol: String, bits: Int, hashes: Int): Unit = {
     require(!pcols.contains(valCol),
-      s"BloomIndex: $valCol is a partition column of $table — partition " +
-        "pruning already skips on it; a bloom adds nothing")
+      s"BloomIndex: $valCol is a partition column — partition pruning " +
+        "already skips on it; a bloom adds nothing")
     require(bits >= 64 && hashes >= 1,
       s"BloomIndex: need bits >= 64 and hashes >= 1, got ($bits, $hashes)")
-    val version = ManifestStore.currentVersion(spark, table)
+  }
+
+  /** Per-partition packed blooms of EVERY listed column in ONE pass —
+    * one scan, one (partition, column, word) shuffle, however many
+    * columns ([[SkippingIndexes.refreshAll]]'s bloom half). Each row's
+    * K positions per column are tagged with the column name and
+    * exploded together; a column's NULL rows carry a keep=false flag
+    * and drop after the explode (codegen'd — no higher-order-function
+    * filter). Output: `pcols + __c (column name) + __words`.
+    */
+  private[graft] def packedFrame(
+      snapshot: DataFrame,
+      pcols: Seq[String],
+      valCols: Seq[String],
+      bits: Int,
+      hashes: Int): DataFrame = {
     // the value is hashed THROUGH ITS STRING FORM so the probe (a
     // driver-side literal) provably hashes like the refresh (a column)
-    val positions = (0 until hashes).map(i =>
-      pmod(xxhash64(col(valCol).cast("string"), lit(i)), lit(bits.toLong)))
-    val words = ManifestStore.read(spark, table)
-      .filter(col(valCol).isNotNull)
-      .select(pcols.map(col) :+ explode(array(positions: _*)).as("__pos"): _*)
-      .groupBy(pcols.map(col) :+ expr("__pos div 64").as("__w"): _*)
+    val entries = valCols.flatMap(c => (0 until hashes).map(i => struct(
+      lit(c).as("__c"),
+      pmod(xxhash64(col(c).cast("string"), lit(i)), lit(bits.toLong))
+        .as("__pos"),
+      col(c).isNotNull.as("__keep"))))
+    snapshot
+      .select(pcols.map(col) :+ explode(array(entries: _*)).as("__e"): _*)
+      .filter(col("__e.__keep"))
+      .select(pcols.map(col) :+ col("__e.__c").as("__c") :+
+        col("__e.__pos").as("__pos"): _*)
+      .groupBy(pcols.map(col) :+ col("__c") :+ expr("__pos div 64").as("__w"): _*)
       .agg(bit_or(expr(
         "shiftleft(cast(1 as bigint), cast(pmod(__pos, 64) as int))"))
         .as("__bits"))
-    val packed = words
-      .groupBy(pcols.map(col): _*)
+      .groupBy(pcols.map(col) :+ col("__c"): _*)
       .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
         .as("__words"))
-      .withColumn("__bpt", lit(0L))
-    ManifestStore.write(spark, packed, bloomT(table, valCol), "__bpt")
+  }
+
+  /** Commit one column's packed words (`pcols + __words`) as the
+    * `_bloom/<col>` side table stamped at `version` — which the caller
+    * read BEFORE the snapshot (the [[ZoneMaps.commitStats]]
+    * under-stamping argument).
+    */
+  private[sources] def commitPacked(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      packed: DataFrame,
+      version: Int,
+      bits: Int,
+      hashes: Int): Unit = {
+    ManifestStore.write(spark, packed.withColumn("__bpt", lit(0L)),
+      bloomT(table, valCol), "__bpt")
     StoreSidecar.write(spark, bloomT(table, valCol), Seq(
       "version" -> version.toLong,
       "bits" -> bits.toLong,

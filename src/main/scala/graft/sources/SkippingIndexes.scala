@@ -45,6 +45,56 @@ object SkippingIndexes {
     case Eq(c, v) => col(c) === lit(v)
   }
 
+  /** (Re)build EVERY listed index in TWO jobs, however many columns —
+    * the refresh-cost story at 100 TB. N single-column refreshes pay N
+    * scans and N shuffles; here all zone columns share ONE aggregate
+    * (one scan, one shuffle to O(partitions) rows carrying every
+    * column's [lo, hi]) and all bloom columns share ONE tagged-explode
+    * aggregate (one scan, one (partition, column, word) shuffle) —
+    * each single refresh is already column-pruned on parquet, so the
+    * merged passes cost ~the widest single one, not the sum. The tiny
+    * merged frames (O(partitions [× columns × words])) are
+    * materialized ([[graft.ext.Dedup.materialize]]) so the per-column
+    * commits slice them without recomputing the table pass. The
+    * snapshot version is read BEFORE the scans: a commit racing in
+    * only under-stamps, degrading to the safe full scan, never to
+    * false negatives.
+    */
+  def refreshAll(
+      spark: SparkSession,
+      table: String,
+      zoneCols: Seq[String],
+      bloomCols: Seq[String],
+      bits: Int = 1 << 17,
+      hashes: Int = 5): Unit = {
+    require(zoneCols.nonEmpty || bloomCols.nonEmpty,
+      "SkippingIndexes.refreshAll: nothing to refresh")
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    zoneCols.foreach(ZoneMaps.requireMappable(pcols, _))
+    bloomCols.foreach(BloomIndex.requireMappable(pcols, _, bits, hashes))
+    val version = ManifestStore.currentVersion(spark, table)
+    if (zoneCols.nonEmpty) {
+      val wide = graft.ext.Dedup.materialize(
+        ZoneMaps.statsFrame(ManifestStore.read(spark, table), pcols, zoneCols))
+      zoneCols.foreach { c =>
+        ZoneMaps.commitStats(spark, table, c,
+          wide.select(pcols.map(col) :+ col(s"__lo_$c").as("__lo") :+
+            col(s"__hi_$c").as("__hi"): _*),
+          version)
+      }
+    }
+    if (bloomCols.nonEmpty) {
+      val packed = graft.ext.Dedup.materialize(
+        BloomIndex.packedFrame(ManifestStore.read(spark, table), pcols,
+          bloomCols, bits, hashes))
+      bloomCols.foreach { c =>
+        BloomIndex.commitPacked(spark, table, c,
+          packed.filter(col("__c") === c).drop("__c"),
+          version, bits, hashes)
+      }
+    }
+  }
+
   /** Rows satisfying ALL `preds`, scanning only the partitions that
     * survive every fresh index's qualifying set.
     */

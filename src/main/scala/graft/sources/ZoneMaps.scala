@@ -45,16 +45,48 @@ object ZoneMaps {
     */
   def refresh(spark: SparkSession, table: String, valCol: String): Unit = {
     val pcols = ManifestStore.partitionColsOf(spark, table)
-    require(!pcols.contains(valCol),
-      s"ZoneMaps: $valCol is a partition column of $table — partition " +
-        "pruning already skips on it; zone maps add nothing")
+    requireMappable(pcols, valCol)
     val version = ManifestStore.currentVersion(spark, table)
-    val stats = ManifestStore.read(spark, table)
-      .groupBy(pcols.map(col): _*)
-      .agg(min(col(valCol).cast("long")).as("__lo"),
-        max(col(valCol).cast("long")).as("__hi"))
-      .withColumn("__zpt", lit(0L))
-    ManifestStore.write(spark, stats, zonesT(table, valCol), "__zpt")
+    val stats = statsFrame(ManifestStore.read(spark, table), pcols, Seq(valCol))
+      .select(pcols.map(col) :+ col(s"__lo_$valCol").as("__lo") :+
+        col(s"__hi_$valCol").as("__hi"): _*)
+    commitStats(spark, table, valCol, stats, version)
+  }
+
+  private[sources] def requireMappable(pcols: Seq[String], valCol: String): Unit =
+    require(!pcols.contains(valCol),
+      s"ZoneMaps: $valCol is a partition column — partition pruning " +
+        "already skips on it; zone maps add nothing")
+
+  /** Per-partition [lo, hi] of EVERY listed column in ONE aggregate —
+    * one scan, one shuffle, however many columns
+    * ([[SkippingIndexes.refreshAll]]'s zone half). Output columns
+    * `__lo_<c>` / `__hi_<c>` per input column.
+    */
+  private[graft] def statsFrame(
+      snapshot: DataFrame,
+      pcols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val aggs = valCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"),
+      max(col(c).cast("long")).as(s"__hi_$c")))
+    snapshot.groupBy(pcols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Commit one column's measured stats (`pcols + __lo + __hi`) as the
+    * `_zones/<col>` side table stamped at `version` — which the caller
+    * read BEFORE the snapshot (a commit racing in between then only
+    * under-stamps, degrading to the safe full scan, never to false
+    * negatives).
+    */
+  private[sources] def commitStats(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      stats: DataFrame,
+      version: Int): Unit = {
+    ManifestStore.write(spark, stats.withColumn("__zpt", lit(0L)),
+      zonesT(table, valCol), "__zpt")
     StoreSidecar.write(spark, zonesT(table, valCol),
       Seq("version" -> version.toLong))
   }

@@ -106,6 +106,56 @@ class SkippingIndexesSpec extends SparkSpec {
     assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
   }
 
+  test("refreshAll: identical side tables to single-column refreshes, from merged one-scan passes") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    SkippingIndexes.refreshAll(spark, root,
+      zoneCols = Seq("x", "y"), bloomCols = Seq("name", "id"))
+    // maps compare as exploded (word, bits) entries — collect_list
+    // packing order is nondeterministic, the entry SET is the content
+    def sideTables() = {
+      val zones = Seq("_zones/x", "_zones/y").map { st =>
+        val p = new org.apache.hadoop.fs.Path(root, st).toString
+        ManifestStore.read(spark, p).select(col("pt"), col("__lo"), col("__hi"))
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      }
+      val blooms = Seq("_bloom/name", "_bloom/id").map { st =>
+        val p = new org.apache.hadoop.fs.Path(root, st).toString
+        ManifestStore.read(spark, p)
+          .select(col("pt"), explode(col("__words")).as(Seq("__w", "__b")))
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      }
+      zones ++ blooms
+    }
+    val merged = sideTables()
+    ZoneMaps.refresh(spark, root, "x")
+    ZoneMaps.refresh(spark, root, "y")
+    BloomIndex.refresh(spark, root, "name")
+    BloomIndex.refresh(spark, root, "id")
+    assert(sideTables() == merged)
+    // the merged builders: one table scan, bounded shuffles, any column count
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.count() // force AQE finalization
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val pcols = Seq("pt")
+    val zPlan = planOf(ZoneMaps.statsFrame(
+      ManifestStore.read(spark, root), pcols, Seq("x", "y")))
+    assert("Scan parquet".r.findAllIn(zPlan).length == 1, s"one scan:\n$zPlan")
+    assert("Exchange".r.findAllIn(zPlan).length == 1, s"one shuffle:\n$zPlan")
+    val bPlan = planOf(BloomIndex.packedFrame(
+      ManifestStore.read(spark, root), pcols, Seq("name", "id"), 1 << 17, 5))
+    assert("Scan parquet".r.findAllIn(bPlan).length == 1, s"one scan:\n$bPlan")
+    assert("Exchange".r.findAllIn(bPlan).length <= 2, s"two shuffles:\n$bPlan")
+    // and the composite read over the refreshAll-built indexes prunes
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("x", 300L, 400L), Between("y", 300L, 400L),
+        Eq("name", "n_126")), requireFresh = true)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(126L))
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+  }
+
   test("an out-of-domain range proves the table empty without scanning it") {
     val root = fresh()
     ManifestStore.write(spark,
