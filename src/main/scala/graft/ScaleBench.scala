@@ -411,7 +411,11 @@ object ScaleBench {
     "x168_composite_skip",
     // the x168 shape with the three refreshes merged into two jobs —
     // expect ~linear with a smaller refresh constant than x168's
-    "x169_refresh_all")
+    "x169_refresh_all",
+    // the x164 shape with a 3-key probe: one local hash job regardless
+    // of key count, the read opens the ≤3 matching partitions —
+    // expect ~linear from write+refresh, read flat
+    "x170_bloom_in")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -6212,4 +6212,35 @@ object ExtQueries {
        FROM documents
        WHERE n_chars BETWEEN 150 AND 300 AND doc_id BETWEEN 50 AND 199
          AND lang = 'de'"""
+
+  // --- x170: bloom IN-list lookup -------------------------------------------
+  // The multi-key form of x164 — "fetch THESE documents from the
+  // corpus" (eval-set extraction, spot checks, per-id debugging): one
+  // local job hashes every probed key, a partition is scanned when its
+  // bloom might contain ANY of them, and the IN-list always applies as
+  // the residual. Over the language-partitioned layout the three keys
+  // live in ≤3 partitions; the gate requires the scan stays under the
+  // partition count and over zero. Past a few hundred keys readIn
+  // refuses loudly (a broadcast semi-join is the right tool there) —
+  // the boundary is documented, not silent.
+  def x170BloomIn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val table = FreshTables.next(spark, dir, "bloomin")
+    ManifestStore.write(spark, docs.withColumn("pt", col("lang")), table, "pt")
+    BloomIndex.refresh(spark, table, "doc_id")
+    val out = BloomIndex.readIn(spark, table, "doc_id",
+      Seq(42L, 44L, 250L), requireFresh = true)
+    val scanned = PartitionedStore.selectedPartitionTotal(out)
+    val total = docs.select(col("lang")).distinct().count()
+    require(scanned > 0L && scanned < total,
+      s"x170: scanned $scanned of $total partitions — the IN probe " +
+        "skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val x170Sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+       FROM documents WHERE doc_id IN (42, 44, 250)"""
 }

@@ -246,6 +246,38 @@ object BloomIndex {
     }
   }
 
+  /** Rows of `table` with `valCol` IN `values` — the multi-key form of
+    * [[readEq]] ("fetch these N documents from the 100 TB corpus"): a
+    * partition qualifies when its bloom might contain ANY of the
+    * values, all values' positions are hashed in ONE local job, and
+    * the full IN-list always applies as the residual. For lists past a
+    * few hundred keys, a broadcast semi-join on the table is the right
+    * tool, not a bloom probe per value — refused loudly.
+    */
+  def readIn(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      values: Seq[Any],
+      requireFresh: Boolean = false): DataFrame = {
+    val pred = col(valCol).isin(values: _*)
+    qualifyingIn(spark, table, valCol, values) match {
+      case None =>
+        require(!requireFresh,
+          s"BloomIndex: $table/$valCol index is absent or stale — " +
+            "refresh() before a requireFresh read")
+        ManifestStore.read(spark, table).filter(pred)
+      case Some(quals) =>
+        val base = ManifestStore.read(spark, table)
+        if (quals.isEmpty) base.limit(0).filter(pred)
+        else {
+          val pcols = ManifestStore.partitionColsOf(spark, table)
+          base.filter(PartitionedStore.partitionValuesPred(pcols, quals))
+            .filter(pred)
+        }
+    }
+  }
+
   /** The partitions whose bloom might contain `value` — the routing
     * half of [[readEq]], exposed for composite planning
     * ([[SkippingIndexes]]): None when the index is absent or stale,
@@ -257,8 +289,23 @@ object BloomIndex {
       spark: SparkSession,
       table: String,
       valCol: String,
-      value: Any): Option[Seq[Seq[Any]]] = {
-    require(value != null, "BloomIndex: `col = null` is never true")
+      value: Any): Option[Seq[Seq[Any]]] =
+    qualifyingIn(spark, table, valCol, Seq(value))
+
+  /** [[qualifying]] for an IN-list: a partition qualifies when ANY
+    * value's K bits are all present in its bloom.
+    */
+  def qualifyingIn(
+      spark: SparkSession,
+      table: String,
+      valCol: String,
+      values: Seq[Any]): Option[Seq[Seq[Any]]] = {
+    require(values.nonEmpty && !values.contains(null),
+      "BloomIndex: IN-list must be non-empty and null-free " +
+        "(`col = null` is never true)")
+    require(values.size <= 256,
+      s"BloomIndex: ${values.size}-key IN-list — past a few hundred keys " +
+        "probe cost and fpp accumulate; use a broadcast semi-join instead")
     val bt = bloomT(table, valCol)
     val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
       .getOrElse(return None)
@@ -266,23 +313,28 @@ object BloomIndex {
       return None
     val bits = meta("bits")
     val hashes = meta("hashes").toInt
-    // the value's K positions, computed through the SAME expressions as
-    // refresh (one 1-row local job — no second hash implementation to
-    // drift); collapsed to per-word masks (two hashes may share a word)
-    val probed = spark.range(1).select((0 until hashes).map(i =>
-      pmod(xxhash64(lit(value).cast("string"), lit(i)), lit(bits))
-        .as(s"p$i")): _*).head()
-    val wordMasks = (0 until hashes)
-      .map(probed.getLong)
-      .groupBy(_ / 64)
-      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
-    val mightContain = wordMasks.map { case (w, msk) =>
-      coalesce(element_at(col("__words"), lit(w)), lit(0L))
-        .bitwiseAND(lit(msk)) === lit(msk)
-    }.reduce(_ && _)
+    // every value's K positions, computed through the SAME expressions
+    // as refresh (ONE 1-row local job — no second hash implementation
+    // to drift); per value, collapsed to per-word masks (two hashes may
+    // share a word)
+    val probed = spark.range(1).select(values.zipWithIndex.flatMap {
+      case (v, j) => (0 until hashes).map(i =>
+        pmod(xxhash64(lit(v).cast("string"), lit(i)), lit(bits))
+          .as(s"p${j}_$i"))
+    }: _*).head()
+    val mightContainAny = values.indices.map { j =>
+      (0 until hashes)
+        .map(i => probed.getLong(j * hashes + i))
+        .groupBy(_ / 64)
+        .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
+        .map { case (w, msk) =>
+          coalesce(element_at(col("__words"), lit(w)), lit(0L))
+            .bitwiseAND(lit(msk)) === lit(msk)
+        }.reduce(_ && _)
+    }.reduce(_ || _)
     val pcols = ManifestStore.partitionColsOf(spark, table)
     Some(ManifestStore.read(spark, bt)
-      .filter(mightContain)
+      .filter(mightContainAny)
       .select(pcols.map(col): _*)
       .collect().toSeq.map(r => pcols.indices.map(r.get)))
   }

@@ -39,10 +39,12 @@ object SkippingIndexes {
   sealed trait Pred { def column: String }
   final case class Between(column: String, lo: Long, hi: Long) extends Pred
   final case class Eq(column: String, value: Any) extends Pred
+  final case class In(column: String, values: Seq[Any]) extends Pred
 
   private def residual(p: Pred): Column = p match {
     case Between(c, lo, hi) => col(c).cast("long").between(lo, hi)
     case Eq(c, v) => col(c) === lit(v)
+    case In(c, vs) => col(c).isin(vs: _*)
   }
 
   /** (Re)build EVERY listed index in TWO jobs, however many columns —
@@ -108,6 +110,7 @@ object SkippingIndexes {
     val sets = preds.map {
       case Between(c, lo, hi) => ZoneMaps.qualifying(spark, table, c, lo, hi)
       case Eq(c, v) => BloomIndex.qualifying(spark, table, c, v)
+      case In(c, vs) => BloomIndex.qualifyingIn(spark, table, c, vs)
     }
     require(!requireFresh || sets.forall(_.isDefined),
       s"SkippingIndexes: ${sets.count(_.isEmpty)} of ${preds.size} " +

@@ -199,6 +199,33 @@ class BloomIndexSpec extends SparkSpec {
     assert(meta("bits") == (1L << 12) && meta("hashes") == 3L)
   }
 
+  test("readIn: scans the union of the keys' partitions, exact results, loud boundaries") {
+    val root = fresh()
+    ManifestStore.write(spark, rows.toDF("id", "name", "pt"), root, "pt")
+    BloomIndex.refresh(spark, root, "name")
+    // keys from two partitions (pt=0, pt=3) + one absent key
+    val out = BloomIndex.readIn(spark, root, "name",
+      Seq("doc_50", "doc_350", "doc_9999"), requireFresh = true)
+    assert(PartitionedStore.selectedPartitionTotal(out) == 2L)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(50L, 350L))
+    // all-absent: zero partitions
+    val none = BloomIndex.readIn(spark, root, "name",
+      Seq("doc_9998", "doc_9999"), requireFresh = true)
+    assert(none.count() == 0L)
+    assert(PartitionedStore.selectedPartitionTotal(none) == 0L)
+    // boundaries: empty / null-bearing / oversized lists are refused
+    intercept[IllegalArgumentException] {
+      BloomIndex.readIn(spark, root, "name", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.readIn(spark, root, "name", Seq("doc_1", null))
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.readIn(spark, root, "name", (1 to 257).map(i => s"doc_$i"))
+    }
+  }
+
   test("non-string columns hash consistently between refresh and probe") {
     val root = fresh()
     ManifestStore.write(spark, rows.toDF("id", "name", "pt"), root, "pt")
