@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.{BloomIndex, ManifestStore, PartitionedStore, SkippingIndexes, ZoneMaps}
-import graft.sources.SkippingIndexes.{Between, Eq}
+import graft.sources.SkippingIndexes.{Between, Eq, In}
 
 /** Composite skipping (x168): intersection prunes multiplicatively on
   * grid layouts, stale indexes degrade silently, correctness never
@@ -154,6 +154,27 @@ class SkippingIndexesSpec extends SparkSpec {
         Eq("name", "n_126")), requireFresh = true)
     assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(126L))
     assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+  }
+
+  test("an In predicate composes: union of the keys' partitions, intersected with the range") {
+    val root = fresh()
+    ManifestStore.write(spark,
+      grid.toDF("id", "name", "x", "y", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "y")
+    BloomIndex.refresh(spark, root, "name")
+    // n_126 (y=300) and n_9 (y=0): the In qualifies both cells, the y
+    // range keeps only n_126's — intersection scans ONE cell
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(In("name", Seq("n_126", "n_9")), Between("y", 250L, 475L)),
+      requireFresh = true)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(126L))
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+    // the In alone scans both keys' cells
+    val alone = SkippingIndexes.readWhere(spark, root,
+      Seq(In("name", Seq("n_126", "n_9"))))
+    assert(PartitionedStore.selectedPartitionTotal(alone) == 2L)
+    assert(alone.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(9L, 126L))
   }
 
   test("an out-of-domain range proves the table empty without scanning it") {
