@@ -285,6 +285,123 @@ object ClusterStore {
     failpoint("delete")
   }
 
+  /** Right-to-be-forgotten over the maintained cluster labels — the
+    * component-store member of the forget matrix (vector x157, dedup
+    * x171, BM25 x172): remove the doomed ids' membership rows from both
+    * tables and relabel each affected cluster to the MIN SURVIVING
+    * member, all partition-pruned through the twin — O(doomed ids +
+    * affected clusters' members), never a store scan.
+    *
+    * DECREMENTAL-CONNECTIVITY CAVEAT, stated honestly: the store holds
+    * labels, not edges, so a forget cannot know whether the doomed id
+    * was its cluster's only bridge — survivors of an affected cluster
+    * stay ONE cluster even if removing the id would have split it.
+    * That over-grouping is conservative for dedup (content keeps being
+    * flagged, never under-flagged), it is exactly replicable in SQL
+    * (the x173 oracle drops doomed members from the full components and
+    * relabels per ORIGINAL component), and the cure is the same as
+    * x157's frozen-codebook caveat: periodic rebuild from the
+    * pair-generating index.
+    *
+    * Commit order — members must stay LOCATABLE at every crash point,
+    * so lookups die last: (1) twin merge of relabeled survivors (the
+    * prev_label breadcrumb keeps their old bucket reachable), (2) main
+    * merge of relabeled survivors, (3) main delete of the doomed rows
+    * plus relabeled survivors' out-of-merge stale copies, (4) twin
+    * delete of the doomed ids. Re-running the same forget converges
+    * from any window (spec-pinned): the doomed twin rows survive until
+    * the final commit, so every replay can still route. A forget
+    * REFUSES to run inside an open APPEND crash window (same fence as
+    * [[appendPairs]]); conversely, replay a crashed forget before the
+    * next append — an append interleaved into a forget window can
+    * transiently resurrect doomed members (they look like ordinary
+    * stored ids to it), which the forget replay then removes.
+    */
+  def forget(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      table: String,
+      partitions: Int = 8): Unit =
+    forgetFp(spark, ids, idCol, table, partitions, _ => ())
+
+  /** [[forget]] with a failpoint hook invoked AFTER each commit
+    * ("twin", "main", "mainDelete", "twinDelete") — the test seam that
+    * crashes a forget at any point of its commit window and proves
+    * replays converge (the [[appendPairsFp]] convention).
+    */
+  private[graft] def forgetFp(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      table: String,
+      partitions: Int,
+      failpoint: String => Unit): Unit = {
+    requireGeometry(spark, table, partitions)
+    val twin = twinTable(table)
+    for (p <- ManifestStore.lastTxn(spark, twin, TxnApp)
+         if !ManifestStore.lastTxn(spark, table, TxnApp).contains(p))
+      throw new IllegalStateException(
+        s"ClusterStore: $table has an unreplayed crashed append (fingerprint $p) — " +
+          "replay that day's pairs to convergence before forgetting")
+    val doomed = Dedup.materialize(ids.select(col(idCol).as("id")).distinct())
+    if (doomed.head(1).isEmpty) return
+    if (!ManifestStore.exists(spark, twin) && ManifestStore.hasData(spark, table))
+      backfillTwin(spark, table, partitions)
+    if (!ManifestStore.exists(spark, twin) || !ManifestStore.hasData(spark, twin))
+      return // empty store: nothing to forget
+    // the doomed ids' cluster labels — label ∪ prev_label so a crashed
+    // FORGET's replay still finds main rows under pre-forget buckets
+    val affected = Dedup.materialize(
+      twinProbe(spark, table, doomed, partitions)
+        .select(explode(array(col("label"), col("prev_label"))).as("label"))
+        .distinct())
+    if (affected.head(1).isEmpty) return // ids the store never held
+    val labelLeafs = affected
+      .select(bucket(col("label"), partitions).as("pt")).distinct()
+      .collect().map(r => s"pt=${r.getLong(0)}").sorted
+    val members = Dedup.materialize(
+      ManifestStore.readPartitions(spark, table, labelLeafs.toSeq)
+        .join(affected, Seq("label"))
+        .select(col("id"), col("label")))
+    val surv0 = members.join(doomed, Seq("id"), "left_anti")
+    val relabel = surv0.groupBy(col("label")).agg(min(col("id")).as("nl"))
+    val changed = Dedup.materialize(
+      surv0.join(relabel, Seq("label"))
+        .filter(col("nl") =!= col("label"))
+        .select(col("id"), col("label").as("prev_label"), col("nl").as("label")))
+    val mainRows = changed.select(col("id"), col("label"))
+      .withColumn("pt", bucket(col("label"), partitions))
+    if (!changed.head(1).isEmpty) {
+      ManifestStore.merge(spark, twin,
+        changed.select(col("id"), col("label"), col("prev_label"))
+          .withColumn("ptid", bucket(col("id"), partitions)),
+        Seq("id"), Seq("ptid"))
+      failpoint("twin")
+      ManifestStore.merge(spark, table, mainRows, Seq("id"), Seq("pt"))
+      failpoint("main")
+    }
+    // doomed rows die under every label bucket they might occupy; a
+    // relabeled survivor's old copy dies here only when the main merge
+    // didn't already rewrite its partition (merge anti-joins its OWN
+    // keys, which never include the doomed ids)
+    val newPts = mainRows.select(col("pt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val doomedMain = members.join(doomed, Seq("id"), "left_semi")
+      .select(col("id"), bucket(col("label"), partitions).as("pt"))
+    val staleSurv = changed
+      .select(col("id"), bucket(col("prev_label"), partitions).as("pt"))
+      .filter(if (newPts.isEmpty) lit(true) else !col("pt").isin(newPts: _*))
+    val dels = Dedup.materialize(doomedMain.unionByName(staleSurv).distinct())
+    if (!dels.head(1).isEmpty)
+      ManifestStore.delete(spark, table, dels, Seq("id", "pt"), Seq("pt"))
+    failpoint("mainDelete")
+    ManifestStore.delete(spark, twin,
+      doomed.withColumn("ptid", bucket(col("id"), partitions)),
+      Seq("id"), Seq("ptid"))
+    failpoint("twinDelete")
+  }
+
   /** The (id, label) table — the LATEST snapshot by default, or a
     * pinned `version` for snapshot-isolated reads. Version pinning is
     * the documented SAFE-READER pattern for the append's crash window:

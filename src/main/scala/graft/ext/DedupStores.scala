@@ -14,10 +14,13 @@ import graft.sources.ManifestStore
   *
   * Two stores, both [[ManifestStore]] tables so every daily refresh is an
   * O(touched partitions) transactional merge rather than a rewrite:
-  *  - the FINGERPRINT store: one row per distinct normalized-content
-  *    fingerprint ever accepted (keys-only — at 100 TB this is the only
-  *    corpus-sized artifact the daily job reads, and it is orders of
-  *    magnitude smaller than the corpus);
+  *  - the FINGERPRINT store: one (fp, id) row per accepted doc's
+  *    normalized-content fingerprint (keys-only — at 100 TB this is the
+  *    only corpus-sized artifact the daily job reads, and it is orders of
+  *    magnitude smaller than the corpus). Holding the id alongside the fp
+  *    is what makes [[forget]] exact: a fingerprint SHARED by several
+  *    docs keeps its other holders' rows when one holder is forgotten,
+  *    so exact-dup detection of surviving content never degrades;
   *  - the MINHASH INDEX store: the banded LSH index rows of
   *    [[Dedup.minhashIndex]] (id, shingle set, k minhashes), the
   *    persisted index that [[Dedup.minhashProbe]] probes in O(increment ×
@@ -93,7 +96,8 @@ object DedupStores {
     // dup of anything, and a null key would put a null in the partition
     // column (breaking merge's non-null-partition contract)
     val fp = corpus
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
       .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
     ManifestStore.write(spark, fp, fpTable, "pt")
@@ -124,8 +128,10 @@ object DedupStores {
       threshold: Double = 0.7): DataFrame = {
     requireGeometry(spark, idxTable,
       Geometry(shingleN, bands, rowsPerBand, 0), checkPartitions = false)
+    // distinct: the store holds one row per (fp, holder id) — a shared
+    // fingerprint must not fan out the flag join
     val fpStore = ManifestStore.read(spark, fpTable)
-      .select(col("fp")).withColumn("__seen", lit(1))
+      .select(col("fp")).distinct().withColumn("__seen", lit(1))
     val idxStore = ManifestStore.read(spark, idxTable).drop("pt")
     val nd = Dedup.minhashProbe(
         Dedup.minhashIndex(inc, idCol, textCol, shingleN, bands, rowsPerBand),
@@ -164,14 +170,60 @@ object DedupStores {
     requireGeometry(spark, fpTable, g, checkPartitions = true)
     requireGeometry(spark, idxTable, g, checkPartitions = true)
     val fp = docs
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
       .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
-    ManifestStore.merge(spark, fpTable, fp, Seq("fp"), "pt")
+    ManifestStore.merge(spark, fpTable, fp, Seq("fp", "id"), "pt")
     val idx = prebuiltIdx
       .getOrElse(Dedup.minhashIndex(docs, idCol, textCol, shingleN, bands, rowsPerBand))
       .withColumn("pt", bucket(col("id"), partitions))
     ManifestStore.merge(spark, idxTable, idx, Seq("id"), "pt")
+  }
+
+  /** Right-to-be-forgotten over both dedup stores (the text-side sibling
+    * of [[VectorStore.forget]], x157): remove a subject's fingerprint and
+    * LSH-index rows by KEYED, partition-pruned copy-on-write deletes —
+    * O(doomed buckets), never a store scan.
+    *
+    * The caller supplies the doomed docs' CONTENT (id + text, read from
+    * the lakehouse before its own delete): the fingerprint store is keyed
+    * by content hash, and recovering a doc's fp from the store would take
+    * a full scan — the deletion request carries the record it erases,
+    * the same contract as [[IndexStore.forget]].
+    *
+    * Semantics under sharing: the fp store holds one (fp, id) row per
+    * holder, so forgetting ONE of several identical docs keeps the
+    * others' rows — future probes still flag their content as an exact
+    * dup; the fp disappears only when its last holder is forgotten. The
+    * index delete removes exactly the doomed ids' signature rows, so
+    * near-dup probes against the survivors are bit-identical to an index
+    * built WITHOUT the doomed docs (other docs' rows are untouched).
+    *
+    * Idempotent at every crash position: both deletes are keyed no-ops on
+    * absent keys, so re-running the same forget after a crash between the
+    * two commits (or after completion) converges — the x157 recovery
+    * contract, spec-pinned.
+    */
+  def forget(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpTable: String,
+      idxTable: String): Unit = {
+    val g = readGeometry(spark, idxTable).getOrElse(
+      throw new IllegalStateException(
+        s"DedupStores.forget: $idxTable has no geometry sidecar — not a DedupStores table"))
+    val doomedFp = docs
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .filter(col("fp").isNotNull)
+      .withColumn("pt", bucket(col("fp"), g.partitions))
+    ManifestStore.delete(spark, fpTable, doomedFp, Seq("fp", "id"), Seq("pt"))
+    val doomedIds = docs.select(col(idCol).as("id")).distinct()
+      .withColumn("pt", bucket(col("id"), g.partitions))
+    ManifestStore.delete(spark, idxTable, doomedIds, Seq("id"), Seq("pt"))
   }
 
   /** [[Dedup.noveltyScore]] with history read from the PERSISTED index

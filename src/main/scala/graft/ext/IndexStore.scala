@@ -21,10 +21,12 @@ import graft.sources.ManifestStore
   *    tf AND df come from a [[ManifestStore.readPartitions]] probe of
   *    the query vocabulary's buckets, never a postings scan. Keyed
   *    (w, id): a doc contributes its (term, doc) cells exactly once.
-  *  - `lens`: (id, len) partitioned by `dpt` = hash(id) bucket — BM25's
-  *    length norm, joined only for MATCHED docs via a second pruned
-  *    probe of the matched ids' buckets. Zero-token docs are stored
-  *    (len 0): they can never match, but they are corpus members.
+  *  - `lens`: (id, len, day) partitioned by `dpt` = hash(id) bucket —
+  *    BM25's length norm, joined only for MATCHED docs via a second
+  *    pruned probe of the matched ids' buckets. Zero-token docs are
+  *    stored (len 0): they can never match, but they are corpus members.
+  *    The `day` breadcrumb records which stats subtotal the doc counts
+  *    under, so [[forget]] can subtract it from the right day.
   *  - `stats`: one (day, nd, tl) subtotal row per ingested day, keyed
   *    and partitioned by day — N and avgdl at probe time are an
   *    O(days) rollup, never a lens scan (counts and sums merge
@@ -74,7 +76,8 @@ object IndexStore {
         .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf")))
     val lens = Dedup.materialize(docs.select(col(idCol).as("id"))
       .join(tf.groupBy(col("id")).agg(sum(col("tf")).as("len")), Seq("id"), "left")
-      .na.fill(0L, Seq("len")))
+      .na.fill(0L, Seq("len"))
+      .withColumn("day", lit(day)))
     ManifestStore.mergeOrCreate(spark,  sub(root, "postings"),
       tf.withColumn("pt", bucket(col("w"), partitions)), Seq("w", "id"), "pt")
     ManifestStore.mergeOrCreate(spark, sub(root, "lens"),
@@ -82,6 +85,86 @@ object IndexStore {
     ManifestStore.mergeOrCreate(spark, sub(root, "stats"),
       lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
         .withColumn("day", lit(day)), Seq("day"), "day")
+  }
+
+  /** Right-to-be-forgotten over the maintained index (the lexical sibling
+    * of [[VectorStore.forget]], x157): remove a subject's postings, length
+    * row, and stats contribution — keyed, partition-pruned deletes plus a
+    * day-keyed stats correction, O(doomed docs' buckets), never an index
+    * scan.
+    *
+    * The caller supplies the doomed docs' CONTENT (id + text, read from
+    * the lakehouse before its own delete): postings live in TERM-hash
+    * buckets, so locating a doc's cells without its terms would take a
+    * postings scan — the deletion request carries the record it erases.
+    * The text must be the INGESTED bytes; a divergent copy would leave
+    * orphaned postings (which can still never be scored — [[bm25Probe]]'s
+    * inner lens join drops docs with no length row — but would inflate
+    * df counts until the next rebuild).
+    *
+    * Crash-safe by ordering + a txn fence, each re-run of the same
+    * request converging (spec-pinned):
+    *  1. postings delete — keyed (w, id): idempotent;
+    *  2. stats correction — old day subtotal minus the PRESENT doomed
+    *     docs' (count, length), fenced by `forgetSeq` under the
+    *     [[ManifestStore]] txn record (the StreamUpsert pattern), so a
+    *     replay never subtracts twice. `forgetSeq` must be assigned
+    *     MONOTONICALLY across forget requests on this store (a ticket
+    *     number) — the same contract as streaming batch ids;
+    *  3. lens delete LAST — it gates the presence probe, so every earlier
+    *     crash window still sees the docs as present and re-runs their
+    *     (idempotent or fenced) steps.
+    *
+    * Ids the store never held (or already forgot) contribute nothing:
+    * presence is probed against `lens` first.
+    */
+  def forget(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      root: String,
+      forgetSeq: Long,
+      partitions: Int = 8): Unit = {
+    requireGeometry(spark, root, partitions)
+    val doomed = Dedup.materialize(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")).distinct())
+    if (doomed.head(1).isEmpty) return
+    // O(doomed buckets) routing metadata — the probe convention
+    val idLeafs = doomed.select(bucket(col("id"), partitions).as("dpt")).distinct()
+      .collect().map(r => s"dpt=${r.getLong(0)}").sorted
+    val present = Dedup.materialize(
+      ManifestStore.readPartitions(spark, sub(root, "lens"), idLeafs.toSeq)
+        .join(doomed.select(col("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("len"), col("day")))
+    if (present.head(1).isEmpty) return
+    // 1. postings: the present doomed docs' (w, id) cells, term-bucketed
+    val cells = Dedup.materialize(
+      LangModel.tokenRows(
+          doomed.join(present.select(col("id")), Seq("id"), "left_semi"),
+          "id", "__text")
+        .select(col("w"), col("id")).distinct()
+        .withColumn("pt", bucket(col("w"), partitions)))
+    if (!cells.head(1).isEmpty)
+      ManifestStore.delete(spark, sub(root, "postings"), cells,
+        Seq("w", "id"), Seq("pt"))
+    // 2. stats: fenced day-keyed subtraction
+    val applied = ManifestStore.lastTxn(spark, sub(root, "stats"), "forget")
+      .exists(_ >= forgetSeq)
+    if (!applied) {
+      val delta = present.groupBy(col("day"))
+        .agg(count(lit(1)).as("dn"), sum(col("len")).as("dl"))
+      val corrected = ManifestStore.read(spark, sub(root, "stats"))
+        .join(delta, Seq("day"))
+        .select(col("day"), (col("nd") - col("dn")).as("nd"),
+          (col("tl") - col("dl")).as("tl"))
+      ManifestStore.merge(spark, sub(root, "stats"), corrected,
+        Seq("day"), Seq("day"), txnRecord = Map("forget" -> forgetSeq))
+    }
+    // 3. lens last — the presence gate for every earlier crash window
+    ManifestStore.delete(spark, sub(root, "lens"),
+      present.select(col("id")).withColumn("dpt", bucket(col("id"), partitions)),
+      Seq("id"), Seq("dpt"))
   }
 
   /** BM25 top-k over the maintained index: same query contract, output

@@ -26,6 +26,11 @@ import graft.sources.ManifestStore
   *    bucket: [[forget]]'s id→centroid lookup twin (the ClusterStore
   *    twin-index pattern), so right-to-be-forgotten deletes prune to
   *    the doomed ids' buckets and their centroids' partitions;
+  *  - `attrs`       — optional (centroid_id, vec_id, attr…), written by
+  *    `build(attrCols = …)` and CO-PARTITIONED with the codes:
+  *    [[probeFiltered]]'s metadata predicate evaluates on the probed
+  *    partitions only (the "attributes stored with the vectors" layout
+  *    every production vector store uses for filtered search);
   *  - `nprobe_hist` — (c_rank, hits, law_k), the MEASURED nprobe sizing
   *    law ([[Similarity.nprobeRankHist]] persisted by
   *    [[writeNprobeLaw]]): O(centroids) rows recording where a truth
@@ -81,6 +86,7 @@ object VectorStore {
   private def codebookT(root: String) = s"$root/codebook"
   private def lawT(root: String) = s"$root/nprobe_hist"
   private def assignT(root: String) = s"$root/assign"
+  private def attrsT(root: String) = s"$root/attrs"
 
   /** id-hash bucket count of the `assign` twin (the ClusterStore
     * twin-index pattern): [[forget]]'s id→centroid lookup prunes to the
@@ -109,7 +115,8 @@ object VectorStore {
       m: Int,
       k: Int,
       stride: Long,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      attrCols: Seq[String] = Nil): Unit = {
     // the sidecar is written FIRST: build() is the rebuild authority (a
     // deliberate new geometry overwrites it), and any later probe/append
     // validates against it — so a build that crashes mid-way leaves a
@@ -133,7 +140,25 @@ object VectorStore {
         .withColumn("ptid", idBucket(col("vec_id"))),
       assignT(root), "ptid")
     ManifestStore.write(spark, codes, codesT(root), "centroid_id")
+    if (attrCols.nonEmpty)
+      ManifestStore.write(spark, attrRows(data, codes, idCol, attrCols),
+        attrsT(root), "centroid_id")
   }
+
+  /** The filterable-attribute rows riding the codes' partitioning: one
+    * (centroid_id, vec_id, attrs…) row per vector, CO-PARTITIONED with
+    * the codes table so [[probeFiltered]]'s predicate applies on the
+    * same pruned partitions the ranking reads — the standard
+    * vector-database "metadata stored with the vectors" layout.
+    */
+  private def attrRows(
+      data: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      attrCols: Seq[String]): DataFrame =
+    data.select(col(idCol).as("vec_id") +: attrCols.map(col): _*)
+      .join(codes.select(col("vec_id"), col("centroid_id")).distinct(),
+        Seq("vec_id"))
 
   /** Fold a day's vectors in: encode against the FROZEN model, merge on
     * vec_id — partition-pruned to the centroids the increment lands in,
@@ -149,9 +174,17 @@ object VectorStore {
       m: Int,
       k: Int,
       stride: Long,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      attrCols: Seq[String] = Nil): Unit = {
     requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
       mustExist = true)
+    // an attrs-bearing store must receive attrs with every append — an
+    // increment without them would silently vanish from every filtered
+    // probe (the attrs semi-join)
+    require(attrCols.nonEmpty == ManifestStore.exists(spark, attrsT(root)),
+      s"VectorStore: $root " + (if (attrCols.nonEmpty)
+        "has no attrs table — build(attrCols = …) first"
+      else "carries filterable attrs — appendDay must supply the same attrCols"))
     val codes = Dedup.materialize(
       encodeRows(spark, increment, root, idCol, vecCol, dim, m))
     // assign twin first: a crash between the two merges leaves the
@@ -164,6 +197,10 @@ object VectorStore {
       Seq("vec_id"), "ptid")
     ManifestStore.merge(spark, codesT(root), codes,
       Seq("vec_id", "sub"), "centroid_id")
+    if (attrCols.nonEmpty)
+      ManifestStore.merge(spark, attrsT(root),
+        attrRows(increment, codes, idCol, attrCols),
+        Seq("vec_id"), "centroid_id")
   }
 
   /** Right-to-be-forgotten over the ANN index (the [[ManifestStore
@@ -199,9 +236,13 @@ object VectorStore {
         assignT(root), "ptid")
     val asg = Dedup.materialize(
       assignProbe(spark, root, doomed).select(col("vec_id"), col("centroid_id")))
-    if (!asg.head(1).isEmpty)
+    if (!asg.head(1).isEmpty) {
       ManifestStore.delete(spark, codesT(root), asg,
         Seq("vec_id"), Seq("centroid_id"))
+      if (ManifestStore.exists(spark, attrsT(root)))
+        ManifestStore.delete(spark, attrsT(root), asg,
+          Seq("vec_id"), Seq("centroid_id"))
+    }
     ManifestStore.delete(spark, assignT(root),
       doomed.withColumn("ptid", idBucket(col("vec_id"))),
       Seq("vec_id"), Seq("ptid"))
@@ -257,7 +298,61 @@ object VectorStore {
       stride: Long,
       nprobe: Int,
       topK: Int,
+      trainIters: Int = 0): DataFrame =
+    probeCore(spark, queries, idCol, vecCol, root, dim, m, k, stride,
+      nprobe, topK, trainIters, None)
+
+  /** ANN top-k UNDER AN ATTRIBUTE PREDICATE — the filtered vector
+    * search every production vector store offers ("nearest neighbors
+    * where lang = 'en'"): the predicate evaluates against the `attrs`
+    * table (written by `build(attrCols = …)`, CO-PARTITIONED with the
+    * codes), candidates failing it are dropped BEFORE ranking, and the
+    * ADC top-k runs on the survivors — pre-filtering, so the k results
+    * are the best k FILTERED candidates in the probed cells, never a
+    * post-filtered short list. Recall semantics are exactly [[probe]]'s
+    * (the nprobe pruning is the only approximation; the filter itself
+    * is exact), and the extra I/O is the probed partitions' attr rows —
+    * same pruned partition set the ranking already reads.
+    *
+    * The predicate sees the attr columns by name (e.g.
+    * `col("label") % 2 === 0`); a column the store doesn't carry fails
+    * analysis loudly.
+    */
+  def probeFiltered(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      nprobe: Int,
+      topK: Int,
+      predicate: org.apache.spark.sql.Column,
       trainIters: Int = 0): DataFrame = {
+    require(ManifestStore.exists(spark, attrsT(root)),
+      s"VectorStore: $root was built without attrCols — " +
+        "probeFiltered needs the attrs table")
+    probeCore(spark, queries, idCol, vecCol, root, dim, m, k, stride,
+      nprobe, topK, trainIters, Some(predicate))
+  }
+
+  private def probeCore(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      nprobe: Int,
+      topK: Int,
+      trainIters: Int,
+      attrPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
       mustExist = true)
     val cents = ManifestStore.read(spark, centroidsT(root))
@@ -270,13 +365,22 @@ object VectorStore {
     // ManifestStore partition listings)
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.get(0).toString).sorted
-    val codes = ManifestStore.readPartitions(spark, codesT(root),
-      probedIds.map(id => s"centroid_id=$id"))
-    val candidates = probes
+    val probedLeafs = probedIds.map(id => s"centroid_id=$id")
+    val codes = ManifestStore.readPartitions(spark, codesT(root), probedLeafs)
+    val unfiltered = probes
       .join(codes.select(col("centroid_id"), col("vec_id")).distinct(),
         Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+    val candidates = attrPred match {
+      case None => unfiltered
+      case Some(p) =>
+        // the predicate runs on the SAME pruned partitions the ranking
+        // reads — attrs are co-partitioned by centroid assignment
+        val keep = ManifestStore.readPartitions(spark, attrsT(root), probedLeafs)
+          .filter(p).select(col("vec_id"))
+        unfiltered.join(keep, Seq("vec_id"), "left_semi")
+    }
     Pq.adcTopKCandidates(
       queries.select(col(idCol).as("vec_id"), col(vecCol)), candidates,
       codes.select(col("vec_id"), col("sub"), col("code")), cb,

@@ -2042,8 +2042,10 @@ object ExtQueries {
     val idxAfter = ManifestStore.read(spark, idxT).count()
     require(idxAfter == idxBefore + incIdxRows,
       s"x65: index merge folded $idxAfter rows, expected $idxBefore + $incIdxRows")
+    // distinct: the store holds (fp, id) rows — a shared fp must not
+    // fan out the flag join
     val merged = ManifestStore.read(spark, fpT)
-      .select(col("fp")).withColumn("__a", lit(1))
+      .select(col("fp")).distinct().withColumn("__a", lit(1))
     day1.join(merged, Seq("fp"), "left")
       .withColumn("is_exact_dup_after", col("__a").isNotNull)
       .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
@@ -6243,4 +6245,246 @@ object ExtQueries {
   val x170Sql: String =
     """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
        FROM documents WHERE doc_id IN (42, 44, 250)"""
+
+  // --- x171: right-to-be-forgotten over the dedup stores -------------------
+  // The text-side sibling of x157: DedupStores.forget removes a
+  // subject's (fp, id) fingerprint rows and LSH-index rows via keyed,
+  // partition-pruned deletes — O(doomed buckets), never a store scan.
+  // The gate builds both stores on the historical slice, forgets
+  // doc_id % 7 == 2 (accounting: zero surviving fp/index rows for the
+  // doomed ids), re-runs the same forget (crash-recovery convergence),
+  // and probes the increment: flags must equal a probe against stores
+  // built WITHOUT the doomed docs — x65's oracle with the doomed ids
+  // excluded from the historical side. A fp shared with a SURVIVING
+  // holder stays detectable (the (fp, id) row layout exists for exactly
+  // this; pinned in ForgetMatrixSpec — the fixture has no cross-doc fp
+  // collisions at gate SF).
+  def x171DedupForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fpT = FreshTables.next(spark, dir, "fpforget")
+    val idxT = FreshTables.next(spark, dir, "idxforget")
+    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    val doomed = hist.filter(col("doc_id") % 7 === 2)
+    require(doomed.count() > 0L, "x171: empty doomed slice")
+    DedupStores.forget(spark, doomed, "doc_id", "text", fpT, idxT)
+    val doomedIds = doomed.select(col("doc_id").as("id"))
+    val fpLeft = ManifestStore.read(spark, fpT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    val idxLeft = ManifestStore.read(spark, idxT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    require(fpLeft == 0L && idxLeft == 0L,
+      s"x171: $fpLeft fp / $idxLeft index rows survived the forget")
+    // idempotent re-run — the recovery path after a crash between the
+    // fp delete and the index delete
+    DedupStores.forget(spark, doomed, "doc_id", "text", fpT, idxT)
+    DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("clean"))
+  }
+
+  // x65's probe oracle with the doomed ids excluded from the historical
+  // side (and without the post-merge column — no append in this gate)
+  val x171Sql: String = {
+    val histAnchor = "FROM documents WHERE doc_id % 5 <> 0)"
+    val tailAnchor =
+      """,
+         (is_exact_dup OR (NOT is_exact_dup AND NOT is_near_dup)) AS is_exact_dup_after
+       FROM flags"""
+    require(x65Sql.contains(histAnchor) && x65Sql.contains(tailAnchor),
+      "x171: x65Sql anchors moved")
+    x65Sql
+      .replace(histAnchor, "FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 2)")
+      .replace(tailAnchor, "\n       FROM flags")
+  }
+
+  // --- x172: right-to-be-forgotten over the BM25 index store ---------------
+  // The lexical side of the forget matrix (vector x157, dedup x171):
+  // IndexStore.forget removes a subject's postings (term-bucket pruned
+  // via the request's own content), corrects the day stats subtotals
+  // under a txn fence (forgetSeq — a replay must never subtract twice),
+  // and deletes the length row LAST so every crash window re-runs
+  // against an intact presence gate. The gate ingests three day slices
+  // (x156's layout), forgets doc_id % 7 == 2, REQUIREs zero surviving
+  // postings/lens rows and stats N == survivor count, re-runs the same
+  // forget (convergence + no double subtraction), and probes: scores
+  // must be bit-identical to batch BM25 over the surviving corpus —
+  // x69's oracle minus the forgotten docs. The avgdl in every score
+  // hash-checks the tl subtraction, not just the row accounting.
+  def x172IndexForget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "bmforget")
+    val dayKey = pmod(xxhash64(col("doc_id").cast("string")), lit(3L))
+    (0 until 3).foreach { b =>
+      IndexStore.appendDay(spark, docs.filter(dayKey === b.toLong),
+        "doc_id", "text", s"d$b", root, partitions = 8)
+    }
+    val doomed = docs.filter(col("doc_id") % 7 === 2)
+    require(doomed.count() > 0L, "x172: empty doomed slice")
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    val dIds = doomed.select(col("doc_id").as("id"))
+    val postLeft = ManifestStore.read(spark, s"$root/postings")
+      .join(dIds, Seq("id"), "left_semi").count()
+    val lensLeft = ManifestStore.read(spark, s"$root/lens")
+      .join(dIds, Seq("id"), "left_semi").count()
+    require(postLeft == 0L && lensLeft == 0L,
+      s"x172: $postLeft posting / $lensLeft lens rows survived the forget")
+    def statsN(): Long = ManifestStore.read(spark, s"$root/stats")
+      .agg(sum(col("nd"))).collect().head.getLong(0)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2).count()
+    require(statsN() == survivors,
+      s"x172: stats N ${statsN()} != $survivors survivors")
+    // idempotent re-run — every crash window converges, and the txn
+    // fence stops a second stats subtraction
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    require(statsN() == survivors,
+      s"x172: replay double-subtracted stats (N ${statsN()})")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8)
+  }
+
+  // x69's oracle over the surviving corpus — the forgotten docs leave
+  // the token stream, the length table, AND the N/avgdl stats
+  val x172Sql: String = {
+    val a1 = "FROM documents),"
+    val a2 = "FROM documents d"
+    require(x69Sql.contains(a1) && x69Sql.contains(a2), "x172: x69Sql anchors moved")
+    x69Sql
+      .replace(a1, "FROM documents WHERE doc_id % 7 <> 2),")
+      .replace(a2, "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 2) d")
+  }
+
+  // --- x173: right-to-be-forgotten over the cluster store ------------------
+  // The component-store member of the forget matrix (vector x157, dedup
+  // x171, BM25 x172): ClusterStore.forget removes the doomed ids'
+  // membership rows and relabels each affected cluster to its min
+  // SURVIVING member — twin-routed, partition-pruned, O(doomed +
+  // affected members). Semantics are the documented conservative
+  // decremental-connectivity form (clusters never split on forget; the
+  // store holds labels, not edges), which the oracle replicates
+  // exactly: full components over ALL pairs, doomed members dropped,
+  // relabel per ORIGINAL component by min surviving id. The gate
+  // REQUIREs the doomed slice to hit ≥1 cluster min (the relabel
+  // cascade provably fires — % 9 == 4 dooms 3–4 minima at both gate
+  // SFs), zero surviving doomed rows in either table, and re-runs the
+  // forget (crash-recovery convergence) before the label rollup.
+  def x173ClusterForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ClusterStore
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7))
+    val root = FreshTables.next(spark, dir, "clforget")
+    ClusterStore.build(spark, pairs, root, partitions = 8)
+    val labels = Dedup.materialize(ClusterStore.readLabels(spark, root))
+    val doomed = Dedup.materialize(
+      labels.filter(col("id") % 9 === 4).select(col("id")))
+    require(doomed.count() > 0L, "x173: empty doomed slice")
+    val minDoomed = labels.select(col("label").as("id")).distinct()
+      .join(doomed, Seq("id"), "left_semi").count()
+    require(minDoomed > 0L,
+      "x173: doomed slice misses every cluster min — the relabel path is untested")
+    ClusterStore.forget(spark, doomed, "id", root, partitions = 8)
+    val mainLeft = ClusterStore.readLabels(spark, root)
+      .join(doomed, Seq("id"), "left_semi").count()
+    val twinLeft = ManifestStore.read(spark, s"$root/_idindex")
+      .join(doomed, Seq("id"), "left_semi").count()
+    require(mainLeft == 0L && twinLeft == 0L,
+      s"x173: $mainLeft main / $twinLeft twin rows survived the forget")
+    // idempotent re-run — the recovery path for every crash window
+    ClusterStore.forget(spark, doomed, "id", root, partitions = 8)
+    ClusterStore.readLabels(spark, root)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+  }
+
+  // full components over ALL pairs → drop doomed members → relabel per
+  // ORIGINAL component by min surviving id (the conservative no-split
+  // semantics, replicated exactly)
+  val x173Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       ${componentCtes(0.7)},
+       cl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       surv AS (SELECT id, comp FROM cl WHERE id % 9 <> 4),
+       rel AS (SELECT comp, min(id) AS label FROM surv GROUP BY comp)
+       SELECT rel.label, CAST(count(*) AS BIGINT) AS n_members
+       FROM surv JOIN rel USING (comp) GROUP BY 1"""
+
+  // --- x174: token-bloom keyword skipping ----------------------------------
+  // The data-skipping family (x163–x170) reaches INSIDE text columns:
+  // per-partition blooms over each partition's DISTINCT TOKENS, so a
+  // keyword sweep ("every doc mentioning these terms" — a takedown
+  // scan, a contamination spot check) prunes to the partitions whose
+  // bloom might contain ALL probed terms instead of scanning the
+  // corpus. Skipping is sound per conjunct (a doc holding every term
+  // implies its partition's bloom does); the conjunctive residual
+  // always applies, so the result never depends on the blooms. The
+  // gate hash-partitions docs 256 ways, probes the fixture's one rare
+  // token ('dup', ~5% of docs) plus a common one, and REQUIREs real
+  // pruning (scanned strictly between 0 and the live-partition total
+  // at every SF — verified 25/256 at sf0.01, 162/256 at sf0.1).
+  def x174TokenSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, ManifestStore, PartitionedStore}
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val table = FreshTables.next(spark, dir, "tokskip")
+    ManifestStore.write(spark,
+      docs.withColumn("pt", pmod(col("doc_id"), lit(256L))), table, "pt")
+    BloomIndex.refreshTokens(spark, table, "text")
+    val out = BloomIndex.readContainsAll(spark, table, "text",
+      Seq("dup", "vector"), requireFresh = true)
+    val scanned = PartitionedStore.selectedPartitionTotal(out)
+    val total = docs.select(pmod(col("doc_id"), lit(256L))).distinct().count()
+    require(scanned > 0L && scanned < total,
+      s"x174: scanned $scanned of $total partitions — the token probe " +
+        "skipped nothing (or everything)")
+    out.select(col("doc_id"), col("lang"))
+  }
+
+  val x174Sql: String =
+    """SELECT doc_id, lang FROM documents
+       WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), 'dup')
+         AND list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), 'vector')"""
+
+  // --- x175: filtered ANN (attribute predicate inside the vector probe) ----
+  // The filtered vector search every production store offers ("nearest
+  // neighbors WHERE lang = 'en'"): build(attrCols) writes an attrs
+  // table CO-PARTITIONED with the codes, and probeFiltered drops
+  // candidates failing the predicate BEFORE the ADC ranking —
+  // pre-filtering, so the top-k are the best k FILTERED candidates of
+  // the probed cells (a post-filtered list would silently return fewer
+  // than k). The predicate's I/O rides the SAME pruned partitions the
+  // ranking reads. Oracle = x128's pipeline with the label predicate
+  // applied at the candidate stage — the exact position the engine
+  // applies it.
+  def x175FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val root = FreshTables.next(spark, dir, "vfiltered")
+    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, attrCols = Seq("label"))
+    val out = VectorStore.probeFiltered(spark, data.filter(col("vec_id") < 8),
+      "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10,
+      predicate = col("label") % 2 === 0)
+    require(out.count() > 0L, "x175: empty filtered probe")
+    out
+  }
+
+  // x128's pipeline with the label predicate at the candidate stage
+  val x175Sql: String = {
+    val anchor = "WHERE asg.vec_id <> pr.query_id"
+    require(x128Sql.contains(anchor), "x175: x128Sql anchor moved")
+    x128Sql.replace(anchor,
+      anchor + " AND asg.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
+  }
 }

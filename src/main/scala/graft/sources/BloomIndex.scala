@@ -215,6 +215,193 @@ object BloomIndex {
     }
   }
 
+  // ---- token blooms: equality skipping INSIDE a text column ----
+
+  private def bloomTokT(table: String, col: String): String =
+    new org.apache.hadoop.fs.Path(table, s"_bloomtok/$col").toString
+
+  /** The ONE tokenization both the refresh and the probe's residual use
+    * (`LangModel.tokenRowsBy`'s boundary): lowercase, split on runs of
+    * non-alphanumerics. A probe term must BE a token of this alphabet —
+    * enforced loudly, because a mixed-case or punctuated term can never
+    * match and would read as "no documents" instead of "bad query".
+    */
+  private val TokenSplit = "[^a-z0-9]+"
+
+  private def tokenArr(c: org.apache.spark.sql.Column) =
+    split(lower(c), TokenSplit)
+
+  /** (Re)build per-partition blooms over the DISTINCT TOKENS of a text
+    * column — keyword-level data skipping ("which partitions of the
+    * 100 TB corpus can mention this term at all?"), the search-side
+    * sibling of [[refresh]]'s value blooms: a takedown sweep, a
+    * benchmark-contamination spot check, or an eval-set keyword audit
+    * prunes to the partitions whose token bloom might contain the term
+    * instead of scanning the corpus. One column-pruned scan; the
+    * shuffle is O(partitions × m/64) after map-side combine (tokens
+    * collapse into word masks per partition), never O(tokens).
+    */
+  def refreshTokens(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      bits: Int = 1 << 17,
+      hashes: Int = 5): Unit = {
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    requireMappable(pcols, textCol, bits, hashes)
+    val version = ManifestStore.currentVersion(spark, table)
+    val packed = packTokenWords(
+      ManifestStore.read(spark, table), pcols, textCol, bits, hashes)
+    ManifestStore.write(spark, packed.withColumn("__bpt", lit(0L)),
+      bloomTokT(table, textCol), "__bpt")
+    StoreSidecar.write(spark, bloomTokT(table, textCol), Seq(
+      "version" -> version.toLong,
+      "bits" -> bits.toLong,
+      "hashes" -> hashes.toLong))
+  }
+
+  /** `pcols + __words` token-bloom rows of a snapshot slice — explode
+    * tokens, hash K positions each (through the string the probe also
+    * hashes), pack per (partition, word). Null/empty texts contribute
+    * nothing (explode of a null array emits no row).
+    */
+  private def packTokenWords(
+      snapshot: DataFrame,
+      pcols: Seq[String],
+      textCol: String,
+      bits: Long,
+      hashes: Int): DataFrame = {
+    val positions = (0 until hashes).map(i =>
+      pmod(xxhash64(col("__tok"), lit(i)), lit(bits)))
+    snapshot
+      .select(pcols.map(col) :+ explode(tokenArr(col(textCol))).as("__tok"): _*)
+      .filter(col("__tok") =!= "")
+      .select(pcols.map(col) :+ explode(array(positions: _*)).as("__pos"): _*)
+      .groupBy(pcols.map(col) :+ expr("__pos div 64").as("__w"): _*)
+      .agg(bit_or(expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(__pos, 64) as int))"))
+        .as("__bits"))
+      .groupBy(pcols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__words"))
+  }
+
+  /** Fold one commit's docs into the token blooms — [[mergeAppend]]'s
+    * contract (exactly one version behind, loud otherwise; replaced
+    * docs' tokens linger as extra false positives until the next full
+    * refresh; pure appends bit-identical to it).
+    */
+  def mergeAppendTokens(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      batch: DataFrame): Unit = {
+    val bt = bloomTokT(table, textCol)
+    val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"BloomIndex: no token index for $table/$textCol — refreshTokens() first"))
+    val current = ManifestStore.currentVersion(spark, table)
+    require(meta("version") + 1 == current.toLong,
+      s"BloomIndex: token index stamped v${meta("version")} but the snapshot " +
+        s"is v$current — mergeAppendTokens covers exactly ONE commit; refreshTokens()")
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    val batchWords = packTokenWords(batch, pcols, textCol,
+      meta("bits"), meta("hashes").toInt)
+      .select(pcols.map(col) :+ explode(col("__words")).as(Seq("__w", "__bits")): _*)
+    val storedWords = ManifestStore.read(spark, bt)
+      .select(pcols.map(col) :+ explode(col("__words")).as(Seq("__w", "__bits")): _*)
+    val packed = storedWords.unionByName(batchWords)
+      .groupBy(pcols.map(col) :+ col("__w"): _*)
+      .agg(bit_or(col("__bits")).as("__bits"))
+      .groupBy(pcols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__words"))
+      .withColumn("__bpt", lit(0L))
+    ManifestStore.write(spark, packed, bt, "__bpt")
+    StoreSidecar.write(spark, bt, Seq(
+      "version" -> current.toLong,
+      "bits" -> meta("bits"),
+      "hashes" -> meta("hashes")))
+  }
+
+  /** Rows whose token set contains EVERY term in `terms` — the keyword
+    * sweep, scanning only partitions whose token bloom might contain
+    * ALL of them when the index is fresh (a doc holding every term
+    * implies its partition's bloom holds every term's bits — skipping
+    * is sound per conjunct), degrading to the full filtered scan
+    * otherwise. The conjunctive residual ALWAYS applies; results never
+    * depend on the blooms.
+    */
+  def readContainsAll(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      terms: Seq[String],
+      requireFresh: Boolean = false): DataFrame = {
+    val pred = terms.map(t =>
+      array_contains(tokenArr(col(textCol)), t)).reduce(_ && _)
+    qualifyingTokens(spark, table, textCol, terms) match {
+      case None =>
+        require(!requireFresh,
+          s"BloomIndex: $table/$textCol token index is absent or stale — " +
+            "refreshTokens() before a requireFresh read")
+        ManifestStore.read(spark, table).filter(pred)
+      case Some(quals) =>
+        val base = ManifestStore.read(spark, table)
+        if (quals.isEmpty) base.limit(0).filter(pred)
+        else {
+          val pcols = ManifestStore.partitionColsOf(spark, table)
+          base.filter(PartitionedStore.partitionValuesPred(pcols, quals))
+            .filter(pred)
+        }
+    }
+  }
+
+  /** The partitions whose token bloom might contain ALL `terms` — None
+    * when the index is absent or stale. Terms must already be tokens of
+    * the index's alphabet (lowercase alphanumeric): a term the
+    * tokenizer could never emit is refused loudly instead of silently
+    * matching nothing.
+    */
+  def qualifyingTokens(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      terms: Seq[String]): Option[Seq[Seq[Any]]] = {
+    require(terms.nonEmpty && terms.size <= 256,
+      s"BloomIndex: need 1..256 probe terms, got ${terms.size}")
+    terms.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"BloomIndex: '$t' is not a token of the index alphabet " +
+        "([a-z0-9]+) — normalize the term the way the tokenizer would"))
+    val bt = bloomTokT(table, textCol)
+    val meta = StoreSidecar.read(spark, bt, Seq("version", "bits", "hashes"))
+      .getOrElse(return None)
+    if (meta("version") != ManifestStore.currentVersion(spark, table).toLong)
+      return None
+    val bits = meta("bits")
+    val hashes = meta("hashes").toInt
+    // one 1-row local job through the SAME hash expressions as refresh
+    val probed = spark.range(1).select(terms.zipWithIndex.flatMap {
+      case (t, j) => (0 until hashes).map(i =>
+        pmod(xxhash64(lit(t), lit(i)), lit(bits)).as(s"p${j}_$i"))
+    }: _*).head()
+    val mightContainAll = terms.indices.map { j =>
+      (0 until hashes)
+        .map(i => probed.getLong(j * hashes + i))
+        .groupBy(_ / 64)
+        .map { case (w, ps) => w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
+        .map { case (w, msk) =>
+          coalesce(element_at(col("__words"), lit(w)), lit(0L))
+            .bitwiseAND(lit(msk)) === lit(msk)
+        }.reduce(_ && _)
+    }.reduce(_ && _)
+    val pcols = ManifestStore.partitionColsOf(spark, table)
+    Some(ManifestStore.read(spark, bt)
+      .filter(mightContainAll)
+      .select(pcols.map(col): _*)
+      .collect().toSeq.map(r => pcols.indices.map(r.get)))
+  }
+
   /** Rows of `table` with `valCol = value` (non-null), scanning only
     * the partitions whose bloom might contain the value when the index
     * is fresh — the full (still filtered, still correct) scan when it

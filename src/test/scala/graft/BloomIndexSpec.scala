@@ -235,4 +235,83 @@ class BloomIndexSpec extends SparkSpec {
       Seq("doc_250"))
     assert(PartitionedStore.selectedPartitionCount(out).contains(1L))
   }
+
+  // ---- token blooms (x174): keyword skipping inside a text column ----
+
+  private val textRows = Seq(
+    (1L, "alpha beta gamma", 0L),
+    (2L, "beta delta epsilon", 0L),
+    (3L, "zeta eta theta", 1L),
+    (4L, "alpha theta iota", 2L),
+    (5L, null.asInstanceOf[String], 2L))
+
+  test("token probe scans only partitions whose bloom might contain ALL terms") {
+    val root = fresh()
+    ManifestStore.write(spark, textRows.toDF("id", "text", "pt"), root, "pt")
+    BloomIndex.refreshTokens(spark, root, "text")
+    // 'alpha' lives in pt 0 and 2; 'beta' only in pt 0 → conjunction
+    // prunes to pt 0, and the residual keeps only doc 1
+    val out = BloomIndex.readContainsAll(spark, root, "text",
+      Seq("alpha", "beta"), requireFresh = true)
+    assert(PartitionedStore.selectedPartitionCount(out).contains(1L))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // single common term: both holders found across partitions
+    val a = BloomIndex.readContainsAll(spark, root, "text", Seq("alpha"),
+      requireFresh = true)
+    assert(a.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("token probe: absent term scans nothing; null text never matches") {
+    val root = fresh()
+    ManifestStore.write(spark, textRows.toDF("id", "text", "pt"), root, "pt")
+    BloomIndex.refreshTokens(spark, root, "text")
+    val out = BloomIndex.readContainsAll(spark, root, "text", Seq("missing"),
+      requireFresh = true)
+    assert(out.count() == 0L)
+  }
+
+  test("token probe refuses terms outside the index alphabet") {
+    val root = fresh()
+    ManifestStore.write(spark, textRows.toDF("id", "text", "pt"), root, "pt")
+    BloomIndex.refreshTokens(spark, root, "text")
+    intercept[IllegalArgumentException] {
+      BloomIndex.readContainsAll(spark, root, "text", Seq("Alpha"))
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.readContainsAll(spark, root, "text", Seq("two words"))
+    }
+  }
+
+  test("token fold: a pure append's fold is bit-identical to a full refresh") {
+    val root = fresh()
+    ManifestStore.write(spark, textRows.toDF("id", "text", "pt"), root, "pt")
+    BloomIndex.refreshTokens(spark, root, "text")
+    val batch = Seq((6L, "kappa lambda", 3L)).toDF("id", "text", "pt")
+    ManifestStore.merge(spark, root, batch, Seq("id"), "pt")
+    BloomIndex.mergeAppendTokens(spark, root, "text", batch)
+    val folded = sortedRows(ManifestStore.read(spark, s"$root/_bloomtok/text")
+      .select(col("pt"), explode(col("__words")).as(Seq("w", "b"))))
+    BloomIndex.refreshTokens(spark, root, "text")
+    val refreshed = sortedRows(ManifestStore.read(spark, s"$root/_bloomtok/text")
+      .select(col("pt"), explode(col("__words")).as(Seq("w", "b"))))
+    assert(folded == refreshed)
+    // and the folded index answers the new doc's terms
+    val out = BloomIndex.readContainsAll(spark, root, "text", Seq("kappa"),
+      requireFresh = true)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("stale token index: silent fallback stays correct; requireFresh is loud") {
+    val root = fresh()
+    ManifestStore.write(spark, textRows.toDF("id", "text", "pt"), root, "pt")
+    BloomIndex.refreshTokens(spark, root, "text")
+    ManifestStore.merge(spark, root,
+      Seq((7L, "omega alpha", 4L)).toDF("id", "text", "pt"), Seq("id"), "pt")
+    val out = BloomIndex.readContainsAll(spark, root, "text", Seq("omega"))
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    intercept[IllegalArgumentException] {
+      BloomIndex.readContainsAll(spark, root, "text", Seq("omega"),
+        requireFresh = true)
+    }
+  }
 }
