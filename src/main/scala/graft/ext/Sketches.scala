@@ -532,4 +532,106 @@ object Sketches {
       groupCol: String,
       k: Int = 64): DataFrame =
     kmvEstimate(kmvMinsFromStore(spark, table, groupCol, k), groupCol, k)
+
+  // ---- maintained heavy-hitter store (deterministic day summaries) ----
+
+  /** Fold one day into the maintained heavy-hitter store: the day's
+    * EXACT top-`m` value counts (two-stage salted top-k — no global
+    * sort, no single-reducer window over the distinct table) plus a
+    * one-row day stat `(n, kth)` where `kth` bounds what any value
+    * ABSENT from the day's summary could have counted that day — the
+    * day's m-th largest count, or 0 when every distinct value fit.
+    *
+    * Unlike the [[heavyHitters]] Misra–Gries pass (whose counter state
+    * depends on partition iteration order and is therefore not
+    * oracle-able as a STORED artifact), the per-day exact-top-m summary
+    * is fully deterministic, so the maintained store round-trips
+    * bit-for-bit through any engine. Merged reads use the classic
+    * distributed top-k bound (Fagin's TA / TPUT): lower bound = the
+    * sum of the days that reported the value, upper bound adds each
+    * silent day's `kth`.
+    *
+    * 100 TB shape: the append is one day-sized map-side-combined count
+    * + an O(distinct) top-k; the store holds O(days × m) rows; a
+    * monitor read never rescans a day. Day replays REPLACE wholesale
+    * (the merge key is the day itself).
+    */
+  def hhAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      valueCol: String,
+      day: String,
+      table: String,
+      m: Int = 256): Unit = {
+    import graft.sources.ManifestStore
+    val counts = Dedup.materialize(
+      df.select(col(valueCol).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("c")))
+    // an all-null/empty day contributes nothing — and writing its stats
+    // row without summary rows would trip the read's torn-window fence
+    if (counts.head(1).isEmpty) return
+    val top = Dedup.materialize(
+      Sampling.scoredTopK(counts, "v", col("c"), m).drop("sel_rank"))
+    val stats = counts.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n"),
+        count(lit(1)).as("nd"))
+      .crossJoin(top.agg(
+        coalesce(min(col("c")), lit(0L)).as("mc"), count(lit(1)).as("nk")))
+      .select(lit(day).as("day"), col("n"),
+        when(col("nd") > col("nk"), col("mc")).otherwise(lit(0L)).as("kth"))
+    // totals first, summary second; a crash between the two commits
+    // leaves the day sets diverging, which hhFromStore REFUSES loudly
+    // (the kth bound only holds for a committed summary) — replaying
+    // the day converges, both merges being wholesale day replaces
+    ManifestStore.mergeOrCreate(spark, s"$table/totals", stats, Seq("day"), "day")
+    ManifestStore.mergeOrCreate(spark, s"$table/hh",
+      top.withColumn("day", lit(day)), Seq("day"), "day")
+  }
+
+  /** Heavy hitters above `N / minFractionDen` from the maintained store:
+    * per candidate, `c_lo` (sum of reporting days) and `c_hi` (`c_lo` +
+    * every silent day's `kth`), with `decided = c_lo >= threshold`. No
+    * false negatives: any value with true count ≥ the threshold exceeds
+    * it in `c_hi` too, PROVIDED the threshold is certifiable — a value
+    * below every day's cutoff can total at most Σ kth, so thresholds
+    * ≤ that invisible-mass bound are REFUSED loudly (increase m, or ask
+    * a coarser question) instead of silently under-reporting.
+    */
+  def hhFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      minFractionDen: Long): DataFrame = {
+    import graft.sources.ManifestStore
+    require(minFractionDen >= 1L, s"hhFromStore: minFractionDen=$minFractionDen")
+    val hh = ManifestStore.read(spark, s"$table/hh")
+    val tot = ManifestStore.read(spark, s"$table/totals")
+    // torn-window fence: a day in one table but not the other means an
+    // append crashed between its two commits — the kth bound is only
+    // sound over committed summaries, so refuse instead of silently
+    // risking a false negative; replaying the day converges
+    val hhDays = hh.select(col("day")).distinct().collect().map(_.getString(0)).toSet
+    val totDays = tot.select(col("day")).distinct().collect().map(_.getString(0)).toSet
+    require(hhDays == totDays,
+      s"hhFromStore: day sets diverge (summaries ${hhDays.size}, totals " +
+        s"${totDays.size}) — an append crashed mid-window; replay " +
+        s"${(hhDays.diff(totDays) ++ totDays.diff(hhDays)).mkString(",")}")
+    val agg = tot.agg(
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(col("kth")), lit(0L))).head()
+    val total = agg.getLong(0)
+    val tailSum = agg.getLong(1)
+    val minCount = (total + minFractionDen - 1L) / minFractionDen
+    require(minCount > tailSum,
+      s"hhFromStore: threshold N/$minFractionDen = $minCount is not " +
+        s"certifiable — a value absent from every day summary could total " +
+        s"$tailSum; increase m or raise the threshold")
+    hh.join(tot.select(col("day"), col("kth")), Seq("day"))
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("c_lo"), sum(col("kth")).as("__kp"))
+      .withColumn("c_hi", col("c_lo") + lit(tailSum) - col("__kp"))
+      .filter(col("c_hi") >= minCount)
+      .select(col("v"), col("c_lo"), col("c_hi"),
+        (col("c_lo") >= minCount).as("decided"))
+  }
 }

@@ -6487,4 +6487,96 @@ object ExtQueries {
     x128Sql.replace(anchor,
       anchor + " AND asg.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
   }
+
+  // --- x176: maintained heavy-hitter store ---------------------------------
+  // The heavy-hitter family gets its maintained form — but NOT by
+  // persisting the x70 Misra–Gries counters (their state depends on
+  // partition iteration order: not a deterministic stored artifact).
+  // Instead each day stores its EXACT top-m counts plus a (n, kth)
+  // stat row, and reads merge with the classic distributed top-k
+  // bounds (Fagin's TA / TPUT): c_lo = the reporting days' sum, c_hi
+  // adds each silent day's kth. No false negatives for any certifiable
+  // threshold (> Σ kth — refused loudly below that). The fixture's
+  // per-day vocabulary fits m, so every kth is 0 and the gate's bounds
+  // collapse to exact counts — the oracle is the plain frequency
+  // threshold; HhStoreSpec pins the kth>0 bound math and the torn-
+  // window fence on hand-built days. Replay accounting in-gate: the
+  // day-keyed merges replace wholesale.
+  def x176HhStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = Dedup.materialize(
+      LangModel.tokenRows(docs, "doc_id", "text")
+        .withColumn("day", pmod(col("id"), lit(3L))))
+    val table = FreshTables.next(spark, dir, "hhstore")
+    (0 until 3).foreach { b =>
+      Sketches.hhAppendDay(spark, toks.filter(col("day") === b.toLong),
+        "w", s"d$b", table)
+    }
+    // at-least-once: re-deliver day d1 — wholesale day replace
+    Sketches.hhAppendDay(spark, toks.filter(col("day") === 1L),
+      "w", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, s"$table/hh").count()
+    val expected = toks.select(col("day"), col("w")).distinct().count()
+    require(stored == expected,
+      s"x176: store holds $stored summary rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    Sketches.hhFromStore(spark, table, minFractionDen = 50L)
+  }
+
+  // per-day vocab < m ⇒ kth = 0 ⇒ bounds are exact counts: the oracle
+  // is the plain global frequency threshold at ceil(N/50)
+  val x176Sql: String =
+    """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS v
+         FROM documents),
+       c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM c)
+       SELECT v, c AS c_lo, c AS c_hi, TRUE AS decided FROM c, n
+       WHERE c >= (N + 49) // 50"""
+
+  // --- x177: STREAMING heavy-hitter-store maintenance ----------------------
+  // x176's store joins the streaming matrix (CM x111, HLL x146,
+  // histogram x161, KMV x162): token days arrive as micro-batches,
+  // each folded by Sketches.hhAppendDay in foreachBatch (two wholesale
+  // day-replace merges per batch), one batch re-delivered post-drain
+  // with row accounting — the monitor read is x176's oracle through
+  // the streaming door.
+  def x177StreamHh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(spark, dir, "documents")
+    val toks = Dedup.materialize(
+      LangModel.tokenRows(docs, "doc_id", "text")
+        .withColumn("day", pmod(col("id"), lit(3L)))
+        .select(col("w"), col("day")))
+    val table = FreshTables.next(spark, dir, "shhstore")
+    val base = FreshTables.next(spark, dir, "shhin")
+    (0 until 3).foreach { b =>
+      toks.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        Sketches.hhAppendDay(spark, batch, "w", s"d$d", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x177: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1
+    Sketches.hhAppendDay(spark, toks.filter(col("day") === 1L), "w", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, s"$table/hh").count()
+    val expected = toks.select(col("day"), col("w")).distinct().count()
+    require(stored == expected,
+      s"x177: store holds $stored summary rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    Sketches.hhFromStore(spark, table, minFractionDen = 50L)
+  }
+
+  val x177Sql: String = x176Sql
 }
