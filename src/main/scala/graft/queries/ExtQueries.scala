@@ -6579,4 +6579,50 @@ object ExtQueries {
   }
 
   val x177Sql: String = x176Sql
+
+  // --- x178: incrementally maintained join view ----------------------------
+  // The materialized-view member of the maintained-store family
+  // (ext/ViewStore): view = lineitem ⋈ orders kept fresh by the delta
+  // rule ΔV = (ΔA ⋈ B_new) ∪ ((A_new ∖ ΔA) ⋈ ΔB) — the join is paid
+  // incrementally at ingest (each term pruned to the other base's
+  // touched join-key buckets), never as a full recompute, and the view
+  // read is free. The gate deliberately DESYNCS the day splits (an
+  // order arrives on a different day than its lineitems: okey % 3 vs
+  // (okey+1) % 3) so cross-day pairing must flow through the persisted
+  // bases, replays day 1 (keyed merges replace), REQUIREs view
+  // cardinality == the one-shot join, and rolls the view up per
+  // customer — the oracle is the plain join + rollup.
+  def x178ViewStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ViewStore
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_custkey"), col("o_orderpriority"))
+    val root = FreshTables.next(spark, dir, "viewstore")
+    def dayA(d: Int) = li.filter(pmod(col("okey"), lit(3L)) === d.toLong)
+    def dayB(d: Int) = ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong)
+    (0 until 3).foreach { d =>
+      ViewStore.appendDay(spark, root, dayA(d), dayB(d), "okey",
+        Seq("okey", "l_linenumber"), Seq("okey"))
+    }
+    // at-least-once: replay day 1 on both sides — every merge replaces
+    ViewStore.appendDay(spark, root, dayA(1), dayB(1), "okey",
+      Seq("okey", "l_linenumber"), Seq("okey"))
+    val v = ViewStore.readView(spark, root)
+    val expected = li.join(ord, Seq("okey")).count()
+    require(v.count() == expected,
+      s"x178: view holds ${v.count()} rows, the one-shot join has $expected")
+    v.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val x178Sql: String =
+    """SELECT o_custkey, o_orderpriority, sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1, 2"""
 }

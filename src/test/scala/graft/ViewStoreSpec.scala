@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.ViewStore
+import graft.sources.ManifestStore
+
+/** Incrementally maintained join view (x178): delta-rule correctness on
+  * hand-built days — cross-day pairing, N:M fan-out, one-sided days,
+  * replay/crash convergence, pruned reads, and the collision guard.
+  */
+class ViewStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    s"/tmp/graft/viewstore_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def emptyA = Seq.empty[(Long, Long, String)].toDF("jk", "a_id", "a_val")
+  private def emptyB = Seq.empty[(Long, Long, String)].toDF("jk", "b_id", "b_val")
+
+  private def append(root: String, a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit =
+    ViewStore.appendDay(spark, root, a, b, "jk", Seq("a_id"), Seq("b_id"))
+
+  private def view(root: String): Set[(Long, Long, Long)] =
+    ViewStore.readView(spark, root)
+      .select("jk", "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("cross-day pairing flows through the persisted bases") {
+    val root = fresh()
+    // day 0: A rows only; day 1: their B partners arrive
+    append(root, Seq((1L, 10L, "x"), (2L, 11L, "y")).toDF("jk", "a_id", "a_val"), emptyB)
+    append(root, emptyA, Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"))
+    assert(view(root) == Set((1L, 10L, 20L)))
+    // day 2: a late A row for jk 1 pairs with the day-1 B row
+    append(root, Seq((1L, 12L, "z")).toDF("jk", "a_id", "a_val"), emptyB)
+    assert(view(root) == Set((1L, 10L, 20L), (1L, 12L, 20L)))
+  }
+
+  test("N:M fan-out: all pairs, including the same-day cross term exactly once") {
+    val root = fresh()
+    append(root,
+      Seq((1L, 10L, "x"), (1L, 11L, "y")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p"), (1L, 21L, "q")).toDF("jk", "b_id", "b_val"))
+    assert(view(root) ==
+      Set((1L, 10L, 20L), (1L, 10L, 21L), (1L, 11L, 20L), (1L, 11L, 21L)))
+    // a second day adds one row per side: new pairs only, old intact
+    append(root,
+      Seq((1L, 12L, "z")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 22L, "r")).toDF("jk", "b_id", "b_val"))
+    assert(view(root).size == 9)
+  }
+
+  test("replays converge: same day re-delivered, then a crash-window replay") {
+    val root = fresh()
+    val dayA = Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val")
+    val dayB = Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val")
+    append(root, dayA, dayB)
+    append(root, dayA, dayB) // completed-day replay
+    assert(view(root) == Set((1L, 10L, 20L)))
+    assert(ManifestStore.read(spark, s"$root/a").count() == 1L)
+    // crash window: bases merged, view merge lost — simulate by merging
+    // a new day's bases directly, then replaying the full append
+    val dayA2 = Seq((2L, 12L, "z")).toDF("jk", "a_id", "a_val")
+    ManifestStore.merge(spark, s"$root/a",
+      dayA2.withColumn("__jpt", pmod(xxhash64(col("jk").cast("string")), lit(8L))),
+      Seq("a_id"), "__jpt")
+    val dayB2 = Seq((2L, 22L, "r")).toDF("jk", "b_id", "b_val")
+    append(root, dayA2, dayB2)
+    assert(view(root) == Set((1L, 10L, 20L), (2L, 12L, 22L)))
+  }
+
+  test("a late replay after further appends regenerates only rows the view already has") {
+    val root = fresh()
+    val d0a = Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val")
+    val d0b = Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val")
+    append(root, d0a, d0b)
+    append(root, Seq((1L, 11L, "y")).toDF("jk", "a_id", "a_val"), emptyB)
+    // day 0 re-delivered AFTER day 1 landed: its ΔA ⋈ B_now includes
+    // nothing new, its ΔB ⋈ (A ∖ ΔA) regenerates (11, 20) — already
+    // present; the keyed merge must leave the view exactly invariant
+    val before = view(root)
+    append(root, d0a, d0b)
+    assert(view(root) == before)
+    assert(before == Set((1L, 10L, 20L), (1L, 11L, 20L)))
+  }
+
+  test("a single-key day against a wide base joins correctly through the pruned read") {
+    val root = fresh()
+    // 64 distinct join keys spread the base across every bucket; the
+    // one-row day's delta term reads only its key's bucket
+    // (ManifestStore.readPartitions — the mechanism is plan-pinned in
+    // the store suites; here pin the pruned path's OUTPUT)
+    val manyB = (0L until 64L).map(i => (i, 100L + i, "b")).toDF("jk", "b_id", "b_val")
+    append(root, emptyA, manyB)
+    append(root, Seq((5L, 10L, "x")).toDF("jk", "a_id", "a_val"), emptyB)
+    assert(view(root) == Set((5L, 10L, 105L)))
+  }
+
+  test("column collisions outside the join key are refused loudly") {
+    val root = fresh()
+    val a = Seq((1L, 10L, "x")).toDF("jk", "a_id", "v")
+    val b = Seq((1L, 20L, "p")).toDF("jk", "b_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      ViewStore.appendDay(spark, root, a, b, "jk", Seq("a_id"), Seq("b_id"))
+    }
+    assert(e.getMessage.contains("collision"))
+  }
+
+  test("geometry mismatch is refused loudly") {
+    val root = fresh()
+    append(root, Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val"), emptyB)
+    val e = intercept[IllegalArgumentException] {
+      ViewStore.appendDay(spark, root, emptyA,
+        Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"),
+        "jk", Seq("a_id"), Seq("b_id"), partitions = 4)
+    }
+    assert(e.getMessage.contains("partitions"))
+  }
+}
