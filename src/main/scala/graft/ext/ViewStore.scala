@@ -72,7 +72,26 @@ object ViewStore {
       jk: String,
       aKeys: Seq[String],
       bKeys: Seq[String],
-      partitions: Int = 8): Unit = {
+      partitions: Int = 8): Unit =
+    deltaView(spark, root, deltaA, deltaB, jk, aKeys, bKeys, partitions)
+      .foreach { keyed =>
+        ManifestStore.mergeOrCreate(spark, vT(root), keyed,
+          (aKeys ++ bKeys).distinct, "__jpt")
+      }
+
+  /** Merge the day's increments into the bases and return the
+    * materialized, `__jpt`-keyed view delta (None when empty) — the
+    * shared first half of [[appendDay]] and [[appendDayAgg]].
+    */
+  private def deltaView(
+      spark: SparkSession,
+      root: String,
+      deltaA: DataFrame,
+      deltaB: DataFrame,
+      jk: String,
+      aKeys: Seq[String],
+      bKeys: Seq[String],
+      partitions: Int): Option[DataFrame] = {
     requireGeometry(spark, root, partitions)
     val aCols = deltaA.columns.toSet - jk
     val bCols = deltaB.columns.toSet - jk
@@ -83,7 +102,7 @@ object ViewStore {
     val dB = Dedup.materialize(deltaB.withColumn("__jpt", bucket(col(jk), partitions)))
     val hasA = !dA.head(1).isEmpty
     val hasB = !dB.head(1).isEmpty
-    if (!hasA && !hasB) return
+    if (!hasA && !hasB) return None
     // base merges first: the delta terms below join the POST-merge
     // bases, so a crash before the view merge replays into the same
     // delta (keyed replaces make every re-run converge)
@@ -111,13 +130,9 @@ object ViewStore {
       case (None, Some(y)) => Some(y)
       case _ => None
     }
-    dV.foreach { d =>
-      val keyed = Dedup.materialize(
-        d.withColumn("__jpt", bucket(col(jk), partitions)))
-      if (!keyed.head(1).isEmpty)
-        ManifestStore.mergeOrCreate(spark, vT(root), keyed,
-          (aKeys ++ bKeys).distinct, "__jpt")
-    }
+    dV.map(d => Dedup.materialize(
+        d.withColumn("__jpt", bucket(col(jk), partitions))))
+      .filter(d => !d.head(1).isEmpty)
   }
 
   /** The maintained view — free at read time; the join was paid at
@@ -125,4 +140,73 @@ object ViewStore {
     */
   def readView(spark: SparkSession, root: String): DataFrame =
     ManifestStore.read(spark, vT(root)).drop("__jpt")
+
+  private def aggT(root: String) = s"$root/aggview"
+
+  /** [[appendDay]] PLUS a maintained AGGREGATE view over the join —
+    * day-keyed (count, Σ sumCols) subtotals per `groupCols`, so the
+    * rollup's storage is O(days × groups) and its read an O(days ×
+    * groups) re-sum, while the 100 TB join itself never materializes
+    * for the consumer (the row view stays maintained too: it is the
+    * exactness mechanism below, and the forget/rebuild surface).
+    *
+    * The replay hazard named honestly and closed: a LATE replay's
+    * delta, recomputed against today's bases, regenerates cross-day
+    * pairs the view already holds — row-keyed merges absorb those, but
+    * a day-keyed SUBTOTAL would count them twice. So the day's
+    * aggregate counts only `trueNew` = ΔV ∖ current view rows (a keyed
+    * anti-join pruned to ΔV's buckets), committed BEFORE the view
+    * merge: a crash between the two replays into the SAME trueNew
+    * (view unchanged), and a replay after completion finds trueNew
+    * empty and leaves the day's committed subtotal untouched.
+    */
+  def appendDayAgg(
+      spark: SparkSession,
+      root: String,
+      deltaA: DataFrame,
+      deltaB: DataFrame,
+      jk: String,
+      aKeys: Seq[String],
+      bKeys: Seq[String],
+      day: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      partitions: Int = 8): Unit =
+    deltaView(spark, root, deltaA, deltaB, jk, aKeys, bKeys, partitions)
+      .foreach { keyed =>
+        val viewKeys = (aKeys ++ bKeys).distinct
+        val trueNew =
+          if (!ManifestStore.exists(spark, vT(root))) keyed
+          else {
+            val leafs = keyed.select(col("__jpt")).distinct()
+              .collect().map(r => s"__jpt=${r.getLong(0)}").sorted.toSeq
+            keyed.join(
+              ManifestStore.readPartitions(spark, vT(root), leafs)
+                .select(viewKeys.map(col): _*),
+              viewKeys, "left_anti")
+          }
+        val sub = Dedup.materialize(
+          trueNew.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("cnt"),
+              sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+            .withColumn("day", lit(day)))
+        // agg first, view second (see scaladoc); an all-replayed day
+        // has no new rows and must not wipe its committed subtotal
+        if (!sub.head(1).isEmpty)
+          ManifestStore.mergeOrCreate(spark, aggT(root), sub, Seq("day"), "day")
+        ManifestStore.mergeOrCreate(spark, vT(root), keyed, viewKeys, "__jpt")
+      }
+
+  /** The maintained aggregate view: subtotals re-summed per group —
+    * O(days × groups) rows read, the join never rescanned.
+    */
+  def readAgg(
+      spark: SparkSession,
+      root: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    ManifestStore.read(spark, aggT(root))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
 }

@@ -6625,4 +6625,48 @@ object ExtQueries {
        count(*) AS n_items
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1, 2"""
+
+  // --- x179: incrementally maintained AGGREGATE view ------------------------
+  // The full IVM story on top of x178: the consumer-facing artifact is
+  // a join+agg rollup whose day-keyed subtotals cost O(days × groups)
+  // storage and an O(days × groups) re-sum at read — the join never
+  // materializes for the consumer. The replay hazard is named and
+  // closed: a late replay's recomputed delta regenerates cross-day
+  // pairs the row view already holds, so the day's subtotal counts
+  // only trueNew = ΔV ∖ view (keyed anti-join pruned to ΔV's buckets),
+  // committed before the view merge — ViewStoreSpec pins the crash
+  // windows. Replaying day 1 in-gate must leave exactly 3 day
+  // subtotals; the oracle is the plain join rollup.
+  def x179AggView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ViewStore
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val root = FreshTables.next(spark, dir, "aggview")
+    def dayA(d: Int) = li.filter(pmod(col("okey"), lit(3L)) === d.toLong)
+    def dayB(d: Int) = ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong)
+    def cycle(d: Int): Unit = ViewStore.appendDayAgg(spark, root,
+      dayA(d), dayB(d), "okey", Seq("okey", "l_linenumber"), Seq("okey"),
+      day = s"d$d", groupCols = Seq("o_orderpriority"),
+      sumCols = Seq("l_quantity"))
+    (0 until 3).foreach(cycle)
+    cycle(1) // at-least-once: a completed day replayed — trueNew empty
+    val ms = graft.sources.ManifestStore
+    // day 0's increments have no partners yet (the desync sends an
+    // order's lineitems and the order itself to different days), so
+    // exactly days 1 and 2 carry subtotals — and the d1 replay must
+    // not have re-added or wiped anything
+    val days = ms.read(spark, s"$root/aggview")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSet
+    require(days == Set("d1", "d2"),
+      s"x179: day subtotals $days after the replay, expected {d1, d2}")
+    ViewStore.readAgg(spark, root,
+      groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+  }
+
+  val x179Sql: String =
+    """SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_l_quantity
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1"""
 }

@@ -97,6 +97,65 @@ class ViewStoreSpec extends SparkSpec {
     assert(view(root) == Set((5L, 10L, 105L)))
   }
 
+  // ---- x179: maintained aggregate view ----
+
+  private def appendAgg(root: String, a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, day: String): Unit =
+    ViewStore.appendDayAgg(spark, root, a, b, "jk", Seq("a_id"), Seq("b_id"),
+      day, groupCols = Seq("b_val"), sumCols = Seq("a_id"))
+
+  private def agg(root: String): Map[String, (Long, Long)] =
+    ViewStore.readAgg(spark, root, Seq("b_val"), Seq("a_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("x179: the aggregate view tracks cross-day joins exactly") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x"), (2L, 11L, "y")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"), "d0")
+    // d0: pair (jk1: a10 × b"p") → p: (1, 10)
+    assert(agg(root) == Map("p" -> ((1L, 10L))))
+    // d1: B partner for jk 2 arrives → q gains a11; late A row for jk 1
+    appendAgg(root, Seq((1L, 12L, "z")).toDF("jk", "a_id", "a_val"),
+      Seq((2L, 21L, "q")).toDF("jk", "b_id", "b_val"), "d1")
+    assert(agg(root) == Map("p" -> ((2L, 22L)), "q" -> ((1L, 11L))))
+  }
+
+  test("x179: a late replay after further appends never double-counts") {
+    val root = fresh()
+    val d0a = Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val")
+    val d0b = Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val")
+    appendAgg(root, d0a, d0b, "d0")
+    appendAgg(root, Seq((1L, 11L, "y")).toDF("jk", "a_id", "a_val"), emptyB, "d1")
+    val before = agg(root)
+    assert(before == Map("p" -> ((2L, 21L))))
+    // day 0 re-delivered AFTER d1: its recomputed delta regenerates
+    // (11, 20) — already in the row view → trueNew empty → the d0
+    // subtotal stays the ORIGINAL commit, totals invariant
+    appendAgg(root, d0a, d0b, "d0")
+    assert(agg(root) == before)
+    assert(ManifestStore.read(spark, s"$root/aggview")
+      .select("day").distinct().count() == 2L)
+  }
+
+  test("x179: crash between the agg commit and the view merge replays into the same subtotal") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"), "d0")
+    // simulate the crash window for d1: bases + agg committed, view NOT —
+    // replicate appendDayAgg's first two commits by hand
+    val d1a = Seq((1L, 11L, "y")).toDF("jk", "a_id", "a_val")
+    ManifestStore.merge(spark, s"$root/a",
+      d1a.withColumn("__jpt", pmod(xxhash64(col("jk").cast("string")), lit(8L))),
+      Seq("a_id"), "__jpt")
+    val sub = Seq(("p", 1L, 11L, "d1")).toDF("b_val", "cnt", "sum_a_id", "day")
+    ManifestStore.merge(spark, s"$root/aggview", sub, Seq("day"), "day")
+    // the recovery replay: trueNew is still the same pair (view lacks
+    // it), the day subtotal replaces identically, the view completes
+    appendAgg(root, d1a, emptyB, "d1")
+    assert(agg(root) == Map("p" -> ((2L, 21L))))
+    assert(view(root) == Set((1L, 10L, 20L), (1L, 11L, 20L)))
+  }
+
   test("column collisions outside the join key are refused loudly") {
     val root = fresh()
     val a = Seq((1L, 10L, "x")).toDF("jk", "a_id", "v")
