@@ -417,6 +417,56 @@ object ScaleBench {
     // expect ~linear from write+refresh, read flat
     "x170_bloom_in")
 
+  /** Round-11 second half: the forget matrix, token/attr-filtered
+    * probes, the deterministic heavy-hitter store, and the maintained
+    * join/aggregate views.
+    */
+  val R11bFamily: Seq[String] = Seq(
+    // build dominates (two store writes over the corpus); the forget
+    // itself is keyed deletes over the doomed ids' buckets — expect
+    // the build's ~linear curve, forget share shrinking
+    "x171_dedup_forget",
+    // 3 day-append tokenizations are the linear term; the forget
+    // tokenizes only the doomed slice and rewrites its buckets; stats
+    // correction is O(days) — expect the x156 shape
+    "x172_index_forget",
+    // pair generation + the build's component pass dominate; the
+    // forget is O(doomed + affected members) twin-routed — expect the
+    // x147 shape without the append's third commit
+    "x173_cluster_forget",
+    // token-bloom refresh is one scan + a (partition, word) shuffle
+    // bounded by partitions × m/64; the probed read opens the
+    // qualifying partitions only — expect ~linear from write+refresh,
+    // read share shrinking as pruning deepens (162/256 at sf0.1)
+    "x174_token_skip",
+    // build (encode + attrs write) dominates; the filtered probe adds
+    // one pruned attrs read + a candidate semi-join to the ADC pass —
+    // expect the x129-build curve
+    "x175_filtered_ann",
+    // per day: one count pass (map-side combined) + an O(distinct)
+    // salted top-m; the read is O(days × m) — expect ~linear from the
+    // count passes, read flat
+    "x176_hh_store",
+    // x176 through the streaming door: the same count passes against
+    // the micro-batch + commit floor — expect sub-linear
+    "x177_stream_hh",
+    // each cycle merges the day and joins it against the other base's
+    // touched buckets; the view merge rewrites touched buckets — the
+    // incremental bet: expect ~linear in TOTAL data (the per-cycle
+    // cost is Δ-sized, the 10× run does 10× the Δ work over 3 cycles)
+    "x178_view_store",
+    // x178's cycles + the trueNew anti-join and an O(groups) subtotal
+    // merge per day; the agg read is O(days × groups) — expect the
+    // x178 shape
+    "x179_agg_view",
+    // both store builds dominate (BM25 day-append + IVF/PQ encode);
+    // the two probes are pruned and the fusion is O(queries × 40) —
+    // expect the builds' ~linear curve
+    "x180_hybrid_store",
+    // x179's cycles + a forget that prunes to the doomed buckets —
+    // expect the x179 shape, forget share shrinking
+    "x181_view_forget")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -543,7 +593,8 @@ object ScaleBench {
       "stream_scale" -> StreamFamily, "r6_scale" -> R6Family,
       "r7_scale" -> R7Family, "r8_scale" -> R8Family,
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
-      "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family)
+      "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
+      "r11b_scale" -> R11bFamily)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

@@ -171,7 +171,17 @@ object ViewStore {
       day: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      partitions: Int = 8): Unit =
+      partitions: Int = 8): Unit = {
+    // forget fence: a crashed forgetA (correction committed, base-A
+    // delete not) must be replayed before new days append — an append
+    // pairing still-present doomed rows would be double-corrected by
+    // the replay's recomputed correction
+    if (ManifestStore.exists(spark, aggT(root)) && ManifestStore.exists(spark, aT(root)))
+      for (s <- ManifestStore.lastTxn(spark, aggT(root), ForgetTxn)
+           if !ManifestStore.lastTxn(spark, aT(root), ForgetTxn).exists(_ >= s))
+        throw new IllegalStateException(
+          s"ViewStore: $root has an unreplayed crashed forget (seq $s) — " +
+            "replay it to convergence before appending")
     deltaView(spark, root, deltaA, deltaB, jk, aKeys, bKeys, partitions)
       .foreach { keyed =>
         val viewKeys = (aKeys ++ bKeys).distinct
@@ -196,9 +206,12 @@ object ViewStore {
           ManifestStore.mergeOrCreate(spark, aggT(root), sub, Seq("day"), "day")
         ManifestStore.mergeOrCreate(spark, vT(root), keyed, viewKeys, "__jpt")
       }
+  }
 
   /** The maintained aggregate view: subtotals re-summed per group —
-    * O(days × groups) rows read, the join never rescanned.
+    * O(days × groups) rows read, the join never rescanned. Groups
+    * whose net count reaches zero (every contributing pair forgotten)
+    * drop out, matching a recompute over the surviving join.
     */
   def readAgg(
       spark: SparkSession,
@@ -209,4 +222,76 @@ object ViewStore {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      .filter(col("cnt") > 0L)
+
+  /** The forget-vs-append fence key: the correction commit records the
+    * last STARTED forget on the agg table, the base-A delete (the
+    * window's final commit) the last COMPLETED one — diverging exactly
+    * while a forget crash window is open, when [[appendDayAgg]] must
+    * not interleave (its new pairs for still-present doomed base rows
+    * would be double-corrected by the replay's recomputed correction).
+    */
+  private val ForgetTxn = "graft.view.forget"
+
+  /** Right-to-be-forgotten over the maintained views — the view member
+    * of the forget matrix (x157/x171/x172/x173): remove doomed A-side
+    * rows from the base, every view row they produced, and their mass
+    * from the aggregate subtotals. The request carries the doomed rows
+    * (keys + join key, read from the lakehouse before its own delete —
+    * the [[IndexStore.forget]] contract), so every step prunes to
+    * their join-key buckets.
+    *
+    * The aggregate correction is a NEGATIVE subtotal under a
+    * per-request day key (`__forget_<seq>`): day-keyed wholesale
+    * replace makes replays idempotent, and `readAgg`'s re-sum nets it
+    * against the positive days — no historical subtotal is rewritten,
+    * the x88 merge-only discipline. Commit order, every window
+    * converging on replay (spec-pinned): (1) correction — computed
+    * from the view rows BEFORE they die; (2) view delete; (3) base-A
+    * delete last (it closes the fence). A replay after (2) finds no
+    * doomed view rows and leaves the committed correction untouched
+    * (the appendDayAgg trueNew logic, mirrored). `groupCols`/`sumCols`
+    * must be the ones `appendDayAgg` maintains; pass Nil for a
+    * row-view-only store.
+    */
+  def forgetA(
+      spark: SparkSession,
+      root: String,
+      doomedA: DataFrame,
+      jk: String,
+      aKeys: Seq[String],
+      forgetSeq: Long,
+      groupCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil,
+      partitions: Int = 8): Unit = {
+    requireGeometry(spark, root, partitions)
+    val doomed = Dedup.materialize(
+      doomedA.select((aKeys :+ jk).distinct.map(col): _*).distinct()
+        .withColumn("__jpt", bucket(col(jk), partitions)))
+    if (doomed.head(1).isEmpty) return
+    val hasAgg = ManifestStore.exists(spark, aggT(root))
+    val hasView = ManifestStore.exists(spark, vT(root))
+    if (hasAgg) {
+      require(groupCols.nonEmpty,
+        s"ViewStore: $root maintains an aggregate view — forgetA needs " +
+          "the groupCols/sumCols appendDayAgg uses, or the subtotals go stale")
+      val leafs = doomed.select(col("__jpt")).distinct()
+        .collect().map(r => s"__jpt=${r.getLong(0)}").sorted.toSeq
+      val doomedRows = ManifestStore.readPartitions(spark, vT(root), leafs)
+        .join(doomed.select(aKeys.map(col): _*).distinct(), aKeys, "left_semi")
+      val corr = Dedup.materialize(
+        doomedRows.groupBy(groupCols.map(col): _*)
+          .agg((-count(lit(1))).as("cnt"),
+            sumCols.map(c => (-sum(col(c))).as(s"sum_$c")): _*)
+          .withColumn("day", lit(s"__forget_$forgetSeq")))
+      if (!corr.head(1).isEmpty)
+        ManifestStore.merge(spark, aggT(root), corr, Seq("day"), Seq("day"),
+          txnRecord = Map(ForgetTxn -> forgetSeq))
+    }
+    if (hasView)
+      ManifestStore.delete(spark, vT(root), doomed, aKeys, Seq("__jpt"))
+    if (ManifestStore.exists(spark, aT(root)))
+      ManifestStore.delete(spark, aT(root), doomed, aKeys, Seq("__jpt"),
+        txnRecord = Map(ForgetTxn -> forgetSeq))
+  }
 }

@@ -6516,7 +6516,11 @@ object ExtQueries {
     Sketches.hhAppendDay(spark, toks.filter(col("day") === 1L),
       "w", "d1", table)
     val stored = graft.sources.ManifestStore.read(spark, s"$table/hh").count()
-    val expected = toks.select(col("day"), col("w")).distinct().count()
+    // each day stores min(distinct, m) rows (the top-m cap binds on
+    // vocabularies larger than m — the 10× scale corpus)
+    val expected = toks.select(col("day"), col("w")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("nd"))
+      .agg(sum(least(col("nd"), lit(256L)))).head().getLong(0)
     require(stored == expected,
       s"x176: store holds $stored summary rows, expected $expected — " +
         "the d1 replay duplicated instead of replacing")
@@ -6571,7 +6575,9 @@ object ExtQueries {
     // at-least-once: re-deliver day 1
     Sketches.hhAppendDay(spark, toks.filter(col("day") === 1L), "w", "d1", table)
     val stored = graft.sources.ManifestStore.read(spark, s"$table/hh").count()
-    val expected = toks.select(col("day"), col("w")).distinct().count()
+    val expected = toks.select(col("day"), col("w")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("nd"))
+      .agg(sum(least(col("nd"), lit(256L)))).head().getLong(0)
     require(stored == expected,
       s"x177: store holds $stored summary rows, expected $expected — " +
         "the d1 replay duplicated instead of replacing")
@@ -6669,4 +6675,122 @@ object ExtQueries {
     """SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_l_quantity
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1"""
+
+  // --- x180: hybrid retrieval from the maintained stores --------------------
+  // x89's RRF fusion moved onto the PRODUCTION path: the lexical list
+  // comes from the maintained BM25 index (x156 — the probe reads only
+  // the query vocabulary's buckets) and the dense list from the
+  // maintained IVF+PQ vector store (x129 — the probe scans only the
+  // probed centroids' partitions), fused by exact-integer reciprocal
+  // ranks. Neither side rescans its corpus — the complete retrieval
+  // stack a deployment actually runs, end to end from stores. The
+  // oracle nests x69's BM25 and x128's IVF+PQ pipelines as subqueries
+  // (k=20 each) under the RRF rollup.
+  def x180HybridStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.{IndexStore, VectorStore}
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val lexRoot = FreshTables.next(spark, dir, "hyblex")
+    IndexStore.appendDay(spark, docs, "doc_id", "text", "d0", lexRoot)
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val lexical = IndexStore.bm25Probe(spark, lexRoot, qs, "doc_id", topK = 20)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val vecRoot = FreshTables.next(spark, dir, "hybvec")
+    VectorStore.build(spark, emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", vecRoot, dim = 64, m = 4, k = 16, stride = 3)
+    val probeMap = Seq(("q_hash_join", 0L), ("q_stream", 1L), ("q_vector", 2L))
+      .toDF("qname", "pvec")
+    val dense = VectorStore.probe(spark, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", vecRoot,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 20)
+      .join(broadcast(probeMap), col("query_id") === col("pvec"))
+      .select(col("qname").as("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    Retrieval.rrfFuse(Seq(lexical, dense), "doc_id", k = 10)
+  }
+
+  val x180Sql: String = {
+    val lexAnchor = "FROM r WHERE rank <= 15"
+    val denSelAnchor = "SELECT query_id, rank, vec_id, est_d9 FROM r WHERE rank <= 10"
+    val denQAnchor = "WHERE q.vec_id < 8"
+    require(x69Sql.contains(lexAnchor) && x128Sql.contains(denSelAnchor) &&
+      x128Sql.contains(denQAnchor), "x180: oracle anchors moved")
+    val lex20 = x69Sql.replace(lexAnchor, "FROM r WHERE rank <= 20")
+    val den20 = x128Sql
+      .replace(denQAnchor, "WHERE q.vec_id < 3")
+      .replace(denSelAnchor, "SELECT query_id, rank, vec_id FROM r WHERE rank <= 20")
+    s"""WITH lexr AS (SELECT query_id, rank, doc_id FROM ($lex20)),
+       denr0 AS (SELECT query_id, rank, vec_id FROM ($den20)),
+       qmap(qname, pvec) AS (VALUES ('q_hash_join', 0), ('q_stream', 1), ('q_vector', 2)),
+       denr AS (SELECT qname AS query_id, rank, vec_id AS doc_id
+                FROM denr0 JOIN qmap ON query_id = pvec),
+       contrib AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM lexr
+                   UNION ALL
+                   SELECT query_id, doc_id, 1000000000000 // (60 + rank) FROM denr),
+       fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+                 FROM contrib GROUP BY 1, 2),
+       fr AS (SELECT query_id, doc_id, rrf_fp,
+              row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS rank
+              FROM fused)
+       SELECT query_id, rank, doc_id, rrf_fp FROM fr WHERE rank <= 10"""
+  }
+
+  // --- x181: right-to-be-forgotten over the maintained views ----------------
+  // The forget matrix reaches the view stores (vector x157, dedup
+  // x171, BM25 x172, cluster x173, views here): ViewStore.forgetA
+  // removes doomed A-side rows from the base, every view row they
+  // produced, and their mass from the aggregate subtotals — the
+  // correction is a NEGATIVE subtotal under a per-request day key
+  // (idempotent wholesale replace; readAgg nets it against the
+  // positive days, so no historical subtotal is ever rewritten), and
+  // the commit order (correction → view delete → base delete closing
+  // the forget fence) replays to convergence from every window. The
+  // gate builds x179's store, forgets okey % 11 == 3's lineitems,
+  // REQUIREs zero surviving base/view rows, re-runs the forget, and
+  // reads the aggregate — the oracle recomputes over the surviving
+  // lineitems.
+  def x181ViewForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ViewStore
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val root = FreshTables.next(spark, dir, "viewforget")
+    def dayA(d: Int) = li.filter(pmod(col("okey"), lit(3L)) === d.toLong)
+    def dayB(d: Int) = ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong)
+    (0 until 3).foreach { d =>
+      ViewStore.appendDayAgg(spark, root, dayA(d), dayB(d), "okey",
+        Seq("okey", "l_linenumber"), Seq("okey"),
+        day = s"d$d", groupCols = Seq("o_orderpriority"),
+        sumCols = Seq("l_quantity"))
+    }
+    val doomed = li.filter(col("okey") % 11 === 3)
+    require(doomed.count() > 0L, "x181: empty doomed slice")
+    def forget(): Unit = ViewStore.forgetA(spark, root, doomed, "okey",
+      Seq("okey", "l_linenumber"), forgetSeq = 1L,
+      groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+    forget()
+    val ms = graft.sources.ManifestStore
+    val dk = doomed.select(col("okey"), col("l_linenumber"))
+    val baseLeft = ms.read(spark, s"$root/a")
+      .join(dk, Seq("okey", "l_linenumber"), "left_semi").count()
+    val viewLeft = ms.read(spark, s"$root/view")
+      .join(dk, Seq("okey", "l_linenumber"), "left_semi").count()
+    require(baseLeft == 0L && viewLeft == 0L,
+      s"x181: $baseLeft base / $viewLeft view rows survived the forget")
+    forget() // idempotent re-run — the recovery path
+    ViewStore.readAgg(spark, root,
+      groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+  }
+
+  // x179's rollup over the surviving lineitems
+  val x181Sql: String = {
+    val anchor = "FROM lineitem JOIN orders"
+    require(x179Sql.contains(anchor), "x181: x179Sql anchor moved")
+    x179Sql.replace(anchor,
+      "FROM (SELECT * FROM lineitem WHERE l_orderkey % 11 <> 3) lineitem JOIN orders")
+  }
 }

@@ -156,6 +156,66 @@ class ViewStoreSpec extends SparkSpec {
     assert(view(root) == Set((1L, 10L, 20L), (1L, 11L, 20L)))
   }
 
+  // ---- x181: forget over the maintained views ----
+
+  private def forget(root: String, rows: org.apache.spark.sql.DataFrame,
+      seq: Long): Unit =
+    ViewStore.forgetA(spark, root, rows, "jk", Seq("a_id"), seq,
+      groupCols = Seq("b_val"), sumCols = Seq("a_id"))
+
+  test("x181: forgetting an A row removes its base row, view rows, and aggregate mass") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x"), (1L, 11L, "y")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"), "d0")
+    assert(agg(root) == Map("p" -> ((2L, 21L))))
+    forget(root, Seq((1L, 10L)).toDF("jk", "a_id").select(col("a_id"), col("jk")), 1L)
+    assert(agg(root) == Map("p" -> ((1L, 11L))))
+    assert(view(root) == Set((1L, 11L, 20L)))
+    assert(ManifestStore.read(spark, s"$root/a")
+      .filter(col("a_id") === 10L).count() == 0L)
+    // replay: no doomed view rows remain — the correction stays put
+    forget(root, Seq((1L, 10L)).toDF("jk", "a_id").select(col("a_id"), col("jk")), 1L)
+    assert(agg(root) == Map("p" -> ((1L, 11L))))
+  }
+
+  test("x181: forgetting a group's whole mass drops the group from the rollup") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"), "d0")
+    forget(root, Seq((1L, 10L)).toDF("jk", "a_id"), 1L)
+    assert(agg(root).isEmpty)
+  }
+
+  test("x181: crash after the correction commit — appends refused, the replay converges") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x"), (2L, 11L, "y")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p"), (2L, 21L, "q")).toDF("jk", "b_id", "b_val"), "d0")
+    // simulate: correction committed (with the started txn), view +
+    // base deletes lost
+    val corr = Seq(("p", -1L, -10L, "__forget_5")).toDF("b_val", "cnt", "sum_a_id", "day")
+    ManifestStore.merge(spark, s"$root/aggview", corr, Seq("day"), Seq("day"),
+      txnRecord = Map("graft.view.forget" -> 5L))
+    val e = intercept[IllegalStateException] {
+      appendAgg(root, Seq((3L, 12L, "z")).toDF("jk", "a_id", "a_val"), emptyB, "d1")
+    }
+    assert(e.getMessage.contains("unreplayed crashed forget"))
+    // the replay: doomed view rows still present → identical correction
+    // replaces, deletes complete, the fence closes — appends flow again
+    forget(root, Seq((1L, 10L)).toDF("jk", "a_id"), 5L)
+    assert(agg(root) == Map("q" -> ((1L, 11L))))
+    appendAgg(root, Seq((2L, 12L, "z")).toDF("jk", "a_id", "a_val"), emptyB, "d1")
+    assert(agg(root) == Map("q" -> ((2L, 23L))))
+  }
+
+  test("x181: forgetting unknown rows is a no-op") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p")).toDF("jk", "b_id", "b_val"), "d0")
+    forget(root, Seq((9L, 99L)).toDF("jk", "a_id"), 1L)
+    assert(agg(root) == Map("p" -> ((1L, 10L))))
+    assert(view(root) == Set((1L, 10L, 20L)))
+  }
+
   test("column collisions outside the join key are refused loudly") {
     val root = fresh()
     val a = Seq((1L, 10L, "x")).toDF("jk", "a_id", "v")
