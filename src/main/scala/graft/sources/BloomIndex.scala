@@ -332,14 +332,20 @@ object BloomIndex {
     * otherwise. The conjunctive residual ALWAYS applies; results never
     * depend on the blooms.
     */
+  /** The conjunctive token residual — the ONE definition [[readContainsAll]]
+    * and [[SkippingIndexes]]' `HasTokens` predicate share, so the
+    * residual can never drift from the refresh's tokenization.
+    */
+  private[sources] def tokensResidual(textCol: String, terms: Seq[String]) =
+    terms.map(t => array_contains(tokenArr(col(textCol)), t)).reduce(_ && _)
+
   def readContainsAll(
       spark: SparkSession,
       table: String,
       textCol: String,
       terms: Seq[String],
       requireFresh: Boolean = false): DataFrame = {
-    val pred = terms.map(t =>
-      array_contains(tokenArr(col(textCol)), t)).reduce(_ && _)
+    val pred = tokensResidual(textCol, terms)
     qualifyingTokens(spark, table, textCol, terms) match {
       case None =>
         require(!requireFresh,

@@ -40,11 +40,16 @@ object SkippingIndexes {
   final case class Between(column: String, lo: Long, hi: Long) extends Pred
   final case class Eq(column: String, value: Any) extends Pred
   final case class In(column: String, values: Seq[Any]) extends Pred
+  /** "The text column's token set contains EVERY term" — consults the
+    * token blooms ([[BloomIndex.refreshTokens]], x174).
+    */
+  final case class HasTokens(column: String, terms: Seq[String]) extends Pred
 
   private def residual(p: Pred): Column = p match {
     case Between(c, lo, hi) => col(c).cast("long").between(lo, hi)
     case Eq(c, v) => col(c) === lit(v)
     case In(c, vs) => col(c).isin(vs: _*)
+    case HasTokens(c, ts) => BloomIndex.tokensResidual(c, ts)
   }
 
   /** (Re)build EVERY listed index in TWO jobs, however many columns —
@@ -111,6 +116,7 @@ object SkippingIndexes {
       case Between(c, lo, hi) => ZoneMaps.qualifying(spark, table, c, lo, hi)
       case Eq(c, v) => BloomIndex.qualifying(spark, table, c, v)
       case In(c, vs) => BloomIndex.qualifyingIn(spark, table, c, vs)
+      case HasTokens(c, ts) => BloomIndex.qualifyingTokens(spark, table, c, ts)
     }
     require(!requireFresh || sets.forall(_.isDefined),
       s"SkippingIndexes: ${sets.count(_.isEmpty)} of ${preds.size} " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.{BloomIndex, ManifestStore, PartitionedStore, SkippingIndexes, ZoneMaps}
-import graft.sources.SkippingIndexes.{Between, Eq, In}
+import graft.sources.SkippingIndexes.{Between, Eq, HasTokens, In}
 
 /** Composite skipping (x168): intersection prunes multiplicatively on
   * grid layouts, stale indexes degrade silently, correctness never
@@ -175,6 +175,39 @@ class SkippingIndexesSpec extends SparkSpec {
     assert(PartitionedStore.selectedPartitionTotal(alone) == 2L)
     assert(alone.select(col("id")).collect().map(_.getLong(0)).toSet ==
       Set(9L, 126L))
+  }
+
+  test("a HasTokens predicate composes with zone ranges in the same conjunction") {
+    val root = fresh()
+    // text clusters with the layout: partition p's docs mention token
+    // "zone<p>"; a shared token "common" appears everywhere
+    val rows = (0L until 80L).map { i =>
+      val p = i / 20
+      // partition 3 interleaves alpha/beta docs: its BLOOM holds both
+      // tokens though no single doc does — the residual-exactness case
+      val text = if (p == 3L) (if (i % 2 == 0) "alpha filler" else "beta filler")
+        else s"common zone$p filler"
+      (i, i * 10, text, p)
+    }
+    ManifestStore.write(spark, rows.toDF("id", "v", "text", "pt"), root, "pt")
+    ZoneMaps.refresh(spark, root, "v")
+    BloomIndex.refreshTokens(spark, root, "text")
+    // the range alone spans partitions 0-1; the token pins partition 1:
+    // the intersection scans exactly one
+    val out = SkippingIndexes.readWhere(spark, root,
+      Seq(Between("v", 0L, 390L), HasTokens("text", Seq("zone1"))),
+      requireFresh = true)
+    assert(PartitionedStore.selectedPartitionTotal(out) == 1L)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      (20L until 40L).toSet.filter(_ * 10 <= 390L))
+    // residual exactness: partition 3's bloom holds BOTH tokens (its
+    // docs interleave them), so the probe must scan it — and the
+    // conjunctive residual must still return zero rows
+    val none = SkippingIndexes.readWhere(spark, root,
+      Seq(HasTokens("text", Seq("alpha", "beta"))), requireFresh = true)
+    assert(PartitionedStore.selectedPartitionTotal(none) == 1L)
+    assert(none.count() == 0L,
+      "no single doc holds both tokens — the residual must filter them")
   }
 
   test("an out-of-domain range proves the table empty without scanning it") {
