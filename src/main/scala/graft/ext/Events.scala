@@ -73,6 +73,49 @@ object Events {
       .withColumn("window_end", col("window_start") + lit(spanUs))
   }
 
+  /** Time-series resample + forward fill: the gap-filling every
+    * metric/monitoring consumer wants — a dense per-key time grid where
+    * silent buckets report `n_events = 0` and carry the last observed
+    * aggregate forward. One data-sized pass (the per-(key, bucket)
+    * rollup, map-side combined); everything after lives on the
+    * O(keys × buckets) grid — the spine explode (`sequence` over each
+    * key's min..max bucket), the left join, and the one per-key ordered
+    * window for the fill — all row-count-independent. Caller picks
+    * `stepUs` so range/step stays grid-sized; a key spanning years at
+    * 1 ms steps is a caller bug, not an operator path.
+    *
+    * Bucket alignment is exact floor division on integer µs (the
+    * [[hopping]] convention, negative-epoch safe). `total_value` is the
+    * observed per-bucket sum (DECIMAL(18,2)-exact, null on silent
+    * buckets); `filled_value` is its forward fill — never null, since
+    * each key's spine starts at its own first observed bucket.
+    */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      valueCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"resampleFill: stepUs=$stepUs")
+    val bucket =
+      expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, ${stepUs}L)) div ${stepUs}L")
+    val obs = df.withColumn("__b", bucket)
+      .groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+    val spine = obs.groupBy(col(keyCol))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .withColumn("__b", explode(sequence(col("__lo"), col("__hi"))))
+      .select(col(keyCol), col("__b"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(obs, Seq(keyCol, "__b"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value", last(col("total_value"), ignoreNulls = true).over(byKey))
+      .select(col(keyCol), (col("__b") * lit(stepUs)).as("bucket_start"),
+        col("n_events"), col("total_value"), col("filled_value"))
+  }
+
   /** Gap-based sessionization, batch form (gaps-and-islands): a new session
     * starts when the gap from the previous event of the same user exceeds
     * `gap` (measured on `orderCol`, a NUMERIC epoch column — nanos, micros,
@@ -103,6 +146,46 @@ object Events {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Sessionization via Spark's NATIVE `session_window` — the built-in
+    * the custom gaps-and-islands pass ([[sessionStats]]) and the
+    * stateful streaming form both re-derive. Declared this way the
+    * session merge runs inside Catalyst's dedicated
+    * MergingSessions/UpdatingSessions operators (sort-based in-partition
+    * merge after one key shuffle, no window-function pass), and the SAME
+    * expression works unchanged under `readStream` + watermark — the one
+    * spelling that covers batch and streaming.
+    *
+    * Boundary semantics match [[sessionizeBatch]] exactly, including at
+    * the boundary (spec-pinned, empirically): Spark merges ABUTTING
+    * per-event windows, so an exactly-gap-apart pair shares a session —
+    * the same inclusive `diff > gap`-starts-a-session rule as the
+    * gaps-and-islands pass, and the two forms produce identical session
+    * compositions on any input. `window_end` is last event + gap (the
+    * window bound), alongside the exact `session_end` last-event stamp.
+    *
+    * Input `microsCol` is exact integer epoch-µs (the [[epochMicros]]
+    * convention); the timestamp conversion is `timestamp_micros` under
+    * the UTC-pinned session, round-tripped back via `unix_micros`.
+    */
+  def sessionWindowStats(
+      df: DataFrame,
+      userCol: String,
+      microsCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"sessionWindowStats: gapMicros=$gapMicros")
+    df.withColumn("__t", timestamp_micros(col(microsCol)))
+      .groupBy(col(userCol),
+        session_window(col("__t"), s"$gapMicros microseconds").as("__sw"))
+      .agg(
+        min(col(microsCol)).as("session_start"),
+        max(col(microsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        unix_micros(col("__sw.start")).as("window_start"),
+        unix_micros(col("__sw.end")).as("window_end"),
+        col("session_start"), col("session_end"), col("n_events"))
+  }
 
   /** Hot-user-safe two-phase sessionization rollup — the salted fallback
     * the [[sessionizeBatch]] scaladoc's caveat points at. Phase 1 salts

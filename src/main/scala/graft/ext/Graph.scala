@@ -117,6 +117,54 @@ object Graph {
         col("id").as("keeper_id"), col("rank9").as("keeper_rank9"))
   }
 
+  /** k-core of an undirected pair graph (Seidman 1983): iteratively peel
+    * every node of degree < k until none remains — the maximal subgraph
+    * where every member has ≥ k neighbors. The curation read on a
+    * near-dup graph: the k-core is the dense template/boilerplate family
+    * mass (every member near-duplicates ≥ k others), as opposed to the
+    * star/chain periphery the peel removes — the slice to inspect (or
+    * down-weight) before the cheaper per-cluster keeper pass.
+    *
+    * Scale shape: each round is one O(E) degree aggregation (map-side
+    * combined) plus two anti-joins of the edge list against the
+    * O(doomed) peel set — never an all-pairs step; the edge list only
+    * shrinks. Rounds are data-dependent, so the loop localCheckpoints
+    * each round (standing invariant) and `require`s convergence within
+    * `maxRounds` — a loud failure, not a silently-partial core. Extra
+    * rounds after the fixpoint are no-ops (the peel is idempotent), so
+    * an oracle may safely unroll MORE rounds than the live run needed.
+    *
+    * Output: (id, deg) for every k-core member, `deg` its degree INSIDE
+    * the core (≥ k by construction). Empty when the graph has no k-core.
+    */
+  def kCorePeel(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"kCorePeel: k=$k, maxRounds=$maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var e = Dedup.materialize(
+      pairs.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v")).distinct())
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val doomed = degrees(e).filter(col("deg") < k).select(col("id"))
+      if (doomed.isEmpty) converged = true
+      else e = Dedup.materialize(
+        e.join(doomed.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
+          .join(doomed.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+          .select(col("u"), col("v")))
+    }
+    require(converged, s"kCorePeel: no fixpoint after $maxRounds rounds — raise maxRounds")
+    degrees(e)
+  }
+
   /** Exact triangle census of an undirected pair graph — the structure
     * diagnostic of a near-dup graph (triangle-dense = template families,
     * triangle-free star = one canonical + variants; the global clustering

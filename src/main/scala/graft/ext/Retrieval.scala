@@ -95,6 +95,65 @@ object Retrieval {
         round(col("s9").cast("double") / lit(1e9d), 6).as("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    * tf-idf-weighted RM-style variant in public IR texts): run BM25,
+    * treat each query's top `kFeedback` docs as relevant, pick the
+    * `mTerms` highest tf-idf terms from that feedback set (originals
+    * excluded), append them to the query, and re-run BM25 — the classic
+    * recall lever for short audit queries whose one or two literal
+    * terms miss paraphrased matches.
+    *
+    * 100 TB design: every intermediate is feedback-scaled, never
+    * corpus-scaled — the feedback token pass semi-joins the token
+    * stream against O(queries × kFeedback) doc ids, candidate-term df
+    * counts only the candidate vocabulary's postings (the same pruned-
+    * posting gate bm25 itself rides), and term selection is a
+    * WindowGroupLimit top-m over O(queries × feedback vocab). The two
+    * BM25 rounds each keep their own scale path.
+    *
+    * Determinism: term weights are 1e-9 fixed-point LONGs
+    * (round(idf · feedback-tf · 1e9), the bm25 partial convention) and
+    * selection orders by (weight DESC, term ASC) — a total order, so
+    * the expanded query set is engine-portable and the whole pipeline
+    * oracles exactly.
+    */
+  def prfExpand(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      kFeedback: Int,
+      mTerms: Int,
+      k: Int): DataFrame = {
+    require(kFeedback >= 1 && mTerms >= 1 && k >= 1,
+      s"prfExpand: kFeedback=$kFeedback, mTerms=$mTerms, k=$k")
+    val base = bm25TopK(docs, idCol, textCol, queries, kFeedback)
+    val toks = LangModel.tokenRows(docs, idCol, textCol)
+    val fb = base.select(col("query_id"), col(idCol).as("id"))
+    val ft = toks.join(fb, Seq("id"))
+      .groupBy(col("query_id"), col("w")).agg(count(lit(1)).as("ftf"))
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("w"))
+      .distinct()
+    val cand = ft.join(qt, Seq("query_id", "w"), "left_anti")
+    val cv = cand.select(col("w")).distinct()
+    val dfc = toks.join(cv, Seq("w")).select(col("id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val weighted = cand.join(dfc, Seq("w")).crossJoin(broadcast(nd))
+      .withColumn("w9", round(
+        log(lit(1.0d) +
+          (col("nd").cast("double") - col("df").cast("double") + lit(0.5d)) /
+            (col("df").cast("double") + lit(0.5d))) *
+          col("ftf").cast("double") * lit(1e9d), 0).cast("long"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("w9").desc, col("w"))
+    val extra = weighted.withColumn("__rn", row_number().over(byQ))
+      .filter(col("__rn") <= mTerms).select(col("query_id"), col("w"))
+    val expanded = qt.unionByName(extra)
+      .groupBy(col("query_id")).agg(collect_list(col("w")).as("terms"))
+    bm25TopK(docs, idCol, textCol, expanded, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
     * number of per-query ranked lists — the standard hybrid-retrieval
     * combiner (BM25 ⊕ dense ANN) that needs no score calibration, only

@@ -91,6 +91,60 @@ object Sketches {
         .otherwise(size(col("mins")).cast("double"))
         .as("est_distinct"))
 
+  /** Pairwise set algebra over KMV sketch STATES (Beyer et al. 2007,
+    * "On Synopses for Distinct Value Estimation Under Multiset
+    * Operations"): union size, Jaccard, and intersection size for every
+    * group pair, estimated from the O(groups × k) `mins` table alone —
+    * the cross-source overlap question ("how much n-gram vocabulary do
+    * sources A and B share?") answered WITHOUT the exact distinct-pair
+    * join, whose shuffle is corpus-sized at 100 TB. Takes the sketch
+    * state (from [[kmvMins]] or [[kmvMinsFromStore]] — one pass over
+    * the data, or none at all when the maintained store already holds
+    * it), so the pair computation is data-size-independent.
+    *
+    * For a pair, `K = k` smallest of `distinct(minsA ∪ minsB)` is
+    * exactly the KMV sketch of A ∪ B (each global union minimum is a
+    * minimum of its own side), so the union estimate is [[kmvDistinct]]'s
+    * estimator on K. Jaccard is estimated as the fraction of K present
+    * in BOTH sides' sketches (each h ∈ K is a uniform sample of A ∪ B;
+    * h ∈ minsA ∧ h ∈ minsB ⟺ h ∈ A ∩ B because membership below each
+    * side's kth minimum is exact), and the intersection estimate is
+    * their product. When `|K| < k` the pair's sketches ARE the distinct
+    * sets and every output is exact. Fully deterministic (md5 order
+    * statistics), so a DuckDB oracle replicates it bit-for-bit.
+    *
+    * Output per pair (groupA < groupB lexically): `n_union_sketch`,
+    * `n_common`, `est_union`, `jaccard_est`, `est_intersection`
+    * (rounded 6 dp — the one value computed as a product of two
+    * estimator doubles).
+    */
+  def kmvOverlap(mins: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
+    require(k > 1, s"kmvOverlap: k=$k")
+    val a = mins.select(col(groupCol).cast("string").as("group_a"),
+      col("mins").as("__ma"))
+    val b = mins.select(col(groupCol).cast("string").as("group_b"),
+      col("mins").as("__mb"))
+    // groups × k is routing-table-sized; the pair join broadcasts
+    val u = slice(array_sort(array_distinct(concat(col("__ma"), col("__mb")))), 1, k)
+    val common = size(array_intersect(array_intersect(col("__u"), col("__ma")), col("__mb")))
+    val estU = when(size(col("__u")) === k,
+      lit((k - 1).toDouble) /
+        (conv(element_at(col("__u"), k), 16, 10).cast("double") / lit(2.0d * (1L << 47))))
+      .otherwise(size(col("__u")).cast("double"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .withColumn("__u", u)
+      .withColumn("__nc", common.cast("long"))
+      .withColumn("__eu", estU)
+      .withColumn("__j",
+        col("__nc").cast("double") / size(col("__u")).cast("double"))
+      .select(col("group_a"), col("group_b"),
+        size(col("__u")).cast("long").as("n_union_sketch"),
+        col("__nc").as("n_common"),
+        col("__eu").as("est_union"),
+        col("__j").as("jaccard_est"),
+        round(col("__j") * col("__eu"), 6).as("est_intersection"))
+  }
+
   /** Misra–Gries heavy hitters with EXACT verify — find every value with
     * count ≥ ceil(N / `minFractionDen`) exactly, without ever shuffling
     * the full (value, count) table. The x55-bloom pattern applied to

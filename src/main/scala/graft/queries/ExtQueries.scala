@@ -6793,4 +6793,331 @@ object ExtQueries {
     x179Sql.replace(anchor,
       "FROM (SELECT * FROM lineitem WHERE l_orderkey % 11 <> 3) lineitem JOIN orders")
   }
+
+  // --- x182: KMV set-algebra source-overlap matrix -------------------------
+  // The cross-source vocabulary-overlap question (which corpora share
+  // content?) answered from O(sources × k) sketch state instead of the
+  // exact distinct-bigram pair join x60 pays: one token pass builds the
+  // per-source KMV sketches (x40's machinery), then union/Jaccard/
+  // intersection estimates for every pair come from the sketches alone
+  // (Beyer et al. 2007). At 100 TB the exact join shuffles the corpus;
+  // this shuffles k hashes per source.
+  def x182KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("source"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+    Sketches.kmvOverlap(Sketches.kmvMins(bg, "source", "bg", k = 64), "source")
+  }
+
+  val x182Sql: String =
+    s"""WITH w AS (SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       FROM documents),
+       b AS (SELECT source, unnest(list_transform(generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1])) AS bg
+         FROM w WHERE len(ws) >= 2),
+       hd AS (SELECT DISTINCT source, substr(md5(bg), 1, 12) AS hx FROM b),
+       r AS (SELECT source, hx, row_number() OVER (PARTITION BY source ORDER BY hx) AS rn FROM hd),
+       m AS (SELECT source, list(hx ORDER BY hx) AS mins FROM r WHERE rn <= 64 GROUP BY 1),
+       p AS (SELECT a.source AS group_a, b.source AS group_b, a.mins AS ma, b.mins AS mb
+         FROM m a JOIN m b ON a.source < b.source),
+       u0 AS (SELECT group_a, group_b, ma, mb,
+           list_slice(list_sort(list_distinct(list_concat(ma, mb))), 1, 64) AS u
+         FROM p),
+       e AS (SELECT group_a, group_b, len(u) AS nu,
+           len(list_filter(u, x -> list_contains(ma, x) AND list_contains(mb, x))) AS nc,
+           CASE WHEN len(u) = 64
+                THEN 63.0 / (CAST(${duckHex48("u[64]")} AS DOUBLE) / 281474976710656.0)
+                ELSE CAST(len(u) AS DOUBLE) END AS eu
+         FROM u0)
+       SELECT group_a, group_b,
+         CAST(nu AS BIGINT) AS n_union_sketch, CAST(nc AS BIGINT) AS n_common,
+         eu AS est_union,
+         CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard_est,
+         round(CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE) * eu, 6) AS est_intersection
+       FROM e"""
+
+  // --- x183: native session_window sessionization --------------------------
+  // The built-in spelling of x08: Catalyst's MergingSessions operator
+  // does the gap merge (one user shuffle, in-partition sort merge — no
+  // window-function pass), and the identical expression runs under
+  // readStream (x184). Boundary rule matches x08 exactly (abutting
+  // per-event windows merge — spec-pinned), so the oracle is x08's
+  // inclusive gaps-and-islands with the window_end = last + gap bound
+  // added.
+  def x183SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.sessionWindowStats(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", gapMicros = 1800000000L)
+  }
+
+  val x183Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800000000
+              THEN 1 ELSE 0 END AS ns FROM x),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+       SELECT user_id, min(e) AS window_start, max(e) + 1800000000 AS window_end,
+              min(e) AS session_start, max(e) AS session_end,
+              count(*) AS n_events
+       FROM g GROUP BY user_id, sid"""
+
+  // --- x184: streaming native session windows (≡ x183) ---------------------
+  // The same session_window expression drained through Structured
+  // Streaming (complete mode: sessions merge across micro-batches in
+  // the session state store) — multi-batch replay must land exactly on
+  // the batch result, through the shared x183 oracle.
+  def x184StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft/ssw_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val e = t(spark, dir, "events")
+    val src = e.select(timestamp_micros(Events.epochMicros(e)).as("tss"),
+      col("user_id"))
+    src.write.parquet(s"$base/in")
+    val qname = s"x184_ssw_$tag"
+    spark.catalog.dropTempView(qname)
+    val agg = spark.readStream.schema(src.schema).parquet(s"$base/in")
+      .groupBy(col("user_id"),
+        session_window(col("tss"), "1800000000 microseconds").as("__sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("tss"))).as("session_start"),
+        max(unix_micros(col("tss"))).as("session_end"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { if (!q.awaitTermination(300000)) throw new RuntimeException("x184: drain timeout") }
+    finally q.stop()
+    spark.table(qname).select(col("user_id"),
+      unix_micros(col("__sw.start")).as("window_start"),
+      unix_micros(col("__sw.end")).as("window_end"),
+      col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  val x184Sql: String = x183Sql
+
+  // --- x185: time-series resample + forward fill ---------------------------
+  // Hourly per-type grid over events: silent hours appear with
+  // n_events = 0 and the last observed hourly total carried forward —
+  // the dense series every dashboard/alert consumer joins against.
+  // One data pass; the grid work is O(types × hours).
+  def x185ResampleFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.resampleFill(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "event_type", "ts_us", "value", stepUs = 3600000000L)
+  }
+
+  val x185Sql: String =
+    """WITH x AS (SELECT event_type AS k, epoch_us(ts) AS e, value FROM events),
+       o AS (SELECT k, e // 3600000000 AS b, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+         FROM x GROUP BY 1, 2),
+       r AS (SELECT k, min(b) AS lo, max(b) AS hi FROM o GROUP BY 1),
+       sp AS (SELECT k, unnest(generate_series(lo, hi)) AS b FROM r),
+       j AS (SELECT sp.k, sp.b, coalesce(o.n, 0) AS n_events, o.tv
+         FROM sp LEFT JOIN o ON sp.k = o.k AND sp.b = o.b),
+       f AS (SELECT k, b, n_events, tv,
+           sum(CASE WHEN tv IS NULL THEN 0 ELSE 1 END) OVER (PARTITION BY k ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         FROM j)
+       SELECT k AS event_type, b * 3600000000 AS bucket_start,
+         CAST(n_events AS BIGINT) AS n_events, tv AS total_value,
+         max(tv) OVER (PARTITION BY k, seg) AS filled_value
+       FROM f"""
+
+  // --- x186: k-core of the near-dup pair graph -----------------------------
+  // Dense template-family mass vs star/chain periphery: the 2-core of
+  // x04's pair graph (every member near-duplicates >= 2 others). The
+  // peel is idempotent past its fixpoint, so the oracle unrolls MORE
+  // rounds (8) than the live run needs — the live run require-converges
+  // within the same bound.
+  def x186KCore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCorePeel(
+      Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7),
+      "id_a", "id_b", k = 2, maxRounds = 8)
+      .select(col("id").as("doc_id"), col("deg"))
+
+  // every CTE MATERIALIZED: each round references its predecessor ~4×,
+  // and DuckDB inlines plain CTEs per reference — 8 unrolled rounds
+  // would exponentiate into hundreds of base-table scans (observed as
+  // fd exhaustion), while materialization keeps the chain linear
+  private def kCoreCtes(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+             SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1),
+         bad$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg < $k),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           WHERE u NOT IN (SELECT id FROM bad$i)
+             AND v NOT IN (SELECT id FROM bad$i))"""
+    }.mkString(",\n       ")
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v FROM prs),
+       $peel"""
+  }
+
+  val x186Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       prs AS (SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       ${kCoreCtes(2, 8)}
+       SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         SELECT u AS id FROM e8 UNION ALL SELECT v FROM e8) GROUP BY 1"""
+
+  // --- x187: pseudo-relevance-feedback query expansion ---------------------
+  // Rocchio PRF over x69's query fixture: BM25 round 1 → top-5 feedback
+  // docs → top-3 tf-idf expansion terms (originals excluded, exact-
+  // integer selection order) → BM25 round 2 on the expanded queries.
+  // The oracle generates both rounds from one CTE template so the two
+  // engines can never drift on just one round.
+  def x187PrfExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    Retrieval.prfExpand(t(spark, dir, "documents"), "doc_id", "text", qs,
+      kFeedback = 5, mTerms = 3, k = 15)
+  }
+
+  /** One BM25 scoring round as CTEs (`{p}tf`/`{p}df`/`{p}sc`/`{p}r`)
+    * over shared toks/lens/stats, scoring query-term table `qt`. */
+  private def bm25RoundCtes(qt: String, p: String): String =
+    s"""${p}tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM $qt) GROUP BY 1, 2),
+       ${p}df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM ${p}tf GROUP BY 1),
+       ${p}sc AS (SELECT $qt.query_id, ${p}tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+         FROM ${p}tf JOIN ${p}df USING (w) JOIN $qt USING (w)
+         JOIN lens USING (doc_id) CROSS JOIN stats GROUP BY 1, 2),
+       ${p}r AS (SELECT query_id, doc_id, s9,
+           row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rank
+         FROM ${p}sc)"""
+
+  val x187Sql: String =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       lens AS (SELECT d.doc_id, coalesce(t.len, 0) AS len FROM documents d
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1) t USING (doc_id)),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+       qt1 AS (SELECT * FROM (VALUES
+         ('q_hash_join','hash'),('q_hash_join','join'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_vector','vector'),('q_vector','data')) AS q(query_id, w)),
+       ${bm25RoundCtes("qt1", "r1")},
+       fb AS (SELECT query_id, doc_id FROM r1r WHERE rank <= 5),
+       ft AS (SELECT fb.query_id, toks.w, CAST(count(*) AS BIGINT) AS ftf
+         FROM fb JOIN toks USING (doc_id) GROUP BY 1, 2),
+       cand AS (SELECT ft.query_id, ft.w, ft.ftf FROM ft
+         LEFT JOIN qt1 ON qt1.query_id = ft.query_id AND qt1.w = ft.w
+         WHERE qt1.w IS NULL),
+       dfc AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM cand) GROUP BY 1),
+       wt AS (SELECT cand.query_id, cand.w,
+           CAST(round(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * CAST(ftf AS DOUBLE) * 1000000000.0) AS BIGINT) AS w9
+         FROM cand JOIN dfc USING (w) CROSS JOIN stats),
+       ex AS (SELECT query_id, w FROM (
+           SELECT query_id, w, row_number() OVER (PARTITION BY query_id ORDER BY w9 DESC, w) AS rn
+           FROM wt) WHERE rn <= 3),
+       qt2 AS (SELECT DISTINCT query_id, w FROM (
+           SELECT query_id, w FROM qt1 UNION ALL SELECT query_id, w FROM ex)),
+       ${bm25RoundCtes("qt2", "r2")}
+       SELECT query_id, rank, doc_id,
+         round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score
+       FROM r2r WHERE rank <= 15"""
+
+  // --- x188: maintained SCD2 dimension-history store ------------------------
+  // x91's history as a persisted store fed day by day — with the days
+  // sliced by event_id % 3, so every append delivers LATE changes that
+  // re-thread existing interval chains (the hard case). Affected keys
+  // rebuild from their pruned buckets; a day-1 replay must leave the
+  // store row-identical. Oracle = the one-shot batch build (x91).
+  def x188Scd2Store(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Scd2Store
+    val ev = t(spark, dir, "events")
+    val feed = Dedup.materialize(ev.filter(col("event_type") === "purchase")
+      .withColumn("ts_us", Events.epochMicros(ev))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+    val root = FreshTables.next(spark, dir, "scd2store")
+    def day(d: Int) = feed.filter(pmod(col("event_id"), lit(3L)) === d.toLong)
+    (0 until 3).foreach { d =>
+      Scd2Store.appendDay(spark, root, day(d),
+        "user_id", "ts_us", "event_id", Seq("value"))
+    }
+    val before = graft.sources.ManifestStore.read(spark, root).count()
+    Scd2Store.appendDay(spark, root, day(1),
+      "user_id", "ts_us", "event_id", Seq("value")) // replay: replace
+    val after = graft.sources.ManifestStore.read(spark, root).count()
+    require(after == before,
+      s"x188: replay changed the store ($before -> $after rows)")
+    Scd2Store.history(spark, root)
+  }
+
+  val x188Sql: String = x91Sql
+
+  // --- x189: STREAMING SCD2 store maintenance (≡ x188 ≡ x91) ----------------
+  // The dimension-history store joins the streaming matrix: the change
+  // feed drains through foreachBatch appendDay one day per micro-batch,
+  // one day re-delivered post-drain with row accounting, and the final
+  // history is the batch build through the streaming door.
+  def x189StreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.Scd2Store
+    val ev = t(spark, dir, "events")
+    val feed = Dedup.materialize(ev.filter(col("event_type") === "purchase")
+      .withColumn("ts_us", Events.epochMicros(ev))
+      .withColumn("day", pmod(col("event_id"), lit(3L)))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+        col("day")))
+    val table = FreshTables.next(spark, dir, "sscd2store")
+    val base = FreshTables.next(spark, dir, "sscd2in")
+    (0 until 3).foreach { d =>
+      feed.filter(col("day") === d.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Scd2Store.appendDay(spark, table, batch.drop("day"),
+          "user_id", "ts_us", "event_id", Seq("value"))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x189: drain timeout")
+    } finally q.stop()
+    val before = graft.sources.ManifestStore.read(spark, table).count()
+    Scd2Store.appendDay(spark, table, feed.filter(col("day") === 1L),
+      "user_id", "ts_us", "event_id", Seq("value"))
+    val after = graft.sources.ManifestStore.read(spark, table).count()
+    require(after == before,
+      s"x189: replay changed the store ($before -> $after rows)")
+    Scd2Store.history(spark, table)
+  }
+
+  val x189Sql: String = x91Sql
 }

@@ -108,6 +108,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(stored == batch) // bit-identical, kth-hash order statistic included
   }
 
+  test("kmvOverlap below k is the exact set algebra") {
+    // A = v0..v9, B = v5..v14: union 15 < k, so every output is exact
+    val df = ((0 until 10).map(i => ("a", s"v$i")) ++
+      (5 until 15).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val out = Sketches.kmvOverlap(
+      Sketches.kmvMins(df, "g", "v", k = 64), "g", k = 64).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 15L)                 // n_union_sketch = exact union
+    assert(r.getLong(3) == 5L)                  // n_common = exact intersection
+    assert(r.getDouble(4) == 15.0d)             // est_union exact
+    assert(r.getDouble(5) == 5.0d / 15.0d)      // jaccard exact
+    assert(r.getDouble(6) == 5.0d)              // est_intersection exact
+  }
+
+  test("kmvOverlap full sketch matches hand-computed md5 order statistics") {
+    val k = 8
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val aVals = (0 until 200).map(i => s"val$i")
+    val bVals = (100 until 300).map(i => s"val$i")
+    val df = (aVals.map(("a", _)) ++ bVals.map(("b", _))).toDF("g", "v")
+    val out = Sketches.kmvOverlap(
+      Sketches.kmvMins(df, "g", "v", k = k), "g", k = k).collect()(0)
+    val ma = aVals.map(h).distinct.sorted.take(k)
+    val mb = bVals.map(h).distinct.sorted.take(k)
+    val u = (ma ++ mb).distinct.sorted.take(k)
+    val nc = u.count(x => ma.contains(x) && mb.contains(x))
+    val vk = java.lang.Long.parseLong(u(k - 1), 16).toDouble
+    val eu = (k - 1).toDouble / (vk / 281474976710656.0d)
+    assert(out.getLong(2) == k.toLong)
+    assert(out.getLong(3) == nc.toLong)
+    assert(out.getDouble(4) == eu)
+    assert(out.getDouble(5) == nc.toDouble / k.toDouble)
+    assert(out.getDouble(6) ==
+      BigDecimal(nc.toDouble / k.toDouble * eu)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ------------------------------------------------------- weighted sample
 
   test("weightedTopK is salt-invariant and ranks by the E-S key") {

@@ -65,4 +65,31 @@ class GraphSpec extends SparkSpec {
     assert(r(10L) > r(20L) && r(20L) > r(11L))
     assert(Seq(11L, 12L, 13L).map(r).distinct.size == 1) // leaf symmetry
   }
+
+  test("kCorePeel: cascading peel reaches the triangle core") {
+    // triangle {1,2,3} + tail 3-4-5: round 1 peels 5 (deg 1), round 2
+    // peels the now-exposed 4 — the cascade a single-pass filter misses
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kCorePeel(edges, "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCorePeel: fixpoint law — every member keeps >= k core-internal neighbors") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L), (6L, 7L), (10L, 11L)).toDF("a", "b")
+    val out = Graph.kCorePeel(edges, "a", "b", k = 2).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) >= 2L))
+    // reversed/duplicate listings canonicalize to the same core
+    val doubled = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val out2 = Graph.kCorePeel(doubled, "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == out.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("kCorePeel: a graph with no k-core peels to empty, still converges") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.kCorePeel(chain, "a", "b", k = 2).isEmpty)
+  }
 }

@@ -72,4 +72,34 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("prfExpand pulls in docs the literal query misses") {
+    // query "apple": round 1 sees d1/d2 only; d1 (min id) is the
+    // feedback doc, "banana" its only non-original term -> round 2 on
+    // {apple, banana} must surface d3, which shares no literal term
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "banana cherry")).toDF("doc_id", "text")
+    val qs = Seq(("q1", Seq("apple"))).toDF("query_id", "terms")
+    val base = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base == Set(1L, 2L))
+    val out = Retrieval.prfExpand(docs, "doc_id", "text", qs,
+      kFeedback = 1, mTerms = 1, k = 10)
+    val got = out.collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got.values.toSet == Set(1L, 2L, 3L))
+    assert(got(1) == 1L) // d1 matches both terms — still the top hit
+  }
+
+  test("prfExpand never spends an expansion slot on an original query term") {
+    // feedback doc d1 is apple-heavy: unexcluded, "apple" (weight ≈
+    // idf·ftf3) would beat "banana" (idf·1) for the single expansion
+    // slot and round 2 would collapse to the literal query — leaving d3
+    // unreachable. The exclusion hands the slot to "banana".
+    val docs = Seq((1L, "apple apple apple banana"), (2L, "apple cherry"),
+      (3L, "banana cherry")).toDF("doc_id", "text")
+    val qs = Seq(("q1", Seq("apple"))).toDF("query_id", "terms")
+    val out = Retrieval.prfExpand(docs, "doc_id", "text", qs,
+      kFeedback = 1, mTerms = 1, k = 10)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet.contains(3L))
+  }
 }

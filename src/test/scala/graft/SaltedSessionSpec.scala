@@ -55,6 +55,45 @@ class SaltedSessionSpec extends SparkSpec {
     assert(hotRows.length == 1 && hotRows.head.getLong(3) == 5000L)
   }
 
+  test("sessionWindowStats: abutting windows merge at exactly-gap, split past it") {
+    // u1: 0, gap-1 merge; u2: 0, gap ALSO merge (abutting per-event
+    // windows — the inclusive boundary the scaladoc pins); u3: 0,
+    // gap+1 split
+    val df = Seq((1L, 0L), (1L, gap - 1L), (2L, 0L), (2L, gap),
+      (3L, 0L), (3L, gap + 1L)).toDF("user_id", "ts_us")
+    val out = Events.sessionWindowStats(df, "user_id", "ts_us", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(out == Set(
+      (1L, 0L, gap - 1L + gap, 2L),
+      (2L, 0L, 2L * gap, 2L),           // exactly-gap pair: ONE session
+      (3L, 0L, gap, 1L),                // past the gap: split
+      (3L, gap + 1L, 2L * gap + 1L, 1L)))
+  }
+
+  test("sessionWindowStats equals the gaps-and-islands rollup on the fixture") {
+    val native = Events.sessionWindowStats(evUs, "user_id", "ts_us", gap)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(native.except(plain).isEmpty && plain.except(native).isEmpty)
+  }
+
+  test("resampleFill fills silent buckets with 0 events and carries values forward") {
+    val df = Seq(("a", 1L, 1.5d), ("a", 9L, 2.5d), ("a", 37L, 7.0d),
+      ("b", 12L, 3.0d))
+      .toDF("k", "ts_us", "value")
+    val out = Events.resampleFill(df, "k", "ts_us", "value", stepUs = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+      .toSet
+    assert(out == Set(
+      ("a", 0L, 2L, Some(4.0d), 4.0d),    // two events in bucket 0
+      ("a", 10L, 0L, None, 4.0d),         // silent, carried forward
+      ("a", 20L, 0L, None, 4.0d),
+      ("a", 30L, 1L, Some(7.0d), 7.0d),
+      ("b", 10L, 1L, Some(3.0d), 3.0d))) // per-key spine: b starts at its own min
+  }
+
   test("hourlyAnomalies flags a hand-computed 3-sigma spike, all-integer") {
     // 20 quiet hours of 5 events + one 50-event hour: n=21, S=150,
     // Q=3000 → nQ−S² = 40500; spike dev = 50·21−150 = 900,
