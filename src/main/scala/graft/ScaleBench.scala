@@ -467,6 +467,35 @@ object ScaleBench {
     // expect the x179 shape, forget share shrinking
     "x181_view_forget")
 
+  val R11cFamily: Seq[String] = Seq(
+    // one bigram pass builds the sketches; the pair algebra is
+    // O(sources² × k) — expect the token pass's ~linear curve, pair
+    // stage flat
+    "x182_kmv_overlap",
+    // one key shuffle + in-partition sort merge, same class as x08 —
+    // expect ~linear
+    "x183_session_window",
+    // x183 through the streaming door: complete-mode session state +
+    // micro-batch floor — expect sub-linear (floor amortizes)
+    "x184_stream_sessionwin",
+    // one rollup pass is the linear term; spine/join/fill live on the
+    // O(types × hours) grid, which does NOT grow with replicas (same
+    // time range) — expect near-flat past the rollup
+    "x185_resample_fill",
+    // LSH pair generation dominates (the x04 shape); peel rounds are
+    // O(E_core) each on a pair set tracking true-dup volume
+    "x186_kcore",
+    // two BM25 rounds + a feedback-scaled term selection — expect ~2×
+    // the x69 curve, still linear
+    "x187_prf_expand",
+    // 3 day appends, each O(affected keys' history + day) + bucket
+    // commit I/O — per-day work is Δ-sized; expect ~linear in total
+    // feed with the commit floor shrinking in share
+    "x188_scd2_store",
+    // x188 through the streaming door — expect the x188 shape + the
+    // micro-batch floor
+    "x189_stream_scd2")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -594,7 +623,7 @@ object ScaleBench {
       "r7_scale" -> R7Family, "r8_scale" -> R8Family,
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
-      "r11b_scale" -> R11bFamily)
+      "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

@@ -115,8 +115,10 @@ object Scd2Store {
     // O(buckets) routing metadata, never data
     val touched = affected.select(bucket.as("b")).distinct()
       .collect().map(r => s"bucket=${r.getLong(0)}").toSeq
+    val exists = ManifestStore.exists(spark, table)
+    if (exists) validateBuckets(spark, table, buckets, "appendDay")
     val hist =
-      if (ManifestStore.exists(spark, table))
+      if (exists)
         ManifestStore.readPartitions(spark, table, touched)
           .join(affected, Seq(keyCol), "left_semi")
           .select((Seq(col(keyCol), col("valid_from_us").as(tsUsCol),
@@ -131,6 +133,79 @@ object Scd2Store {
       .withColumn("bucket", bucket)
     ManifestStore.mergeOrCreate(spark, table, rebuilt,
       Seq(keyCol, "__seq"), "bucket")
+    if (!exists)
+      StoreSidecar.write(spark, table, Seq("buckets" -> buckets.toLong))
+  }
+
+  private def validateBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int, op: String): Unit =
+    StoreSidecar.read(spark, table, Seq("buckets")).foreach { g =>
+      require(g("buckets") == buckets.toLong,
+        s"Scd2Store.$op: $table was built with ${g("buckets")} buckets, " +
+          s"called with $buckets — a mismatched hash would miss the key's partition")
+    }
+
+  /** Whole-key erasure (the GDPR case): every version of every doomed
+    * key leaves the store in ONE bucket-pruned keyed delete commit —
+    * no crash window, idempotent (absent keys are no-ops), surviving
+    * keys' chains untouched (an erased key has no interval neighbors
+    * outside itself).
+    */
+  def forget(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      doomed: DataFrame,
+      keyCol: String,
+      buckets: Int = 16): Unit = {
+    validateBuckets(spark, table, buckets, "forget")
+    val keys = doomed.select(col(keyCol)).distinct()
+      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    ManifestStore.delete(spark, table, keys, Seq(keyCol), Seq("bucket"))
+  }
+
+  /** Change-level erasure: remove individual (key, seq) change rows and
+    * re-thread the surviving chain — the predecessor's `valid_to_us`
+    * re-opens onto the successor and later versions renumber, exactly
+    * as if the change had never arrived. Affected keys rebuild from
+    * their pruned buckets (the [[appendDay]] machinery minus the doomed
+    * rows); commit order is rebuild-merge THEN doomed-delete, so a
+    * crash between them leaves the doomed rows present (transiently
+    * duplicated version numbers on affected keys) but never loses a
+    * surviving change — re-running the same forget converges from any
+    * crash position, and an [[appendDay]] interleaved into the window
+    * also converges (its rebuild may resurrect doomed numbering, the
+    * forget replay re-drops it).
+    */
+  def forgetChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      doomed: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      tsUsCol: String,
+      attrCols: Seq[String],
+      buckets: Int = 16): Unit = {
+    validateBuckets(spark, table, buckets, "forgetChanges")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(buckets.toLong))
+    val dk = Dedup.materialize(
+      doomed.select(col(keyCol), col(seqCol).as("__seq")).distinct())
+    val affected = dk.select(col(keyCol)).distinct()
+    val touched = affected.select(bucket.as("b")).distinct()
+      .collect().map(r => s"bucket=${r.getLong(0)}").toSeq
+    val surviving = ManifestStore.readPartitions(spark, table, touched)
+      .join(affected, Seq(keyCol), "left_semi")
+      .join(dk, Seq(keyCol, "__seq"), "left_anti")
+      .select((Seq(col(keyCol), col("valid_from_us").as(tsUsCol),
+        col("__seq").as(seqCol)) ++ attrCols.map(col)): _*)
+    val rebuilt = Scd2.build(
+      surviving.withColumn("__seq", col(seqCol)),
+      keyCol, tsUsCol, seqCol, attrCols :+ "__seq")
+      .withColumn("bucket", bucket)
+    if (!rebuilt.isEmpty)
+      ManifestStore.merge(spark, table, rebuilt, Seq(keyCol, "__seq"), "bucket")
+    ManifestStore.delete(spark, table, dk.withColumn("bucket", bucket),
+      Seq(keyCol, "__seq"), Seq("bucket"))
   }
 
   /** The full history table — [[Scd2.build]]'s shape, read from the

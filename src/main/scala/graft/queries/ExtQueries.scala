@@ -7120,4 +7120,49 @@ object ExtQueries {
   }
 
   val x189Sql: String = x91Sql
+
+  // --- x190: SCD2 store forget (whole-key + change-level) -------------------
+  // The forget matrix closes over the dimension store: doomed KEYS
+  // vanish in one pruned delete commit, doomed individual CHANGES
+  // re-thread their survivors' interval chains (predecessor re-opens
+  // onto successor, versions renumber) via the affected-key rebuild.
+  // Both re-run idempotently (the crash-recovery path); oracle = x91
+  // over the surviving change rows.
+  def x190Scd2Forget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Scd2Store
+    val ev = t(spark, dir, "events")
+    val feed = Dedup.materialize(ev.filter(col("event_type") === "purchase")
+      .withColumn("ts_us", Events.epochMicros(ev))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+    val root = FreshTables.next(spark, dir, "scd2forget")
+    (0 until 3).foreach { d =>
+      Scd2Store.appendDay(spark, root,
+        feed.filter(pmod(col("event_id"), lit(3L)) === d.toLong),
+        "user_id", "ts_us", "event_id", Seq("value"))
+    }
+    val doomedKeys = feed.filter(col("user_id") % 7 === 3)
+    val doomedChanges = feed.filter(col("event_id") % 13 === 5)
+    require(doomedKeys.count() > 0 && doomedChanges.count() > 0,
+      "x190: empty doomed slice")
+    def runForgets(): Unit = {
+      Scd2Store.forget(spark, root, doomedKeys, "user_id")
+      Scd2Store.forgetChanges(spark, root, doomedChanges,
+        "user_id", "event_id", "ts_us", Seq("value"))
+    }
+    runForgets()
+    val rows = graft.sources.ManifestStore.read(spark, root)
+    require(rows.filter(col("user_id") % 7 === 3).count() == 0L,
+      "x190: doomed keys survived")
+    require(rows.filter(col("__seq") % 13 === 5).count() == 0L,
+      "x190: doomed changes survived")
+    runForgets() // idempotent re-run — the recovery path
+    Scd2Store.history(spark, root)
+  }
+
+  val x190Sql: String = {
+    val anchor = "WHERE event_type = 'purchase'"
+    require(x91Sql.contains(anchor), "x190: x91Sql anchor moved")
+    x91Sql.replace(anchor,
+      anchor + " AND user_id % 7 <> 3 AND event_id % 13 <> 5")
+  }
 }

@@ -58,6 +58,65 @@ class Scd2StoreSpec extends SparkSpec {
     assert(replayed.except(batch).isEmpty && batch.except(replayed).isEmpty)
   }
 
+  test("forget erases every version of a doomed key; survivors and re-runs untouched") {
+    val root = fresh()
+    Scd2Store.appendDay(spark, root,
+      Seq((1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (2L, 100L, 3L, "x"))
+        .toDF("k", "ts", "seq", "v"),
+      "k", "ts", "seq", attrs)
+    Scd2Store.forget(spark, root, Seq(Tuple1(1L)).toDF("k"), "k")
+    def hist() = Scd2Store.history(spark, root)
+      .select("k", "v", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(hist() == Set((2L, "x", 1L)))
+    Scd2Store.forget(spark, root, Seq(Tuple1(1L)).toDF("k"), "k") // no-op
+    assert(hist() == Set((2L, "x", 1L)))
+  }
+
+  test("forgetChanges re-threads the chain: predecessor re-opens, versions renumber") {
+    val root = fresh()
+    Scd2Store.appendDay(spark, root,
+      Seq((1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (1L, 300L, 3L, "c"))
+        .toDF("k", "ts", "seq", "v"),
+      "k", "ts", "seq", attrs)
+    Scd2Store.forgetChanges(spark, root, Seq((1L, 2L)).toDF("k", "seq"),
+      "k", "seq", "ts", attrs)
+    def hist() = Scd2Store.history(spark, root)
+      .select("k", "v", "version", "valid_from_us", "valid_to_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    val expect = Set(
+      (1L, "a", 1L, 100L, Some(300L)), // valid_to jumps the erased change
+      (1L, "c", 2L, 300L, None))       // renumbered
+    assert(hist() == expect)
+    // replay from a crash window: merge a stale copy of the doomed row
+    // back (rebuild committed, delete lost) — the re-run must converge
+    val stale = Seq((1L, 200L, 2L, "b")).toDF("k", "ts", "seq", "v")
+    val staleRows = Scd2.build(stale.withColumn("__seq", col("seq")),
+      "k", "ts", "seq", attrs :+ "__seq")
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(16L)))
+    graft.sources.ManifestStore.merge(spark, root, staleRows,
+      Seq("k", "__seq"), "bucket")
+    Scd2Store.forgetChanges(spark, root, Seq((1L, 2L)).toDF("k", "seq"),
+      "k", "seq", "ts", attrs)
+    assert(hist() == expect)
+  }
+
+  test("forget/append refuse a mismatched bucket geometry") {
+    val root = fresh()
+    Scd2Store.appendDay(spark, root,
+      Seq((1L, 100L, 1L, "a")).toDF("k", "ts", "seq", "v"),
+      "k", "ts", "seq", attrs, buckets = 8)
+    intercept[IllegalArgumentException] {
+      Scd2Store.appendDay(spark, root,
+        Seq((1L, 200L, 2L, "b")).toDF("k", "ts", "seq", "v"),
+        "k", "ts", "seq", attrs, buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2Store.forget(spark, root, Seq(Tuple1(1L)).toDF("k"), "k", buckets = 16)
+    }
+  }
+
   test("probeStore resolves point-in-time state from the maintained history") {
     val root = fresh()
     Scd2Store.appendDay(spark,
