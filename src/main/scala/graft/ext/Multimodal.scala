@@ -79,6 +79,53 @@ object Multimodal {
         expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
   }
 
+  /** Aspect-ratio bucketing + budgeted batch packing — the multimodal
+    * batch shaper image-training pipelines run (the public SDXL-style
+    * recipe): each image snaps to the NEAREST ratio in a fixed `ladder`
+    * (so a batch shares one crop geometry), then each bucket packs into
+    * batches of ≤ `budgetCost` cost in id order. Snapping is spelled as
+    * explicit midpoint boundaries (`ratio < (b_i + b_{i+1})/2` → b_i) —
+    * no argmin, no ties, the same IEEE comparisons in any engine, so
+    * the whole assignment oracles exactly.
+    *
+    * Scale shape: bucket assignment is a narrow codegen'd map; packing
+    * is one cumulative-sum window per bucket (`batch_seq =
+    * exclusive-prefix-cost div budget` — exact integer arithmetic).
+    * Buckets are few (the ladder) and batches within them ordered, so
+    * the window partition is bucket-sized — for a corpus where one
+    * bucket dominates, the two-phase salted prefix sum
+    * ([[Packing]]/[[Sharding.planShards]]) is the drop-in upgrade, same
+    * semantics.
+    *
+    * Output: input id + `ratio_bucket` (the snapped ladder value),
+    * `batch_seq` (0-based within the bucket), and the row's cost.
+    */
+  def aspectBatches(
+      df: DataFrame,
+      idCol: String,
+      wCol: String,
+      hCol: String,
+      costCol: String,
+      ladder: Seq[Double],
+      budgetCost: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.distinct == ladder,
+      s"aspectBatches: ladder must be sorted distinct, got $ladder")
+    require(budgetCost > 0, s"aspectBatches: budgetCost=$budgetCost")
+    val ratio = col(wCol).cast("double") / col(hCol).cast("double")
+    val mids = ladder.sliding(2).collect { case Seq(a, b) => (a + b) / 2.0d }.toSeq
+    val bucket = mids.zipWithIndex.foldRight(lit(ladder.last): Column) {
+      case ((mid, i), acc) => when(ratio < lit(mid), lit(ladder(i))).otherwise(acc)
+    }
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ratio_bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("ratio_bucket", bucket)
+      .withColumn("__cum", coalesce(sum(col(costCol).cast("long")).over(byBucket), lit(0L)))
+      .withColumn("batch_seq", expr(s"__cum div ${budgetCost}L"))
+      .select(col(idCol), col("ratio_bucket"),
+        col(costCol).cast("long").as("cost"), col("batch_seq"))
+  }
+
   /** Cross-modality referential-integrity audit: per group, how many
     * primary rows have a companion row in the other modality (doc →
     * embedding coverage), plus one `__no_primary__` row counting

@@ -7165,4 +7165,76 @@ object ExtQueries {
     x91Sql.replace(anchor,
       anchor + " AND user_id % 7 <> 3 AND event_id % 13 <> 5")
   }
+
+  // --- x191: aspect-ratio bucketing + budgeted batch packing ----------------
+  // The multimodal batch shaper (SDXL-style public recipe) over the
+  // stubbed decode: snap each media row to the nearest ladder ratio via
+  // explicit midpoint boundaries (no argmin, no ties — the same IEEE
+  // comparisons in both engines), then pack each bucket into <= 20000-
+  // byte batches by exclusive-prefix-cost div budget in id order. The
+  // decode stub's dims are deterministic functions of the byte length,
+  // so the WHOLE pipeline — mapPartitions decode included — oracles.
+  def x191AspectBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("blob"))
+      .as[Multimodal.MediaBlob]
+    val feats = Multimodal.decodeStub(media).toDF()
+    Multimodal.aspectBatches(feats, "media_id", "width", "height", "byte_len",
+      ladder = x191Ladder, budgetCost = 20000L)
+  }
+
+  private val x191Ladder = Seq(0.5, 0.75, 1.0, 4.0 / 3.0, 2.0)
+
+  val x191Sql: String = {
+    val mids = x191Ladder.sliding(2).collect { case Seq(a, b) => (a + b) / 2.0d }.toSeq
+    val cases = mids.zip(x191Ladder)
+      .map { case (m, b) => s"WHEN ratio < $m THEN CAST($b AS DOUBLE)" }
+      .mkString("\n           ")
+    s"""WITH m AS (SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len
+       FROM documents WHERE text IS NOT NULL),
+       d AS (SELECT media_id, len,
+           CAST(len % 640 + 1 AS DOUBLE) / CAST(len % 480 + 1 AS DOUBLE) AS ratio
+         FROM m),
+       b AS (SELECT media_id, len,
+           CASE $cases
+           ELSE CAST(${x191Ladder.last} AS DOUBLE) END AS ratio_bucket
+         FROM d),
+       c AS (SELECT media_id, ratio_bucket, len,
+           coalesce(sum(len) OVER (PARTITION BY ratio_bucket ORDER BY media_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM b)
+       SELECT media_id, ratio_bucket, CAST(len AS BIGINT) AS cost,
+         CAST(cum // 20000 AS BIGINT) AS batch_seq
+       FROM c"""
+  }
+
+  // --- x192: store-fed KMV source-overlap (zero-pass read) ------------------
+  // x182's pair algebra fed from the MAINTAINED x148-style store: the
+  // day-sliced bigram feed folds into per-(source, day) min arrays, and
+  // the overlap matrix reads O(sources × days × k) sketch state — no
+  // token pass at all at question time. Store merge ≡ batch sketch
+  // bit-for-bit (the kmvAppendDay law), so the oracle is x182's.
+  def x192KmvOverlapStore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Dedup.materialize(ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("source"), concat_ws(" ", col("w"), col("__w1")).as("bg"),
+        pmod(col("doc_id"), lit(3L)).as("day")))
+    val table = FreshTables.next(spark, dir, "kmvoverlap")
+    (0 until 3).foreach { d =>
+      Sketches.kmvAppendDay(spark, bg.filter(col("day") === d.toLong),
+        "source", "bg", s"d$d", table, k = 64)
+    }
+    Sketches.kmvOverlap(
+      Sketches.kmvMinsFromStore(spark, table, "source", k = 64), "source")
+  }
+
+  val x192Sql: String = x182Sql
 }

@@ -220,6 +220,26 @@ class ExtSpec extends SparkSpec {
     val f0 = frames.filter(col("frame_idx") === 0).select("frame_bytes").as[Array[Byte]].collect().head
     assert(f0.toSeq == Seq[Byte](0, 1, 2, 3))
   }
+  test("aspectBatches: midpoint snapping and budgeted packing, hand-computed") {
+    // ladder (0.5, 1, 2), midpoints 0.75 / 1.5 — boundary ratios snap UP
+    val rows = Seq(
+      (1L, 1, 2, 10L),  // ratio 0.5  -> bucket 0.5
+      (2L, 3, 4, 60L),  // ratio 0.75 -> bucket 1.0 (boundary goes up)
+      (3L, 3, 2, 10L),  // ratio 1.5  -> bucket 2.0 (boundary goes up)
+      (4L, 1, 1, 50L),  // ratio 1.0  -> bucket 1.0
+      (5L, 1, 1, 70L))  // bucket 1.0, overflows the 100-cost budget
+      .toDF("id", "w", "h", "c")
+    val out = Multimodal.aspectBatches(rows, "id", "w", "h", "c",
+      ladder = Seq(0.5, 1.0, 2.0), budgetCost = 100L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0.5, 0L),
+      (2L, 1.0, 0L),   // cum 0
+      (4L, 1.0, 0L),   // cum 60
+      (5L, 1.0, 1L),   // cum 110 -> second batch
+      (3L, 2.0, 0L)))
+  }
+
   test("flatMapGroupsWithState sessionization carries state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
