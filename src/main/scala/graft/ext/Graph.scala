@@ -88,6 +88,71 @@ object Graph {
       .select(col("u").as(idCol), col("deg"), col("r").as("rank9"))
   }
 
+  /** Personalized PageRank (the seed-restart variant in Page et al.
+    * 1999 §6 / public RWR literature): the teleport mass returns to the
+    * SEED set instead of the uniform distribution, so rank concentrates
+    * in the seeds' neighborhood — the corpus-expansion read: "rank
+    * everything by relatedness to this curated seed set" (grow a
+    * quality domain list, expand a topic slice) without any model.
+    *
+    * Same exact-integer discipline and per-iteration shape as
+    * [[pagerank]] (1e-9 fixed-point LONGs, integral `div`, one
+    * edge-sized shuffle per round, localCheckpoint each round — ranks
+    * bit-identical on both engines). Seeds outside the graph's node set
+    * are ignored (they have no edges to propagate through); at least
+    * one seed must survive the intersection. Non-seed mass decays
+    * unless edge-delivered — nodes unreachable from the seeds rank 0.
+    *
+    * Output: (idCol, deg, rank9, is_seed).
+    */
+  def pagerankFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      idCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pagerankFrom: iters must be >= 1, got $iters")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val und = canon
+      .select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val sd = seeds.select(col(seedCol).as("u")).distinct()
+    val deg = Dedup.materialize(
+      und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .join(sd.withColumn("__is_seed", lit(true)), Seq("u"), "left")
+        .na.fill(false, Seq("__is_seed")))
+    val ns = deg.filter(col("__is_seed")).agg(count(lit(1)).as("ns"))
+    require(ns.head().getLong(0) > 0L,
+      "pagerankFrom: no seed intersects the graph's node set")
+    val undDeg = Dedup.materialize(und.join(deg.select(col("u"), col("deg")), "u"))
+    var ranks = deg.join(broadcast(ns), lit(true))
+      .select(col("u"),
+        when(col("__is_seed"), expr(s"${Unit9}L div ns")).otherwise(lit(0L)).as("r"))
+    ranks = Dedup.materialize(ranks)
+    for (_ <- 1 to iters) {
+      val msgs = undDeg
+        .join(ranks, "u")
+        .select(col("v"), expr("r div deg").as("__m"))
+        .groupBy(col("v")).agg(sum(col("__m")).as("__s"))
+      ranks = deg
+        .join(msgs.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .join(broadcast(ns), lit(true))
+        .select(col("u"),
+          (when(col("__is_seed"), expr(s"${15L * Unit9}L div (100L * ns)"))
+            .otherwise(lit(0L)) +
+            expr("(85L * coalesce(__s, 0L)) div 100L")).as("r"))
+      ranks = Dedup.materialize(ranks)
+    }
+    ranks.join(deg, "u")
+      .select(col("u").as(idCol), col("deg"), col("r").as("rank9"),
+        col("__is_seed").as("is_seed"))
+  }
+
   /** The composition the scaladoc promises: duplicate clusters keyed by
     * their most-CENTRAL member instead of min-id. `pairs` (each
     * unordered near-dup pair once) feeds BOTH the connected-components

@@ -7237,4 +7237,46 @@ object ExtQueries {
   }
 
   val x192Sql: String = x182Sql
+
+  // --- x193: personalized PageRank seed expansion ---------------------------
+  // Rank the near-dup pair graph by relatedness to a seed set (teleport
+  // returns to the seeds, not uniform) — the model-free corpus-expansion
+  // primitive. Exact 1e-9 fixed-point integer arithmetic throughout
+  // (x85's discipline), 3 rounds unrolled in the oracle.
+  def x193PprExpand(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerankFrom(
+      Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7),
+      "id_a", "id_b", "doc_id",
+      t(spark, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 2 === 0),
+      "doc_id", iters = 3)
+
+  private def pprCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""m$i AS (SELECT ud.v, CAST(sum(r${i - 1}.r // ud.deg) AS BIGINT) AS s
+           FROM ud JOIN r${i - 1} USING (u) GROUP BY 1),
+         r$i AS (SELECT deg.u,
+             CASE WHEN deg.is_seed THEN 15000000000 // (100 * ns) ELSE 0 END
+               + (85 * coalesce(s, 0)) // 100 AS r
+           FROM deg LEFT JOIN m$i ON m$i.v = deg.u CROSS JOIN ns)"""
+    }.mkString(",\n       ")
+
+  val x193Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       e AS (SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       und AS (SELECT id_a AS u, id_b AS v FROM e
+               UNION ALL SELECT id_b, id_a FROM e),
+       deg0 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       deg AS (SELECT u, deg, (u % 2 = 0) AS is_seed FROM deg0),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM deg WHERE is_seed),
+       ud AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (u)),
+       r0 AS (SELECT u, CASE WHEN is_seed THEN 1000000000 // ns ELSE 0 END AS r
+         FROM deg CROSS JOIN ns),
+       ${pprCtes(3)}
+       SELECT deg.u AS doc_id, deg.deg AS deg, r3.r AS rank9, deg.is_seed AS is_seed
+       FROM r3 JOIN deg USING (u)"""
 }

@@ -66,6 +66,33 @@ class GraphSpec extends SparkSpec {
     assert(Seq(11L, 12L, 13L).map(r).distinct.size == 1) // leaf symmetry
   }
 
+  test("pagerankFrom: rank concentrates at and around the seeds; unreachable nodes rank 0") {
+    // path 1-2-3 seeded at 1; disconnected pair 10-11 unseeded
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.pagerankFrom(edges, "a", "b", "id", seeds, "id", iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(1L)._2 && !r(2L)._2)
+    assert(r(10L)._1 == 0L && r(11L)._1 == 0L) // unreachable from seeds
+    assert(r(1L)._1 > 0L && r(2L)._1 > 0L && r(3L)._1 > 0L)
+    assert(r(1L)._1 > r(3L)._1) // seed outranks the far end of the path
+  }
+
+  test("pagerankFrom: hand-computed 1-iteration ranks on a seeded pair") {
+    // nodes {1,2}, edge 1-2, seed {1}: r0 = (1e9, 0); after one round
+    // r(1) = 0.15e9 + 0, r(2) = 0 + 85% of 1e9 = 0.85e9 (integer div)
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.pagerankFrom(edges, "a", "b", "id", seeds, "id", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 150000000L, 2L -> 850000000L))
+    // seeds outside the node set are ignored; all-outside refuses loudly
+    intercept[IllegalArgumentException] {
+      Graph.pagerankFrom(edges, "a", "b", "id",
+        Seq(Tuple1(99L)).toDF("id"), "id", iters = 1)
+    }
+  }
+
   test("kCorePeel: cascading peel reaches the triangle core") {
     // triangle {1,2,3} + tail 3-4-5: round 1 peels 5 (deg 1), round 2
     // peels the now-exposed 4 — the cascade a single-pass filter misses
