@@ -83,6 +83,76 @@ object Privacy {
     if (includeBounded) agg else agg.drop("n_bounded")
   }
 
+  /** ε-DP quantile via the EXPONENTIAL MECHANISM (McSherry & Talwar
+    * 2007; the quantile instantiation in Smith 2011) — the release-
+    * hygiene complement of [[dpNoisyCounts]] for "publish the median
+    * doc length per source" questions, where Laplace noise on a
+    * post-hoc quantile has unbounded sensitivity but selecting AMONG
+    * observed values with a rank-distance utility is ε-DP.
+    *
+    * Mechanism: candidates are the distinct values; utility is the
+    * negative distance from the target rank `q·n` to the candidate's
+    * occupied rank interval `[below, below+cnt]` (zero for the value
+    * containing the quantile — so the weight mass can never vanish to
+    * rounding, even on pathologically skewed distributions). One row
+    * added or removed moves `below`/`cnt` by ≤ 1 and `q·n` by ≤ 1, so
+    * the utility sensitivity Δu ≤ 2 and weights are
+    * `exp(ε·u/(2Δu)) = exp(−ε·dist/4)`.
+    *
+    * Engine-portable selection: weights round to 1e-9 fixed-point
+    * LONGs, the cumulative-weight scan runs over the O(distinct
+    * values) distribution in value order, and the draw is
+    * `floor(u01 · Σw)` with u01 from md5(seed ∥ group) — integer
+    * compare from there, so both engines select the identical value.
+    * Same seed-secrecy contract as [[dpNoisyCounts]]: the draw is
+    * deterministic in (seed, group); a leaked seed reveals which value
+    * was selected and why — treat `seed` as key material.
+    *
+    * Scale: one map-side-combined (group, value) count, then every
+    * stage lives on the O(groups × distinct values) distribution.
+    * Output: (groupCol, dp_quantile).
+    */
+  def dpQuantile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      q: Double,
+      epsilon: Double,
+      seed: String): DataFrame = {
+    require(q > 0 && q < 1, s"dpQuantile: q=$q")
+    require(epsilon > 0, s"dpQuantile: epsilon=$epsilon")
+    require(seed.nonEmpty, "dpQuantile: a secret seed is required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val dist = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(
+        sum(col("cnt")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val qn = lit(q) * col("n").cast("double")
+    val d = greatest(
+      col("below").cast("double") - qn,
+      qn - (col("below") + col("cnt")).cast("double"),
+      lit(0.0d))
+    val weighted = dist.withColumn("w9",
+      round(exp(lit(-epsilon / 4.0d) * d) * lit(1e9d), 0).cast("long"))
+    val cum = weighted
+      .withColumn("cw", sum(col("w9")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("tw", sum(col("w9")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val u48 = conv(substring(md5(concat(lit(seed), lit("|"),
+      col("g").cast("string"))), 1, 12), 16, 10).cast("double")
+    val draw = floor(((u48 + lit(0.5d)) / lit(281474976710656.0d)) *
+      col("tw").cast("double")).cast("long")
+    cum.withColumn("__draw", draw)
+      .filter(col("cw") > col("__draw"))
+      .groupBy(col("g")).agg(min(col("v")).as("dp_quantile"))
+      .select(col("g").as(groupCol), col("dp_quantile"))
+  }
+
   /** ε-differentially-private release counts (Laplace mechanism,
     * sensitivity 1) with a SEEDED engine-portable noise draw: the
     * uniform u = (hex48(md5(seed ∥ "|" ∥ group)) + 0.5)/2⁴⁸ ∈ (0,1)

@@ -7279,4 +7279,40 @@ object ExtQueries {
        ${pprCtes(3)}
        SELECT deg.u AS doc_id, deg.deg AS deg, r3.r AS rank9, deg.is_seed AS is_seed
        FROM r3 JOIN deg USING (u)"""
+
+  // --- x194: ε-DP quantile (exponential mechanism) --------------------------
+  // DP median doc length per source: candidates = distinct lengths,
+  // utility = negative distance from rank q·n to each value's occupied
+  // rank interval (zero for the containing value — weight mass cannot
+  // round away on skewed data), weights 1e-9 fixed-point, seeded
+  // integer draw — both engines select the identical value.
+  def x194DpQuantile(spark: SparkSession, dir: String): DataFrame =
+    Privacy.dpQuantile(t(spark, dir, "documents"), "source", "n_chars",
+      q = 0.5, epsilon = 0.1, seed = DpFixtureSeed)
+
+  val x194Sql: String =
+    s"""WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+         FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+       r AS (SELECT g, v, cnt,
+           coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+           sum(cnt) OVER (PARTITION BY g) AS n
+         FROM c),
+       wt AS (SELECT g, v,
+           CAST(round(exp(-0.1 / 4.0 * greatest(
+             CAST(below AS DOUBLE) - 0.5 * CAST(n AS DOUBLE),
+             0.5 * CAST(n AS DOUBLE) - CAST(below + cnt AS DOUBLE),
+             0.0)) * 1000000000.0) AS BIGINT) AS w9
+         FROM r),
+       cum AS (SELECT g, v, w9,
+           sum(w9) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(w9) OVER (PARTITION BY g) AS tw
+         FROM wt),
+       dr AS (SELECT g, v, cw,
+           CAST(floor(((${duckHex48(s"md5('$DpFixtureSeed' || '|' || g)")}
+             + 0.5) / 281474976710656.0) * CAST(tw AS DOUBLE)) AS BIGINT) AS draw
+         FROM cum)
+       SELECT g AS source, CAST(min(v) AS BIGINT) AS dp_quantile
+       FROM dr WHERE cw > draw GROUP BY 1"""
 }

@@ -256,6 +256,40 @@ class CurriculumBpeSpec extends SparkSpec {
     }
   }
 
+  test("dpQuantile: skewed mass selects the containing value; deterministic; seed-sensitive") {
+    // 1000 copies of 7 + one 100: the rank interval of 7 contains q·n,
+    // every other candidate's weight rounds to 0 — any draw picks 7
+    val df = (Seq.fill(1000)(7L) :+ 100L).map(("g1", _)).toDF("g", "v")
+    val out = graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "s1")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 7L)
+    // deterministic under partitioning
+    val b = graft.ext.Privacy.dpQuantile(df.repartition(7), "g", "v", 0.5, 0.1, "s1")
+      .collect()
+    assert(out.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // spread mass: the selection follows the hand-replicated mechanism
+    val spread = (1L to 5L).map(("g2", _)).toDF("g", "v")
+    val got = graft.ext.Privacy.dpQuantile(spread, "g", "v", 0.5, 100.0, "s1")
+      .collect()(0).getLong(1)
+    val w9 = (1L to 5L).map { v =>
+      val below = (v - 1).toDouble; val qn = 2.5
+      val d = math.max(0.0, math.max(below - qn, qn - (below + 1)))
+      v -> math.round(math.exp(-100.0 / 4.0 * d) * 1e9)
+    }
+    val tw = w9.map(_._2).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1|g2".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val u01 = (java.lang.Long.parseLong(md, 16).toDouble + 0.5) / 281474976710656.0
+    val draw = math.floor(u01 * tw.toDouble).toLong
+    // min v whose cumulative weight (inclusive) exceeds the draw
+    val cums = w9.map(_._1).zip(w9.map(_._2).scanLeft(0L)(_ + _).tail)
+    val expected = cums.collectFirst { case (v, cw) if cw > draw => v }.get
+    assert(got == expected, s"got $got, expected $expected (draw=$draw)")
+    intercept[IllegalArgumentException] {
+      graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "")
+    }
+  }
+
   test("ipfWeights: column marginals hit the uniform target after the cycle") {
     val rows = Seq.fill(2)(("r1", "c1")) ++ Seq.fill(2)(("r2", "c1")) ++
       Seq.fill(4)(("r2", "c2"))
