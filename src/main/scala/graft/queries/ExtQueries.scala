@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, SampleStore, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -7315,4 +7315,103 @@ object ExtQueries {
          FROM cum)
        SELECT g AS source, CAST(min(v) AS BIGINT) AS dp_quantile
        FROM dr WHERE cw > draw GROUP BY 1"""
+
+  // --- x195: maintained weighted-sample store (A-Res joins the store matrix)
+  // x39's Efraimidis-Spirakis sample as a day-over-day store: per-day
+  // top-(k+slack) priority summaries merge losslessly (any global
+  // k-largest priority is within its own day's k largest), day replay
+  // replaces, and the slack buys exact-after-forget headroom. The gate
+  // appends 3 hash-split days, replays one (row accounting), forgets
+  // the global top-8 (erasure requests for the most prominent
+  // samples — within slack), and reads the top-100: the oracle ranks
+  // the full corpus, skips the 8 doomed, and re-ranks.
+  def x195SampleStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("wc"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "samplestore")
+    (0 until 3).foreach { b =>
+      SampleStore.appendDay(spark, docs.filter(col("day") === b.toLong),
+        "doc_id", col("wc"), s"d$b", k = 100, slack = 8, table = table)
+    }
+    // replay day 1: the (key, day) merge must REPLACE its rows
+    SampleStore.appendDay(spark, docs.filter(col("day") === 1L),
+      "doc_id", col("wc"), "d1", k = 100, slack = 8, table = table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = docs.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .agg(sum(least(col("n"), lit(108L)))).head().getLong(0)
+    require(stored == expected,
+      s"x195: store holds $stored sample rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    val doomed = SampleStore.sampleFromStore(spark, table, "doc_id", 8)
+      .select(col("doc_id"))
+    SampleStore.forget(spark, table, "doc_id", doomed)
+    SampleStore.sampleFromStore(spark, table, "doc_id", 100)
+  }
+
+  val x195Sql: String =
+    s"""WITH w AS (SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+       FROM documents),
+       h AS (SELECT doc_id, wc, ${duckHex48("hx")} AS h48 FROM w),
+       k AS (SELECT doc_id,
+             round(ln((CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                   / greatest(CAST(wc AS DOUBLE), 1.0), 6) AS es_key FROM h),
+       r AS (SELECT doc_id, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k),
+       s AS (SELECT doc_id, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn2
+         FROM r WHERE rn > 8)
+       SELECT doc_id, CAST(rn2 AS BIGINT) AS sample_rank, es_key
+       FROM s WHERE rn2 <= 100"""
+
+  // --- x196: STREAMING sample-store maintenance ------------------------------
+  // x195's store fed by a STREAM (the x161/x162 door): document days
+  // arrive as micro-batches, each folded by SampleStore.appendDay in
+  // foreachBatch; one day re-delivered post-drain with row accounting.
+  // Day summaries merge losslessly, so the stream-fed store read is
+  // the batch A-Res sample — x39's oracle verbatim.
+  def x196StreamSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("wc"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "ssamplestore")
+    val base = FreshTables.next(spark, dir, "ssamplein")
+    (0 until 3).foreach { b =>
+      docs.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        SampleStore.appendDay(spark, batch, "doc_id", col("wc"),
+          s"d$d", k = 100, slack = 8, table = table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x196: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the (key, day) merge replaces
+    SampleStore.appendDay(spark, docs.filter(col("day") === 1L),
+      "doc_id", col("wc"), "d1", k = 100, slack = 8, table = table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = docs.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .agg(sum(least(col("n"), lit(108L)))).head().getLong(0)
+    require(stored == expected,
+      s"x196: store holds $stored sample rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    SampleStore.sampleFromStore(spark, table, "doc_id", 100)
+  }
+
+  // the stream-fed store read IS the batch sample (priority summaries
+  // merge losslessly), so the oracle is x39's
+  val x196Sql: String = x39Sql
 }
