@@ -7414,4 +7414,50 @@ object ExtQueries {
   // the stream-fed store read IS the batch sample (priority summaries
   // merge losslessly), so the oracle is x39's
   val x196Sql: String = x39Sql
+
+  // --- x197: dominant-direction projection (all-but-the-top audit) ----------
+  // The spectral primitive of Mu & Viswanath 2018's embedding fix, in
+  // the x85 exact-integer discipline: quantized shifted inputs,
+  // integral-div centering, 3 power-iteration rounds with
+  // sign*(abs*SCALE div max) normalization — the oracle unrolls every
+  // round bit-for-bit. Output: per-id exact-integer projection onto
+  // the dominant direction (the anisotropy magnitude all-but-the-top
+  // removes; extreme |proj| rows are the common-direction outliers).
+  def x197DominantProj(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.EmbedPost.dominantProjection(
+      spark, t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, iters = 3)
+
+  // one power round: s from the previous direction, normalize, push
+  // through c, normalize — CTE suffix r; prev is the previous x CTE
+  // (pos, x)
+  private def pirRound(r: Int, prev: String): String =
+    s"""s$r AS (SELECT c.vec_id, CAST(sum(c.c * p.x) AS BIGINT) AS s
+         FROM c JOIN $prev p USING (pos) GROUP BY 1),
+       m$r AS (SELECT greatest(CAST(max(abs(s)) AS BIGINT), 1) AS m FROM s$r),
+       n$r AS (SELECT vec_id,
+           CAST(sign(s) AS BIGINT) * CAST((abs(s) * 10000) // m AS BIGINT) AS sn
+         FROM s$r, m$r),
+       y$r AS (SELECT c.pos, CAST(sum(c.c * n.sn) AS BIGINT) AS y
+         FROM c JOIN n$r n USING (vec_id) GROUP BY 1),
+       w$r AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT), 1) AS m FROM y$r),
+       x$r AS (SELECT pos,
+           CAST(sign(y) AS BIGINT) * CAST((abs(y) * 10000) // m AS BIGINT) AS x
+         FROM y$r, w$r)"""
+
+  val x197Sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       e AS (SELECT vec_id, i AS pos,
+           CAST(round(ve[i + 1] * 1000000.0) AS BIGINT) + 1000000 AS vq
+         FROM v, unnest(range(0, 64)) AS u(i)),
+       mu AS (SELECT pos, CAST(sum(vq) // count(*) AS BIGINT) AS mu
+         FROM e GROUP BY 1),
+       c AS (SELECT vec_id, pos, vq - mu AS c FROM e JOIN mu USING (pos)),
+       x0 AS (SELECT i AS pos, CAST(10000 AS BIGINT) AS x
+         FROM unnest(range(0, 64)) AS u(i)),
+       ${pirRound(1, "x0")},
+       ${pirRound(2, "x1")},
+       ${pirRound(3, "x2")}
+       SELECT c.vec_id, CAST(sum(c.c * p.x) AS BIGINT) AS proj
+       FROM c JOIN x3 p USING (pos) GROUP BY 1"""
 }

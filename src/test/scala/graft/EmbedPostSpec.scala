@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.EmbedPost
+
+/** All-but-the-top embedding post-processing (x197): the laws the gate
+  * fixture can't pin — planted-direction recovery, removeTop
+  * orthogonality, partitioning-invariance, degenerate input.
+  */
+class EmbedPostSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  // deterministic pseudo-noise in [-0.05, 0.05) from (id, pos) — no RNG
+  private def noise(i: Int, p: Int): Double =
+    (((i * 31 + p * 17 + 7) % 100) - 50) / 1000.0
+
+  // planted dominant direction u = (1, 1, 0, ..., 0)/sqrt(2) with
+  // per-row magnitude a_i in [-2, 2], plus bounded noise: the top
+  // eigenvector of the centered Gram is u up to noise
+  private def planted(n: Int) = {
+    val s = math.sqrt(0.5)
+    (1 to n).map { i =>
+      val a = ((i % 9) - 4).toDouble / 2.0
+      (i.toLong, (0 until dim).map(p =>
+        (if (p < 2) (a * s).toFloat else 0f) + noise(i, p).toFloat).toArray)
+    }.toDF("id", "vec")
+  }
+
+  test("topDirection recovers a planted dominant direction") {
+    val df = planted(200)
+    val cent = EmbedPost.centered(df, "id", "vec", dim)
+    val x = EmbedPost.topDirection(spark, cent, dim, iters = 4)
+    val xn = x.map(_.toDouble)
+    val u = Array.fill(dim)(0.0); u(0) = math.sqrt(0.5); u(1) = math.sqrt(0.5)
+    val cos = math.abs(xn.zip(u).map { case (a, b) => a * b }.sum) /
+      math.sqrt(xn.map(v => v * v).sum)
+    assert(cos > 0.98, s"cosine(topDirection, planted)=$cos")
+  }
+
+  test("dominantProjection is invariant to input partitioning") {
+    val df = planted(120)
+    val a = EmbedPost.dominantProjection(spark, df, "id", "vec", dim)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = EmbedPost.dominantProjection(spark, df.repartition(7), "id", "vec", dim)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("removeTop output is orthogonal to the removed direction") {
+    val df = planted(150)
+    val cent = EmbedPost.centered(df, "id", "vec", dim)
+    val u = EmbedPost.topDirection(spark, cent, dim, iters = 4).map(_.toDouble)
+    val out = EmbedPost.removeTop(spark, df, "id", "vec", dim, iters = 4)
+      .collect()
+    assert(out.length == 150)
+    out.foreach { r =>
+      val e = r.getSeq[Double](1)
+      assert(e.length == dim)
+      val dot = e.zip(u).map { case (a, b) => a * b }.sum
+      val scalefree = math.abs(dot) / math.sqrt(u.map(v => v * v).sum)
+      assert(scalefree < 1e-6, s"residual projection $scalefree for id ${r.getLong(0)}")
+    }
+  }
+
+  test("degenerate input (all rows identical) yields zero projections, no crash") {
+    val df = (1 to 20).map(i =>
+      (i.toLong, Array.fill(dim)(0.25f))).toDF("id", "vec")
+    val out = EmbedPost.dominantProjection(spark, df, "id", "vec", dim)
+      .collect()
+    assert(out.length == 20 && out.forall(_.getLong(1) == 0L))
+  }
+}
