@@ -75,6 +75,80 @@ object Profiling {
     }.reduce(_ union _)
   }
 
+  /** Pairwise mutual-information profile for declared column pairs —
+    * the ASSOCIATION complement of [[fdProfile]]'s dependency measure
+    * (an FD is the MI-saturated limit; MI grades the in-between):
+    * for a pair (a, b) with joint counts n_ab over the pair's cells,
+    *
+    *   MI = Σ_ab (n_ab/n) · ln(n·n_ab / (n_a·n_b))   [nats]
+    *   NMI = MI / min(H_a, H_b)    (0 when either column is constant)
+    *
+    * — the Deequ/pandas-profiling "column association" panel, used to
+    * spot redundant metadata columns and leakage between a label and a
+    * supposedly-independent field before training.
+    *
+    * 100 TB design: ALL pairs cost ONE scan — the same grouping-sets
+    * Expand as [[fdProfile]] (shared [[fdCells]]), so the corpus
+    * collapses to O(Σ distinct (a, b)) cells in a single map-side-
+    * combined pass; marginals, entropies, and the MI sum are
+    * aggregations OVER CELLS (broadcast marginal joins, null-safe so
+    * null categories survive — a null-heavy column's association is
+    * exactly what the profile must see). Determinism: counts exact
+    * LONGs; each ln() term rounds to a 1e-9 fixed-point LONG and sums
+    * order-free (the x58 convention); NMI is one division of two such
+    * exact sums. Output per pair (canonicalized a < b):
+    * (col_a, col_b, n_rows, n_cells, mi, nmi).
+    */
+  def miProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "miProfile: no pairs")
+    require(pairs.size <= 64,
+      s"miProfile: ${pairs.size} pairs > 64 — profile in batches")
+    val canon = pairs.map { case (a, b) =>
+      require(a != b, s"miProfile: degenerate pair ($a, $b)")
+      if (a < b) (a, b) else (b, a)
+    }.distinct
+    val allCols = canon.flatMap { case (l, r) => Seq(l, r) }.distinct
+    val n = allCols.size
+    def gidOf(s: Seq[String]): Long =
+      allCols.zipWithIndex.collect {
+        case (c, i) if !s.contains(c) => 1L << (n - 1 - i)
+      }.sum
+    val cells = Dedup.materialize(fdCells(df, canon))
+    canon.map { case (a, b) =>
+      val j = cells.filter(col("__gid") === gidOf(Seq(a, b)))
+        .select(col(a).as("__a"), col(b).as("__b"), col("__c"))
+      val ma = j.groupBy(col("__a").as("__ka")).agg(sum(col("__c")).as("__na"))
+      val mb = j.groupBy(col("__b").as("__kb")).agg(sum(col("__c")).as("__nb"))
+      val tot = j.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__cells"))
+      val nD = col("__n").cast("double")
+      // H terms over the marginal distributions (exact counts -> one
+      // rounded ln term per marginal row)
+      def h9(m: DataFrame, cnt: String) = m.crossJoin(broadcast(tot))
+        .agg(coalesce(sum(round((col(cnt).cast("double") / nD) *
+          log(col(cnt).cast("double") / nD) * lit(1e9d), 0).cast("long")),
+          lit(0L)).as("h9"))
+      val scored = j
+        .join(broadcast(ma), col("__a") <=> col("__ka")).drop("__ka")
+        .join(broadcast(mb), col("__b") <=> col("__kb")).drop("__kb")
+        .crossJoin(broadcast(tot))
+        .agg(max(col("__n")).as("n_rows"), max(col("__cells")).as("n_cells"),
+          sum(round((col("__c").cast("double") / nD) *
+            log((nD * col("__c").cast("double")) /
+              (col("__na").cast("double") * col("__nb").cast("double"))) *
+            lit(1e9d), 0).cast("long")).as("mi9"))
+      val haC = h9(ma, "__na").select(col("h9").as("ha9"))
+      val hbC = h9(mb, "__nb").select(col("h9").as("hb9"))
+      scored.crossJoin(broadcast(haC)).crossJoin(broadcast(hbC))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n_rows"), col("n_cells"),
+          round(col("mi9").cast("double") / lit(1e9d), 6).as("mi"),
+          when(greatest(-col("ha9"), lit(0L)) === 0L ||
+               greatest(-col("hb9"), lit(0L)) === 0L, lit(0.0d))
+            .otherwise(round(col("mi9").cast("double") /
+              least(-col("ha9"), -col("hb9")).cast("double"), 6)).as("nmi"))
+    }.reduce(_ union _)
+  }
+
   /** The fused one-scan cell table: one row per (grouping set, lhs
     * value, rhs value) with its count and `grouping_id` — package-
     * private so the plan spec can pin "exactly one leaf scan, Expand

@@ -7460,4 +7460,59 @@ object ExtQueries {
        ${pirRound(3, "x2")}
        SELECT c.vec_id, CAST(sum(c.c * p.x) AS BIGINT) AS proj
        FROM c JOIN x3 p USING (pos) GROUP BY 1"""
+
+  // --- x198: pairwise mutual-information column profile ----------------------
+  // fdProfile's association complement, fused into the SAME one-scan
+  // grouping-sets Expand: MI/NMI for (lang, source), (lang,
+  // len_bucket), (source, len_bucket) over documents — the leakage /
+  // redundant-metadata panel. Exact counts, 1e-9 fixed-point ln terms
+  // summed order-free, NMI one division of two exact sums.
+  def x198MiProfile(spark: SparkSession, dir: String): DataFrame =
+    Profiling.miProfile(
+      t(spark, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 256L")),
+      Seq(("lang", "source"), ("lang", "len_bucket"), ("source", "len_bucket")))
+
+  // one pair's CTE chain + final row; a/b must be canonical (a < b)
+  private def miPairSql(tag: String, a: String, b: String): String =
+    s"""j$tag AS (SELECT $a AS va, $b AS vb, CAST(count(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2),
+       ma$tag AS (SELECT va, CAST(sum(c) AS BIGINT) AS na FROM j$tag GROUP BY 1),
+       mb$tag AS (SELECT vb, CAST(sum(c) AS BIGINT) AS nb FROM j$tag GROUP BY 1),
+       t$tag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS cells FROM j$tag),
+       mi$tag AS (SELECT t.n, t.cells,
+           CAST(sum(CAST(round((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln((CAST(t.n AS DOUBLE) * CAST(j.c AS DOUBLE))
+                  / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi9
+         FROM j$tag j
+         JOIN ma$tag ma ON j.va IS NOT DISTINCT FROM ma.va
+         JOIN mb$tag mb ON j.vb IS NOT DISTINCT FROM mb.vb, t$tag t
+         GROUP BY 1, 2),
+       ha$tag AS (SELECT CAST(coalesce(sum(CAST(round(
+             (CAST(na AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln(CAST(na AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * 1000000000.0) AS BIGINT)), 0) AS BIGINT) AS h9
+         FROM ma$tag, t$tag t),
+       hb$tag AS (SELECT CAST(coalesce(sum(CAST(round(
+             (CAST(nb AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln(CAST(nb AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * 1000000000.0) AS BIGINT)), 0) AS BIGINT) AS h9
+         FROM mb$tag, t$tag t),
+       r$tag AS (SELECT '$a' AS col_a, '$b' AS col_b, mi.n AS n_rows,
+           mi.cells AS n_cells,
+           round(CAST(mi.mi9 AS DOUBLE) / 1000000000.0, 6) AS mi,
+           CASE WHEN -ha.h9 <= 0 OR -hb.h9 <= 0 THEN 0.0
+                ELSE round(CAST(mi.mi9 AS DOUBLE)
+                  / CAST(least(-ha.h9, -hb.h9) AS DOUBLE), 6) END AS nmi
+         FROM mi$tag mi, ha$tag ha, hb$tag hb)"""
+
+  val x198Sql: String =
+    s"""WITH base AS (SELECT lang, source, n_chars // 256 AS len_bucket
+         FROM documents),
+       ${miPairSql("LS", "lang", "source")},
+       ${miPairSql("LB", "lang", "len_bucket")},
+       ${miPairSql("SB", "len_bucket", "source")}
+       SELECT * FROM rLS UNION ALL SELECT * FROM rLB UNION ALL SELECT * FROM rSB"""
 }
