@@ -18,19 +18,23 @@ import org.apache.spark.sql.functions._
   *    centered table `c` is exact integers on any engine;
   *  - each iteration is two bounded passes over `c`: `s_id = Σ_j c·x_j`
   *    (x is a BROADCAST LITERAL array — no join), normalize s to
-  *    ±SCALE by `sign(s)·(|s|·SCALE div max|s|)` (abs keeps the div on
-  *    non-negative operands), then `y_pos = Σ_id c·s'` (one join on id
-  *    + one shuffle on pos) and the same normalization driver-side on
-  *    the O(dim) collected y — the only driver state, dim longs;
+  *    ±2·SCALE by the DIVIDE-FIRST rule `sign(s)·(|s| div
+  *    max(max|s| div SCALE, 1))` (abs keeps the divs on non-negative
+  *    operands; dividing before any multiply means normalization can
+  *    never overflow, whatever the corpus size), then `y_pos = Σ_id
+  *    c·s'` (one join on id + one shuffle on pos) and the same
+  *    normalization driver-side on the O(dim) collected y — the only
+  *    driver state, dim longs;
   *  - the dominant-direction projection `proj_id = Σ_j c_j · x_j` is an
   *    exact integer — a DuckDB oracle replays the whole pipeline
   *    bit-for-bit (x197).
   *
-  * Long-capacity bound: |c| ≤ 2.4e6, so the y-accumulator is exact for
-  * corpora up to ~3.8e11 · SCALE⁻¹ rows — ~3.8e7 vectors at the
-  * default SCALE=1e4 per group before `sum(LONG)` could overflow;
-  * past that, widen the two sums to DECIMAL(38,0) (exact in both
-  * engines) — the iteration shape is unchanged. Convergence needs the
+  * Long-capacity bound: |c| ≤ 1.2e6 and |s'| ≤ 2·SCALE, so the only
+  * corpus-sized accumulator, y = Σ_id c·s', is exact to ~3.8e8 vectors
+  * at the default SCALE=1e4 (every other step is corpus-size-
+  * independent); past that, widen that one sum to DECIMAL(38,0)
+  * (exact in both engines) — the iteration shape is unchanged.
+  * Convergence needs the
   * usual spectral-gap caveat; 3–4 rounds suffice when one direction
   * dominates (the anisotropy case this op exists for), and the
   * planted-direction law is specced in EmbedPostSpec.
@@ -85,18 +89,18 @@ object EmbedPost {
       val xc = typedlit(x.toSeq)
       val s = c.groupBy(col("id"))
         .agg(sum(col("c") * element_at(xc, col("pos") + 1)).as("s"))
-      val ms = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("m"))
+      val ms = s.agg(greatest(expr(s"max(abs(s)) div ${scale}L"), lit(1L)).as("m"))
       val sn = s.crossJoin(broadcast(ms))
         .select(col("id"),
-          (signum(col("s")).cast("long") *
-            expr(s"(abs(s) * ${scale}L) div m")).as("sn"))
+          (signum(col("s")).cast("long") * expr("abs(s) div m")).as("sn"))
       val y = c.join(sn, Seq("id"))
         .groupBy(col("pos")).agg(sum(col("c") * col("sn")).as("y"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val my = math.max(1L, (0 until dim).map(p => math.abs(y.getOrElse(p, 0L))).max)
+      val my = math.max(1L,
+        (0 until dim).map(p => math.abs(y.getOrElse(p, 0L))).max / scale)
       x = (0 until dim).map { p =>
         val v = y.getOrElse(p, 0L)
-        math.signum(v) * (math.abs(v) * scale / my)
+        math.signum(v) * (math.abs(v) / my)
       }.toArray
     }
     x
@@ -120,6 +124,117 @@ object EmbedPost {
     c.groupBy(col("id"))
       .agg(sum(col("c") * element_at(typedlit(x.toSeq), col("pos") + 1)).as("proj"))
       .select(col("id").as(idCol), col("proj"))
+  }
+
+  /** Day-over-day MAINTAINED EMBEDDING-MOMENT STORE — the spectral
+    * family joins the store matrix (CM x114, histogram x123, HLL x143,
+    * KMV x148, sample x195): per-day EXACT quantized first moments
+    * (pos, Σvq, n) and second moments (i ≤ j, Σ vq_i·vq_j), day-keyed
+    * and replay-replacing. Raw moments are mergeable by plain SUM (the
+    * centered Gram is derived at read: G = Σvv − μ·svᵀ − sv·μᵀ + n·μμᵀ
+    * with the integral-div μ — EXACTLY Σ c·cᵀ for [[centered]]'s c, so
+    * the store read is bit-identical to batch moments however history
+    * was sliced). The read is CORPUS-FREE: O(dim²) rows feed a dense
+    * power iteration, so "this month's dominant direction" never
+    * rescans the embeddings.
+    *
+    * Daily cost: one pass fanning each row to dim(dim+1)/2 products
+    * (map-side combined to O(dim²) cells — no join, no id shuffle) +
+    * O(dim²) commit I/O. Long capacity: |Σvv| ≤ 2.6e12·n_rows — exact
+    * to ~3.6e6 rows per day (and per store total at read); widen the
+    * two sums to DECIMAL(38,0) past that (the iteration is unchanged).
+    */
+  def momentsAppendDay(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      day: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    // an empty day contributes zero to every moment — appending it
+    // would only initialize/extend the store with no-partition commits
+    // (a stream's empty micro-batch must not poison the table)
+    if (df.isEmpty) return
+    val q = df.select(
+      expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
+        s"v -> CAST(round(v * ${Quant}L) AS BIGINT) + ${Shift}L)").as("vq"))
+    val m1 = q.select(posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("day", lit(day))
+    val m2 = q
+      .select(posexplode(col("vq")).as(Seq("i", "vi")), col("vq"))
+      .select(col("i"), col("vi"),
+        posexplode(expr(s"slice(vq, i + 1, $dim - i)")).as(Seq("dj", "vj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(col("vi") * col("vj")).as("svv"))
+      .withColumn("day", lit(day))
+    ManifestStore.mergeOrCreate(spark, s"$table/m1", m1, Seq("pos", "day"), "day")
+    ManifestStore.mergeOrCreate(spark, s"$table/m2", m2, Seq("i", "j", "day"), "day")
+  }
+
+  /** Batch moments over a frame — the law [[momentsAppendDay]] stores
+    * must merge to, bit-for-bit (specced): ((pos, sv, n), (i, j, svv)).
+    */
+  private[graft] def batchMoments(
+      df: DataFrame, vecCol: String, dim: Int): (DataFrame, DataFrame) = {
+    val q = df.select(
+      expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
+        s"v -> CAST(round(v * ${Quant}L) AS BIGINT) + ${Shift}L)").as("vq"))
+    val m1 = q.select(posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val m2 = q
+      .select(posexplode(col("vq")).as(Seq("i", "vi")), col("vq"))
+      .select(col("i"), col("vi"),
+        posexplode(expr(s"slice(vq, i + 1, $dim - i)")).as(Seq("dj", "vj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(col("vi") * col("vj")).as("svv"))
+    (m1, m2)
+  }
+
+  /** Dominant direction from a [[momentsAppendDay]] store — the
+    * corpus-free read. Day moments SUM into totals (exact), the
+    * centered Gram derives via the integral-div mean, the matrix
+    * pre-shrinks by `g div greatest(max|g| div 2^15, 1)` (truncating
+    * div — identical in Spark, DuckDB, and JVM longs — keeping every
+    * later product long-safe independent of corpus size), and `iters`
+    * dense power rounds with the [[topDirection]] normalization run on
+    * the O(dim²) collected matrix — driver state dim² longs, the same
+    * O(routing-metadata) budget as the nprobe histogram. Returns the
+    * integer direction (max |component| = scale).
+    */
+  def directionFromMoments(
+      spark: SparkSession,
+      table: String,
+      dim: Int,
+      iters: Int = 3,
+      scale: Long = 10000L): Array[Long] = {
+    import graft.sources.ManifestStore
+    val m1 = ManifestStore.read(spark, s"$table/m1")
+      .groupBy(col("pos")).agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m2 = ManifestStore.read(spark, s"$table/m2")
+      .groupBy(col("i"), col("j")).agg(sum(col("svv")).as("svv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val n = m1.values.headOption.map(_._2).getOrElse(0L)
+    require(n > 0, s"directionFromMoments: empty store $table")
+    val sv = (0 until dim).map(p => m1.getOrElse(p, (0L, n))._1).toArray
+    val mu = sv.map(_ / n) // truncating div on non-negatives == floor
+    def gAt(i: Int, j: Int): Long = {
+      val svv = m2.getOrElse((math.min(i, j), math.max(i, j)), 0L)
+      svv - mu(i) * sv(j) - mu(j) * sv(i) + n * mu(i) * mu(j)
+    }
+    val mg = (0 until dim).flatMap(i => (0 until dim).map(j => math.abs(gAt(i, j)))).max
+    val d = math.max(mg / 32768L, 1L)
+    val g = Array.tabulate(dim, dim)((i, j) => gAt(i, j) / d)
+    var x = Array.fill(dim)(scale)
+    (0 until iters).foreach { _ =>
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => g(i)(j) * x(j)).sum)
+      val my = math.max(1L, y.map(math.abs).max / scale)
+      x = y.map(v => math.signum(v) * (math.abs(v) / my))
+    }
+    x
   }
 
   /** Production all-but-the-top: mean-center (double arithmetic) and

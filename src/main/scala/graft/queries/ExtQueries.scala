@@ -7434,15 +7434,15 @@ object ExtQueries {
   private def pirRound(r: Int, prev: String): String =
     s"""s$r AS (SELECT c.vec_id, CAST(sum(c.c * p.x) AS BIGINT) AS s
          FROM c JOIN $prev p USING (pos) GROUP BY 1),
-       m$r AS (SELECT greatest(CAST(max(abs(s)) AS BIGINT), 1) AS m FROM s$r),
+       m$r AS (SELECT greatest(CAST(max(abs(s)) // 10000 AS BIGINT), 1) AS m FROM s$r),
        n$r AS (SELECT vec_id,
-           CAST(sign(s) AS BIGINT) * CAST((abs(s) * 10000) // m AS BIGINT) AS sn
+           CAST(sign(s) AS BIGINT) * CAST(abs(s) // m AS BIGINT) AS sn
          FROM s$r, m$r),
        y$r AS (SELECT c.pos, CAST(sum(c.c * n.sn) AS BIGINT) AS y
          FROM c JOIN n$r n USING (vec_id) GROUP BY 1),
-       w$r AS (SELECT greatest(CAST(max(abs(y)) AS BIGINT), 1) AS m FROM y$r),
+       w$r AS (SELECT greatest(CAST(max(abs(y)) // 10000 AS BIGINT), 1) AS m FROM y$r),
        x$r AS (SELECT pos,
-           CAST(sign(y) AS BIGINT) * CAST((abs(y) * 10000) // m AS BIGINT) AS x
+           CAST(sign(y) AS BIGINT) * CAST(abs(y) // m AS BIGINT) AS x
          FROM y$r, w$r)"""
 
   val x197Sql: String =
@@ -7515,4 +7515,116 @@ object ExtQueries {
        ${miPairSql("LB", "lang", "len_bucket")},
        ${miPairSql("SB", "len_bucket", "source")}
        SELECT * FROM rLS UNION ALL SELECT * FROM rLB UNION ALL SELECT * FROM rSB"""
+
+  // --- x199: maintained embedding-moment store -------------------------------
+  // The spectral family joins the store matrix: per-day exact quantized
+  // first/second moments (mergeable by SUM — the centered Gram derives
+  // at read via the integral-div mean, bit-identical however history
+  // was sliced), then a corpus-free dense power iteration on the
+  // O(dim^2) collected matrix. Three day appends + a replay (cell
+  // accounting), direction out; the oracle rebuilds the moments and
+  // unrolls the matrix rounds.
+  def x199MomentStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "momstore")
+    (0 until 3).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
+    }
+    // replay day 1: the day-keyed merges must REPLACE their rows
+    graft.ext.EmbedPost.momentsAppendDay(spark,
+      emb.filter(col("day") === 1L), "embedding", 64, "d1", table)
+    val m1Rows = graft.sources.ManifestStore.read(spark, s"$table/m1").count()
+    val m2Rows = graft.sources.ManifestStore.read(spark, s"$table/m2").count()
+    require(m1Rows == 64L * 3 && m2Rows == 2080L * 3,
+      s"x199: store holds $m1Rows m1 / $m2Rows m2 rows, expected 192/6240 — " +
+        "the d1 replay duplicated instead of replacing")
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  // one dense matrix power round (prev -> x$r over gn)
+  private def momRound(r: Int, prev: String): String =
+    s"""y$r AS (SELECT gn.i AS pos, CAST(sum(gn.g * p.x) AS BIGINT) AS y
+         FROM gn JOIN $prev p ON gn.j = p.pos GROUP BY 1),
+       w$r AS (SELECT greatest(CAST(max(abs(y)) // 10000 AS BIGINT), 1) AS m FROM y$r),
+       x$r AS (SELECT pos,
+           CAST(sign(y) AS BIGINT) * CAST(abs(y) // m AS BIGINT) AS x
+         FROM y$r, w$r)"""
+
+  val x199Sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       e AS (SELECT vec_id, i AS pos,
+           CAST(round(ve[i + 1] * 1000000.0) AS BIGINT) + 1000000 AS vq
+         FROM v, unnest(range(0, 64)) AS u(i)),
+       m1 AS (SELECT pos, CAST(sum(vq) AS BIGINT) AS sv,
+           CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+       m2 AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.vq * b.vq) AS BIGINT) AS svv
+         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         GROUP BY 1, 2),
+       mu AS (SELECT pos, CAST(sv // n AS BIGINT) AS mu, sv, n FROM m1),
+       g0 AS (SELECT m2.i, m2.j,
+           CAST(m2.svv - a.mu * b.sv - b.mu * a.sv + a.n * a.mu * b.mu AS BIGINT) AS g
+         FROM m2 JOIN mu a ON m2.i = a.pos JOIN mu b ON m2.j = b.pos),
+       g AS (SELECT i, j, g FROM g0
+         UNION ALL SELECT j AS i, i AS j, g FROM g0 WHERE i <> j),
+       dg AS (SELECT greatest(CAST(max(abs(g)) // 32768 AS BIGINT), 1) AS d FROM g),
+       gn AS (SELECT i, j, CAST(g // d AS BIGINT) AS g FROM g, dg),
+       x0 AS (SELECT i AS pos, CAST(10000 AS BIGINT) AS x
+         FROM unnest(range(0, 64)) AS u(i)),
+       ${momRound(1, "x0")},
+       ${momRound(2, "x1")},
+       ${momRound(3, "x2")}
+       SELECT CAST(pos AS INTEGER) AS pos, x AS comp FROM x3"""
+
+  // --- x200: STREAMING moment-store maintenance ------------------------------
+  // x199 through the streaming door (the x161/x162/x196 pattern):
+  // embedding days arrive as micro-batches, each folded by
+  // momentsAppendDay in foreachBatch; one day re-delivered post-drain
+  // with cell accounting. Moments merge by SUM, so the stream-fed
+  // direction is x199's oracle verbatim.
+  def x200StreamMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "smomstore")
+    val base = FreshTables.next(spark, dir, "smomin")
+    (0 until 3).foreach { b =>
+      emb.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        graft.ext.EmbedPost.momentsAppendDay(spark, batch, "embedding", 64,
+          s"d$d", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x200: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the day-keyed merges replace
+    graft.ext.EmbedPost.momentsAppendDay(spark,
+      emb.filter(col("day") === 1L), "embedding", 64, "d1", table)
+    val m2Rows = graft.sources.ManifestStore.read(spark, s"$table/m2").count()
+    require(m2Rows == 2080L * 3,
+      s"x200: store holds $m2Rows m2 rows, expected 6240 — " +
+        "the d1 replay duplicated instead of replacing")
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  // moments merge by SUM, so the stream-fed store read is x199's
+  val x200Sql: String = x199Sql
 }

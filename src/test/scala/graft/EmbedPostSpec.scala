@@ -64,6 +64,55 @@ class EmbedPostSpec extends SparkSpec {
     }
   }
 
+  test("moment store: sliced-day appends merge to batch moments bit-for-bit") {
+    val t = s"/tmp/graft/momstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = planted(90).withColumn("day", pmod(col("id"), lit(3)))
+    (0 until 3).foreach { d =>
+      EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
+        "vec", dim, s"d$d", t)
+    }
+    // replay day 2: day-keyed merge must replace, not duplicate
+    EmbedPost.momentsAppendDay(spark, df.filter(col("day") === 2L),
+      "vec", dim, "d2", t)
+    val (bm1, bm2) = EmbedPost.batchMoments(df, "vec", dim)
+    val sm1 = graft.sources.ManifestStore.read(spark, t + "/m1")
+      .groupBy(col("pos")).agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+    val sm2 = graft.sources.ManifestStore.read(spark, t + "/m2")
+      .groupBy(col("i"), col("j")).agg(sum(col("svv")).as("svv"))
+    assert(sm1.orderBy("pos").collect().map(_.toSeq).toSeq ==
+      bm1.orderBy("pos").collect().map(_.toSeq).toSeq)
+    assert(sm2.orderBy("i", "j").collect().map(_.toSeq).toSeq ==
+      bm2.orderBy("i", "j").collect().map(_.toSeq).toSeq)
+  }
+
+  test("directionFromMoments recovers the planted direction, corpus-free") {
+    val t = s"/tmp/graft/momdir_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = planted(200).withColumn("day", pmod(col("id"), lit(2)))
+    (0 until 2).foreach { d =>
+      EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
+        "vec", dim, s"d$d", t)
+    }
+    val x = EmbedPost.directionFromMoments(spark, t, dim, iters = 4)
+    val xn = x.map(_.toDouble)
+    val u = Array.fill(dim)(0.0); u(0) = math.sqrt(0.5); u(1) = math.sqrt(0.5)
+    val cos = math.abs(xn.zip(u).map { case (a, b) => a * b }.sum) /
+      math.sqrt(xn.map(v => v * v).sum)
+    assert(cos > 0.98, s"cosine(storeDirection, planted)=$cos")
+  }
+
+  test("empty-day appends are no-ops; a never-fed store fails loudly") {
+    val t = s"/tmp/graft/momempty_${java.util.UUID.randomUUID().toString.take(8)}"
+    // empty day: no-op — must not create a poisoned no-partition table
+    EmbedPost.momentsAppendDay(spark,
+      planted(5).filter(col("id") < 0), "vec", dim, "d0", t)
+    intercept[java.io.FileNotFoundException] {
+      EmbedPost.directionFromMoments(spark, t, dim)
+    }
+    // a real day after the empty one works normally
+    EmbedPost.momentsAppendDay(spark, planted(50), "vec", dim, "d1", t)
+    assert(EmbedPost.directionFromMoments(spark, t, dim).length == dim)
+  }
+
   test("degenerate input (all rows identical) yields zero projections, no crash") {
     val df = (1 to 20).map(i =>
       (i.toLong, Array.fill(dim)(0.25f))).toDF("id", "vec")
