@@ -496,6 +496,47 @@ object ScaleBench {
     // micro-batch floor
     "x189_stream_scd2")
 
+  val R11dFamily: Seq[String] = Seq(
+    // whole-key + change-level erasure over the x188 store: locate is
+    // bucket-pruned, rebuild is affected-key-sized — expect the x188
+    // append curve to dominate (the forgets are Δ-sized)
+    "x190_scd2_forget",
+    // decode stub + ladder snap are one narrow map; packing is one
+    // per-bucket cumsum window — expect ~linear with a shrinking
+    // window share (buckets grow, per-bucket rows grow ~linearly)
+    "x191_aspect_batches",
+    // 3 day folds of the bigram sketch + an O(sources² × k) pair
+    // algebra read — expect the x182 token-pass curve, read flat
+    "x192_kmv_overlap_store",
+    // LSH pair generation dominates (x04's shape); 3 seeded rounds are
+    // one edge shuffle each on the pair graph — expect the x04 curve
+    "x193_ppr_expand",
+    // one map-side-combined (group, value) count, then everything
+    // lives on the O(groups × distinct lengths) distribution — expect
+    // ~linear count pass, flat selection
+    "x194_dp_quantile",
+    // per-day salted top-(k+slack) + O(k) commit I/O; the merged read
+    // and the forget touch O(days × k) rows — expect ~linear from the
+    // per-day priority passes, store ops flat
+    "x195_sample_store",
+    // x195 through the streaming door — expect the x195 shape + the
+    // micro-batch floor amortizing
+    "x196_stream_sample",
+    // centering + 3 iterations are each one bounded pass over the
+    // exploded (id, pos, c) table — expect ~linear, the O(dim)
+    // driver collect flat
+    "x197_dominant_proj",
+    // ONE grouping-sets scan to O(Σ distinct pairs) cells; MI/H run on
+    // cells — expect ~linear scan, cell stage flat
+    "x198_mi_profile",
+    // each day fans rows to dim(dim+1)/2 products, map-side combined
+    // to O(dim²) cells — expect ~linear fan-out cost; the corpus-free
+    // direction read is flat by construction
+    "x199_moment_store",
+    // x199 through the streaming door — expect the x199 shape + the
+    // micro-batch floor
+    "x200_stream_moments")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -623,7 +664,8 @@ object ScaleBench {
       "r7_scale" -> R7Family, "r8_scale" -> R8Family,
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
-      "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily)
+      "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily,
+      "r11d_scale" -> R11dFamily)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)
