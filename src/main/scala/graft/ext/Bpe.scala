@@ -107,6 +107,49 @@ object Bpe {
 
   /** The one corpus-sized pass: distinct word -> (count, space-joined
     * character encoding), materialized (both later paths iterate it). */
+  /** Apply a LEARNED tokenizer to a corpus — the production pass the
+    * trainer ([[learnMerges]]) exists for: per-document token counts
+    * under the merge list, for unseen data as well as training data.
+    *
+    * Semantics: each merge applies as ONE left-to-right non-overlapping
+    * space-padded `replace(" a b ", " ab ")` in rank order — byte-for-
+    * byte the trainer's own application step (see [[runLocal]]'s note:
+    * Java String.replace ≡ Spark UTF8String.replace ≡ DuckDB replace),
+    * so tokenizing the training corpus reproduces [[encodeVocab]]'s
+    * sequences symbol-for-symbol, and an oracle can replay the chain.
+    *
+    * Scale shape: the corpus collapses ONCE to its Heaps'-law-bounded
+    * distinct-word vocabulary; the whole merge chain is a single
+    * nested-expression projection over that vocabulary (no per-merge
+    * pass, no shuffle — one narrow map), then one join back to the
+    * (doc, word) rows and a per-doc aggregation. The merge list is a
+    * driver-held model artifact (a production tokenizer's 30k–50k
+    * merges are a few MB — ship in batches of a few hundred nested
+    * replaces per projection if codegen depth ever complains).
+    * Output: (idCol, n_words, n_tokens).
+    */
+  def tokenize(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "Bpe.tokenize: empty merge list")
+    val words = LangModel.tokenRows(docs, idCol, textCol)
+      .select(col("id"), col("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+    val enc0 = concat(lit(" "),
+      trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+    val encN = merges.foldLeft(enc0) { case (e, (a, b)) =>
+      replace(e, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val encoded = vocab.select(col("w"),
+      size(split(trim(encN), " ")).cast("long").as("__toks"))
+    words.join(encoded, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__toks")).as("n_tokens"))
+      .select(col("id").as(idCol), col("n_words"), col("n_tokens"))
+  }
+
   private[graft] def collapse(
       docs: DataFrame,
       idCol: String,

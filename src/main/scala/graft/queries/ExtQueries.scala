@@ -7627,4 +7627,63 @@ object ExtQueries {
 
   // moments merge by SUM, so the stream-fed store read is x199's
   val x200Sql: String = x199Sql
+
+  // --- x201: tokenizer APPLICATION (learned BPE over held-out docs) ---------
+  // The production pass x100's trainer exists for: learn 8 merges on
+  // the even-doc_id half, tokenize the odd half (unseen words included)
+  // — per-doc word/token counts. Application is the trainer's own
+  // space-padded replace chain (Java String.replace ≡ UTF8String ≡
+  // DuckDB replace), one nested projection over the test vocabulary;
+  // the oracle replays learning (x100's CTEs, 8 rounds) and the chain.
+  def x201BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.ext.Bpe
+      .learnMerges(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", rounds = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Bpe.tokenize(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges)
+  }
+
+  // one learning round over the train vocab (s0 seeded below)
+  private def bpeLearnRound(r: Int): String =
+    s"""i${r - 1} AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s${r - 1})),
+       p$r AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         FROM i${r - 1} GROUP BY 1, 2),
+       m$r AS (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+       s$r AS (SELECT s.w, s.cnt,
+           trim(replace(' ' || s.seq || ' ',
+             ' ' || m$r.a || ' ' || m$r.b || ' ',
+             ' ' || m$r.a || m$r.b || ' ')) AS seq
+         FROM s${r - 1} s CROSS JOIN m$r)"""
+
+  // one application step of merge r on the test vocab encodings
+  private def bpeApplyStep(r: Int): String =
+    s"""tenc$r AS (SELECT w,
+         replace(seq, ' ' || m$r.a || ' ' || m$r.b || ' ',
+           ' ' || m$r.a || m$r.b || ' ') AS seq
+       FROM tenc${r - 1} CROSS JOIN m$r)"""
+
+  val x201Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents WHERE doc_id % 2 = 0),
+       vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       s0 AS (SELECT w, cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM vocab),
+       ${(1 to 8).map(bpeLearnRound).mkString(",\n       ")},
+       ttoks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents WHERE doc_id % 2 = 1),
+       tvocab AS (SELECT DISTINCT w FROM ttoks),
+       tenc0 AS (SELECT w,
+           ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS seq
+         FROM tvocab),
+       ${(1 to 8).map(bpeApplyStep).mkString(",\n       ")},
+       tcount AS (SELECT w,
+           CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS toks
+         FROM tenc8)
+       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(c.toks) AS BIGINT) AS n_tokens
+       FROM ttoks t JOIN tcount c USING (w) GROUP BY 1"""
 }

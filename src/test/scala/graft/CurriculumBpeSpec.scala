@@ -115,6 +115,34 @@ class CurriculumBpeSpec extends SparkSpec {
       Seq(("aab", 2L, "aab"), ("ab", 1L, "ab")))
   }
 
+  test("bpe tokenize: training corpus reproduces encodeVocab's token counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(40).select(col("doc_id"), col("text"))
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", rounds = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    // the trainer's own encoding of the same corpus: sum over words of
+    // cnt * symbols(seq)
+    val want = Bpe.encodeVocab(docs, "doc_id", "text", rounds = 6)
+      .select((col("cnt") * size(split(col("seq"), " ")).cast("long")).as("t"))
+      .agg(sum(col("t"))).head().getLong(0)
+    assert(got == want, s"tokenize=$got encodeVocab=$want")
+  }
+
+  test("bpe tokenize: unseen words encode by the merge chain; empty merges refused") {
+    // merges learned elsewhere: (a,b) then (ab,c)
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq((1L, "abc xyz ab q")).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", merges).collect()(0)
+    // abc -> "abc" (1), xyz -> x y z (3), ab -> "ab" (1), q -> 1
+    assert((out.getLong(1), out.getLong(2)) == ((4L, 6L)))
+    intercept[IllegalArgumentException] {
+      Bpe.tokenize(docs, "doc_id", "text", Nil)
+    }
+  }
+
   test("bpe: vocab-local and distributed merge loops agree symbol-for-symbol") {
     // enough lexical variety that 12 rounds exercise ties, repeated-symbol
     // runs, and early-merged symbols recombining into later merges
