@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,55 @@ object Bpe {
     */
   private[graft] val LocalVocabMaxChars = 64L << 20
 
+  /** Day-over-day MAINTAINED VOCABULARY STORE — the trainer's corpus
+    * pass ([[collapse]]) as a persisted table a daily feed folds into:
+    * day-keyed (w, cnt) rows, replay-replacing, counts mergeable by
+    * plain SUM — so [[learnMergesFromStore]] trains a tokenizer from
+    * O(distinct words × days) state with NO corpus rescan (the corpus
+    * pass that dominates training cost happens once per day, when the
+    * day arrives). Completes the batch/store/stream matrix for BPE.
+    * Daily cost: one O(day) token pass + O(day vocabulary) commit I/O.
+    */
+  def vocabAppendDay(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      day: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    // an empty day contributes nothing — don't poison the table with a
+    // no-partition commit (a stream's empty micro-batch)
+    if (docs.isEmpty) return
+    val v = LangModel.tokenRows(docs, idCol, textCol)
+      .groupBy(col("w")).agg(sum(lit(1L)).as("cnt"))
+      .withColumn("day", lit(day))
+    ManifestStore.mergeOrCreate(spark, table, v, Seq("w", "day"), "day")
+  }
+
+  /** The merged weighted vocabulary of a [[vocabAppendDay]] store —
+    * counts SUM across days (losslessly: a word count is insensitive
+    * to how history was sliced), re-seeded with the character
+    * encoding. Bit-identical to [[collapse]] over the union (specced).
+    */
+  def vocabFromStore(spark: SparkSession, table: String): DataFrame =
+    Dedup.materialize(graft.sources.ManifestStore.read(spark, table)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 "))))
+
+  /** Train from the maintained vocabulary — [[learnMerges]] without the
+    * corpus pass: the merge loop (local under the driver budget,
+    * distributed past it) runs on the store's O(distinct words) state.
+    */
+  def learnMergesFromStore(
+      spark: SparkSession,
+      table: String,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    runFromSeq(spark, vocabFromStore(spark, table), rounds)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   private def run(
       docs: DataFrame,
       idCol: String,
@@ -84,6 +133,14 @@ object Bpe {
     require(rounds >= 1, s"Bpe: rounds=$rounds must be >= 1")
     val spark = docs.sparkSession
     val seqDf0 = collapse(docs, idCol, textCol)
+    runFromSeq(spark, seqDf0, rounds)
+  }
+
+  private def runFromSeq(
+      spark: SparkSession,
+      seqDf0: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"Bpe: rounds=$rounds must be >= 1")
     // One distributed corpus collapse, then: the vocab table is
     // O(distinct words) — when it fits the driver budget, run the merge
     // rounds LOCALLY (identical semantics, same oracle). The alternative
@@ -105,8 +162,6 @@ object Bpe {
     }
   }
 
-  /** The one corpus-sized pass: distinct word -> (count, space-joined
-    * character encoding), materialized (both later paths iterate it). */
   /** Apply a LEARNED tokenizer to a corpus — the production pass the
     * trainer ([[learnMerges]]) exists for: per-document token counts
     * under the merge list, for unseen data as well as training data.
@@ -150,6 +205,8 @@ object Bpe {
       .select(col("id").as(idCol), col("n_words"), col("n_tokens"))
   }
 
+  /** The one corpus-sized pass: distinct word -> (count, space-joined
+    * character encoding), materialized (both later paths iterate it). */
   private[graft] def collapse(
       docs: DataFrame,
       idCol: String,

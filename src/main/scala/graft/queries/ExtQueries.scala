@@ -7686,4 +7686,74 @@ object ExtQueries {
        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(c.toks) AS BIGINT) AS n_tokens
        FROM ttoks t JOIN tcount c USING (w) GROUP BY 1"""
+
+  // --- x202: maintained BPE vocabulary store ---------------------------------
+  // The trainer's corpus pass as a day-keyed store: word counts SUM
+  // across days (losslessly — a count is insensitive to slicing), so
+  // learnMergesFromStore trains with NO corpus rescan. 3 day appends +
+  // a replay (row accounting), 2 merges out — x100's oracle verbatim.
+  def x202VocabStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "vocabstore")
+    (0 until 3).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark,
+        docs.filter(col("day") === b.toLong), "doc_id", "text", s"d$b", table)
+    }
+    // replay day 1: the (w, day) merge must REPLACE its rows
+    graft.ext.Bpe.vocabAppendDay(spark,
+      docs.filter(col("day") === 1L), "doc_id", "text", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = graft.ext.LangModel.tokenRows(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("day")), Seq("id"))
+      .select(col("w"), col("day")).distinct().count()
+    require(stored == expected,
+      s"x202: store holds $stored vocab rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    graft.ext.Bpe.learnMergesFromStore(spark, table, rounds = 2)
+  }
+
+  // day word counts sum losslessly, so training from the store is the
+  // batch trainer — x100's oracle verbatim
+  val x202Sql: String = x100Sql
+
+  // --- x203: STREAMING vocabulary-store maintenance --------------------------
+  // x202 fed by a stream (the x161/x196/x200 door): document days
+  // arrive as micro-batches, each folded by vocabAppendDay in
+  // foreachBatch; one day re-delivered post-drain with row accounting.
+  def x203StreamVocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "svocabstore")
+    val base = FreshTables.next(spark, dir, "svocabin")
+    (0 until 3).foreach { b =>
+      docs.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        graft.ext.Bpe.vocabAppendDay(spark, batch, "doc_id", "text",
+          s"d$d", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x203: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the (w, day) merge replaces
+    graft.ext.Bpe.vocabAppendDay(spark,
+      docs.filter(col("day") === 1L), "doc_id", "text", "d1", table)
+    graft.ext.Bpe.learnMergesFromStore(spark, table, rounds = 2)
+  }
+
+  val x203Sql: String = x100Sql
 }

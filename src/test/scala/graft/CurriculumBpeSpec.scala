@@ -143,6 +143,28 @@ class CurriculumBpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe vocab store: sliced-day appends merge to collapse bit-for-bit") {
+    val t = s"/tmp/graft/vocabstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(40).select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)))
+    (0 until 3).foreach { d =>
+      Bpe.vocabAppendDay(spark, docs.filter(col("day") === d.toLong),
+        "doc_id", "text", s"d$d", t)
+    }
+    // replay + an empty day (both must leave the merged vocab unchanged)
+    Bpe.vocabAppendDay(spark, docs.filter(col("day") === 2L),
+      "doc_id", "text", "d2", t)
+    Bpe.vocabAppendDay(spark, docs.filter(col("doc_id") < 0),
+      "doc_id", "text", "d9", t)
+    val got = Bpe.vocabFromStore(spark, t)
+      .orderBy("w").collect().map(_.toSeq).toSeq
+    val want = Bpe.collapse(docs, "doc_id", "text")
+      .select(col("w"), col("cnt"), col("seq"))
+      .orderBy("w").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("bpe: vocab-local and distributed merge loops agree symbol-for-symbol") {
     // enough lexical variety that 12 rounds exercise ties, repeated-symbol
     // runs, and early-merged symbols recombining into later merges
