@@ -370,4 +370,67 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScore(col(textCol)))
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Zipf-law fit per group — the vocabulary-health profile (a natural
+    * corpus follows freq ∝ rank^s with s ≈ −1; boilerplate, template
+    * spam, or synthetic text bends the rank–frequency line, so the
+    * fitted slope and r² are a cheap corpus-QA gate). OLS of ln(freq)
+    * on ln(rank) over the TOP `topK` ranks (the standard fit window —
+    * the tail is sampling noise; bounding K also bounds every
+    * accumulator below at ANY corpus size).
+    *
+    * Determinism: ranks are exact (`row_number` over (count DESC, word)
+    * — ASCII token tie-break, binary-collation-identical in both
+    * engines); each ln rounds to a 1e-6 fixed-point LONG (safely above
+    * libm's 1-ulp wobble), the five OLS sums are exact LONGs (bounded
+    * by K·ln(maxCount)²·1e12 — long-safe for counts past 1e12), and the
+    * slope/intercept/r² combinations are pinned-order double
+    * expressions on those exact sums, rounded to 6 dp. Groups with a
+    * degenerate fit (< 2 ranks or zero x-variance) emit NULL stats
+    * rather than NaN.
+    *
+    * Scale shape: one map-side-combined (group, word) count, one
+    * windowed top-K per group over the O(vocabulary) table, then
+    * O(groups × K) fit rows. Output:
+    * (groupCol, n_ranks, zipf_slope, intercept, r2).
+    */
+  def zipfFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"zipfFit: topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    val cnts = LangModel.tokenRowsBy(df, idCol, textCol, Seq(groupCol))
+      .groupBy(col(groupCol).as("g"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = cnts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rnk") <= topK)
+    val x6 = round(log(col("rnk").cast("double")) * lit(1e6d), 0).cast("long")
+    val y6 = round(log(col("cnt").cast("double")) * lit(1e6d), 0).cast("long")
+    val s = ranked.select(col("g"), x6.as("x6"), y6.as("y6"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("y6") * col("y6")).as("syy"))
+    val nD = col("n_ranks").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val den2 = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val ok = col("n_ranks") >= 2L && den =!= 0.0d
+    s.select(col("g").as(groupCol), col("n_ranks"),
+      when(ok, round(num / den, 6)).as("zipf_slope"),
+      when(ok, round((col("sy").cast("double") - (num / den) *
+        col("sx").cast("double")) / nD / lit(1e6d), 6)).as("intercept"),
+      when(ok && den2 =!= 0.0d,
+        round((num * num) / (den * den2), 6)).as("r2"))
+  }
 }

@@ -7756,4 +7756,51 @@ object ExtQueries {
   }
 
   val x203Sql: String = x100Sql
+
+  // --- x204: Zipf-law vocabulary-health fit ----------------------------------
+  // OLS of ln(freq) on ln(rank) over each language's top-500 ranks —
+  // slope ≈ -1 on natural text; boilerplate/synthetic corpora bend the
+  // line. Exact ranks, 1e-6 fixed-point ln terms, exact LONG sums,
+  // pinned-order double combinations.
+  def x204ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(spark, dir, "documents"),
+      "doc_id", "text", "lang", topK = 500)
+
+  val x204Sql: String =
+    """WITH w AS (SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       c AS (SELECT lang AS g, w, CAST(count(*) AS BIGINT) AS cnt
+         FROM w GROUP BY 1, 2),
+       r AS (SELECT g, cnt,
+           row_number() OVER (PARTITION BY g ORDER BY cnt DESC, w) AS rnk
+         FROM c QUALIFY rnk <= 500),
+       t6 AS (SELECT g,
+           CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
+           CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6
+         FROM r),
+       s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ranks,
+           CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+           CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+           CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+           CAST(sum(y6 * y6) AS BIGINT) AS syy
+         FROM t6 GROUP BY 1),
+       f AS (SELECT g, n_ranks,
+           CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+           CAST(n_ranks AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den2,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         FROM s)
+       SELECT g AS lang, n_ranks,
+         CASE WHEN n_ranks >= 2 AND den <> 0.0
+              THEN round(num / den, 6) END AS zipf_slope,
+         CASE WHEN n_ranks >= 2 AND den <> 0.0
+              THEN round((syd - (num / den) * sxd)
+                / CAST(n_ranks AS DOUBLE) / 1000000.0, 6) END AS intercept,
+         CASE WHEN n_ranks >= 2 AND den <> 0.0 AND den2 <> 0.0
+              THEN round((num * num) / (den * den2), 6) END AS r2
+       FROM f"""
 }

@@ -351,4 +351,34 @@ class CorpusOpsSpec extends SparkSpec {
     // the unclassed doc's vocabulary never appears
     assert(!got.values.exists(_._1 == "noise"))
   }
+
+  test("zipfFit: exact power law fits slope -1 with r2 = 1; degenerate group nulls") {
+    import graft.ext.TextAnalysis
+    // counts follow cnt(rank) = 60/rank exactly for ranks 1..5:
+    // w1 x60, w2 x30, w3 x20, w4 x15, w5 x12 -> ln-ln line slope -1
+    val text = (Seq.fill(60)("w1") ++ Seq.fill(30)("w2") ++ Seq.fill(20)("w3")
+      ++ Seq.fill(15)("w4") ++ Seq.fill(12)("w5")).mkString(" ")
+    val docs = Seq((1L, "zipf", text), (2L, "flat", "only")).toDF("id", "g", "t")
+    val out = TextAnalysis.zipfFit(docs, "id", "t", "g", topK = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val z = out("zipf")
+    assert(z.getLong(1) == 5L)
+    assert(math.abs(z.getDouble(2) + 1.0) < 1e-4, s"slope=${z.getDouble(2)}")
+    assert(math.abs(z.getDouble(4) - 1.0) < 1e-6, s"r2=${z.getDouble(4)}")
+    // intercept = ln(60) on the exact law
+    assert(math.abs(z.getDouble(3) - math.log(60.0)) < 1e-4)
+    // one distinct word: zero x-variance -> NULL stats, not NaN
+    val f = out("flat")
+    assert(f.getLong(1) == 1L && f.isNullAt(2) && f.isNullAt(3) && f.isNullAt(4))
+  }
+
+  test("zipfFit: invariant to input partitioning") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val a = TextAnalysis.zipfFit(docs, "doc_id", "text", "lang", topK = 50)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.zipfFit(docs.repartition(7), "doc_id", "text", "lang", topK = 50)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
