@@ -535,7 +535,20 @@ object ScaleBench {
     "x199_moment_store",
     // x199 through the streaming door — expect the x199 shape + the
     // micro-batch floor
-    "x200_stream_moments")
+    "x200_stream_moments",
+    // learn is Heaps-bounded (vocab-local); tokenize is one corpus
+    // token pass + a vocab-sized nested-replace projection + the
+    // join-back — expect ~linear from the token passes
+    "x201_bpe_tokenize",
+    // 3 day token passes + O(day vocab) commits; the corpus-free learn
+    // reads O(vocab × days) — expect ~linear passes, learn flat-ish
+    "x202_vocab_store",
+    // x202 through the streaming door — expect the x202 shape + the
+    // micro-batch floor
+    "x203_stream_vocab",
+    // one (group, word) count + a top-K window over the O(vocab)
+    // table; the fit is O(groups × K) — expect ~linear count pass
+    "x204_zipf_fit")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -91,25 +91,32 @@ object Bpe {
       idCol: String,
       textCol: String,
       day: String,
-      table: String): Unit = {
+      table: String,
+      byCols: Seq[String] = Nil): Unit = {
     import graft.sources.ManifestStore
     // an empty day contributes nothing — don't poison the table with a
     // no-partition commit (a stream's empty micro-batch)
     if (docs.isEmpty) return
-    val v = LangModel.tokenRows(docs, idCol, textCol)
-      .groupBy(col("w")).agg(sum(lit(1L)).as("cnt"))
+    val v = LangModel.tokenRowsBy(docs, idCol, textCol, byCols)
+      .groupBy((byCols :+ "w").map(col): _*).agg(sum(lit(1L)).as("cnt"))
       .withColumn("day", lit(day))
-    ManifestStore.mergeOrCreate(spark, table, v, Seq("w", "day"), "day")
+    ManifestStore.mergeOrCreate(spark, table, v,
+      byCols ++ Seq("w", "day"), "day")
   }
 
   /** The merged weighted vocabulary of a [[vocabAppendDay]] store —
     * counts SUM across days (losslessly: a word count is insensitive
     * to how history was sliced), re-seeded with the character
     * encoding. Bit-identical to [[collapse]] over the union (specced).
+    * Grouped stores (byCols) keep their group columns — the shape
+    * per-group analyses ([[TextAnalysis.zipfFitFromCounts]]) read.
     */
-  def vocabFromStore(spark: SparkSession, table: String): DataFrame =
+  def vocabFromStore(
+      spark: SparkSession,
+      table: String,
+      byCols: Seq[String] = Nil): DataFrame =
     Dedup.materialize(graft.sources.ManifestStore.read(spark, table)
-      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy((byCols :+ "w").map(col): _*).agg(sum(col("cnt")).as("cnt"))
       .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 "))))
 
   /** Train from the maintained vocabulary — [[learnMerges]] without the

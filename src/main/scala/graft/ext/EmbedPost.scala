@@ -174,6 +174,35 @@ object EmbedPost {
     ManifestStore.mergeOrCreate(spark, s"$table/m2", m2, Seq("i", "j", "day"), "day")
   }
 
+  /** Right-to-be-forgotten over the moment store (the x171 forget
+    * matrix reaches the spectral family): moments are EXACT sums, so
+    * erasure is SUBTRACTION — the doomed vectors' contributions land
+    * as ONE NEGATIVE correction day (the ViewStore x181 pattern), and
+    * the read-time SUM then yields exactly the surviving corpus's
+    * moments, bit-for-bit (specced). Re-issuing the forget under the
+    * same tag REPLACES its rows (day-keyed merge), so at-least-once
+    * delivery of an erasure feed converges; distinct requests need
+    * distinct tags. Cost: one pass over the DOOMED rows only +
+    * O(dim²) commit I/O — never touches history.
+    */
+  def momentsForget(
+      spark: SparkSession,
+      doomed: DataFrame,
+      vecCol: String,
+      dim: Int,
+      tag: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    if (doomed.isEmpty) return
+    val (m1, m2) = batchMoments(doomed, vecCol, dim)
+    val neg1 = m1.select(col("pos"), (-col("sv")).as("sv"), (-col("n")).as("n"))
+      .withColumn("day", lit(tag))
+    val neg2 = m2.select(col("i"), col("j"), (-col("svv")).as("svv"))
+      .withColumn("day", lit(tag))
+    ManifestStore.mergeOrCreate(spark, s"$table/m1", neg1, Seq("pos", "day"), "day")
+    ManifestStore.mergeOrCreate(spark, s"$table/m2", neg2, Seq("i", "j", "day"), "day")
+  }
+
   /** Batch moments over a frame — the law [[momentsAppendDay]] stores
     * must merge to, bit-for-bit (specced): ((pos, sv, n), (i, j, svv)).
     */

@@ -399,12 +399,24 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       groupCol: String,
+      topK: Int = 1000): DataFrame =
+    zipfFitFromCounts(
+      LangModel.tokenRowsBy(df, idCol, textCol, Seq(groupCol))
+        .groupBy(col(groupCol), col("w"))
+        .agg(count(lit(1)).as("cnt")),
+      groupCol, topK)
+
+  /** [[zipfFit]] from a prebuilt (groupCol, w, cnt) table — the
+    * maintained-vocabulary path ([[Bpe.vocabFromStore]] with byCols):
+    * the fit reads O(vocabulary) store state, never the corpus.
+    */
+  def zipfFitFromCounts(
+      cnts0: DataFrame,
+      groupCol: String,
       topK: Int = 1000): DataFrame = {
     require(topK >= 2, s"zipfFit: topK=$topK")
     import org.apache.spark.sql.expressions.Window
-    val cnts = LangModel.tokenRowsBy(df, idCol, textCol, Seq(groupCol))
-      .groupBy(col(groupCol).as("g"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
+    val cnts = cnts0.select(col(groupCol).as("g"), col("w"), col("cnt"))
     val ranked = cnts
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("cnt").desc, col("w"))))

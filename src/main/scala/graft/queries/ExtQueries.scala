@@ -7546,17 +7546,11 @@ object ExtQueries {
       .toDF("pos", "comp")
   }
 
-  // one dense matrix power round (prev -> x$r over gn)
-  private def momRound(r: Int, prev: String): String =
-    s"""y$r AS (SELECT gn.i AS pos, CAST(sum(gn.g * p.x) AS BIGINT) AS y
-         FROM gn JOIN $prev p ON gn.j = p.pos GROUP BY 1),
-       w$r AS (SELECT greatest(CAST(max(abs(y)) // 10000 AS BIGINT), 1) AS m FROM y$r),
-       x$r AS (SELECT pos,
-           CAST(sign(y) AS BIGINT) * CAST(abs(y) // m AS BIGINT) AS x
-         FROM y$r, w$r)"""
-
-  val x199Sql: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+  // shared x199/x205 oracle body: moments -> centered Gram -> shrink ->
+  // 3 dense power rounds, over an optionally-filtered embeddings base
+  private def momentsSql(where: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+         FROM embeddings $where),
        e AS (SELECT vec_id, i AS pos,
            CAST(round(ve[i + 1] * 1000000.0) AS BIGINT) + 1000000 AS vq
          FROM v, unnest(range(0, 64)) AS u(i)),
@@ -7579,6 +7573,17 @@ object ExtQueries {
        ${momRound(2, "x1")},
        ${momRound(3, "x2")}
        SELECT CAST(pos AS INTEGER) AS pos, x AS comp FROM x3"""
+
+  // one dense matrix power round (prev -> x$r over gn)
+  private def momRound(r: Int, prev: String): String =
+    s"""y$r AS (SELECT gn.i AS pos, CAST(sum(gn.g * p.x) AS BIGINT) AS y
+         FROM gn JOIN $prev p ON gn.j = p.pos GROUP BY 1),
+       w$r AS (SELECT greatest(CAST(max(abs(y)) // 10000 AS BIGINT), 1) AS m FROM y$r),
+       x$r AS (SELECT pos,
+           CAST(sign(y) AS BIGINT) * CAST(abs(y) // m AS BIGINT) AS x
+         FROM y$r, w$r)"""
+
+  val x199Sql: String = momentsSql("")
 
   // --- x200: STREAMING moment-store maintenance ------------------------------
   // x199 through the streaming door (the x161/x162/x196 pattern):
@@ -7766,6 +7771,55 @@ object ExtQueries {
     TextAnalysis.zipfFit(t(spark, dir, "documents"),
       "doc_id", "text", "lang", topK = 500)
 
+  // --- x205: moment-store forget (the forget matrix reaches spectral) -------
+  // Moments are exact sums, so erasure is SUBTRACTION: the doomed
+  // vectors land as ONE negative correction day and the read-time sum
+  // yields exactly the survivors' moments — the direction is
+  // bit-identical to a from-scratch build over the surviving corpus,
+  // which is what the oracle computes.
+  def x205MomentForget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "momforget")
+    (0 until 3).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
+    }
+    // erasure: every 7th vector; re-issue the forget (tag replay) —
+    // the tag-keyed merge must REPLACE, not double-subtract
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    graft.ext.EmbedPost.momentsForget(spark, doomed, "embedding", 64, "f1", table)
+    graft.ext.EmbedPost.momentsForget(spark, doomed, "embedding", 64, "f1", table)
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  val x205Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
+
+  // --- x206: Zipf fit FROM the maintained vocabulary store -------------------
+  // x204's analysis fed by x202's store (grouped by lang): day folds
+  // build the per-language vocabulary, the fit reads O(vocab) store
+  // state with NO corpus pass at question time — counts sum
+  // losslessly, so the oracle is x204's verbatim.
+  def x206ZipfFromStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "zipfvocab")
+    (0 until 3).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark, docs.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table, byCols = Seq("lang"))
+    }
+    // replay day 0: the (lang, w, day) merge must REPLACE its rows
+    graft.ext.Bpe.vocabAppendDay(spark, docs.filter(col("day") === 0L),
+      "doc_id", "text", "d0", table, byCols = Seq("lang"))
+    TextAnalysis.zipfFitFromCounts(
+      graft.ext.Bpe.vocabFromStore(spark, table, byCols = Seq("lang")),
+      "lang", topK = 500)
+  }
+
   val x204Sql: String =
     """WITH w AS (SELECT lang,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
@@ -7803,4 +7857,8 @@ object ExtQueries {
          CASE WHEN n_ranks >= 2 AND den <> 0.0 AND den2 <> 0.0
               THEN round((num * num) / (den * den2), 6) END AS r2
        FROM f"""
+
+  // vocabulary counts sum losslessly across days, so the store-fed fit
+  // is x204's (must follow x204Sql: vals initialize in order)
+  val x206Sql: String = x204Sql
 }

@@ -100,6 +100,36 @@ class EmbedPostSpec extends SparkSpec {
     assert(cos > 0.98, s"cosine(storeDirection, planted)=$cos")
   }
 
+  test("momentsForget: store minus doomed equals batch moments over survivors") {
+    val t = s"/tmp/graft/momforget_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = planted(120).withColumn("day", pmod(col("id"), lit(2)))
+    (0 until 2).foreach { d =>
+      EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
+        "vec", dim, s"d$d", t)
+    }
+    val doomed = df.filter(col("id") % 5 === 0)
+    EmbedPost.momentsForget(spark, doomed, "vec", dim, "f1", t)
+    // re-issued forget (same tag) replaces — no double subtraction
+    EmbedPost.momentsForget(spark, doomed, "vec", dim, "f1", t)
+    // empty forget is a no-op
+    EmbedPost.momentsForget(spark, df.filter(col("id") < 0), "vec", dim, "f2", t)
+    val (bm1, bm2) = EmbedPost.batchMoments(
+      df.filter(col("id") % 5 =!= 0), "vec", dim)
+    val sm1 = graft.sources.ManifestStore.read(spark, t + "/m1")
+      .groupBy(col("pos")).agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+    val sm2 = graft.sources.ManifestStore.read(spark, t + "/m2")
+      .groupBy(col("i"), col("j")).agg(sum(col("svv")).as("svv"))
+    assert(sm1.orderBy("pos").collect().map(_.toSeq).toSeq ==
+      bm1.orderBy("pos").collect().map(_.toSeq).toSeq)
+    // m2 cells that cancel to zero still hold a 0 row in the store —
+    // compare with zero-filled batch cells
+    val smap = sm2.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bmap = bm2.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (smap.keySet ++ bmap.keySet).foreach { k =>
+      assert(smap.getOrElse(k, 0L) == bmap.getOrElse(k, 0L), s"cell $k")
+    }
+  }
+
   test("empty-day appends are no-ops; a never-fed store fails loudly") {
     val t = s"/tmp/graft/momempty_${java.util.UUID.randomUUID().toString.take(8)}"
     // empty day: no-op — must not create a poisoned no-partition table
