@@ -548,7 +548,14 @@ object ScaleBench {
     "x203_stream_vocab",
     // one (group, word) count + a top-K window over the O(vocab)
     // table; the fit is O(groups × K) — expect ~linear count pass
-    "x204_zipf_fit")
+    "x204_zipf_fit",
+    // 3 day fan-outs are the linear term; the forget passes only the
+    // DOOMED rows and the direction read is corpus-free — expect the
+    // x199 shape with the forget share tracking doomed volume
+    "x205_moment_forget",
+    // 3 grouped day token passes are the linear term; the fit reads
+    // O(vocab) store state — expect the x202 shape
+    "x206_zipf_from_store")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
