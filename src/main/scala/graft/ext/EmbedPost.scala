@@ -81,9 +81,20 @@ object EmbedPost {
       cent: DataFrame,
       dim: Int,
       iters: Int = 3,
-      scale: Long = 10000L): Array[Long] = {
+      scale: Long = 10000L): Array[Long] =
+    iterate(Dedup.materialize(cent), dim, iters, scale)
+
+  /** The iteration on an ALREADY-materialized centered table — shared
+    * by [[topDirection]] and the callers that reuse the same
+    * materialization for their own final pass ([[dominantProjection]],
+    * [[removeTop]]) so the corpus-sized table checkpoints once.
+    */
+  private def iterate(
+      c: DataFrame,
+      dim: Int,
+      iters: Int,
+      scale: Long): Array[Long] = {
     require(iters > 0 && scale > 0, s"EmbedPost.topDirection: iters=$iters, scale=$scale")
-    val c = Dedup.materialize(cent)
     var x = Array.fill(dim)(scale)
     (0 until iters).foreach { _ =>
       val xc = typedlit(x.toSeq)
@@ -120,7 +131,7 @@ object EmbedPost {
       dim: Int,
       iters: Int = 3): DataFrame = {
     val c = Dedup.materialize(centered(df, idCol, vecCol, dim))
-    val x = topDirection(spark, c, dim, iters)
+    val x = iterate(c, dim, iters, 10000L)
     c.groupBy(col("id"))
       .agg(sum(col("c") * element_at(typedlit(x.toSeq), col("pos") + 1)).as("proj"))
       .select(col("id").as(idCol), col("proj"))
@@ -280,7 +291,7 @@ object EmbedPost {
       dim: Int,
       iters: Int = 3): DataFrame = {
     val cent = Dedup.materialize(centered(df, idCol, vecCol, dim))
-    val u = topDirection(spark, cent, dim, iters).map(_.toDouble)
+    val u = iterate(cent, dim, iters, 10000L).map(_.toDouble)
     val uu = u.map(v => v * v).sum
     val uc = typedlit(u.toSeq)
     val c = cent.withColumn("cd", col("c").cast("double") / lit(Quant.toDouble))

@@ -90,8 +90,21 @@ object LangModel {
       textCol: String): DataFrame = {
     val lm = bigramRows(ref, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val ctx = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokenRows(ref, idCol, textCol).agg(count_distinct(col("w")).as("v"))
+    scoreAgainst(docs, idCol, textCol, lm, vocab)
+  }
+
+  /** The add-one scoring pass against a prebuilt model: `lm` =
+    * (w1, w2, c2) bigram counts, `vocab` = 1-row distinct-unigram
+    * count. Shared by [[perplexityScore]] and [[perplexityFromStore]].
+    */
+  private def scoreAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     // lm is deliberately un-hinted: at fixture scale Spark's size
     // estimate (helped by AQE) still picks a broadcast join, but a
     // reference slice past the broadcast threshold degrades to a shuffle
@@ -111,6 +124,56 @@ object LangModel {
       .select(col("id").as(idCol), col("n_bigrams"),
         round((col("slp").cast("double") / lit(1e9d)) /
           col("n_bigrams").cast("double"), 6).as("avg_lp"))
+  }
+
+  /** Day-over-day MAINTAINED BIGRAM-LM STORE — the reference model of
+    * [[perplexityScore]] as a persisted table a daily "known good" feed
+    * folds into: day-keyed (w1, w2, cnt) bigram counts plus a day-keyed
+    * unigram table for the vocabulary size, both replay-replacing.
+    * Counts SUM across days and V is a distinct count (both slicing-
+    * insensitive), so [[perplexityFromStore]] scores against EXACTLY
+    * the model a one-shot build over the union would produce — no
+    * reference rescan at scoring time, the x202/x199 store bet on the
+    * LM family. Daily cost: one O(day) bigram pass + O(day vocabulary)
+    * commit I/O.
+    */
+  def lmAppendDay(
+      spark: org.apache.spark.sql.SparkSession,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      day: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    // an empty day contributes nothing (see the moment store's note)
+    if (ref.isEmpty) return
+    val bg = bigramRows(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .withColumn("day", lit(day))
+    val uni = tokenRows(ref, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("day", lit(day))
+    ManifestStore.mergeOrCreate(spark, s"$table/bg", bg, Seq("w1", "w2", "day"), "day")
+    ManifestStore.mergeOrCreate(spark, s"$table/uni", uni, Seq("w", "day"), "day")
+  }
+
+  /** Score a corpus against an [[lmAppendDay]] store — c2 sums across
+    * days, V is the distinct stored unigram count, then the shared
+    * scoring pass. Bit-identical to [[perplexityScore]] with the
+    * union-of-days reference.
+    */
+  def perplexityFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val lm = ManifestStore.read(spark, s"$table/bg")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val vocab = ManifestStore.read(spark, s"$table/uni")
+      .agg(count_distinct(col("w")).as("v"))
+    scoreAgainst(docs, idCol, textCol, lm, vocab)
   }
 
   /** Interpolated Kneser–Ney bigram self-scoring (Chen & Goodman 1998) —

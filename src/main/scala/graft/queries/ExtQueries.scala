@@ -7861,4 +7861,74 @@ object ExtQueries {
   // vocabulary counts sum losslessly across days, so the store-fed fit
   // is x204's (must follow x204Sql: vals initialize in order)
   val x206Sql: String = x204Sql
+
+  // --- x207: maintained bigram-LM store --------------------------------------
+  // x58's reference model as a day-keyed store: the "known good" slice
+  // (doc_id % 7 = 0) arrives in 3 day folds (+ a replay with row
+  // accounting), then the WHOLE corpus scores against the store —
+  // bigram counts sum and V is distinct-stored-unigrams, so the scores
+  // are x58's oracle verbatim, with no reference rescan at question
+  // time.
+  def x207LmStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ref = Dedup.materialize(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "lmstore")
+    (0 until 3).foreach { b =>
+      LangModel.lmAppendDay(spark, ref.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table)
+    }
+    // replay day 1: the (w1, w2, day) merge must REPLACE its rows
+    LangModel.lmAppendDay(spark, ref.filter(col("day") === 1L),
+      "doc_id", "text", "d1", table)
+    val stored = graft.sources.ManifestStore.read(spark, s"$table/bg").count()
+    val expected = LangModel.bigramRowsBy(ref, "doc_id", "text", Seq("day"))
+      .select(col("w1"), col("w2"), col("day")).distinct().count()
+    require(stored == expected,
+      s"x207: store holds $stored bigram rows, expected $expected — " +
+        "the d1 replay duplicated instead of replacing")
+    LangModel.perplexityFromStore(spark, table, docs, "doc_id", "text")
+  }
+
+  val x207Sql: String = x58Sql
+
+  // --- x208: STREAMING bigram-LM store maintenance ---------------------------
+  // x207 fed by a stream: reference days arrive as micro-batches, each
+  // folded by lmAppendDay in foreachBatch; one day re-delivered
+  // post-drain. Scores ≡ x58's oracle through the streaming door.
+  def x208StreamLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(spark, dir, "documents")
+    val ref = Dedup.materialize(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "slmstore")
+    val base = FreshTables.next(spark, dir, "slmin")
+    (0 until 3).foreach { b =>
+      ref.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(ref.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.agg(min(col("day"))).head().getLong(0)
+        LangModel.lmAppendDay(spark, batch, "doc_id", "text", s"d$d", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x208: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the day-keyed merges replace
+    LangModel.lmAppendDay(spark, ref.filter(col("day") === 1L),
+      "doc_id", "text", "d1", table)
+    LangModel.perplexityFromStore(spark, table, docs, "doc_id", "text")
+  }
+
+  val x208Sql: String = x58Sql
 }

@@ -90,6 +90,28 @@ class LangModelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
   }
 
+  test("lm store: sliced-day appends score identically to the one-shot model") {
+    import graft.ext.LangModel
+    val t = s"/tmp/graft/lmstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = sparkDocs().limit(60).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("day", pmod(col("doc_id"), lit(3)))
+    (0 until 3).foreach { d =>
+      LangModel.lmAppendDay(spark, ref.filter(col("day") === d.toLong),
+        "doc_id", "text", s"d$d", t)
+    }
+    // replay + an empty day: both must leave the model unchanged
+    LangModel.lmAppendDay(spark, ref.filter(col("day") === 2L),
+      "doc_id", "text", "d2", t)
+    LangModel.lmAppendDay(spark, ref.filter(col("doc_id") < 0),
+      "doc_id", "text", "d9", t)
+    val got = LangModel.perplexityFromStore(spark, t, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = LangModel.perplexityScore(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   private def sparkDocs() =
     spark.read.parquet(s"$sfDir/documents.parquet")
 }
