@@ -555,7 +555,13 @@ object ScaleBench {
     "x205_moment_forget",
     // 3 grouped day token passes are the linear term; the fit reads
     // O(vocab) store state — expect the x202 shape
-    "x206_zipf_from_store")
+    "x206_zipf_from_store",
+    // 3 day bigram passes + the corpus-wide scoring join — expect
+    // ~linear from both, with the store commits flat
+    "x207_lm_store",
+    // x207 through the streaming door — expect the x207 shape + the
+    // micro-batch floor
+    "x208_stream_lm")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
