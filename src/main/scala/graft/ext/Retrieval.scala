@@ -185,4 +185,48 @@ object Retrieval {
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as(idCol), col("rrf_fp"))
   }
+
+  /** nDCG@k of an approximate ranking against an exact one — the
+    * POSITION-SENSITIVE quality audit next to the recall audits
+    * (x144/x145 count hits; nDCG also charges for returning them in
+    * the wrong order, the metric ANN papers actually report). Graded
+    * relevance from the exact ranking: gain(item at exact rank i) =
+    * k+1−i; DCG = Σ_{approx pos p of a relevant item} gain·disc(p)
+    * with disc(p) = 1/log₂(p+1); IDCG = the same sum over the exact
+    * list itself (its items in its own order — the best achievable),
+    * so nDCG = 1 iff the approx list reproduces the exact one.
+    *
+    * Determinism: gains and positions are exact integers; each
+    * gain·disc term fixed-points at 1e-9 (LONG, order-free sum —
+    * discounts are O(1) values, so libm's 1-ulp wobble is 7 orders
+    * below the rounding grid); nDCG is one division of two exact sums,
+    * rounded 6 dp. Both inputs are (query_id, rank, idName) top-k
+    * lists; output (query_id, n_hit, ndcg) — O(queries × k) at every
+    * step past the input joins.
+    */
+  def ndcgAtK(
+      exact: DataFrame,
+      approx: DataFrame,
+      idName: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k=$k")
+    def term9(gain: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+      round(gain.cast("double") * (lit(1e9d) /
+        (log(pos.cast("double") + lit(1.0d)) / lit(math.log(2.0)))), 0)
+        .cast("long")
+    val rel = exact.select(col("query_id"), col(idName),
+      (lit(k + 1L) - col("rank")).as("__g"), col("rank").as("__er"))
+    val idcg = rel.groupBy(col("query_id"))
+      .agg(sum(term9(col("__g"), col("__er"))).as("__idcg9"))
+    val dcg = approx
+      .join(rel.drop("__er"), Seq("query_id", idName), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__g")).as("n_hit"),
+        coalesce(sum(term9(coalesce(col("__g"), lit(0L)), col("rank"))),
+          lit(0L)).as("__dcg9"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("__dcg9").cast("double") / col("__idcg9").cast("double"), 6)
+          .as("ndcg"))
+  }
 }

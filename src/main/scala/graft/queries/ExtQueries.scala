@@ -7931,4 +7931,69 @@ object ExtQueries {
   }
 
   val x208Sql: String = x58Sql
+
+  // --- x209: nDCG@10 retrieval-quality audit (IVF vs brute force) ------------
+  // The position-sensitive sibling of x144's recall audit: graded gains
+  // from the exact ranking (11 - rank), log2 discounts at approx
+  // positions, 1e-9 fixed-point terms, one division per query. The
+  // 0.6931... literal is Java's Math.log(2.0) rendered exactly so both
+  // engines divide by the identical double.
+  def x209NdcgAudit(spark: SparkSession, dir: String): DataFrame = {
+    val data = t(spark, dir, "embeddings")
+    val queries = data.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(data, queries,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val assigned = Similarity.ivfAssign(data, cents, "vec_id", "embedding")
+    val approx = Similarity.ivfTopK(assigned, cents, queries,
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    Retrieval.ndcgAtK(exact, approx, "neighbor_id", k = 10)
+  }
+
+  private def ndcgTerm(g: String, p: String): String =
+    s"""CAST(round(CAST($g AS DOUBLE) * (1000000000.0
+       / (ln(CAST($p AS DOUBLE) + 1.0) / 0.6931471805599453)), 0) AS BIGINT)"""
+
+  val x209Sql: String =
+    s"""WITH $ivfCtes,
+       q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       sce AS (SELECT q.query_id, c2.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c2.ve[i])) / (q.qn * c2.nrm) AS cos
+         FROM n c2 JOIN q ON c2.vec_id <> q.query_id),
+       rex AS (SELECT query_id, neighbor_id, rn FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sce) WHERE rn <= 10),
+       pr0 AS (SELECT q.query_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) / (q.qn * c.cn) AS sim
+         FROM q CROSS JOIN c),
+       pr AS (SELECT query_id, centroid_id FROM (
+           SELECT query_id, centroid_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, centroid_id) AS rn
+           FROM pr0) WHERE rn <= 3),
+       sca AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * n.ve[i])) / (q.qn * n.nrm) AS cos
+         FROM n JOIN asg ON n.vec_id = asg.vec_id
+         JOIN pr ON asg.centroid_id = pr.centroid_id
+         JOIN q ON pr.query_id = q.query_id
+         WHERE n.vec_id <> q.query_id),
+       ra AS (SELECT query_id, neighbor_id, rn FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM sca) WHERE rn <= 10),
+       rel AS (SELECT query_id, neighbor_id, 11 - rn AS g, rn AS er FROM rex),
+       idcg AS (SELECT query_id,
+           CAST(sum(${ndcgTerm("g", "er")}) AS BIGINT) AS idcg9
+         FROM rel GROUP BY 1),
+       dcg AS (SELECT ra.query_id,
+           CAST(count(rel.g) AS BIGINT) AS n_hit,
+           CAST(coalesce(sum(${ndcgTerm("coalesce(rel.g, 0)", "ra.rn")}), 0) AS BIGINT) AS dcg9
+         FROM ra LEFT JOIN rel ON ra.query_id = rel.query_id
+           AND ra.neighbor_id = rel.neighbor_id
+         GROUP BY 1)
+       SELECT d.query_id, d.n_hit,
+         round(CAST(d.dcg9 AS DOUBLE) / CAST(i.idcg9 AS DOUBLE), 6) AS ndcg
+       FROM dcg d JOIN idcg i USING (query_id)"""
 }

@@ -102,4 +102,31 @@ class RetrievalSpec extends SparkSpec {
       kFeedback = 1, mTerms = 1, k = 10)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet.contains(3L))
   }
+
+  test("ndcgAtK: perfect=1; reversed order penalized though recall is perfect; disjoint=0") {
+    def list(items: (Long, Int)*) =
+      items.map { case (id, r) => ("q1", r, id) }.toDF("query_id", "rank", "nid")
+    val exact = list(10L -> 1, 20L -> 2, 30L -> 3)
+    // identical list: ndcg = 1 exactly
+    val perfect = Retrieval.ndcgAtK(exact, exact, "nid", 3).collect()(0)
+    assert(perfect.getLong(1) == 3L && perfect.getDouble(2) == 1.0)
+    // same items reversed: every hit counted (recall-perfect) but
+    // ndcg < 1 — the position sensitivity recall can't see
+    val rev = list(30L -> 1, 20L -> 2, 10L -> 3)
+    val r = Retrieval.ndcgAtK(exact, rev, "nid", 3).collect()(0)
+    assert(r.getLong(1) == 3L && r.getDouble(2) < 1.0 && r.getDouble(2) > 0.5)
+    // disjoint list: 0 hits, ndcg 0
+    val miss = list(70L -> 1, 80L -> 2, 90L -> 3)
+    val m = Retrieval.ndcgAtK(exact, miss, "nid", 3).collect()(0)
+    assert(m.getLong(1) == 0L && m.getDouble(2) == 0.0)
+    // hand check the reversed value: gains (3,2,1) at discounts
+    // d(p)=1/log2(p+1): dcg = 1*d1 + 2*d2 + 3*d3, idcg = 3*d1+2*d2+1*d3
+    def d(p: Int) = 1.0 / (math.log(p + 1.0) / math.log(2.0))
+    val want = BigDecimal((math.round(1 * d(1) * 1e9) + math.round(2 * d(2) * 1e9)
+      + math.round(3 * d(3) * 1e9)).toDouble /
+      (math.round(3 * d(1) * 1e9) + math.round(2 * d(2) * 1e9)
+        + math.round(1 * d(3) * 1e9)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - want) < 2e-6, s"got ${r.getDouble(2)}, want $want")
+  }
 }
