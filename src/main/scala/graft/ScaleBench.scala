@@ -561,7 +561,10 @@ object ScaleBench {
     "x207_lm_store",
     // x207 through the streaming door — expect the x207 shape + the
     // micro-batch floor
-    "x208_stream_lm")
+    "x208_stream_lm",
+    // both rankings are query-sample-scaled (the x144 shape): the
+    // brute-force pass over the fixed sample is the only corpus term
+    "x209_ndcg_audit")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

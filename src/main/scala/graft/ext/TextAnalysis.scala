@@ -423,8 +423,22 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
     val x6 = round(log(col("rnk").cast("double")) * lit(1e6d), 0).cast("long")
     val y6 = round(log(col("cnt").cast("double")) * lit(1e6d), 0).cast("long")
-    val s = ranked.select(col("g"), x6.as("x6"), y6.as("y6"))
-      .groupBy(col("g"))
+    olsLogLog(ranked.select(col("g"), x6.as("x6"), y6.as("y6")),
+      "slope" -> "zipf_slope")
+      .select(col("g").as(groupCol), col("n_ranks"),
+        col("zipf_slope"), col("intercept"), col("r2"))
+  }
+
+  /** The shared log–log OLS rollup over (g, x6, y6) rows (1e-6
+    * fixed-point lns): exact LONG sums, pinned-order double
+    * combinations, NULL (not NaN) stats on degenerate fits. Output:
+    * (g, n_ranks, <slopeName>, intercept, r2) — used by [[zipfFit]]
+    * (rank–frequency) and [[heapsFit]] (token–vocabulary growth).
+    */
+  private def olsLogLog(
+      pts: DataFrame,
+      slopeAlias: (String, String)): DataFrame = {
+    val s = pts.groupBy(col("g"))
       .agg(count(lit(1)).as("n_ranks"),
         sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
         sum(col("x6") * col("x6")).as("sxx"),
@@ -438,11 +452,44 @@ object TextAnalysis {
     val den2 = nD * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
     val ok = col("n_ranks") >= 2L && den =!= 0.0d
-    s.select(col("g").as(groupCol), col("n_ranks"),
-      when(ok, round(num / den, 6)).as("zipf_slope"),
+    s.select(col("g"), col("n_ranks"),
+      when(ok, round(num / den, 6)).as(slopeAlias._2),
       when(ok, round((col("sy").cast("double") - (num / den) *
         col("sx").cast("double")) / nD / lit(1e6d), 6)).as("intercept"),
       when(ok && den2 =!= 0.0d,
         round((num * num) / (den * den2), 6)).as("r2"))
+  }
+
+  /** Heaps'-law fit over a DAY-KEYED vocabulary store's growth curve —
+    * the companion corpus-health panel to [[zipfFit]]: V(N) ≈ K·N^β
+    * (β ≈ 0.4–0.6 on natural text; β near 1 means the vocabulary grows
+    * as fast as the corpus — template ids, hashes, or spam). Points
+    * are the store's day-ordered prefixes: N_d = cumulative token
+    * count, V_d = cumulative distinct words first seen by day d; the
+    * fit is the shared log–log OLS (slope = β, e^intercept = K).
+    *
+    * Input: a [[Bpe.vocabAppendDay]] store's rows (w, cnt, day), day
+    * names ordering chronologically (zero-padded). Everything past the
+    * store read is O(vocabulary): first-seen day per word, one
+    * O(days) cumulative join, O(days) fit points. Output: one row
+    * (n_points, heaps_beta, intercept, r2).
+    */
+  def heapsFit(vocabDays: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // O(days) rows after the two vocab-sized aggregations
+    val toks = vocabDays.groupBy(col("day")).agg(sum(col("cnt")).as("__t"))
+      .withColumn("n_cum", sum(col("__t")).over(byDay))
+    val firsts = vocabDays.groupBy(col("w")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__v"))
+    val curve = toks.join(firsts, Seq("day"), "left")
+      .withColumn("v_cum", sum(coalesce(col("__v"), lit(0L))).over(byDay))
+    val pts = curve.select(lit("all").as("g"),
+      round(log(col("n_cum").cast("double")) * lit(1e6d), 0).cast("long").as("x6"),
+      round(log(col("v_cum").cast("double")) * lit(1e6d), 0).cast("long").as("y6"))
+    olsLogLog(pts, "slope" -> "heaps_beta")
+      .select(col("n_ranks").as("n_points"), col("heaps_beta"),
+        col("intercept"), col("r2"))
   }
 }

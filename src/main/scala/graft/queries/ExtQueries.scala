@@ -7996,4 +7996,67 @@ object ExtQueries {
        SELECT d.query_id, d.n_hit,
          round(CAST(d.dcg9 AS DOUBLE) / CAST(i.idcg9 AS DOUBLE), 6) AS ndcg
        FROM dcg d JOIN idcg i USING (query_id)"""
+
+  // --- x210: Heaps'-law vocabulary growth from the vocab store ---------------
+  // Zipf's companion panel (x204): V(N) ≈ K·N^β fitted over the
+  // maintained vocabulary store's day-ordered growth curve — β near 1
+  // flags template-id/hash/spam vocabularies. 6 day folds (+ a
+  // replay), then the O(vocab) first-seen pass and the shared log-log
+  // OLS; the oracle rebuilds the curve and the fit.
+  def x210HeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(6)).cast("long")))
+    val table = FreshTables.next(spark, dir, "heapsvocab")
+    (0 until 6).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark, docs.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table)
+    }
+    // replay day 3: the (w, day) merge must REPLACE its rows
+    graft.ext.Bpe.vocabAppendDay(spark, docs.filter(col("day") === 3L),
+      "doc_id", "text", "d3", table)
+    TextAnalysis.heapsFit(graft.sources.ManifestStore.read(spark, table))
+  }
+
+  val x210Sql: String =
+    """WITH toks AS (SELECT doc_id % 6 AS day,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       vc AS (SELECT day, w, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks GROUP BY 1, 2),
+       tk AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS t FROM vc GROUP BY 1),
+       tc AS (SELECT day, CAST(sum(t) OVER (ORDER BY day) AS BIGINT) AS n_cum FROM tk),
+       fs AS (SELECT w, min(day) AS day FROM vc GROUP BY 1),
+       fv AS (SELECT day, CAST(count(*) AS BIGINT) AS v FROM fs GROUP BY 1),
+       cv AS (SELECT tc.day, tc.n_cum,
+           CAST(sum(coalesce(fv.v, 0)) OVER (ORDER BY tc.day) AS BIGINT) AS v_cum
+         FROM tc LEFT JOIN fv USING (day)),
+       pts AS (SELECT
+           CAST(round(ln(CAST(n_cum AS DOUBLE)) * 1000000.0) AS BIGINT) AS x6,
+           CAST(round(ln(CAST(v_cum AS DOUBLE)) * 1000000.0) AS BIGINT) AS y6
+         FROM cv),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+           CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+           CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+           CAST(sum(y6 * y6) AS BIGINT) AS syy
+         FROM pts),
+       f AS (SELECT n_points,
+           CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+           CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den2,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         FROM s)
+       SELECT n_points,
+         CASE WHEN n_points >= 2 AND den <> 0.0
+              THEN round(num / den, 6) END AS heaps_beta,
+         CASE WHEN n_points >= 2 AND den <> 0.0
+              THEN round((syd - (num / den) * sxd)
+                / CAST(n_points AS DOUBLE) / 1000000.0, 6) END AS intercept,
+         CASE WHEN n_points >= 2 AND den <> 0.0 AND den2 <> 0.0
+              THEN round((num * num) / (den * den2), 6) END AS r2
+       FROM f"""
 }

@@ -372,6 +372,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(f.getLong(1) == 1L && f.isNullAt(2) && f.isNullAt(3) && f.isNullAt(4))
   }
 
+  test("heapsFit: exact power-law growth recovers beta; flat vocab flags beta ~ 0") {
+    import graft.ext.TextAnalysis
+    // day d contributes tokens so that N_cum = 4^d and V_cum = 2^d
+    // (V = N^0.5): day words are fresh w{d}_{i}, counts pad N_cum
+    val rows = (1 to 4).flatMap { d =>
+      val nCum = math.pow(4, d).toLong
+      val vCum = math.pow(2, d).toLong
+      val nPrev = if (d == 1) 0L else math.pow(4, d - 1).toLong
+      val vPrev = if (d == 1) 0L else math.pow(2, d - 1).toLong
+      val fresh = (1L to (vCum - vPrev)).map(i => (s"w${d}_$i", 1L, s"d$d"))
+      // pad the day's token count with weight on the first fresh word
+      val pad = (nCum - nPrev) - fresh.size
+      (fresh.head.copy(_2 = 1L + pad) +: fresh.tail)
+    }
+    val df = rows.toDF("w", "cnt", "day")
+    val out = graft.ext.TextAnalysis.heapsFit(df).collect()(0)
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - 0.5) < 1e-4, s"beta=${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(3) - 1.0) < 1e-6, s"r2=${out.getDouble(3)}")
+    // constant vocabulary across growing days: beta ~ 0
+    val flat = Seq(("a", 10L, "d1"), ("b", 10L, "d1"),
+      ("a", 40L, "d2"), ("b", 40L, "d2")).toDF("w", "cnt", "day")
+    val f = TextAnalysis.heapsFit(flat).collect()(0)
+    assert(math.abs(f.getDouble(1)) < 1e-6, s"flat beta=${f.getDouble(1)}")
+  }
+
   test("zipfFit: invariant to input partitioning") {
     import graft.ext.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
