@@ -564,7 +564,10 @@ object ScaleBench {
     "x208_stream_lm",
     // both rankings are query-sample-scaled (the x144 shape): the
     // brute-force pass over the fixed sample is the only corpus term
-    "x209_ndcg_audit")
+    "x209_ndcg_audit",
+    // 6 day token passes are the linear term; the growth curve and
+    // fit are O(vocab)+O(days) — expect the x202 Heaps flattening
+    "x210_heaps_fit")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -8059,4 +8059,58 @@ object ExtQueries {
          CASE WHEN n_points >= 2 AND den <> 0.0 AND den2 <> 0.0
               THEN round((num * num) / (den * den2), 6) END AS r2
        FROM f"""
+
+  // --- x211: STREAMING erasure feed over the moment store --------------------
+  // The forget matrix through the streaming door: erasure REQUESTS
+  // arrive as micro-batches (the shape of a production right-to-be-
+  // forgotten queue) and each batch folds by momentsForget under a
+  // batch-derived tag; one batch re-delivered post-drain proves the
+  // tag-keyed replace (no double subtraction). The surviving-corpus
+  // direction is x205's oracle verbatim.
+  def x211StreamForget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "smomforget")
+    (0 until 3).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
+    }
+    // the erasure queue: every 7th vector, split into 2 request batches
+    val doomed = Dedup.materialize(emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("req", pmod(expr("vec_id div 7"), lit(2)).cast("long")))
+    val base = FreshTables.next(spark, dir, "smomforgetin")
+    (0 until 2).foreach { b =>
+      doomed.filter(col("req") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val stream = spark.readStream.schema(doomed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = batch.agg(min(col("req"))).head().getLong(0)
+        graft.ext.EmbedPost.momentsForget(spark, batch, "embedding", 64,
+          s"f$r", table)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x211: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver request batch 1 — the tag-keyed merge
+    // must REPLACE, not subtract twice
+    graft.ext.EmbedPost.momentsForget(spark,
+      doomed.filter(col("req") === 1L), "embedding", 64, "f1", table)
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  // the erasure feed converges on the survivors' moments, so the
+  // oracle is x205's
+  val x211Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
 }
