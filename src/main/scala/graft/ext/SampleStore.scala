@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object SampleStore {
 
-  /** Append one day's candidates: the day's global top-(k+slack) rows
-    * by A-Res priority land as day-keyed (key, weight, es_key) rows.
-    * Replaying a day REPLACES its rows ((key, day)-keyed merge on the
-    * day partition), so at-least-once delivery converges.
+  /** Append one day's candidates: the day's top-(k+slack) rows by
+    * A-Res priority land as day-keyed (key, es_key) rows — global, or
+    * PER STRATUM when `byCols` is set (the per-language reproducible
+    * sample; the slack law then holds per (stratum, day) retained
+    * set). Replaying a day REPLACES its rows (keyed merge on the day
+    * partition), so at-least-once delivery converges.
     */
   def appendDay(
       spark: SparkSession,
@@ -51,13 +53,15 @@ object SampleStore {
       day: String,
       k: Int,
       slack: Int,
-      table: String): Unit = {
+      table: String,
+      byCols: Seq[String] = Nil): Unit = {
     require(k > 0 && slack >= 0, s"SampleStore.appendDay: k=$k, slack=$slack")
     import graft.sources.ManifestStore
-    val top = Sampling.weightedTopK(df, keyCol, weight, k + slack)
-      .select(col(keyCol), col("es_key"))
+    val top = Sampling.weightedTopKBy(df, keyCol, weight, byCols, k + slack)
+      .select((byCols :+ keyCol).map(col) :+ col("es_key"): _*)
       .withColumn("day", lit(day))
-    ManifestStore.mergeOrCreate(spark, table, top, Seq(keyCol, "day"), "day")
+    ManifestStore.mergeOrCreate(spark, table, top,
+      byCols ++ Seq(keyCol, "day"), "day")
   }
 
   /** The maintained sample: global top-k by (es_key desc, key) over the
@@ -71,13 +75,15 @@ object SampleStore {
       spark: SparkSession,
       table: String,
       keyCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      byCols: Seq[String] = Nil): DataFrame = {
     import graft.sources.ManifestStore
-    val global = Window.orderBy(col("es_key").desc, col(keyCol))
+    val global = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col("es_key").desc, col(keyCol))
     ManifestStore.read(spark, table)
       .withColumn("sample_rank", row_number().over(global).cast("long"))
       .filter(col("sample_rank") <= k)
-      .select(col(keyCol), col("sample_rank"), col("es_key"))
+      .select((byCols :+ keyCol).map(col) :+ col("sample_rank") :+ col("es_key"): _*)
   }
 
   /** Erase keys from the sample store (right-to-be-forgotten, the x171

@@ -90,6 +90,21 @@ object Sampling {
       keyCol: String,
       weight: org.apache.spark.sql.Column,
       k: Int,
+      saltBuckets: Int = 64): DataFrame =
+    weightedTopKBy(df, keyCol, weight, Nil, k, saltBuckets)
+
+  /** [[weightedTopK]] PER STRATUM (`byCols` — typically the language
+    * column): each stratum draws its own k-row A-Res sample under the
+    * same deterministic priorities. Same two-stage salted shape with
+    * the stratum columns prepended to both windows — no stratum ever
+    * funnels into one reducer before the pigeonhole cut.
+    */
+  def weightedTopKBy(
+      df: DataFrame,
+      keyCol: String,
+      weight: org.apache.spark.sql.Column,
+      byCols: Seq[String],
+      k: Int,
       saltBuckets: Int = 64): DataFrame = {
     require(k > 0 && saltBuckets > 0, s"weightedTopK: k=$k, saltBuckets=$saltBuckets")
     val h = org.apache.spark.sql.graftfn.HashExpressions.md5Prefix48(col(keyCol).cast("string")).cast("double")
@@ -98,9 +113,10 @@ object Sampling {
     val salted = df
       .withColumn("__es", esKey)
       .withColumn("__salt", pmod(xxhash64(col(keyCol)), lit(saltBuckets)))
-    val local = Window.partitionBy(col("__salt"))
+    val local = Window.partitionBy((byCols :+ "__salt").map(col): _*)
       .orderBy(col("__es").desc, col(keyCol))
-    val global = Window.orderBy(col("__es").desc, col(keyCol))
+    val global = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col("__es").desc, col(keyCol))
     salted
       .withColumn("__r1", row_number().over(local)).filter(col("__r1") <= k)
       .withColumn("sample_rank", row_number().over(global).cast("long"))

@@ -8113,4 +8113,50 @@ object ExtQueries {
   // the erasure feed converges on the survivors' moments, so the
   // oracle is x205's
   val x211Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
+
+  // --- x212: STRATIFIED maintained sample store -------------------------------
+  // x195 per language: each stratum keeps its own reproducible k-row
+  // weighted sample, day summaries merge per (lang, day), the slack
+  // law holds per stratum, and erasing each language's 2 most
+  // prominent samples (within slack) keeps every stratum's read exact
+  // — the oracle ranks per language, skips the doomed 2, re-ranks.
+  def x212StratSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.wordCount(col("text")).as("wc"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "stratsample")
+    (0 until 3).foreach { b =>
+      SampleStore.appendDay(spark, docs.filter(col("day") === b.toLong),
+        "doc_id", col("wc"), s"d$b", k = 40, slack = 4, table = table,
+        byCols = Seq("lang"))
+    }
+    // replay day 1: the (lang, doc_id, day) merge must REPLACE its rows
+    SampleStore.appendDay(spark, docs.filter(col("day") === 1L),
+      "doc_id", col("wc"), "d1", k = 40, slack = 4, table = table,
+      byCols = Seq("lang"))
+    val doomed = SampleStore.sampleFromStore(spark, table, "doc_id", 2,
+      byCols = Seq("lang")).select(col("doc_id"))
+    SampleStore.forget(spark, table, "doc_id", doomed)
+    SampleStore.sampleFromStore(spark, table, "doc_id", 40,
+      byCols = Seq("lang"))
+  }
+
+  val x212Sql: String =
+    s"""WITH w AS (SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+       FROM documents),
+       h AS (SELECT doc_id, lang, wc, ${duckHex48("hx")} AS h48 FROM w),
+       k AS (SELECT doc_id, lang,
+             round(ln((CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                   / greatest(CAST(wc AS DOUBLE), 1.0), 6) AS es_key FROM h),
+       r AS (SELECT doc_id, lang, es_key,
+             row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+         FROM k),
+       s AS (SELECT doc_id, lang, es_key,
+             row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn2
+         FROM r WHERE rn > 2)
+       SELECT lang, doc_id, CAST(rn2 AS BIGINT) AS sample_rank, es_key
+       FROM s WHERE rn2 <= 40"""
 }

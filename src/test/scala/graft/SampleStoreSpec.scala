@@ -93,6 +93,24 @@ class SampleStoreSpec extends SparkSpec {
     assert(healed == batch)
   }
 
+  test("stratified store: per-group reads equal per-group batch samples") {
+    val t = fresh()
+    val df = (1 to 300).map(i =>
+      (i.toLong, 1L + (i % 7).toLong, (i % 3).toLong, s"g${i % 2}"))
+      .toDF("id", "w", "day", "grp")
+    (0 until 3).foreach { d =>
+      SampleStore.appendDay(spark, df.filter(col("day") === d.toLong),
+        "id", col("w"), s"d$d", 10, 2, t, byCols = Seq("grp"))
+    }
+    val got = SampleStore.sampleFromStore(spark, t, "id", 10, byCols = Seq("grp"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    val want = Sampling.weightedTopKBy(df, "id", col("w"), Seq("grp"), 10)
+      .select(col("grp"), col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.count(_.head == "g0") == 10 && got.count(_.head == "g1") == 10)
+  }
+
   test("forgetting unknown keys is a no-op") {
     val t = fresh()
     val df = corpus(50, 1)
