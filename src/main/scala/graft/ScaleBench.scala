@@ -567,7 +567,15 @@ object ScaleBench {
     "x209_ndcg_audit",
     // 6 day token passes are the linear term; the growth curve and
     // fit are O(vocab)+O(days) — expect the x202 Heaps flattening
-    "x210_heaps_fit")
+    "x210_heaps_fit",
+    // x205 through the streaming door: appends linear, the erasure
+    // folds pass only the doomed slice — expect the x205 shape + the
+    // micro-batch floor
+    "x211_stream_forget",
+    // x195 per stratum: per-day salted per-group top-(k+slack) passes
+    // are Δ-sized; store ops O(langs × days × k) — expect the x195
+    // near-flat shape
+    "x212_strat_sample")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
