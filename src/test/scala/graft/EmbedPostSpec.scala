@@ -143,6 +143,16 @@ class EmbedPostSpec extends SparkSpec {
     assert(EmbedPost.directionFromMoments(spark, t, dim).length == dim)
   }
 
+  test("centered: the per-position mean joins back as a broadcast, never a shuffle join") {
+    val df = planted(200)
+    val plan = EmbedPost.centered(df, "id", "vec", dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the O(dim) mean table must broadcast onto the exploded rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus shuffle join on pos defeats the one-pass centering:\n$plan")
+  }
+
   test("degenerate input (all rows identical) yields zero projections, no crash") {
     val df = (1 to 20).map(i =>
       (i.toLong, Array.fill(dim)(0.25f))).toDF("id", "vec")
