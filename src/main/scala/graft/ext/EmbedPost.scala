@@ -277,6 +277,44 @@ object EmbedPost {
     x
   }
 
+  /** Score NEW vectors against a maintained moment store — the serving
+    * pass of the spectral pipeline (train on history via
+    * [[momentsAppendDay]], score arrivals with no training-side corpus
+    * rescan): each row's EXACT-INTEGER projection onto the store's
+    * dominant direction, centered at the STORE's integral-div mean —
+    * `p = Σ_j (vq_j − μ_j)·x_j`. One narrow pass over the scored rows
+    * (μ and x ride as broadcast literals — no join); magnitudes bound
+    * at |vq−μ|·2·SCALE·dim ≈ 1.5e12 per row, long-exact always.
+    * Output: (idCol, proj).
+    */
+  def projectFromStore(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 3): DataFrame = {
+    import graft.sources.ManifestStore
+    val x = directionFromMoments(spark, table, dim, iters)
+    val m1 = ManifestStore.read(spark, s"$table/m1")
+      .groupBy(col("pos")).agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mu = (0 until dim).map { p =>
+      val (sv, n) = m1.getOrElse(p, (0L, 1L)); sv / math.max(n, 1L)
+    }
+    val muC = typedlit(mu)
+    val xC = typedlit(x.toSeq)
+    df.select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("id"),
+        ((round(col("v") * lit(Quant.toDouble), 0).cast("long") + lit(Shift)
+          - element_at(muC, col("pos") + 1)) *
+          element_at(xC, col("pos") + 1)).as("t"))
+      .groupBy(col("id")).agg(sum(col("t")).as("proj"))
+      .select(col("id").as(idCol), col("proj"))
+  }
+
   /** Production all-but-the-top: mean-center (double arithmetic) and
     * remove the [[topDirection]] component — `e' = c − (c·u / u·u) u`.
     * Output: (idCol, corrected ARRAY<DOUBLE>). The corrected rows are

@@ -7546,10 +7546,15 @@ object ExtQueries {
       .toDF("pos", "comp")
   }
 
-  // shared x199/x205 oracle body: moments -> centered Gram -> shrink ->
-  // 3 dense power rounds, over an optionally-filtered embeddings base
+  // shared x199/x205/x211/x214 oracle CTEs: moments -> centered Gram ->
+  // shrink -> 3 dense power rounds, over an optionally-filtered
+  // embeddings base; x214 appends a projection over held-out rows
   private def momentsSql(where: String): String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+    s"""WITH ${momentsCtes(where)}
+       SELECT CAST(pos AS INTEGER) AS pos, x AS comp FROM x3"""
+
+  private def momentsCtes(where: String): String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
          FROM embeddings $where),
        e AS (SELECT vec_id, i AS pos,
            CAST(round(ve[i + 1] * 1000000.0) AS BIGINT) + 1000000 AS vq
@@ -7571,8 +7576,7 @@ object ExtQueries {
          FROM unnest(range(0, 64)) AS u(i)),
        ${momRound(1, "x0")},
        ${momRound(2, "x1")},
-       ${momRound(3, "x2")}
-       SELECT CAST(pos AS INTEGER) AS pos, x AS comp FROM x3"""
+       ${momRound(3, "x2")}"""
 
   // one dense matrix power round (prev -> x$r over gn)
   private def momRound(r: Int, prev: String): String =
@@ -8159,4 +8163,68 @@ object ExtQueries {
          FROM r WHERE rn > 2)
        SELECT lang, doc_id, CAST(rn2 AS BIGINT) AS sample_rank, es_key
        FROM s WHERE rn2 <= 40"""
+
+  // --- x213: tokenizer lifecycle from maintained state -----------------------
+  // The x180 composition pattern on the tokenizer: the training corpus
+  // (even docs) folds into the vocabulary store day by day, merges
+  // TRAIN from the store (no corpus rescan), and the learned tokenizer
+  // applies to the held-out odd docs — the full production lifecycle
+  // with zero training-side corpus rescans. Store counts sum
+  // losslessly, so the result is x201's oracle verbatim.
+  def x213TokenizerLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val train = Dedup.materialize(docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "tokvocab")
+    (0 until 3).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark, train.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table)
+    }
+    val merges = graft.ext.Bpe.learnMergesFromStore(spark, table, rounds = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Bpe.tokenize(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges)
+  }
+
+  // store counts merge to the batch vocabulary, so training-from-store
+  // + held-out application is x201's
+  val x213Sql: String = x201Sql
+
+  // --- x214: spectral scoring of NEW data from the moment store --------------
+  // The serving pass of the spectral pipeline: even-id embeddings fold
+  // into the moment store (2 days), the dominant direction + store
+  // mean derive corpus-free, and every ODD (held-out) vector scores
+  // its exact-integer projection — the anisotropy-outlier score for
+  // arrivals without touching training history. The oracle derives
+  // direction and mean from the even slice and projects the odd rows.
+  def x214SpectralScore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(2)).cast("long")))
+    val train = emb.filter(col("vec_id") % 2 === 0)
+    val table = FreshTables.next(spark, dir, "specscore")
+    // train days: split the even ids further by vec_id div 2 parity
+    (0 until 2).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        train.filter(pmod(expr("vec_id div 2"), lit(2)) === b.toLong),
+        "embedding", 64, s"d$b", table)
+    }
+    graft.ext.EmbedPost.projectFromStore(spark, table,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 64)
+  }
+
+  val x214Sql: String =
+    s"""WITH ${momentsCtes("WHERE vec_id % 2 = 0")},
+       pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+         FROM embeddings WHERE vec_id % 2 = 1),
+       pe AS (SELECT vec_id, i AS pos,
+           CAST(round(ve[i + 1] * 1000000.0) AS BIGINT) + 1000000 AS vq
+         FROM pv, unnest(range(0, 64)) AS u(i)),
+       proj AS (SELECT pe.vec_id,
+           CAST(sum((pe.vq - m.mu) * x.x) AS BIGINT) AS proj
+         FROM pe JOIN mu m ON pe.pos = m.pos
+         JOIN x3 x ON pe.pos = x.pos
+         GROUP BY 1)
+       SELECT vec_id, proj FROM proj"""
 }
