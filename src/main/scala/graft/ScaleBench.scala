@@ -575,7 +575,13 @@ object ScaleBench {
     // x195 per stratum: per-day salted per-group top-(k+slack) passes
     // are Δ-sized; store ops O(langs × days × k) — expect the x195
     // near-flat shape
-    "x212_strat_sample")
+    "x212_strat_sample",
+    // vocab-store folds + Heaps-bounded learn + one corpus tokenize
+    // pass — expect the x202/x201 flattening
+    "x213_tokenizer_cycle",
+    // 2 day fan-outs + one narrow projection pass over the held-out
+    // half — expect the x199 shape plus a linear scoring term
+    "x214_spectral_score")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
