@@ -143,6 +143,31 @@ class EmbedPostSpec extends SparkSpec {
     assert(EmbedPost.directionFromMoments(spark, t, dim).length == dim)
   }
 
+  test("projectFromStore: held-out scores track the planted magnitudes") {
+    val t = s"/tmp/graft/momproj_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = planted(240)
+    val train = df.filter(col("id") % 2 === 0)
+      .withColumn("day", pmod(col("id"), lit(4)))
+    (0 until 4).foreach { d =>
+      EmbedPost.momentsAppendDay(spark, train.filter(col("day") === d.toLong),
+        "vec", dim, s"d$d", t)
+    }
+    val held = df.filter(col("id") % 2 === 1)
+    val out = EmbedPost.projectFromStore(spark, t, held, "id", "vec", dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == held.count())
+    // planted magnitude a_i = ((i % 9) - 4)/2 along u: |proj| must rank
+    // with |a| — check the extreme groups separate cleanly
+    def a(i: Long) = ((i % 9) - 4).toDouble / 2.0
+    val big = out.filter { case (i, _) => math.abs(a(i)) >= 1.5 }.values.map(math.abs(_)).min
+    val zero = out.filter { case (i, _) => a(i) == 0.0 }.values.map(math.abs(_)).max
+    assert(big > 3 * zero, s"planted-magnitude separation: big=$big zero=$zero")
+    // and signs follow a's sign consistently (up to one global flip)
+    val signs = out.collect { case (i, p) if math.abs(a(i)) >= 1.5 =>
+      math.signum(a(i)).toLong * math.signum(p) }
+    assert(signs.toSet.size == 1, "projections must align with the planted axis")
+  }
+
   test("centered: the per-position mean joins back as a broadcast, never a shuffle join") {
     val df = planted(200)
     val plan = EmbedPost.centered(df, "id", "vec", dim)
