@@ -165,6 +165,22 @@ class CurriculumBpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpe learnMergesFromStore: store-trained merges equal corpus-trained merges") {
+    val t = s"/tmp/graft/lmfs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(50).select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(4)))
+    (0 until 4).foreach { d =>
+      Bpe.vocabAppendDay(spark, docs.filter(col("day") === d.toLong),
+        "doc_id", "text", s"d$d", t)
+    }
+    val fromStore = Bpe.learnMergesFromStore(spark, t, rounds = 10)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val fromCorpus = Bpe.learnMerges(docs, "doc_id", "text", rounds = 10)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(fromStore == fromCorpus)
+  }
+
   test("bpe: vocab-local and distributed merge loops agree symbol-for-symbol") {
     // enough lexical variety that 12 rounds exercise ties, repeated-symbol
     // runs, and early-merged symbols recombining into later merges
