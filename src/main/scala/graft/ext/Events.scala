@@ -87,8 +87,12 @@ object Events {
     * Bucket alignment is exact floor division on integer µs (the
     * [[hopping]] convention, negative-epoch safe). `total_value` is the
     * observed per-bucket sum (DECIMAL(18,2)-exact, null on silent
-    * buckets); `filled_value` is its forward fill — never null, since
-    * each key's spine starts at its own first observed bucket.
+    * buckets); `filled_value` is its forward fill — never null once the
+    * key has observed a non-null value (each key's spine starts at its
+    * own first observed bucket, but a key whose leading events all carry
+    * a null `valueCol` sums to a null `total_value` there, and the fill
+    * propagates that null until the first non-null bucket — SQL sum
+    * semantics, matched by the oracle).
     */
   def resampleFill(
       df: DataFrame,

@@ -83,7 +83,13 @@ object Multimodal {
     * batch shaper image-training pipelines run (the public SDXL-style
     * recipe): each image snaps to the NEAREST ratio in a fixed `ladder`
     * (so a batch shares one crop geometry), then each bucket packs into
-    * batches of ≤ `budgetCost` cost in id order. Snapping is spelled as
+    * batches in id order with the standard PREFIX-PACKING bound: a
+    * batch's total cost is < `budgetCost` + its last item's cost (the
+    * exclusive-prefix-sum div assigns each item by the cost BEFORE it,
+    * so one item may overhang the budget — and a single item costlier
+    * than the whole budget still forms one batch). Callers needing a
+    * hard cap must size `budgetCost` ≥ the max item cost + slack.
+    * Snapping is spelled as
     * explicit midpoint boundaries (`ratio < (b_i + b_{i+1})/2` → b_i) —
     * no argmin, no ties, the same IEEE comparisons in any engine, so
     * the whole assignment oracles exactly.

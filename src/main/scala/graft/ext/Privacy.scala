@@ -83,33 +83,45 @@ object Privacy {
     if (includeBounded) agg else agg.drop("n_bounded")
   }
 
-  /** ε-DP quantile via the EXPONENTIAL MECHANISM (McSherry & Talwar
-    * 2007; the quantile instantiation in Smith 2011) — the release-
-    * hygiene complement of [[dpNoisyCounts]] for "publish the median
-    * doc length per source" questions, where Laplace noise on a
-    * post-hoc quantile has unbounded sensitivity but selecting AMONG
-    * observed values with a rank-distance utility is ε-DP.
+  /** ε-DP quantile via the EXPONENTIAL MECHANISM over a DATA-INDEPENDENT
+    * bounded integer domain (McSherry & Talwar 2007; the quantile
+    * instantiation in Smith 2011) — the release-hygiene complement of
+    * [[dpNoisyCounts]] for "publish the median doc length per source"
+    * questions, where Laplace noise on a post-hoc quantile has unbounded
+    * sensitivity.
     *
-    * Mechanism: candidates are the distinct values; utility is the
-    * negative distance from the target rank `q·n` to the candidate's
-    * occupied rank interval `[below, below+cnt]` (zero for the value
-    * containing the quantile — so the weight mass can never vanish to
-    * rounding, even on pathologically skewed distributions). One row
-    * added or removed moves `below`/`cnt` by ≤ 1 and `q·n` by ≤ 1, so
-    * the utility sensitivity Δu ≤ 2 and weights are
-    * `exp(ε·u/(2Δu)) = exp(−ε·dist/4)`.
+    * The candidate set is EVERY integer in the caller-supplied `[lo,
+    * hi]` (values clip into it first — a per-record transform, so
+    * neighboring datasets stay neighbors). A data-dependent support
+    * (e.g. the observed distinct values) would NOT be ε-DP: removing the
+    * only row holding value v drops P[output = v] from positive to zero,
+    * an unbounded privacy-loss ratio. Here every candidate keeps
+    * positive weight on every neighboring dataset, so the standard
+    * analysis applies: utility is the negative distance from the target
+    * rank `q·n` to the candidate's occupied rank interval `[below,
+    * below+eq]`; one row added or removed moves `below`/`eq` by ≤ 1 and
+    * `q·n` by ≤ 1, so Δu ≤ 2 and weights are `exp(ε·u/(2Δu)) =
+    * exp(−ε·dist/4)`.
     *
-    * Engine-portable selection: weights round to 1e-9 fixed-point
-    * LONGs, the cumulative-weight scan runs over the O(distinct
-    * values) distribution in value order, and the draw is
-    * `floor(u01 · Σw)` with u01 from md5(seed ∥ group) — integer
-    * compare from there, so both engines select the identical value.
-    * Same seed-secrecy contract as [[dpNoisyCounts]]: the draw is
-    * deterministic in (seed, group); a leaked seed reveals which value
-    * was selected and why — treat `seed` as key material.
+    * COST stays O(groups × observed distinct values), NOT O(domain):
+    * consecutive unobserved integers share (below, eq) and therefore
+    * weight, so the domain compresses into RUNS — one singleton run per
+    * observed value, one gap run between neighbors (width = gap size,
+    * weight = width × per-integer weight), one leading run from `lo`.
+    * Selection walks the run-level cumulative weights and then indexes
+    * into the chosen run by exact integer division.
     *
-    * Scale: one map-side-combined (group, value) count, then every
-    * stage lives on the O(groups × distinct values) distribution.
+    * Engine-portable selection: per-integer weights round to 1e-9
+    * fixed-point LONGs, run weights and the cumulative scan are exact
+    * LONG arithmetic, and the draw is `floor(u01 · Σw)` with u01 from
+    * md5(seed ∥ group) — integer compare and integer div from there, so
+    * both engines select the identical value. Same seed-secrecy
+    * contract as [[dpNoisyCounts]]: the draw is deterministic in (seed,
+    * group) — treat `seed` as key material. (The 1e-9 rounding and the
+    * single seeded draw are the portability convention, not part of the
+    * privacy analysis; a hostile-auditor deployment would swap in real
+    * randomness per release.)
+    *
     * Output: (groupCol, dp_quantile).
     */
   def dpQuantile(
@@ -118,38 +130,69 @@ object Privacy {
       valueCol: String,
       q: Double,
       epsilon: Double,
-      seed: String): DataFrame = {
+      seed: String,
+      lo: Long,
+      hi: Long): DataFrame = {
     require(q > 0 && q < 1, s"dpQuantile: q=$q")
     require(epsilon > 0, s"dpQuantile: epsilon=$epsilon")
     require(seed.nonEmpty, "dpQuantile: a secret seed is required")
+    require(lo <= hi, s"dpQuantile: empty candidate domain [$lo, $hi]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("v"))
     val dist = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .select(col(groupCol).as("g"),
+        least(greatest(col(valueCol).cast("long"), lit(lo)), lit(hi)).as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("below", coalesce(
         sum(col("cnt")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("next_v", coalesce(lead(col("v"), 1).over(w), lit(hi + 1L)))
       .withColumn("n", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    // the run table: every integer in [lo, hi] belongs to exactly one run
+    // and shares (below, eq) with its run-mates
+    val single = dist.select(col("g"), col("v").as("start"),
+      lit(1L).as("width"), col("below"), col("cnt").as("eq"), col("n"))
+    val gaps = dist
+      .select(col("g"), (col("v") + lit(1L)).as("start"),
+        (col("next_v") - col("v") - lit(1L)).as("width"),
+        (col("below") + col("cnt")).as("below"), lit(0L).as("eq"), col("n"))
+      .filter(col("width") > 0L)
+    val leading = dist.filter(col("below") === 0L)
+      .select(col("g"), lit(lo).as("start"), (col("v") - lit(lo)).as("width"),
+        lit(0L).as("below"), lit(0L).as("eq"), col("n"))
+      .filter(col("width") > 0L)
+    val runs = single.unionByName(gaps).unionByName(leading)
     val qn = lit(q) * col("n").cast("double")
     val d = greatest(
       col("below").cast("double") - qn,
-      qn - (col("below") + col("cnt")).cast("double"),
+      qn - (col("below") + col("eq")).cast("double"),
       lit(0.0d))
-    val weighted = dist.withColumn("w9",
-      round(exp(lit(-epsilon / 4.0d) * d) * lit(1e9d), 0).cast("long"))
+    // w19 = per-INTEGER fixed-point weight; rw = the run's total
+    val weighted = runs
+      .withColumn("w19", round(exp(lit(-epsilon / 4.0d) * d) * lit(1e9d), 0).cast("long"))
+      .withColumn("rw", col("width") * col("w19"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("start"))
     val cum = weighted
-      .withColumn("cw", sum(col("w9")).over(w.rowsBetween(Long.MinValue, 0)))
-      .withColumn("tw", sum(col("w9")).over(
+      .withColumn("cw", sum(col("rw")).over(wRun.rowsBetween(Long.MinValue, 0)))
+      .withColumn("tw", sum(col("rw")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
     val u48 = conv(substring(md5(concat(lit(seed), lit("|"),
       col("g").cast("string"))), 1, 12), 16, 10).cast("double")
     val draw = floor(((u48 + lit(0.5d)) / lit(281474976710656.0d)) *
       col("tw").cast("double")).cast("long")
+    // the chosen run is the FIRST whose inclusive cumulative weight
+    // exceeds the draw (cw is nondecreasing in start, so min_by start);
+    // within it, exact integer division locates the candidate. The
+    // `w19 > 0` guard only protects NON-chosen rows from a div-by-zero
+    // — a zero-weight run can never be chosen (its cw equals its
+    // predecessor's, so `cw > draw` already held there).
     cum.withColumn("__draw", draw)
       .filter(col("cw") > col("__draw"))
-      .groupBy(col("g")).agg(min(col("v")).as("dp_quantile"))
+      .withColumn("__v", expr(
+        "CASE WHEN w19 > 0 THEN start + (__draw - (cw - rw)) div w19 ELSE start END"))
+      .groupBy(col("g")).agg(min_by(col("__v"), col("start")).as("dp_quantile"))
       .select(col("g").as(groupCol), col("dp_quantile"))
   }
 

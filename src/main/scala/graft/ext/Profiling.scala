@@ -45,6 +45,13 @@ object Profiling {
     require(candidates.size <= 64,
       s"fdProfile: ${candidates.size} candidates > 64 — profile in batches")
     val allCols = candidates.flatMap { case (l, r) => Seq(l, r) }.distinct
+    // the per-column bit positions live in one Long AND grouping_id()
+    // itself is a 64-bit integer — past 63 distinct columns the shifts
+    // wrap (Long shifts are mod 64) and grouping ids silently alias,
+    // matching WRONG grouping sets; fail loudly instead
+    require(allCols.size <= 63,
+      s"fdProfile: candidates span ${allCols.size} distinct columns > 63 — " +
+        "grouping_id bit positions would overflow a Long; profile in batches")
     val cells = Dedup.materialize(fdCells(df, candidates))
     // grouping_id bit i (MSB-first over allCols) is 1 when the column
     // is NOT grouped in the output row — the standard SQL semantics;
@@ -108,6 +115,11 @@ object Profiling {
       if (a < b) (a, b) else (b, a)
     }.distinct
     val allCols = canon.flatMap { case (l, r) => Seq(l, r) }.distinct
+    // same Long-overflow guard as fdProfile: 64 pairs can span up to 128
+    // distinct columns, where the shift wraps and grouping ids alias
+    require(allCols.size <= 63,
+      s"miProfile: pairs span ${allCols.size} distinct columns > 63 — " +
+        "grouping_id bit positions would overflow a Long; profile in batches")
     val n = allCols.size
     def gidOf(s: Seq[String]): Long =
       allCols.zipWithIndex.collect {

@@ -131,20 +131,33 @@ object Scd2Store {
       all.withColumn("__seq", col(seqCol)),
       keyCol, tsUsCol, seqCol, attrCols :+ "__seq")
       .withColumn("bucket", bucket)
-    ManifestStore.mergeOrCreate(spark, table, rebuilt,
-      Seq(keyCol, "__seq"), "bucket")
+    // sidecar BEFORE the creating commit: a crash between the two leaves
+    // a sidecar with no table (harmless — the replay overwrites it), never
+    // a table with no sidecar, which validateBuckets would otherwise have
+    // to wave through and a later mismatched-buckets call could silently
+    // prune the wrong partitions
     if (!exists)
       StoreSidecar.write(spark, table, Seq("buckets" -> buckets.toLong))
+    ManifestStore.mergeOrCreate(spark, table, rebuilt,
+      Seq(keyCol, "__seq"), "bucket")
   }
 
+  /** Sidecar is MANDATORY once the table exists (appendDay writes it
+    * before the creating commit, so absence means a foreign or corrupted
+    * table) — a missing sidecar must fail loudly, not silently pass a
+    * possibly-mismatched bucket count through to partition pruning.
+    */
   private def validateBuckets(
       spark: org.apache.spark.sql.SparkSession,
-      table: String, buckets: Int, op: String): Unit =
-    StoreSidecar.read(spark, table, Seq("buckets")).foreach { g =>
-      require(g("buckets") == buckets.toLong,
-        s"Scd2Store.$op: $table was built with ${g("buckets")} buckets, " +
-          s"called with $buckets — a mismatched hash would miss the key's partition")
-    }
+      table: String, buckets: Int, op: String): Unit = {
+    val got = StoreSidecar.read(spark, table, Seq("buckets"))
+    require(got.isDefined,
+      s"Scd2Store.$op: $table exists but has no buckets sidecar — not a " +
+        "Scd2Store table (or its sidecar was lost); refusing to guess the bucket count")
+    require(got.get("buckets") == buckets.toLong,
+      s"Scd2Store.$op: $table was built with ${got.get("buckets")} buckets, " +
+        s"called with $buckets — a mismatched hash would miss the key's partition")
+  }
 
   /** Whole-key erasure (the GDPR case): every version of every doomed
     * key leaves the store in ONE bucket-pruned keyed delete commit —

@@ -322,37 +322,72 @@ class CurriculumBpeSpec extends SparkSpec {
     }
   }
 
-  test("dpQuantile: skewed mass selects the containing value; deterministic; seed-sensitive") {
-    // 1000 copies of 7 + one 100: the rank interval of 7 contains q·n,
-    // every other candidate's weight rounds to 0 — any draw picks 7
+  test("dpQuantile: bounded domain — skew picks the containing value; gaps select; deterministic") {
+    // the hand replication of the run-level mechanism: (start, width,
+    // below, eq) runs in start order, per-integer 1e-9 weights, seeded
+    // draw, in-run integer division — the exact arithmetic of the op
+    def replicate(runs: Seq[(Long, Long, Long, Long)], n: Long, q: Double,
+        eps: Double, seed: String, group: String): Long = {
+      val w = runs.map { case (s, wd, b, e) =>
+        val d = math.max(0.0, math.max(b - q * n, q * n - (b + e)))
+        (s, wd, math.round(math.exp(-eps / 4.0 * d) * 1e9))
+      }
+      val tw = w.map { case (_, wd, w19) => wd * w19 }.sum
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$group".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val u01 = (java.lang.Long.parseLong(md, 16).toDouble + 0.5) / 281474976710656.0
+      val draw = math.floor(u01 * tw.toDouble).toLong
+      var c = 0L
+      w.collectFirst { case (s, wd, w19) if { c += wd * w19; c > draw } =>
+        if (w19 > 0) s + (draw - (c - wd * w19)) / w19 else s
+      }.get
+    }
+    // 1000 copies of 7 + one 100 in domain [0, 200]: the run containing
+    // rank q·n is the singleton {7} (d = 0); every other run sits ≥
+    // 499.5 ranks away, so at ε = 0.2 its per-integer weight
+    // exp(−0.05·499.5)·1e9 rounds to 0 — any draw picks 7
     val df = (Seq.fill(1000)(7L) :+ 100L).map(("g1", _)).toDF("g", "v")
-    val out = graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "s1")
+    val out = graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.2, "s1", 0L, 200L)
       .collect()
     assert(out.length == 1 && out(0).getLong(1) == 7L)
     // deterministic under partitioning
-    val b = graft.ext.Privacy.dpQuantile(df.repartition(7), "g", "v", 0.5, 0.1, "s1")
-      .collect()
+    val b = graft.ext.Privacy.dpQuantile(
+      df.repartition(7), "g", "v", 0.5, 0.2, "s1", 0L, 200L).collect()
     assert(out.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
-    // spread mass: the selection follows the hand-replicated mechanism
+    // spread mass filling the domain exactly: runs collapse to the five
+    // singletons and the selection follows the replication
     val spread = (1L to 5L).map(("g2", _)).toDF("g", "v")
-    val got = graft.ext.Privacy.dpQuantile(spread, "g", "v", 0.5, 100.0, "s1")
+    val got = graft.ext.Privacy.dpQuantile(spread, "g", "v", 0.5, 100.0, "s1", 1L, 5L)
       .collect()(0).getLong(1)
-    val w9 = (1L to 5L).map { v =>
-      val below = (v - 1).toDouble; val qn = 2.5
-      val d = math.max(0.0, math.max(below - qn, qn - (below + 1)))
-      v -> math.round(math.exp(-100.0 / 4.0 * d) * 1e9)
-    }
-    val tw = w9.map(_._2).sum
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest("s1|g2".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val u01 = (java.lang.Long.parseLong(md, 16).toDouble + 0.5) / 281474976710656.0
-    val draw = math.floor(u01 * tw.toDouble).toLong
-    // min v whose cumulative weight (inclusive) exceeds the draw
-    val cums = w9.map(_._1).zip(w9.map(_._2).scanLeft(0L)(_ + _).tail)
-    val expected = cums.collectFirst { case (v, cw) if cw > draw => v }.get
-    assert(got == expected, s"got $got, expected $expected (draw=$draw)")
+    val singles = (1L to 5L).map(v => (v, 1L, v - 1, 1L))
+    assert(got == replicate(singles, 5L, 0.5, 100.0, "s1", "g2"))
+    // sparse observations in a wide domain at tiny ε: leading/gap runs
+    // carry real mass and the draw can land INSIDE one (the in-run
+    // integer division path) — replicate the full run walk
+    val sparse = Seq(("g3", 10L), ("g3", 20L)).toDF("g", "v")
+    val got3 = graft.ext.Privacy
+      .dpQuantile(sparse, "g", "v", 0.5, 0.001, "s1", 0L, 100L)
+      .collect()(0).getLong(1)
+    val runs3 = Seq(
+      (0L, 10L, 0L, 0L),   // leading [0, 9]
+      (10L, 1L, 0L, 1L),   // {10}
+      (11L, 9L, 1L, 0L),   // gap [11, 19]
+      (20L, 1L, 1L, 1L),   // {20}
+      (21L, 80L, 2L, 0L))  // trailing gap [21, 100]
+    assert(got3 == replicate(runs3, 2L, 0.5, 0.001, "s1", "g3"))
+    // values outside the domain clip into it (per-record, neighbor-safe)
+    val clipped = Seq(("g4", -5L), ("g4", 999L), ("g4", 999L)).map(p => p).toDF("g", "v")
+    val got4 = graft.ext.Privacy
+      .dpQuantile(clipped, "g", "v", 0.5, 200.0, "s1", 0L, 10L)
+      .collect()(0).getLong(1)
+    // clips to {0, 10, 10}: qn = 1.5 lands in 10's interval [1, 3] and at
+    // ε = 200 every d = 0.5 run's weight rounds to 0 — any draw picks 10
+    assert(got4 == 10L, s"clip: got $got4")
     intercept[IllegalArgumentException] {
-      graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "")
+      graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "", 0L, 200L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Privacy.dpQuantile(df, "g", "v", 0.5, 0.1, "s1", 5L, 4L)
     }
   }
 
