@@ -75,6 +75,35 @@ object ClusterStore {
     */
   private val TxnApp = "graft.cluster.append"
 
+  /** Manifest txn key for the [[rebuildFromIndex]] fence: the twin
+    * records the last STARTED rebuild (its overwrite is the window's
+    * first commit), the main table the last COMPLETED one. The recorded
+    * value is the INDEX SNAPSHOT VERSION the rebuild ran from, so
+    * started != completed is exactly "a rebuild crash window is open"
+    * — and a replayed rebuild from the unchanged index re-records the
+    * same value over identical data, converging benignly.
+    */
+  private val TxnRebuild = "graft.cluster.rebuild"
+
+  /** Refuse appends/forgets while a [[rebuildFromIndex]] crash window is
+    * open: between the rebuild's two overwrites the twin holds the NEW
+    * labels and the main table the OLD ones, so the twin probe would
+    * route member retrieval to buckets the main table never wrote.
+    * Unlike the append fence, the only cure is finishing the job —
+    * re-run the rebuild (it reads nothing from this store, so it is
+    * safe from ANY window and closes all of them).
+    */
+  private def requireNoRebuildWindow(
+      spark: SparkSession, table: String, op: String): Unit = {
+    val started = ManifestStore.lastTxn(spark, twinTable(table), TxnRebuild)
+    val completed = ManifestStore.lastTxn(spark, table, TxnRebuild)
+    if (started != completed)
+      throw new IllegalStateException(
+        s"ClusterStore: $table has a crashed rebuild (twin at index version " +
+          s"$started, main at $completed) — re-run rebuildFromIndex to " +
+          s"convergence before $op")
+  }
+
   /** Order-independent content fingerprint of a day's pair set — the
     * identity the replay fence compares: a replay of the crashed day
     * carries the same fingerprint and is let through; any other pair
@@ -192,6 +221,7 @@ object ClusterStore {
     // fingerprints diverge exactly while a crash window is open; only
     // the same pair set (the replay) may append through it.
     val fp = pairFingerprint(newPairs, idA, idB)
+    requireNoRebuildWindow(spark, table, "appending")
     for (p <- ManifestStore.lastTxn(spark, twin, TxnApp)
          if !ManifestStore.lastTxn(spark, table, TxnApp).contains(p) && p != fp)
       throw new IllegalStateException(
@@ -339,6 +369,7 @@ object ClusterStore {
       failpoint: String => Unit): Unit = {
     requireGeometry(spark, table, partitions)
     val twin = twinTable(table)
+    requireNoRebuildWindow(spark, table, "forgetting")
     for (p <- ManifestStore.lastTxn(spark, twin, TxnApp)
          if !ManifestStore.lastTxn(spark, table, TxnApp).contains(p))
       throw new IllegalStateException(
@@ -400,6 +431,89 @@ object ClusterStore {
       doomed.withColumn("ptid", bucket(col("id"), partitions)),
       Seq("id"), Seq("ptid"))
     failpoint("twinDelete")
+  }
+
+  /** REBUILD the label store from the pair-generating LSH index — the
+    * CURE for the one exactness leak [[forget]] documents: forgets can
+    * only over-group (survivors never split, and a survivor whose last
+    * partner died lingers as a phantom singleton member), because the
+    * store holds labels, not edges. The edges still exist — in
+    * [[DedupStores]]' maintained minhash index, which every forget
+    * keeps exact over survivors — so the repair recomputes components
+    * from first principles: self-probe the index (banded candidate
+    * pairs, exact-Jaccard verified at `threshold`), run the batch
+    * component pass, and OVERWRITE both tables. After it, the store
+    * equals [[build]] over the surviving corpus: split clusters split,
+    * phantom singletons drop out.
+    *
+    * Geometry comes from the index's own sidecar (shingleN/bands/
+    * rowsPerBand — a hand-passed mismatch would silently zero recall);
+    * `threshold` is the caller's, the same one the daily probes use.
+    *
+    * 100 TB shape: this is the PERIODIC heavy job, deliberately
+    * corpus-index-sized where the daily ops are increment-sized — one
+    * banded self-join of the index (the same O(bands × docs) bucket
+    * join [[Dedup.minhashPairs]] runs at build time), one component
+    * pass, two partitioned overwrites. Run it on the erosion cadence
+    * (N forgets, or a drift audit failing), not daily.
+    *
+    * Crash safety — the fence inverts [[appendPairs]]'s: the rebuild
+    * reads NOTHING from this store, so it can run from ANY window (an
+    * open append, a crashed forget, a crashed prior rebuild) and
+    * closes them all — it is the universal repair. Its own window is
+    * fenced: the twin overwrite records the source index's snapshot
+    * version as STARTED, the main overwrite records it as COMPLETED,
+    * and appends/forgets refuse while the two diverge (between the
+    * overwrites the twin routes to buckets the main table never
+    * wrote). A reader mid-window still sees a consistent (old) main
+    * snapshot. Replaying a rebuild from the unchanged index rewrites
+    * identical data — convergent at every crash position (spec-pinned).
+    */
+  def rebuildFromIndex(
+      spark: SparkSession,
+      idxTable: String,
+      table: String,
+      threshold: Double,
+      partitions: Int = 8): Unit =
+    rebuildFromIndexFp(spark, idxTable, table, threshold, partitions, _ => ())
+
+  /** [[rebuildFromIndex]] with the failpoint seam ("twin", "main") —
+    * the [[appendPairsFp]] convention.
+    */
+  private[graft] def rebuildFromIndexFp(
+      spark: SparkSession,
+      idxTable: String,
+      table: String,
+      threshold: Double,
+      partitions: Int,
+      failpoint: String => Unit): Unit = {
+    requireGeometry(spark, table, partitions)
+    val g = StoreSidecar.read(spark, idxTable, Seq("bands", "rowsPerBand"))
+      .getOrElse(throw new IllegalStateException(
+        s"ClusterStore.rebuildFromIndex: $idxTable has no DedupStores geometry " +
+          "sidecar — not a minhash index table"))
+    val idxVersion = ManifestStore.versions(spark, idxTable).headOption
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"ClusterStore.rebuildFromIndex: no readable snapshot under $idxTable"))
+      .toLong
+    val idx = ManifestStore.read(spark, idxTable).drop("pt")
+    // banded self-probe: minhashProbe keeps both directions and self
+    // hits; identity on one side + '<' keeps each undirected pair once
+    val pairs = Dedup.materialize(
+      Dedup.minhashProbe(idx, idx, g("bands").toInt, g("rowsPerBand").toInt, threshold)
+        .filter(col("inc_id") < col("hist_id"))
+        .select(col("inc_id").as("id_a"), col("hist_id").as("id_b")))
+    val labels = Dedup.materialize(Dedup.duplicateClusters(pairs))
+    // twin first (started), main second (completed) — see the fence note
+    ManifestStore.write(spark,
+      labels.withColumn("prev_label", col("label"))
+        .withColumn("ptid", bucket(col("id"), partitions)),
+      twinTable(table), Seq("ptid"), txnRecord = Map(TxnRebuild -> idxVersion))
+    failpoint("twin")
+    ManifestStore.write(spark,
+      labels.withColumn("pt", bucket(col("label"), partitions)),
+      table, Seq("pt"), txnRecord = Map(TxnRebuild -> idxVersion))
+    failpoint("main")
   }
 
   /** The (id, label) table — the LATEST snapshot by default, or a

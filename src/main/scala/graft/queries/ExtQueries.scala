@@ -7281,39 +7281,51 @@ object ExtQueries {
        FROM r3 JOIN deg USING (u)"""
 
   // --- x194: ε-DP quantile (exponential mechanism) --------------------------
-  // DP median doc length per source: candidates = distinct lengths,
-  // utility = negative distance from rank q·n to each value's occupied
-  // rank interval (zero for the containing value — weight mass cannot
-  // round away on skewed data), weights 1e-9 fixed-point, seeded
-  // integer draw — both engines select the identical value.
+  // DP median doc length per source, selecting over the DATA-INDEPENDENT
+  // integer domain [0, 100000] (a data-dependent support is not ε-DP —
+  // removing a value's only holder zeroes its probability): the domain
+  // compresses into runs sharing (below, eq), utility = negative rank
+  // distance, per-integer weights 1e-9 fixed-point, seeded integer draw
+  // + in-run integer division — both engines select the identical value.
   def x194DpQuantile(spark: SparkSession, dir: String): DataFrame =
     Privacy.dpQuantile(t(spark, dir, "documents"), "source", "n_chars",
-      q = 0.5, epsilon = 0.1, seed = DpFixtureSeed)
+      q = 0.5, epsilon = 0.1, seed = DpFixtureSeed, lo = 0L, hi = 100000L)
 
   val x194Sql: String =
-    s"""WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+    s"""WITH c AS (SELECT source AS g,
+           least(greatest(CAST(n_chars AS BIGINT), 0), 100000) AS v,
+           CAST(count(*) AS BIGINT) AS cnt
          FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
        r AS (SELECT g, v, cnt,
            coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+           coalesce(lead(v) OVER (PARTITION BY g ORDER BY v), 100001) AS next_v,
            sum(cnt) OVER (PARTITION BY g) AS n
          FROM c),
-       wt AS (SELECT g, v,
+       runs AS (
+         SELECT g, v AS start, CAST(1 AS BIGINT) AS width, below, cnt AS eq, n FROM r
+         UNION ALL
+         SELECT g, v + 1, next_v - v - 1, below + cnt, 0, n FROM r WHERE next_v - v - 1 > 0
+         UNION ALL
+         SELECT g, 0, v, 0, 0, n FROM r WHERE below = 0 AND v > 0),
+       wt AS (SELECT g, start, width,
            CAST(round(exp(-0.1 / 4.0 * greatest(
              CAST(below AS DOUBLE) - 0.5 * CAST(n AS DOUBLE),
-             0.5 * CAST(n AS DOUBLE) - CAST(below + cnt AS DOUBLE),
-             0.0)) * 1000000000.0) AS BIGINT) AS w9
-         FROM r),
-       cum AS (SELECT g, v, w9,
-           sum(w9) OVER (PARTITION BY g ORDER BY v
+             0.5 * CAST(n AS DOUBLE) - CAST(below + eq AS DOUBLE),
+             0.0)) * 1000000000.0) AS BIGINT) AS w19
+         FROM runs),
+       cum AS (SELECT g, start, w19, width * w19 AS rw,
+           sum(width * w19) OVER (PARTITION BY g ORDER BY start
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-           sum(w9) OVER (PARTITION BY g) AS tw
+           sum(width * w19) OVER (PARTITION BY g) AS tw
          FROM wt),
-       dr AS (SELECT g, v, cw,
+       dr AS (SELECT g, start, w19, rw, cw,
            CAST(floor(((${duckHex48(s"md5('$DpFixtureSeed' || '|' || g)")}
              + 0.5) / 281474976710656.0) * CAST(tw AS DOUBLE)) AS BIGINT) AS draw
          FROM cum)
-       SELECT g AS source, CAST(min(v) AS BIGINT) AS dp_quantile
+       SELECT g AS source,
+         CAST(min_by(CASE WHEN w19 > 0 THEN start + (draw - (cw - rw)) // w19
+                          ELSE start END, start) AS BIGINT) AS dp_quantile
        FROM dr WHERE cw > draw GROUP BY 1"""
 
   // --- x195: maintained weighted-sample store (A-Res joins the store matrix)
@@ -8227,4 +8239,80 @@ object ExtQueries {
          JOIN x3 x ON pe.pos = x.pos
          GROUP BY 1)
        SELECT vec_id, proj FROM proj"""
+
+  // --- x215: cluster-store rebuild from the LSH pair index -------------------
+  // The cure for the forget matrix's one documented exactness leak:
+  // ClusterStore.forget over-groups by design (the store holds labels,
+  // not edges — survivors never split and a survivor whose last partner
+  // died lingers as a phantom singleton member), while DedupStores'
+  // minhash index stays EXACT over survivors. rebuildFromIndex closes
+  // the gap: self-probe the surviving index, recompute components,
+  // overwrite twin+main under the rebuild fence. The gate builds both
+  // stores, forgets all-but-the-max member of every label%3==0 cluster
+  // (guaranteeing phantom singletons), REQUIREs the leak is visible
+  // (store rows > exact survivors-components rows), rebuilds, and the
+  // final rollup must hash-match the batch components over surviving
+  // pairs — the oracle's SECOND recursive CTE pass.
+  def x215ClusterRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{ClusterStore, DedupStores}
+    val docs = Dedup.materialize(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val fpT = FreshTables.next(spark, dir, "rbfp")
+    val idxT = FreshTables.next(spark, dir, "rbidx")
+    DedupStores.build(spark, docs, "doc_id", "text", fpT, idxT,
+      shingleN = 3, bands = 32, rowsPerBand = 2, partitions = 8)
+    val pairs = Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7))
+    val root = FreshTables.next(spark, dir, "rbcl")
+    ClusterStore.build(spark, pairs, root, partitions = 8)
+    // doomed: every member EXCEPT the max id of clusters labeled %3==0 —
+    // their survivor is a guaranteed phantom singleton after forget
+    val labels = Dedup.materialize(ClusterStore.readLabels(spark, root))
+    val mx = labels.groupBy(col("label")).agg(max(col("id")).as("__mx"))
+    val doomed = Dedup.materialize(labels.join(mx, Seq("label"))
+      .filter(col("label") % 3 === 0 && col("id") =!= col("__mx"))
+      .select(col("id")))
+    require(doomed.count() > 0L, "x215: empty doomed slice — adjust the rule")
+    // forget from BOTH stores: the index forget is exact over survivors,
+    // the label forget is the documented conservative form
+    DedupStores.forget(spark,
+      docs.join(doomed, docs("doc_id") === doomed("id"), "left_semi"),
+      "doc_id", "text", fpT, idxT)
+    ClusterStore.forget(spark, doomed, "id", root, partitions = 8)
+    // the leak, demonstrated: exact survivors-components vs the store
+    val survPairs = pairs
+      .join(doomed.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(doomed.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+    val exactN = Dedup.duplicateClusters(survPairs).count()
+    val storeN = ClusterStore.readLabels(spark, root).count()
+    require(storeN > exactN,
+      s"x215: over-grouping not demonstrated (store $storeN vs exact $exactN)")
+    // the cure — after it the store equals build() over the survivors
+    ClusterStore.rebuildFromIndex(spark, idxT, root, threshold = 0.7, partitions = 8)
+    ClusterStore.readLabels(spark, root)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+  }
+
+  // full components → doomed rule → surviving pairs → components AGAIN
+  // over the survivor edge set (the rebuilt store's exact semantics)
+  val x215Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       ${componentCtes(0.7)},
+       cl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       mx AS (SELECT comp, max(id) AS mx FROM cl GROUP BY comp),
+       doomed AS (SELECT id FROM cl JOIN mx USING (comp)
+                  WHERE comp % 3 = 0 AND id <> mx),
+       sp AS (SELECT id_a, id_b FROM pairs
+              WHERE id_a NOT IN (SELECT id FROM doomed)
+                AND id_b NOT IN (SELECT id FROM doomed)),
+       edges2 AS (SELECT id_a AS src, id_b AS dst FROM sp
+                  UNION SELECT id_b, id_a FROM sp),
+       nodes2 AS (SELECT DISTINCT src AS id FROM edges2),
+       reach2 AS (
+         SELECT id, id AS r FROM nodes2
+         UNION
+         SELECT e.src AS id, reach2.r AS r FROM reach2 JOIN edges2 e ON e.dst = reach2.id),
+       cl2 AS (SELECT id, min(r) AS label FROM reach2 GROUP BY id)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_members
+       FROM cl2 GROUP BY 1"""
 }

@@ -292,13 +292,21 @@ object ManifestStore {
   def write(spark: SparkSession, df: DataFrame, path: String, partitionCol: String): Unit =
     write(spark, df, path, Seq(partitionCol))
 
-  def write(spark: SparkSession, df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+  /** Full-overwrite commit: the new snapshot references ONLY this call's
+    * data. The txn map does NOT ride forward — an overwrite invalidates
+    * every incremental writer's progress bookkeeping by construction
+    * (their state described the replaced data); `txnRecord` seeds the
+    * fresh map for writers whose marker describes the REWRITE itself
+    * (the ClusterStore rebuild fence).
+    */
+  def write(spark: SparkSession, df: DataFrame, path: String, partitionCols: Seq[String],
+      txnRecord: Map[String, Long] = Map.empty): Unit = {
     require(partitionCols.nonEmpty, "ManifestStore.write: at least one partition column")
     val fs = fsFor(spark, new Path(path))
     val (uuid, staged) = writeCommit(spark, path, df, partitionCols)
     val version = latest(fs, path).map(_.version + 1).getOrElse(1)
     commitManifest(fs, path, Manifest(version, partitionCols,
-      uuid, staged.map(_ -> s"commits/$uuid").toMap))
+      uuid, staged.map(_ -> s"commits/$uuid").toMap, txnRecord))
   }
 
   /** Readable version numbers, newest first — the time-travel axis.

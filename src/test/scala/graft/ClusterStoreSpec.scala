@@ -295,4 +295,101 @@ class ClusterStoreSpec extends SparkSpec {
         Seq((1L, 2L)).toDF("id_a", "id_b"), root, 8)
     }
   }
+
+  // ---- rebuildFromIndex: the cure for forget's over-grouping ----
+
+  /** Fixture: 3 exact-dup groups (identical text → Jaccard 1.0 pairs),
+    * both dedup stores + the cluster store built over them.
+    */
+  private def rebuildFixture(): (String, String, org.apache.spark.sql.DataFrame) = {
+    import graft.ext.{Dedup, DedupStores}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (10L, "zeta eta theta iota kappa"),
+      (11L, "zeta eta theta iota kappa"),
+      (30L, "mu nu xi omicron pi rho"),
+      (31L, "mu nu xi omicron pi rho"),
+      (20L, "totally unrelated words live here")).toDF("doc_id", "text")
+    val root = fresh()
+    DedupStores.build(spark, docs, "doc_id", "text",
+      s"$root/fp", s"$root/idx", shingleN = 3, bands = 8, rowsPerBand = 2,
+      partitions = 4)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.7)
+    ClusterStore.build(spark, pairs, root, 4)
+    (root, s"$root/idx", docs)
+  }
+
+  test("rebuildFromIndex: phantom singletons drop, intact clusters survive") {
+    import graft.ext.DedupStores
+    val (root, idx, docs) = rebuildFixture()
+    // forget 2,3 (cluster {1,2,3} loses all partners of 1) and 10
+    // (cluster {10,11} relabels to 11... then 11 is a phantom too)
+    val doomed = Seq(2L, 3L, 10L).toDF("id")
+    DedupStores.forget(spark,
+      docs.join(doomed, docs("doc_id") === doomed("id"), "left_semi"),
+      "doc_id", "text", s"$root/fp", idx)
+    ClusterStore.forget(spark, doomed, "id", root, 4)
+    // the documented leak: 1 and 11 linger as phantom singleton members
+    val after = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((1L, 1L), (11L, 11L), (30L, 30L), (31L, 30L)),
+      s"got $after")
+    ClusterStore.rebuildFromIndex(spark, idx, root, threshold = 0.7, partitions = 4)
+    // the cure: only the genuinely-paired survivors remain, and the
+    // twin routes appends correctly afterwards
+    val rebuilt = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuilt == Set((30L, 30L), (31L, 30L)), s"got $rebuilt")
+    ClusterStore.appendPairs(spark, Seq((29L, 30L)).toDF("id_a", "id_b"), root, 4)
+    val appended = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended == Set((29L, 29L), (30L, 29L), (31L, 29L)), s"got $appended")
+  }
+
+  test("rebuild fence: a crash between the overwrites blocks appends/forgets; replay cures") {
+    val (root, idx, _) = rebuildFixture()
+    intercept[RuntimeException] {
+      ClusterStore.rebuildFromIndexFp(spark, idx, root, 0.7, 4,
+        s => if (s == "twin") sys.error("boom"))
+    }
+    val e = intercept[IllegalStateException] {
+      ClusterStore.appendPairs(spark, Seq((5L, 6L)).toDF("id_a", "id_b"), root, 4)
+    }
+    assert(e.getMessage.contains("crashed rebuild"))
+    val f = intercept[IllegalStateException] {
+      ClusterStore.forget(spark, Seq(1L).toDF("id"), "id", root, 4)
+    }
+    assert(f.getMessage.contains("crashed rebuild"))
+    // the replay closes the window; the store equals the index components
+    ClusterStore.rebuildFromIndex(spark, idx, root, threshold = 0.7, partitions = 4)
+    ClusterStore.appendPairs(spark, Seq((5L, 6L)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((5L, 5L)) && got.contains((6L, 5L)) &&
+      got.contains((1L, 1L)) && got.contains((2L, 1L)) && got.contains((3L, 1L)),
+      s"got $got")
+  }
+
+  test("rebuild is the universal repair: it closes a crashed APPEND window") {
+    val (root, idx, _) = rebuildFixture()
+    // an append dies after its first commit — the append fence trips
+    intercept[RuntimeException] {
+      ClusterStore.appendPairsFp(spark, Seq((40L, 41L)).toDF("id_a", "id_b"),
+        root, 4, "id_a", "id_b", s => if (s == "twin") sys.error("boom"))
+    }
+    intercept[IllegalStateException] {
+      ClusterStore.appendPairs(spark, Seq((50L, 51L)).toDF("id_a", "id_b"), root, 4)
+    }
+    // rebuild reads nothing from the store — it runs through the open
+    // window and closes it (the crashed day's pairs came from the index
+    // maintenance in production, so the rebuild includes their truth)
+    ClusterStore.rebuildFromIndex(spark, idx, root, threshold = 0.7, partitions = 4)
+    ClusterStore.appendPairs(spark, Seq((50L, 51L)).toDF("id_a", "id_b"), root, 4)
+    val got = ClusterStore.readLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((50L, 50L)) && got.contains((51L, 50L)), s"got $got")
+  }
 }
