@@ -167,6 +167,49 @@ object IndexStore {
       Seq("id"), Seq("dpt"))
   }
 
+  /** Postings GARBAGE COLLECTION — the cure for [[forget]]'s one
+    * documented degradation: a forget whose supplied text DIVERGES from
+    * the ingested bytes deletes the lens row (so the doc can never be
+    * scored) but strands the true terms' (w, id) cells, which inflate
+    * df — and therefore deflate every survivor's idf — "until rebuild".
+    * This IS that repair, without the rebuild: orphaned cells are
+    * exactly the postings whose id has no lens row, so one anti-join of
+    * postings against lens ids finds them and one keyed, term-bucket-
+    * partitioned delete removes them. After it, df over every term
+    * equals the survivors-only batch count (the x69 oracle's).
+    *
+    * 100 TB shape, stated honestly: this is the PERIODIC maintenance
+    * job, deliberately INDEX-sized where the daily ops are increment-
+    * sized — orphans carry no pointer to their buckets (locating them
+    * pruned would need the very content the divergent forget failed to
+    * supply), so the anti-join scans the postings and lens tables once
+    * each (both far smaller than the corpus; never the corpus itself).
+    * The delete then rewrites only the orphaned cells' term buckets.
+    * Run it on the erosion cadence (N divergent forgets, or a df audit
+    * drifting), not daily.
+    *
+    * Crash-safe trivially: the single delete commit is keyed — a replay
+    * (or a repair with nothing to do) is a no-op. Stats need no
+    * correction: [[forget]] already subtracted the doomed docs' (count,
+    * length) under its fence; orphans only ever inflated the
+    * probe-time df, which is DERIVED from postings, not stored.
+    */
+  def repair(
+      spark: SparkSession,
+      root: String,
+      partitions: Int = 8): Unit = {
+    requireGeometry(spark, root, partitions)
+    val lensIds = ManifestStore.read(spark, sub(root, "lens")).select(col("id"))
+    val orphans = Dedup.materialize(
+      ManifestStore.read(spark, sub(root, "postings"))
+        .select(col("w"), col("id"))
+        .join(lensIds, Seq("id"), "left_anti")
+        .withColumn("pt", bucket(col("w"), partitions)))
+    if (!orphans.head(1).isEmpty)
+      ManifestStore.delete(spark, sub(root, "postings"), orphans,
+        Seq("w", "id"), Seq("pt"))
+  }
+
   /** BM25 top-k over the maintained index: same query contract, output
     * shape, fixed-point partials, and (score DESC, id ASC) ranking as
     * [[Retrieval.bm25TopK]] — but tf/df come from the query

@@ -8315,4 +8315,58 @@ object ExtQueries {
        cl2 AS (SELECT id, min(r) AS label FROM reach2 GROUP BY id)
        SELECT label, CAST(count(*) AS BIGINT) AS n_members
        FROM cl2 GROUP BY 1"""
+
+  // --- x216: BM25 index repair (postings GC after a divergent forget) --------
+  // The lexical sibling of x215's rebuild cure: IndexStore.forget with
+  // text that DIVERGES from the ingested bytes deletes the lens row but
+  // strands the true terms' postings cells, inflating df (deflating
+  // every survivor's idf) until repair. The gate ingests x172's 3-day
+  // layout, forgets doc_id % 7 == 2 under a fully divergent text,
+  // REQUIREs the leak (orphan cells exist AND the probe's scores differ
+  // from the repaired ones), runs IndexStore.repair (postings anti-join
+  // lens ids, keyed term-bucket delete), REQUIREs zero orphans, and
+  // probes: scores must hash-match batch BM25 over the survivors —
+  // x172's oracle verbatim.
+  def x216IndexRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "bmrepair")
+    val dayKey = pmod(xxhash64(col("doc_id").cast("string")), lit(3L))
+    (0 until 3).foreach { b =>
+      IndexStore.appendDay(spark, docs.filter(dayKey === b.toLong),
+        "doc_id", "text", s"d$b", root, partitions = 8)
+    }
+    val doomed = docs.filter(col("doc_id") % 7 === 2)
+    require(doomed.count() > 0L, "x216: empty doomed slice")
+    // the divergent request: none of the ingested terms are supplied,
+    // so EVERY true posting cell of the doomed docs is stranded
+    IndexStore.forget(spark,
+      doomed.withColumn("text", lit("qqdivergentzz")),
+      "doc_id", "text", root, forgetSeq = 1L)
+    def orphanCells(): Long = ManifestStore.read(spark, s"$root/postings")
+      .join(ManifestStore.read(spark, s"$root/lens").select(col("id")),
+        Seq("id"), "left_anti").count()
+    val leaked = orphanCells()
+    require(leaked > 0L, "x216: divergent forget stranded no postings")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val inflated = Dedup.materialize(
+      IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8))
+    IndexStore.repair(spark, root, partitions = 8)
+    require(orphanCells() == 0L, "x216: repair left orphan cells")
+    // idempotent re-run — a repair with nothing to do is a no-op
+    IndexStore.repair(spark, root, partitions = 8)
+    val fixed = IndexStore.bm25Probe(spark, root, qs, "doc_id",
+      topK = 15, partitions = 8)
+    require(inflated.except(fixed).count() > 0L,
+      "x216: df inflation never showed in the probe — the leak demo is dead")
+    fixed
+  }
+
+  // the repaired probe is batch BM25 over the survivors — x172's oracle
+  val x216Sql: String = x172Sql
 }

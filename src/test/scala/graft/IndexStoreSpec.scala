@@ -86,4 +86,34 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 5, partitions = 8)
     }
   }
+
+  test("repair: orphaned postings from a divergent forget GC'd; probe equals survivors batch") {
+    import graft.sources.ManifestStore
+    val root = fresh()
+    IndexStore.appendDay(spark, docs, "doc_id", "text", "d0", root, partitions = 4)
+    // forget doc 1 with text that shares NO terms with the ingested
+    // bytes: the lens row dies, its true cells (alpha, beta, gamma)
+    // stay orphaned and inflate those terms' df
+    IndexStore.forget(spark,
+      Seq((1L, "totally different words")).toDF("doc_id", "text"),
+      "doc_id", "text", root, forgetSeq = 1L, partitions = 4)
+    def orphans(): Long = ManifestStore.read(spark, s"$root/postings")
+      .join(ManifestStore.read(spark, s"$root/lens").select(col("id")),
+        Seq("id"), "left_anti").count()
+    assert(orphans() == 3L) // alpha, beta, gamma cells of doc 1
+    val before = IndexStore.bm25Probe(spark, root, qs, "doc_id",
+      topK = 10, partitions = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    IndexStore.repair(spark, root, partitions = 4)
+    assert(orphans() == 0L)
+    IndexStore.repair(spark, root, partitions = 4) // idempotent no-op
+    val got = IndexStore.bm25Probe(spark, root, qs, "doc_id",
+      topK = 10, partitions = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Retrieval.bm25TopK(docs.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", qs, k = 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(before != got, "df inflation never showed in the probe")
+  }
 }
