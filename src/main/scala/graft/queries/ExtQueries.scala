@@ -8369,4 +8369,236 @@ object ExtQueries {
 
   // the repaired probe is batch BM25 over the survivors — x172's oracle
   val x216Sql: String = x172Sql
+
+  // --- x217: COMPOSED cross-store erasure ------------------------------------
+  // The shape a real deletion pipeline runs: ONE erasure request — a
+  // manifest carrying the subject's keys in every keyspace (doc_id /
+  // vec_id / l_orderkey / user_id, all % 7 == 2; a production request
+  // enumerates its identifiers per system) plus the subject's content
+  // for the content-keyed stores — driven through ALL EIGHT forget
+  // families in one documented order, then a BLIND AUDIT (every
+  // id-keyed store table probed for the keys: zero hits, REQUIREd) and
+  // a full-request REPLAY (the orchestrator-crash recovery: every
+  // family is keyed-idempotent or fenced). Output: one serving-read
+  // FINGERPRINT row per store — count + bit_xor of md5-48 over the
+  // canonical row string — each of which the oracle recomputes from
+  // the SURVIVING base rows, so any stale or missing serving content
+  // in any store flips the hash.
+  //
+  // Order, documented: (1) content-consuming forgets first (dedup
+  // fp/idx, BM25 postings) — they need the subject's bytes, so they
+  // must run before the lakehouse's own delete would remove them;
+  // (2) id-keyed derived stores (vector, cluster, sample); (3)
+  // subtraction-correction stores (moments, view aggregates); (4) the
+  // dimension history (SCD2) last. The moment store holds no per-id
+  // rows, so its audit IS the serving equality (direction == survivors'
+  // from-scratch build, bit-exact).
+  def x217ComposedErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.{ClusterStore, DedupStores, IndexStore, Scd2Store, VectorStore, ViewStore}
+    import graft.sources.ManifestStore
+    val docs = Dedup.materialize(t(spark, dir, "documents"))
+    val emb = Dedup.materialize(t(spark, dir, "embeddings"))
+    // --- build the eight stores ---
+    val fpT = FreshTables.next(spark, dir, "cefp")
+    val idxT = FreshTables.next(spark, dir, "ceidx")
+    DedupStores.build(spark, docs, "doc_id", "text", fpT, idxT)
+    val clT = FreshTables.next(spark, dir, "cecl")
+    ClusterStore.build(spark,
+      Dedup.materialize(Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)),
+      clT, partitions = 8)
+    val bmT = FreshTables.next(spark, dir, "cebm")
+    (0 until 2).foreach { d =>
+      IndexStore.appendDay(spark, docs.filter(pmod(col("doc_id"), lit(2L)) === d.toLong),
+        "doc_id", "text", s"d$d", bmT, partitions = 8)
+    }
+    val annT = FreshTables.next(spark, dir, "ceann")
+    VectorStore.build(spark, emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", annT, dim = 64, m = 4, k = 16, stride = 3)
+    val momT = FreshTables.next(spark, dir, "cemom")
+    (0 until 2).foreach { d =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(pmod(col("vec_id"), lit(2L)) === d.toLong),
+        "embedding", 64, s"d$d", momT)
+    }
+    val smpT = FreshTables.next(spark, dir, "cesmp")
+    val wdocs = docs.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("wc"))
+    (0 until 2).foreach { d =>
+      SampleStore.appendDay(spark,
+        wdocs.filter(pmod(col("doc_id"), lit(2L)) === d.toLong),
+        "doc_id", col("wc"), s"d$d", k = 100, slack = 64, table = smpT)
+    }
+    val vwT = FreshTables.next(spark, dir, "cevw")
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderpriority"))
+    (0 until 2).foreach { d =>
+      ViewStore.appendDayAgg(spark, vwT,
+        li.filter(pmod(col("okey"), lit(2L)) === d.toLong),
+        ord.filter(pmod(col("okey") + 1L, lit(2L)) === d.toLong),
+        "okey", Seq("okey", "l_linenumber"), Seq("okey"),
+        day = s"d$d", groupCols = Seq("o_orderpriority"),
+        sumCols = Seq("l_quantity"))
+    }
+    val scT = FreshTables.next(spark, dir, "cesc")
+    val ev = t(spark, dir, "events")
+    val feed = Dedup.materialize(ev.filter(col("event_type") === "purchase")
+      .withColumn("ts_us", Events.epochMicros(ev))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value")))
+    (0 until 2).foreach { d =>
+      Scd2Store.appendDay(spark, scT,
+        feed.filter(pmod(col("event_id"), lit(2L)) === d.toLong),
+        "user_id", "ts_us", "event_id", Seq("value"))
+    }
+    // --- THE REQUEST: the subject's keys + content, every keyspace ---
+    val doomedDocs = Dedup.materialize(docs.filter(col("doc_id") % 7 === 2))
+    val doomedDocIds = doomedDocs.select(col("doc_id").as("id"))
+    val doomedVecs = Dedup.materialize(emb.filter(col("vec_id") % 7 === 2))
+    val doomedLi = li.filter(col("okey") % 7 === 2)
+    val doomedUsers = feed.filter(col("user_id") % 7 === 2)
+    require(doomedDocs.count() > 0 && doomedVecs.count() > 0,
+      "x217: empty erasure manifest")
+    def runRequest(): Unit = {
+      DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT)
+      IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
+        forgetSeq = 1L, partitions = 8)
+      VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT)
+      ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8)
+      SampleStore.forget(spark, smpT, "doc_id", doomedDocs.select(col("doc_id")))
+      graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
+        "f1", momT)
+      ViewStore.forgetA(spark, vwT, doomedLi, "okey",
+        Seq("okey", "l_linenumber"), forgetSeq = 1L,
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+      Scd2Store.forget(spark, scT, doomedUsers, "user_id")
+    }
+    runRequest()
+    // --- BLIND AUDIT: zero hits for the subject in every id-keyed table ---
+    def hits(table: String, keyCol: String, keys: DataFrame): Long =
+      ManifestStore.read(spark, table)
+        .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi").count()
+    val audit = Seq(
+      ("dedup_fp", hits(fpT, "id", doomedDocIds)),
+      ("dedup_idx", hits(idxT, "id", doomedDocIds)),
+      ("cluster", hits(clT, "id", doomedDocIds)),
+      ("cluster_twin", hits(s"$clT/_idindex", "id", doomedDocIds)),
+      ("bm25_postings", hits(s"$bmT/postings", "id", doomedDocIds)),
+      ("bm25_lens", hits(s"$bmT/lens", "id", doomedDocIds)),
+      ("ann_codes", hits(s"$annT/codes", "vec_id", doomedVecs)),
+      ("ann_assign", hits(s"$annT/assign", "vec_id", doomedVecs)),
+      ("sample", hits(smpT, "doc_id", doomedDocs)),
+      ("view_base", hits(s"$vwT/a", "okey", doomedLi)),
+      ("view_rows", hits(s"$vwT/view", "okey", doomedLi)),
+      ("scd2", hits(scT, "user_id", doomedUsers)))
+    for ((name, n) <- audit)
+      require(n == 0L, s"x217 blind audit: $n subject rows survived in $name")
+    // --- REPLAY the whole request: the orchestrator-crash recovery ---
+    runRequest()
+    // --- serving fingerprints, one row per store ---
+    def fold(store: String, df: DataFrame, canon: org.apache.spark.sql.Column): DataFrame =
+      df.select(conv(substring(md5(canon), 1, 12), 16, 10).cast("long").as("__h"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(__h)"), lit(0L)).as("fp"))
+        .select(lit(store).as("store"), col("n_rows"), col("fp"))
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val folds = Seq(
+      fold("dedup_fp", ManifestStore.read(spark, fpT),
+        concat_ws("|", col("fp"), col("id"))),
+      fold("dedup_idx", ManifestStore.read(spark, idxT), col("id").cast("string")),
+      fold("cluster", ClusterStore.readLabels(spark, clT),
+        concat_ws("|", col("id"), col("label"))),
+      fold("bm25", IndexStore.bm25Probe(spark, bmT, qs, "doc_id",
+          topK = 15, partitions = 8),
+        concat_ws("|", col("query_id"), col("rank"), col("doc_id"),
+          round(col("score") * lit(1e6d), 0).cast("long"))),
+      fold("ann", VectorStore.probe(spark, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", annT,
+          dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10),
+        concat_ws("|", col("query_id"), col("rank"), col("vec_id"), col("est_d9"))),
+      fold("moments",
+        graft.ext.EmbedPost.directionFromMoments(spark, momT, 64, iters = 3)
+          .zipWithIndex.map { case (c, p) => (p, c) }.toSeq.toDF("pos", "comp"),
+        concat_ws("|", col("pos"), col("comp"))),
+      fold("sample", SampleStore.sampleFromStore(spark, smpT, "doc_id", 100),
+        concat_ws("|", col("doc_id"), col("sample_rank"),
+          round(col("es_key") * lit(1e6d), 0).cast("long"))),
+      fold("view", ViewStore.readAgg(spark, vwT,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")),
+        concat_ws("|", col("o_orderpriority"), col("cnt"),
+          round(col("sum_l_quantity") * lit(100d), 0).cast("long"))),
+      fold("scd2", Scd2Store.history(spark, scT),
+        concat_ws("|", col("user_id"), round(col("value") * lit(1e6d), 0).cast("long"),
+          col("version"), col("valid_from_us"), coalesce(col("valid_to_us"), lit(-1L)))))
+    folds.reduce(_ unionByName _)
+  }
+
+  // each store's serving read recomputed from the SURVIVING base rows,
+  // folded with the same md5-48 bit_xor
+  val x217Sql: String = {
+    def sec(store: String, inner: String, canon: String): String =
+      s"""SELECT '$store' AS store, CAST(count(*) AS BIGINT) AS n_rows,
+         coalesce(bit_xor(${duckHex48("hx")}), 0) AS fp
+       FROM (SELECT md5($canon) AS hx FROM ($inner) t0) t"""
+    val clusterInner =
+      s"""WITH RECURSIVE ${jaccardCtes(3)},
+         ${componentCtes(0.7)},
+         cl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         surv AS (SELECT id, comp FROM cl WHERE id % 7 <> 2),
+         rel AS (SELECT comp, min(id) AS label FROM surv GROUP BY comp)
+         SELECT surv.id AS id, rel.label AS label FROM surv JOIN rel USING (comp)"""
+    val sampleInner =
+      s"""WITH w AS (SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+           md5(CAST(doc_id AS VARCHAR)) AS hx
+         FROM documents WHERE doc_id % 7 <> 2),
+         h AS (SELECT doc_id, wc, ${duckHex48("hx")} AS h48 FROM w),
+         k AS (SELECT doc_id,
+               round(ln((CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                     / greatest(CAST(wc AS DOUBLE), 1.0), 6) AS es_key FROM h),
+         r AS (SELECT doc_id, es_key,
+               row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k)
+         SELECT doc_id, CAST(rn AS BIGINT) AS sample_rank, es_key
+         FROM r WHERE rn <= 100"""
+    val viewAnchor = "FROM lineitem JOIN orders"
+    require(x179Sql.contains(viewAnchor), "x217: x179Sql anchor moved")
+    val scd2Anchor = "WHERE event_type = 'purchase'"
+    require(x91Sql.contains(scd2Anchor), "x217: x91Sql anchor moved")
+    Seq(
+      sec("dedup_fp",
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id AS id
+           FROM documents WHERE doc_id % 7 <> 2 AND text IS NOT NULL""",
+        "fp || '|' || CAST(id AS VARCHAR)"),
+      sec("dedup_idx",
+        """SELECT doc_id AS id FROM (
+             SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+             FROM documents WHERE doc_id % 7 <> 2) w
+           WHERE len(ws) >= 3""",
+        "CAST(id AS VARCHAR)"),
+      sec("cluster", clusterInner,
+        "CAST(id AS VARCHAR) || '|' || CAST(label AS VARCHAR)"),
+      sec("bm25", x216Sql,
+        "query_id || '|' || CAST(rank AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(CAST(round(score * 1000000.0) AS BIGINT) AS VARCHAR)"),
+      sec("ann", x157Sql,
+        "CAST(query_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) || '|' || CAST(est_d9 AS VARCHAR)"),
+      sec("moments", momentsSql("WHERE vec_id % 7 <> 2"),
+        "CAST(pos AS VARCHAR) || '|' || CAST(comp AS VARCHAR)"),
+      sec("sample", sampleInner,
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(sample_rank AS VARCHAR) || '|' || CAST(CAST(round(es_key * 1000000.0) AS BIGINT) AS VARCHAR)"),
+      sec("view",
+        x179Sql.replace(viewAnchor,
+          "FROM (SELECT * FROM lineitem WHERE l_orderkey % 7 <> 2) lineitem JOIN orders"),
+        "o_orderpriority || '|' || CAST(cnt AS VARCHAR) || '|' || CAST(CAST(round(sum_l_quantity * 100.0) AS BIGINT) AS VARCHAR)"),
+      sec("scd2",
+        x91Sql.replace(scd2Anchor,
+          scd2Anchor + " AND user_id % 7 <> 2"),
+        "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(version AS VARCHAR) || '|' || CAST(valid_from_us AS VARCHAR) || '|' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)")
+    ).mkString("\nUNION ALL\n")
+  }
 }
