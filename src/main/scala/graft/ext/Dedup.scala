@@ -499,11 +499,33 @@ object Dedup {
     * candidates to near-duplicate volume.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    hammingPairs64(simhashDf(df, idCol, textCol, portable), maxDist)
+
+  /** Pigeonhole-blocked Hamming pairs over ANY precomputed 64-bit hash
+    * frame `(id, fp)` — the blocking engine behind [[simhashPairs]],
+    * exposed so other 64-bit fingerprints (the perceptual dHash in
+    * [[Multimodal.dHash64]], an audio chroma hash) reuse it instead of
+    * reinventing the blocks. EXACT recall: the 64 bits split into
+    * `maxDist + 1` chunks, and any pair within `maxDist` differing bits
+    * must agree on ≥ 1 whole chunk (pigeonhole), so the chunk-key
+    * equi-join proposes a candidate superset and the exact popcount
+    * verifies. 64 must divide evenly into the chunks — a lossy split
+    * would silently drop recall, so it fails loudly instead.
+    *
+    * 100 TB shape: the join is an equi-join on (chunk, ckey) — ordinary
+    * hash shuffle, no cross join anywhere; candidates per bucket scale
+    * with genuine collisions, and the exact verify is a codegen'd
+    * popcount on the already-joined rows.
+    */
+  def hammingPairs64(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
+    require(64 % chunks == 0,
+      s"hammingPairs64: maxDist=$maxDist needs ${chunks} chunks, which do not " +
+        "divide 64 bits evenly — the leftover bits would silently lose recall " +
+        "(use maxDist in {0, 1, 3, 7, 15, 31, 63})")
     val bitsPer = 64 / chunks
-    val f = simhashDf(df, idCol, textCol, portable)
-    val blocked = f.select(col("id"), col("fp"), posexplode(
+    val blocked = hashed.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map(i =>
         shiftrightunsigned(col("fp"), i * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk", "ckey")))

@@ -63,6 +63,62 @@ object Multimodal {
     }
   }
 
+  /** Typed row for the perceptual-hash stage. */
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual difference hash (dHash — the standard public
+    * image-near-dup recipe: resize to a 9×8 grayscale grid, emit one
+    * bit per horizontally adjacent pixel pair, Hamming distance ≈
+    * perceptual distance) over the STUBBED decode: the 9×8 grid is
+    * sampled deterministically from the payload bytes (cell k of 72
+    * reads byte ⌊k·len/72⌋ — the "resize") instead of decoded pixels,
+    * the same stub convention as [[decodeStub]]/x191. The dHash
+    * ALGORITHM — grid → adjacent-compare → 64 bits — and the Spark
+    * plumbing (one mapPartitions pass, codec state reusable per
+    * partition, constant memory) are the production shape; swap the
+    * grid sampler for a real resize+grayscale in deployment.
+    *
+    * Bit layout: bit (r·8 + c) is set iff grid(r, c+1) > grid(r, c),
+    * rows r and columns c in 0..7 over the 9-wide grid. Empty payloads
+    * hash to 0. Deterministic, so the whole pipeline oracles.
+    */
+  def dHash64(ds: Dataset[MediaBlob]): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    ds.mapPartitions { it =>
+      // real impl: initialize the resize/grayscale codec ONCE here
+      it.map { m =>
+        val len = m.blob.length
+        var h = 0L
+        if (len > 0) {
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val k1 = r * 9 + c
+              val p1 = m.blob(((k1.toLong * len) / 72L).toInt) & 0xff
+              val p2 = m.blob((((k1 + 1).toLong * len) / 72L).toInt) & 0xff
+              if (p2 > p1) h |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+        }
+        MediaHash(m.media_id, h)
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs over a media corpus: [[dHash64]] bits →
+    * Hamming-banded candidate blocks → exact popcount verify, i.e. the
+    * x06 simhash pigeonhole machinery ([[Dedup.hammingPairs64]]) fed by
+    * the perceptual hash instead of the token hash. Exact recall at
+    * `maxDist` (see hammingPairs64); output (id_a, id_b, hamming).
+    */
+  def perceptualPairs(ds: Dataset[MediaBlob], maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs64(
+      dHash64(ds).toDF().select(col("media_id").as("id"), col("phash").as("fp")),
+      maxDist)
+
   /** Frame-sampling shape for video-like payloads: split a blob into fixed
     * windows ("frames") and emit one row per sampled frame — the explode
     * pattern that keeps frame rows independent (and thus redistributable)

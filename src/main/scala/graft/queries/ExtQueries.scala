@@ -8601,4 +8601,66 @@ object ExtQueries {
         "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(version AS VARCHAR) || '|' || CAST(valid_from_us AS VARCHAR) || '|' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)")
     ).mkString("\nUNION ALL\n")
   }
+
+  // --- x218: perceptual near-dup over media blobs (dHash + Hamming bands) ----
+  // The media modality joins the near-dup matrix (text has 5 flavors,
+  // embeddings SRP/SemDeDup; media had none): the standard public
+  // recipe — dHash bits over the stubbed decode's deterministic 9×8
+  // grid, Hamming-banded candidate pairs via x06's pigeonhole blocks
+  // (exact recall at maxDist=3), exact popcount verify. The fixture is
+  // ASCII, so each sampled byte is a codepoint and the oracle unrolls
+  // the WHOLE pipeline — grid sampling, all 64 dHash bits, the
+  // brute-force Hamming verify — in SQL.
+  // The fixture has no natural near-dup PAYLOADS (its near-dup texts
+  // differ byte-wise enough that the sampled grid diverges — min pair
+  // distance 13 at gate SFs), so the gate derives the actual use case
+  // deterministically in BOTH engines: every 10th asset gets a
+  // "re-encoded twin" with ONE middle byte replaced. One byte feeds at
+  // most one grid cell (len ≥ 72 samples each position once; a cell
+  // appears in ≤ 2 adjacent comparisons), so a twin's dHash is within
+  // Hamming 2 of its original — the banded pipeline must surface
+  // exactly the twin pairs, and the REQUIRE pins non-vacuity.
+  def x218PerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val twins = base
+      .filter(col("media_id") % 10 === 0 && length(col("text")) >= 4)
+      .select((col("media_id") + lit(100000000L)).as("media_id"),
+        expr("concat(substr(text, 1, length(text) div 2), 'q', " +
+          "substr(text, length(text) div 2 + 2))").as("text"))
+    val media = base.unionByName(twins)
+      .select(col("media_id"), col("text").cast("binary").as("blob"))
+      .as[Multimodal.MediaBlob]
+    val pairs = Multimodal.perceptualPairs(media, maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x218: no perceptual pairs — vacuous gate")
+    pairs
+  }
+
+  val x218Sql: String = {
+    // bit (r*8 + c): grid cell k = r*9 + c samples byte ⌊k·len/72⌋
+    // (1-based substr; ASCII fixture ⇒ ascii(char) == byte value)
+    val bits = (0 until 64).map { i =>
+      val k1 = (i / 8) * 9 + (i % 8)
+      def px(k: Int) = s"ascii(substr(text, CAST(($k * len) // 72 AS BIGINT) + 1, 1))"
+      s"CASE WHEN ${px(k1 + 1)} > ${px(k1)} THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString("(", "\n             + ", ")")
+    s"""WITH base AS (SELECT doc_id AS media_id, text
+         FROM documents WHERE text IS NOT NULL),
+       m AS (SELECT media_id, text FROM base
+         UNION ALL
+         SELECT media_id + 100000000,
+           substr(text, 1, length(text) // 2) || 'q' || substr(text, length(text) // 2 + 2)
+         FROM base WHERE media_id % 10 = 0 AND length(text) >= 4),
+       mm AS (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM m),
+       ph AS (SELECT media_id,
+           CASE WHEN len = 0 THEN 0 ELSE $bits END AS ph
+         FROM mm)
+       SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       FROM ph a JOIN ph b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.ph, b.ph)) <= 3"""
+  }
 }

@@ -211,6 +211,36 @@ class ExtSpec extends SparkSpec {
     assert(out.features(0) == (1 + 5) / 8.0)
   }
 
+  test("dHash64: hand-computed bits; one-byte perturbation stays within Hamming 2") {
+    import spark.implicits._
+    // 72-byte blob = the grid samples byte k exactly at cell k: cell
+    // values are 0..71 ascending, so EVERY adjacent compare in a row is
+    // "greater" EXCEPT none — all 64 bits set
+    val asc = Array.tabulate[Byte](72)(_.toByte)
+    val h = Multimodal.dHash64(Seq(Multimodal.MediaBlob(1L, asc)).toDS())
+      .collect().head.phash
+    assert(h == -1L, s"ascending grid must set all 64 bits, got $h")
+    // empty payload hashes to 0
+    val h0 = Multimodal.dHash64(Seq(Multimodal.MediaBlob(2L, Array[Byte]())).toDS())
+      .collect().head.phash
+    assert(h0 == 0L)
+    // a single replaced byte feeds one grid cell -> at most 2 bits flip,
+    // and perceptualPairs surfaces the twin through the banded blocks
+    val tw = asc.clone(); tw(36) = 100.toByte
+    val pairs = Multimodal.perceptualPairs(
+      Seq(Multimodal.MediaBlob(1L, asc), Multimodal.MediaBlob(2L, tw)).toDS(),
+      maxDist = 3).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Number]("hamming").longValue <= 2L)
+  }
+
+  test("hammingPairs64 refuses a chunk split that loses recall") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("id", "fp")
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.hammingPairs64(df, maxDist = 2) // 3 chunks, 64 % 3 != 0
+    }
+  }
+
   test("frame sampling explodes every nth frame with byte slices") {
     val blob = Array.tabulate[Byte](10)(_.toByte)
     val df = Seq((1L, blob)).toDF("id", "blob")
