@@ -405,30 +405,63 @@ object VectorStore {
       k: Int): Unit = {
     val cents = ManifestStore.read(spark, centroidsT(root))
       .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
+    // the STALENESS STAMP: the codes table's snapshot version at
+    // measurement time. Every appendDay/forget commit bumps it, so
+    // "commits since the law was measured" is exactly the version gap
+    // autoNprobe checks — the skipping indexes' version-stamp refusal
+    // pattern, applied to a statistical artifact.
+    val cv = ManifestStore.versions(spark, codesT(root)).headOption.getOrElse(0)
     ManifestStore.write(spark,
       Similarity.nprobeRankHist(data, cents, queries, idCol, vecCol, k)
         .withColumn("law_k", lit(k.toLong))
+        .withColumn("law_codes_v", lit(cv.toLong))
         .withColumn("__pt", lit(0L)),
       lawT(root), "__pt")
   }
 
+  private val warnedStaleLaw = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Resolve the smallest nprobe meeting `targetRecall` from the
     * persisted law — O(centroids) rows read, no corpus work. `k` must
     * match the depth the law was measured at.
+    *
+    * STALENESS: the law is a measurement of the distribution at
+    * measurement time; appends shift it silently, so the law records
+    * the codes table's snapshot version and this resolve compares it to
+    * the CURRENT one. More than `maxLawLag` commits since measurement
+    * (default 0 — any append invalidates) either REFUSES (default: the
+    * production posture — a stale law resolving a too-narrow nprobe is
+    * a silent recall cut) or WARNS once (`staleLawAction = "warn"`, the
+    * ad-hoc posture). The cure is re-running [[writeNprobeLaw]].
     */
   def autoNprobe(
       spark: SparkSession,
       root: String,
       k: Int,
       targetRecall: Double,
-      maxNprobe: Int = 0): Int = {
+      maxNprobe: Int = 0,
+      maxLawLag: Int = 0,
+      staleLawAction: String = "refuse"): Int = {
+    require(staleLawAction == "refuse" || staleLawAction == "warn",
+      s"VectorStore.autoNprobe: staleLawAction=$staleLawAction (refuse|warn)")
     val rows = ManifestStore.read(spark, lawT(root))
-      .select(col("c_rank"), col("hits"), col("law_k"))
+      .select(col("c_rank"), col("hits"), col("law_k"), col("law_codes_v"))
       .collect()
     require(rows.forall(_.getLong(2) == k.toLong),
       s"VectorStore: $root's nprobe law was measured at " +
         s"k=${rows.headOption.map(_.getLong(2)).getOrElse(-1L)}, not $k — " +
         "re-run writeNprobeLaw at the depth you probe at")
+    val lawV = rows.headOption.map(_.getLong(3)).getOrElse(0L)
+    val curV = ManifestStore.versions(spark, codesT(root)).headOption.getOrElse(0).toLong
+    if (curV - lawV > maxLawLag.toLong) {
+      val msg = s"VectorStore: $root's nprobe law was measured at codes " +
+        s"version $lawV but the store is at $curV (${curV - lawV} commits " +
+        s"past the allowed $maxLawLag) — the distribution may have shifted; " +
+        "re-run writeNprobeLaw (or raise maxLawLag / staleLawAction=\"warn\")"
+      if (staleLawAction == "refuse") throw new IllegalStateException(msg)
+      else if (warnedStaleLaw.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     Similarity.nprobeFromHist(
       rows.map(r => (r.getInt(0), r.getLong(1))).toSeq, targetRecall, maxNprobe)
   }
@@ -436,7 +469,8 @@ object VectorStore {
   /** The PRODUCTION probe entry: nprobe comes from the persisted sizing
     * law at a DECLARED target recall, not a hand-picked constant —
     * [[autoNprobe]] then [[probe]]. `maxNprobe > 0` is the latency
-    * budget cap (recall degrades honestly when it binds).
+    * budget cap (recall degrades honestly when it binds); `maxLawLag` /
+    * `staleLawAction` are the law-staleness dials (see [[autoNprobe]]).
     */
   def probeAuto(
       spark: SparkSession,
@@ -451,7 +485,10 @@ object VectorStore {
       targetRecall: Double,
       topK: Int,
       maxNprobe: Int = 0,
-      trainIters: Int = 0): DataFrame =
+      trainIters: Int = 0,
+      maxLawLag: Int = 0,
+      staleLawAction: String = "refuse"): DataFrame =
     probe(spark, queries, idCol, vecCol, root, dim, m, k, stride,
-      autoNprobe(spark, root, topK, targetRecall, maxNprobe), topK, trainIters)
+      autoNprobe(spark, root, topK, targetRecall, maxNprobe, maxLawLag, staleLawAction),
+      topK, trainIters)
 }

@@ -60,6 +60,41 @@ class VectorLawSpec extends SparkSpec {
     assert(VectorStore.autoNprobe(spark, root, k = 5, targetRecall = 0.9) >= 1)
   }
 
+  test("stale law: appends past maxLawLag refuse strictly, warn-mode resolves, re-measure cures") {
+    val data = emb
+    val cents = data.filter(col("vec_id") % 50 === 0)
+    val queries = data.filter(col("vec_id") < 8)
+    val root = fresh()
+    VectorStore.build(spark,
+      data.filter(col("vec_id") % 5 =!= 1), cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3)
+    VectorStore.writeNprobeLaw(spark, data.filter(col("vec_id") % 5 =!= 1),
+      queries, "vec_id", "embedding", root, k = 10)
+    // fresh law resolves
+    assert(VectorStore.autoNprobe(spark, root, 10, 0.9) >= 1)
+    // one append bumps the codes version past maxLawLag = 0
+    VectorStore.appendDay(spark, data.filter(col("vec_id") % 5 === 1),
+      "vec_id", "embedding", root, 64, 4, 16, 3)
+    val e = intercept[IllegalStateException] {
+      VectorStore.autoNprobe(spark, root, 10, 0.9)
+    }
+    assert(e.getMessage.contains("nprobe law was measured at codes version"))
+    intercept[IllegalStateException] {
+      VectorStore.probeAuto(spark, queries, "vec_id", "embedding",
+        root, 64, 4, 16, 3, targetRecall = 0.9, topK = 10)
+    }
+    // caller-chosen postures: a raised lag budget or warn-mode resolve
+    assert(VectorStore.autoNprobe(spark, root, 10, 0.9, maxLawLag = 1) >= 1)
+    assert(VectorStore.autoNprobe(spark, root, 10, 0.9,
+      staleLawAction = "warn") >= 1)
+    // the cure: re-measure against the grown corpus — strict resolves
+    VectorStore.writeNprobeLaw(spark, data, queries, "vec_id", "embedding",
+      root, k = 10)
+    assert(VectorStore.autoNprobe(spark, root, 10, 0.9) >= 1)
+    assert(VectorStore.probeAuto(spark, queries, "vec_id", "embedding",
+      root, 64, 4, 16, 3, targetRecall = 0.9, topK = 10).count() > 0L)
+  }
+
   test("trained-codebook build: geometry guards iters; store uses the trained book") {
     val data = emb
     val cents = data.filter(col("vec_id") % 50 === 0)
