@@ -46,15 +46,32 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val timed = Seq.fill(3) { (calibrate(), pass()) }
-    val (calibs, passes) = (timed.map(_._1), timed.map(_._2))
+    // POLLUTION-GATED passes (r11 verdict #5): pass 3 of r11 ran 2.1×
+    // under external machine load and only min-of-3 saved the artifact —
+    // two polluted passes would silently corrupt every min with no flag.
+    // The gate: collect passes until 3 are CLEAN (total ≤ 1.5× the best
+    // collected total) or 5 have run; per-query MIN is over clean passes
+    // only, and every pass carries an explicit verdict in the artifacts,
+    // so a number can never silently include a loaded-machine sample.
+    val timedBuf = scala.collection.mutable.ArrayBuffer[(Double, Map[String, Double])]()
+    def totalOf(p: Map[String, Double]): Double = p.values.filterNot(_.isNaN).sum
+    def verdicts: Seq[Boolean] = {
+      val totals = timedBuf.map(t => totalOf(t._2))
+      if (totals.isEmpty) Nil
+      else { val best = totals.min; totals.map(_ <= 1.5 * best).toSeq }
+    }
+    while (timedBuf.size < 5 && verdicts.count(identity) < 3)
+      timedBuf += ((calibrate(), pass()))
+    val (calibs, passes) = (timedBuf.map(_._1).toSeq, timedBuf.map(_._2).toSeq)
+    val clean = verdicts
+    val cleanPasses = passes.zip(clean).collect { case (p, true) => p }
     val results = passes.head.keys.map { k =>
-      val times = passes.map(_(k)).filterNot(_.isNaN)
+      val times = cleanPasses.map(_(k)).filterNot(_.isNaN)
       k -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
     // per-pass totals over queries that succeeded in THAT pass: uniform
     // inflation across passes = load noise; one slow pass = GC/JIT blip
-    val passTotals = passes.map(_.values.filterNot(_.isNaN).sum)
+    val passTotals = passes.map(totalOf)
     // 3-decimal values: the harness that captures this output keeps only a
     // bounded TAIL of stdout (r2/r3 both came back `parsed: null` with the
     // line's head — including the headline total — sliced off), so the
@@ -81,16 +98,19 @@ object Bench {
     // leaving regression claims only partially auditable. This file is
     // the authoritative record — full min-of-passes map, every per-pass
     // map, and the calibration probes — written where `git add` finds it.
-    writeDetail(results, passes, calibs, sfDir)
+    writeDetail(results, passes, clean, calibs, sfDir)
+    val nClean = clean.count(identity)
+    val verdictJson = clean.map(c => "\"" + (if (c) "clean" else "polluted") + "\"")
+      .mkString("[", ",", "]")
     val noise =
-      s""""pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},"calib":${calibs.map(f3).mkString("[", ",", "]")}"""
+      s""""pass_totals":${passTotals.map(f3).mkString("[", ",", "]")},"pass_verdicts":$verdictJson,"calib":${calibs.map(f3).mkString("[", ",", "]")}"""
     val fams = s""""engine":${f3(engineT)},"lifecycle":${f3(lifecycleT)}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$fams,$noise,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$nClean,"failed":$failed,$fams,$noise,"queries":$qs,"sf":"$sfDir"}""")
     // Repeat the headline + slowest queries as a SHORT self-contained JSON
     // line LAST: whatever the capture buffer size, this one survives whole.
     val top = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"failed":$failed,$fams,$noise,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$nClean,"failed":$failed,$fams,$noise,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -106,6 +126,7 @@ object Bench {
   private def writeDetail(
       results: Map[String, Double],
       passes: Seq[Map[String, Double]],
+      clean: Seq[Boolean],
       calibs: Seq[Double],
       sfDir: String): Unit = {
     try {
@@ -128,8 +149,11 @@ object Bench {
       val fams =
         s""""engine":${f3(famTotal(k => !SparkEntry.lifecycleQueries.contains(k)))},""" +
           s""""lifecycle":${f3(famTotal(SparkEntry.lifecycleQueries.contains))}"""
+      val verdictJson = clean.map(c => "\"" + (if (c) "clean" else "polluted") + "\"")
+        .mkString("[", ",", "]")
       val json =
-        s"""{"round":$round,"sf":"$sfDir","passes":3,
+        s"""{"round":$round,"sf":"$sfDir","passes":${clean.count(identity)},
+           |"pass_verdicts":$verdictJson,
            |$fams,
            |"calib":${calibs.map(f3).mkString("[", ",", "]")},
            |"min":${qmap(results)},
