@@ -849,6 +849,18 @@ object ExtQueries {
         "doc_id", "text", s"$root/fp", s"$root/idx")
     }
 
+  /** The plain full-corpus VectorStore (cents = vec_id % 50, 64/4/16/3)
+    * as a build-once prototype — x180 probes it read-only; x150 (law
+    * write), x157 and x217 (forgets) clone it first.
+    */
+  private def vecStoreProto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "vecstore") { root =>
+      val data = t(spark, dir, "embeddings")
+      graft.ext.VectorStore.build(spark, data,
+        data.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", root, dim = 64, m = 4, k = 16, stride = 3)
+    }
+
   /** The all-docs ClusterStore (components over [[allPairs]]) as a
     * build-once prototype — x173/x215/x217 clone it, then forget.
     */
@@ -5237,10 +5249,8 @@ object ExtQueries {
   def x150AutoProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.VectorStore
     val data = t(spark, dir, "embeddings")
-    val cents = data.filter(col("vec_id") % 50 === 0)
     val root = FreshTables.next(spark, dir, "autoprobe")
-    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
-      dim = 64, m = 4, k = 16, stride = 3)
+    ProtoStores.cloneTo(spark, vecStoreProto(spark, dir), root)
     val queries = data.filter(col("vec_id") < 8)
     VectorStore.writeNprobeLaw(spark, data, queries, "vec_id", "embedding",
       root, k = 10)
@@ -5697,10 +5707,8 @@ object ExtQueries {
   def x157VectorForget(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.VectorStore
     val data = t(spark, dir, "embeddings")
-    val cents = data.filter(col("vec_id") % 50 === 0)
     val root = FreshTables.next(spark, dir, "vforget")
-    VectorStore.build(spark, data, cents, "vec_id", "embedding", root,
-      dim = 64, m = 4, k = 16, stride = 3)
+    ProtoStores.cloneTo(spark, vecStoreProto(spark, dir), root)
     val doomed = data.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
     VectorStore.forget(spark, doomed, "vec_id", root)
     val ms = graft.sources.ManifestStore
@@ -6765,17 +6773,14 @@ object ExtQueries {
     import graft.ext.{IndexStore, VectorStore}
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    val lexRoot = FreshTables.next(spark, dir, "hyblex")
-    IndexStore.appendDay(spark, docs, "doc_id", "text", "d0", lexRoot)
+    val lexRoot = bm25Proto(spark, dir)
     val qs = Seq(
       ("q_hash_join", Seq("hash", "join")),
       ("q_stream", Seq("stream", "window", "batch")),
       ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
     val lexical = IndexStore.bm25Probe(spark, lexRoot, qs, "doc_id", topK = 20)
       .select(col("query_id"), col("rank"), col("doc_id"))
-    val vecRoot = FreshTables.next(spark, dir, "hybvec")
-    VectorStore.build(spark, emb, emb.filter(col("vec_id") % 50 === 0),
-      "vec_id", "embedding", vecRoot, dim = 64, m = 4, k = 16, stride = 3)
+    val vecRoot = vecStoreProto(spark, dir)
     val probeMap = Seq(("q_hash_join", 0L), ("q_stream", 1L), ("q_vector", 2L))
       .toDF("qname", "pvec")
     val dense = VectorStore.probe(spark, emb.filter(col("vec_id") < 3),
@@ -8471,8 +8476,7 @@ object ExtQueries {
     val bmT = FreshTables.next(spark, dir, "cebm")
     ProtoStores.cloneTo(spark, bm25Proto(spark, dir), bmT)
     val annT = FreshTables.next(spark, dir, "ceann")
-    VectorStore.build(spark, emb, emb.filter(col("vec_id") % 50 === 0),
-      "vec_id", "embedding", annT, dim = 64, m = 4, k = 16, stride = 3)
+    ProtoStores.cloneTo(spark, vecStoreProto(spark, dir), annT)
     val momT = FreshTables.next(spark, dir, "cemom")
     (0 until 2).foreach { d =>
       graft.ext.EmbedPost.momentsAppendDay(spark,
