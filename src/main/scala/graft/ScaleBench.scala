@@ -583,6 +583,28 @@ object ScaleBench {
     // half — expect the x199 shape plus a linear scoring term
     "x214_spectral_score")
 
+  /** Round-12 operators: the two store-repair ops, the composed
+    * erasure, and the perceptual near-dup. The repair/erasure gates run
+    * over PROTOTYPE store clones (the r12 fixture diet), so their
+    * curves measure clone + forget/repair + serve — the builds' growth
+    * is the store gates' own rows.
+    */
+  val R12Family: Seq[String] = Seq(
+    // index self-probe (the x04 banded bound) + one component pass +
+    // two partitioned overwrites — expect the x04 curve + commit floors
+    "x215_cluster_rebuild",
+    // clone + divergent forget + ONE postings-vs-lens anti-join + two
+    // probes — expect ~linear from the index-sized anti-join
+    "x216_index_repair",
+    // 8 prototype clones + 8 keyed forgets + 12 audit probes + 9
+    // serving folds — commit floors and clone I/O dominate; the forgets
+    // are doomed-sized — expect low-multiple growth
+    "x217_composed_erasure",
+    // one mapPartitions dHash pass + the pigeonhole equi-join + exact
+    // popcount verify — expect ~linear (pair volume is twin-sized by
+    // fixture construction)
+    "x218_perceptual_dedup")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -711,12 +733,17 @@ object ScaleBench {
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
       "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily,
-      "r11d_scale" -> R11dFamily)
+      "r11d_scale" -> R11dFamily, "r12_scale" -> R12Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)
-    stage(spark, baseDir, d1, 1)
-    stage(spark, baseDir, dN, reps)
+    // SPARK_GRAFT_SKIP_STAGE=1 reuses already-staged replica dirs (a
+    // follow-up measurement on the same corpus must not pay the ~10 min
+    // 100× staging twice)
+    if (sys.env.get("SPARK_GRAFT_SKIP_STAGE").isEmpty) {
+      stage(spark, baseDir, d1, 1)
+      stage(spark, baseDir, dN, reps)
+    }
     // JIT/codegen warm-up on the small SF, as Bench does
     selected.flatMap(_._2).distinct.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
@@ -768,6 +795,49 @@ object ScaleBench {
       val (a50, a90, ac, at) = nprobeLaw(d1)
       val (b50, b90, bc, bt) = nprobeLaw(dN)
       println(f"""{"metric":"ivf_nprobe_scale","reps":$reps,"unit":"nprobe","x1":{"n50":$a50,"n90":$a90,"centroids":$ac,"sec":$at%.3f},"x$reps":{"n50":$b50,"n90":$b90,"centroids":$bc,"sec":$bt%.3f}}""")
+    }
+    // The vector-store LIFECYCLE decomposed (x150's 100× follow-up): the
+    // gate times build + law + probe TOGETHER, and on this fixture the
+    // centroid count grows with the corpus (vec_id % 50 → C = N/50), so
+    // the build's exact nearest-centroid assign is O(N·C) = N²/50 —
+    // quadratic BY FIXTURE CONSTRUCTION, the x67 "N×k law". The
+    // production question is which stages carry that law: build and law
+    // re-measure are the PERIODIC jobs (run on the rebuild/drift
+    // cadence, C chosen ≪ N in deployment); the PROBE is the per-query
+    // serving path and must stay ~flat. This entry times the three
+    // stages separately (min of 2 cycles per dir; probeAuto resolves
+    // nprobe from the just-written law at 0.9 recall).
+    if (want("vec_lifecycle_scale")) {
+      import graft.ext.VectorStore
+      def cycle(dir: String, tag: String): (Double, Double, Double) = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cents = emb.filter(col("vec_id") % 50 === 0)
+        val qs = emb.filter(col("vec_id") < 8)
+        val fsRoot = s"$root/veccycle_$tag"
+        val fs = new org.apache.hadoop.fs.Path(fsRoot)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
+        val t0 = System.nanoTime()
+        VectorStore.build(spark, emb, cents, "vec_id", "embedding", fsRoot,
+          dim = 64, m = 4, k = 16, stride = 3)
+        val t1 = System.nanoTime()
+        VectorStore.writeNprobeLaw(spark, emb, qs, "vec_id", "embedding",
+          fsRoot, k = 10)
+        val t2 = System.nanoTime()
+        VectorStore.probeAuto(spark, qs, "vec_id", "embedding", fsRoot,
+          dim = 64, m = 4, k = 16, stride = 3, targetRecall = 0.9,
+          topK = 10).count()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      def minCycle(dir: String, tag: String): (Double, Double, Double) = {
+        val (a, b) = (cycle(dir, tag), cycle(dir, tag))
+        (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3))
+      }
+      minCycle(d1, "w") // warm
+      val (b1, l1, p1) = minCycle(d1, "1")
+      val (bN, lN, pN) = minCycle(dN, "n")
+      println(f"""{"metric":"vec_lifecycle_scale","reps":$reps,"unit":"sec","x1":{"build":$b1%.3f,"law":$l1%.3f,"probe":$p1%.3f},"x$reps":{"build":$bN%.3f,"law":$lN%.3f,"probe":$pN%.3f},"growth":{"build":${bN / b1}%.2f,"law":${lN / l1}%.2f,"probe":${pN / p1}%.2f}}""")
     }
     spark.stop()
   }
