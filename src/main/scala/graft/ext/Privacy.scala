@@ -137,6 +137,9 @@ object Privacy {
     require(epsilon > 0, s"dpQuantile: epsilon=$epsilon")
     require(seed.nonEmpty, "dpQuantile: a secret seed is required")
     require(lo <= hi, s"dpQuantile: empty candidate domain [$lo, $hi]")
+    // hi + 1 rides through the gap-run arithmetic; Long.MaxValue would
+    // wrap it negative and silently corrupt every trailing run
+    require(hi < Long.MaxValue, "dpQuantile: hi must be < Long.MaxValue")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("v"))
     val dist = df

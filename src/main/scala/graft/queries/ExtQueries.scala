@@ -6459,9 +6459,8 @@ object ExtQueries {
     import graft.ext.ClusterStore
     import graft.sources.ManifestStore
     val docs = t(spark, dir, "documents")
-    val pairs = allPairs(spark, dir)
     val root = FreshTables.next(spark, dir, "clforget")
-    ClusterStore.build(spark, pairs, root, partitions = 8)
+    ProtoStores.cloneTo(spark, clusterAllProto(spark, dir), root)
     val labels = Dedup.materialize(ClusterStore.readLabels(spark, root))
     val doomed = Dedup.materialize(
       labels.filter(col("id") % 9 === 4).select(col("id")))
@@ -8330,13 +8329,12 @@ object ExtQueries {
     import graft.ext.{ClusterStore, DedupStores}
     val docs = Dedup.materialize(
       t(spark, dir, "documents").select(col("doc_id"), col("text")))
-    val fpT = FreshTables.next(spark, dir, "rbfp")
-    val idxT = FreshTables.next(spark, dir, "rbidx")
-    DedupStores.build(spark, docs, "doc_id", "text", fpT, idxT,
-      shingleN = 3, bands = 32, rowsPerBand = 2, partitions = 8)
+    val dd = FreshTables.next(spark, dir, "rbdd")
+    ProtoStores.cloneTo(spark, dedupAllProto(spark, dir), dd)
+    val (fpT, idxT) = (s"$dd/fp", s"$dd/idx")
     val pairs = allPairs(spark, dir)
     val root = FreshTables.next(spark, dir, "rbcl")
-    ClusterStore.build(spark, pairs, root, partitions = 8)
+    ProtoStores.cloneTo(spark, clusterAllProto(spark, dir), root)
     // doomed: every member EXCEPT the max id of clusters labeled %3==0 —
     // their survivor is a guaranteed phantom singleton after forget
     val labels = Dedup.materialize(ClusterStore.readLabels(spark, root))
@@ -8465,8 +8463,11 @@ object ExtQueries {
     import spark.implicits._
     import graft.ext.{ClusterStore, DedupStores, IndexStore, Scd2Store, VectorStore, ViewStore}
     import graft.sources.ManifestStore
-    val docs = Dedup.materialize(t(spark, dir, "documents"))
-    val emb = Dedup.materialize(t(spark, dir, "embeddings"))
+    // plain parquet reads, NOT materialized: these are the corpus tables
+    // (caching the corpus is exactly what a 100 TB pipeline must not do);
+    // only the small doomed slices below are pinned
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
     // --- build the eight stores ---
     val dd = FreshTables.next(spark, dir, "cedd")
     ProtoStores.cloneTo(spark, dedupAllProto(spark, dir), dd)
