@@ -603,7 +603,20 @@ object ScaleBench {
     // one mapPartitions dHash pass + the pigeonhole equi-join + exact
     // popcount verify — expect ~linear (pair volume is twin-sized by
     // fixture construction)
-    "x218_perceptual_dedup")
+    "x218_perceptual_dedup",
+    // x218 as a store lifecycle: 3 keyed merges (hash once per batch) +
+    // the bucket-pruned twins probe — merge I/O linear in batch rows,
+    // probe O(increment bands + collisions) — expect ~linear
+    "x219_media_store",
+    // all-docs build + doomed-sized keyed delete ×2 + survivors probe —
+    // the build's linear pass dominates
+    "x220_media_forget",
+    // 3 suite/registry merges + retire + ONE broadcast-join corpus
+    // probe (x31's plan from the store) — expect x31's ~linear curve +
+    // commit floors
+    "x222_bench_registry",
+    // same registry staging + the per-(doc, suite) attribution rollup
+    "x223_suite_attribution")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

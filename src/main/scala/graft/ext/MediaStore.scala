@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
+
+/** Maintained perceptual-hash near-dup store for the MEDIA modality —
+  * the lifecycle form of [[Multimodal.perceptualPairs]] (x218), closing
+  * the last one-shot-only near-dup family: text has maintained
+  * fingerprint + minhash stores ([[DedupStores]]), embeddings a
+  * maintained IVF+PQ store ([[VectorStore]]); this gives images/audio
+  * the same day-over-day contract (SURVEY.md §2.12; the reference has
+  * no media surface at all — its closest shape is the reprocess
+  * log-state of /root/reference/cubicerpetl/cubicerpetl.py:266-302).
+  *
+  * ONE [[ManifestStore]] table holding the BANDED dHash index: each
+  * ingested asset contributes `chunks` rows (media_id, phash, chunk,
+  * ckey), where ckey is the chunk-th slice of its 64-bit perceptual
+  * hash ([[Multimodal.dHash64]]) under [[Dedup.hammingPairs64]]'s
+  * pigeonhole split — any pair within Hamming `chunks − 1` agrees on
+  * ≥ 1 whole chunk, so a chunk-key equi-join proposes an exact
+  * candidate superset. Rows are partitioned by `pt` = hash(chunk,
+  * ckey) bucket: a probe reads ONLY the buckets its own band keys land
+  * in ([[ManifestStore.readPartitions]]), never the index, and an
+  * append/forget rewrites only the touched buckets.
+  *
+  * 100 TB shape: the index is O(corpus × chunks) 32-byte rows — the
+  * only corpus-sized artifact the daily job reads, orders of magnitude
+  * smaller than the blobs (which are hashed ONCE at ingest, one
+  * mapPartitions pass, and never re-read). Probe cost is O(increment ×
+  * chunks) band lookups + genuine collisions; the exact popcount
+  * verify runs on already-joined rows. Assets are immutable corpus
+  * members (the ingest contract shared with every store family):
+  * re-delivering an id replaces its rows; ingesting CHANGED bytes
+  * under an old id is unsupported — the old ckeys live in other
+  * buckets the keyed merge never visits.
+  */
+object MediaStore {
+
+  /** Band-key partition bucket: both halves of the posting key feed the
+    * hash so buckets stay uniform even when one chunk position skews.
+    */
+  private def bucket(chunk: Column, ckey: Column, partitions: Int) =
+    pmod(xxhash64(chunk, ckey), lit(partitions.toLong))
+
+  private case class Geometry(chunks: Int, partitions: Int)
+
+  /** Geometry sidecar, validated on every touch: a silent `chunks`
+    * mismatch would band probes and index on different splits (recall
+    * silently → 0), and a `partitions` mismatch would prune probes and
+    * merges to the wrong buckets (missed rows, duplicate keys) — both
+    * fail loudly instead. First touch on a fresh table records it.
+    */
+  private def requireOrInitGeometry(
+      spark: SparkSession, table: String, want: Geometry): Geometry = {
+    readGeometry(spark, table) match {
+      case Some(g) =>
+        require(g == want,
+          s"MediaStore: $table was built with $g but this call uses $want — " +
+            "a geometry mismatch silently zeroes recall or duplicates store keys")
+        g
+      case None =>
+        StoreSidecar.write(spark, table, Seq(
+          "chunks" -> want.chunks.toLong, "partitions" -> want.partitions.toLong))
+        want
+    }
+  }
+
+  private def readGeometry(spark: SparkSession, table: String): Option[Geometry] =
+    StoreSidecar.read(spark, table, Seq("chunks", "partitions"))
+      .map(m => Geometry(m("chunks").toInt, m("partitions").toInt))
+
+  private def geometryOf(spark: SparkSession, table: String): Geometry =
+    readGeometry(spark, table).getOrElse(throw new IllegalStateException(
+      s"MediaStore: $table has no geometry sidecar — not a MediaStore table"))
+
+  /** The store's row shape: hash each blob once ([[Multimodal.dHash64]],
+    * one mapPartitions pass) and explode into one row per pigeonhole
+    * chunk, carrying the full hash so the probe's exact verify needs no
+    * second lookup.
+    */
+  private[graft] def bandRows(
+      media: Dataset[Multimodal.MediaBlob], chunks: Int, partitions: Int): DataFrame = {
+    val bitsPer = 64 / chunks
+    Multimodal.dHash64(media).toDF()
+      .select(col("media_id"), col("phash"), posexplode(
+        array((0 until chunks).map(i =>
+          shiftrightunsigned(col("phash"), i * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk", "ckey")))
+      .withColumn("pt", bucket(col("chunk"), col("ckey"), partitions))
+  }
+
+  /** Fold a batch of assets into the index — a keyed merge on
+    * (media_id, chunk), pruned to the batch's band buckets; the first
+    * call on a fresh table creates it and records the geometry.
+    * Re-delivering a batch REPLACES its rows (at-least-once safe).
+    * 64 must divide evenly into `chunks` — a lossy split would silently
+    * drop recall ([[Dedup.hammingPairs64]]'s contract), so it fails
+    * loudly; `chunks` also caps [[probe]]'s exact-recall `maxDist` at
+    * chunks − 1.
+    */
+  def append(
+      spark: SparkSession,
+      media: Dataset[Multimodal.MediaBlob],
+      table: String,
+      chunks: Int = 4,
+      partitions: Int = 8): Unit = {
+    require(chunks > 0 && 64 % chunks == 0,
+      s"MediaStore: chunks=$chunks does not divide 64 bits evenly — the " +
+        "leftover bits would silently lose recall (use 1, 2, 4, 8, 16, 32, 64)")
+    val g = requireOrInitGeometry(spark, table, Geometry(chunks, partitions))
+    ManifestStore.mergeOrCreate(spark, table,
+      bandRows(media, g.chunks, g.partitions), Seq("media_id", "chunk"), "pt")
+  }
+
+  /** Flag an increment against the PERSISTED index: hash the increment,
+    * read ONLY its band keys' buckets, equi-join on (chunk, ckey), exact
+    * popcount verify. Exact recall at `maxDist` ≤ chunks − 1
+    * (pigeonhole); the corpus that built the store is not an input and
+    * is never rescanned. Output: one (probe_id, store_id, hamming) row
+    * per near pair, self-matches (same id on both sides) excluded.
+    */
+  def probe(
+      spark: SparkSession,
+      inc: Dataset[Multimodal.MediaBlob],
+      table: String,
+      maxDist: Int = 3): DataFrame = {
+    val g = geometryOf(spark, table)
+    require(maxDist >= 0 && maxDist < g.chunks,
+      s"MediaStore: maxDist=$maxDist needs ≥ ${maxDist + 1} pigeonhole chunks " +
+        s"for exact recall, but $table was built with ${g.chunks}")
+    val incBands = Dedup.materialize(bandRows(inc, g.chunks, g.partitions))
+    // O(probed buckets) routing metadata (the IndexStore/VectorStore
+    // probe convention) — never data-sized
+    val leafs = incBands.select(col("pt")).distinct()
+      .collect().map(r => s"pt=${r.getLong(0)}").sorted
+    val store = ManifestStore.readPartitions(spark, table, leafs.toSeq)
+    incBands.as("a").join(store.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.media_id").as("probe_id"), col("b.media_id").as("store_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Right-to-be-forgotten over the media index (the media sibling of
+    * [[DedupStores.forget]], x157's contract): remove a subject's band
+    * rows by a KEYED, partition-pruned copy-on-write delete — O(doomed
+    * buckets), never an index scan.
+    *
+    * The caller supplies the doomed assets' CONTENT (id + bytes, read
+    * from the lakehouse before its own delete): band rows live in
+    * (chunk, ckey)-hash buckets, and locating an id's rows without its
+    * hash would take a full scan — the deletion request carries the
+    * record it erases, the same contract as [[IndexStore.forget]]. The
+    * bytes must be the INGESTED bytes; a divergent copy rebands into
+    * other buckets and leaves the real rows orphaned.
+    *
+    * Idempotent: the delete is a keyed no-op on absent keys, so a
+    * replay (crash recovery, duplicate request) converges. Survivors'
+    * rows are untouched, so probes against the survivors are
+    * bit-identical to an index built WITHOUT the doomed assets.
+    */
+  def forget(
+      spark: SparkSession,
+      media: Dataset[Multimodal.MediaBlob],
+      table: String): Unit = {
+    val g = geometryOf(spark, table)
+    val doomed = bandRows(media, g.chunks, g.partitions)
+      .select(col("media_id"), col("chunk"), col("pt")).distinct()
+    ManifestStore.delete(spark, table, doomed, Seq("media_id", "chunk"), Seq("pt"))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, SampleStore, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, MediaStore, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, SampleStore, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
 
 /** Extension-surface queries (SURVEY.md §2.12): dedup, similarity search,
   * text analysis, event-time windows, multimodal plumbing — each with a
@@ -8441,7 +8441,7 @@ object ExtQueries {
   // manifest carrying the subject's keys in every keyspace (doc_id /
   // vec_id / l_orderkey / user_id, all % 7 == 2; a production request
   // enumerates its identifiers per system) plus the subject's content
-  // for the content-keyed stores — driven through ALL EIGHT forget
+  // for the content-keyed stores — driven through ALL NINE forget
   // families in one documented order, then a BLIND AUDIT (every
   // id-keyed store table probed for the keys: zero hits, REQUIREd) and
   // a full-request REPLAY (the orchestrator-crash recovery: every
@@ -8452,8 +8452,10 @@ object ExtQueries {
   // in any store flips the hash.
   //
   // Order, documented: (1) content-consuming forgets first (dedup
-  // fp/idx, BM25 postings) — they need the subject's bytes, so they
-  // must run before the lakehouse's own delete would remove them;
+  // fp/idx, BM25 postings; the media band index — x219's store — runs
+  // with them, its delete keys derive from the subject's bytes) — they
+  // need the subject's bytes, so they must run before the lakehouse's
+  // own delete would remove them;
   // (2) id-keyed derived stores (vector, cluster, sample); (3)
   // subtraction-correction stores (moments, view aggregates); (4) the
   // dimension history (SCD2) last. The moment store holds no per-id
@@ -8499,6 +8501,8 @@ object ExtQueries {
     val scT = FreshTables.next(spark, dir, "cesc")
     ProtoStores.cloneTo(spark, scd2Proto(spark, dir), scT)
     val feed = scd2Feed(spark, dir)
+    val mdT = FreshTables.next(spark, dir, "cemd")
+    MediaStore.append(spark, mediaBlobs(spark, mediaBase(spark, dir)), mdT)
     // --- THE REQUEST: the subject's keys + content, every keyspace ---
     val doomedDocs = Dedup.materialize(docs.filter(col("doc_id") % 7 === 2))
     val doomedDocIds = doomedDocs.select(col("doc_id").as("id"))
@@ -8520,6 +8524,8 @@ object ExtQueries {
         Seq("okey", "l_linenumber"), forgetSeq = 1L,
         groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
       Scd2Store.forget(spark, scT, doomedUsers, "user_id")
+      MediaStore.forget(spark, mediaBlobs(spark,
+        doomedDocs.select(col("doc_id").as("media_id"), col("text"))), mdT)
     }
     runRequest()
     // --- BLIND AUDIT: zero hits for the subject in every id-keyed table ---
@@ -8538,7 +8544,9 @@ object ExtQueries {
       ("sample", hits(smpT, "doc_id", doomedDocs)),
       ("view_base", hits(s"$vwT/a", "okey", doomedLi)),
       ("view_rows", hits(s"$vwT/view", "okey", doomedLi)),
-      ("scd2", hits(scT, "user_id", doomedUsers)))
+      ("scd2", hits(scT, "user_id", doomedUsers)),
+      ("media_idx", hits(mdT, "media_id",
+        doomedDocs.select(col("doc_id").as("media_id")))))
     for ((name, n) <- audit)
       require(n == 0L, s"x217 blind audit: $n subject rows survived in $name")
     // --- REPLAY the whole request: the orchestrator-crash recovery ---
@@ -8580,7 +8588,10 @@ object ExtQueries {
           round(col("sum_l_quantity") * lit(100d), 0).cast("long"))),
       fold("scd2", Scd2Store.history(spark, scT),
         concat_ws("|", col("user_id"), round(col("value") * lit(1e6d), 0).cast("long"),
-          col("version"), col("valid_from_us"), coalesce(col("valid_to_us"), lit(-1L)))))
+          col("version"), col("valid_from_us"), coalesce(col("valid_to_us"), lit(-1L)))),
+      fold("media", MediaStore.probe(spark,
+          mediaBlobs(spark, mediaTwins(mediaBase(spark, dir))), mdT, maxDist = 3),
+        concat_ws("|", col("probe_id"), col("store_id"), col("hamming"))))
     folds.reduce(_ unionByName _)
   }
 
@@ -8644,7 +8655,14 @@ object ExtQueries {
       sec("scd2",
         x91Sql.replace(scd2Anchor,
           scd2Anchor + " AND user_id % 7 <> 2"),
-        "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(version AS VARCHAR) || '|' || CAST(valid_from_us AS VARCHAR) || '|' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)")
+        "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(version AS VARCHAR) || '|' || CAST(valid_from_us AS VARCHAR) || '|' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)"),
+      sec("media",
+        s"""WITH $mediaOracleCtes
+           SELECT t.media_id AS probe_id, s.media_id AS store_id,
+             CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+           FROM pht t JOIN phb s ON t.media_id <> s.media_id
+           WHERE s.media_id % 7 <> 2 AND bit_count(xor(t.ph, s.ph)) <= 3""",
+        "CAST(probe_id AS VARCHAR) || '|' || CAST(store_id AS VARCHAR) || '|' || CAST(hamming AS VARCHAR)")
     ).mkString("\nUNION ALL\n")
   }
 
@@ -8709,4 +8727,254 @@ object ExtQueries {
        FROM ph a JOIN ph b ON a.media_id < b.media_id
        WHERE bit_count(xor(a.ph, b.ph)) <= 3"""
   }
+
+  // --- x219-x221: maintained perceptual-hash media store ---------------------
+  // x218's one-shot near-dup becomes a LIFECYCLE store (the last
+  // one-shot-only near-dup family): banded dHash postings in a
+  // ManifestStore table, probes pruned to the increment's band
+  // buckets, keyed append/forget. Shared fixture derivation with x218:
+  // base docs as media blobs, every 10th asset a re-encoded twin (one
+  // replaced middle byte, ≤ 2 dHash bits).
+
+  private def mediaBase(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text"))
+
+  private def mediaTwins(base: DataFrame): DataFrame = base
+    .filter(col("media_id") % 10 === 0 && length(col("text")) >= 4)
+    .select((col("media_id") + lit(100000000L)).as("media_id"),
+      expr("concat(substr(text, 1, length(text) div 2), 'q', " +
+        "substr(text, length(text) div 2 + 2))").as("text"))
+
+  private def mediaBlobs(spark: SparkSession, df: DataFrame)
+      : Dataset[Multimodal.MediaBlob] = {
+    import spark.implicits._
+    df.select(col("media_id"), col("text").cast("binary").as("blob"))
+      .as[Multimodal.MediaBlob]
+  }
+
+  /** The x218 dHash recipe as a reusable SQL fragment: 64 CASE bits over
+    * a (media_id, text, len) relation — grid cell k of the 9×8 grid
+    * samples byte ⌊k·len/72⌋ (ASCII fixture ⇒ ascii == byte value).
+    */
+  // lazy: referenced by x217Sql, which is declared ABOVE these helpers —
+  // a plain val would still be null when the object initializer builds it
+  private lazy val dhashBitsSql: String = (0 until 64).map { i =>
+    val k1 = (i / 8) * 9 + (i % 8)
+    def px(k: Int) = s"ascii(substr(text, CAST(($k * len) // 72 AS BIGINT) + 1, 1))"
+    s"CASE WHEN ${px(k1 + 1)} > ${px(k1)} THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+  }.mkString("(", "\n             + ", ")")
+
+  private lazy val mediaOracleCtes: String =
+    s"""base AS (SELECT doc_id AS media_id, text
+         FROM documents WHERE text IS NOT NULL),
+       tw AS (SELECT media_id + 100000000 AS media_id,
+           substr(text, 1, length(text) // 2) || 'q' || substr(text, length(text) // 2 + 2) AS text
+         FROM base WHERE media_id % 10 = 0 AND length(text) >= 4),
+       phb AS (SELECT media_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE $dhashBitsSql END AS ph
+         FROM (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM base)),
+       pht AS (SELECT media_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE $dhashBitsSql END AS ph
+         FROM (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM tw))"""
+
+  // --- x219: build + append + replay + pruned probe ---------------------------
+  // Two-slice ingest (the daily cycle), day-2 re-delivered (the keyed
+  // merge must REPLACE — row accounting REQUIREd), then the twins probe
+  // the store: exact recall at Hamming ≤ 3 vs EVERY ingested asset,
+  // store-side corpus never rescanned.
+  def x219MediaStore(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val hist = base.filter(col("media_id") % 3 =!= 0)
+    val inc = base.filter(col("media_id") % 3 === 0)
+    val table = FreshTables.next(spark, dir, "mediastore")
+    MediaStore.append(spark, mediaBlobs(spark, hist), table)
+    MediaStore.append(spark, mediaBlobs(spark, inc), table)
+    // at-least-once: re-deliver the increment — keyed merge replaces
+    MediaStore.append(spark, mediaBlobs(spark, inc), table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = base.count() * 4L
+    require(stored == expected,
+      s"x219: store holds $stored band rows, expected $expected — " +
+        "the replay duplicated instead of replacing")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x219: no matches — vacuous gate")
+    pairs
+  }
+
+  val x219Sql: String =
+    s"""WITH $mediaOracleCtes
+       SELECT t.media_id AS probe_id, s.media_id AS store_id,
+         CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+       FROM pht t JOIN phb s ON t.media_id <> s.media_id
+       WHERE bit_count(xor(t.ph, s.ph)) <= 3"""
+
+  // --- x220: right-to-be-forgotten over the media index -----------------------
+  // Every 20th asset (half the twins' originals) is erased — keyed,
+  // bucket-pruned delete, replayed once (idempotence) — then the twins
+  // probe: the doomed originals MUST vanish from the matches while
+  // survivor matches are bit-identical to an index built without them.
+  def x220MediaForget(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val table = FreshTables.next(spark, dir, "mediaforget")
+    MediaStore.append(spark, mediaBlobs(spark, base), table)
+    val doomed = base.filter(col("media_id") % 20 === 0)
+    MediaStore.forget(spark, mediaBlobs(spark, doomed), table)
+    // replay the same request: keyed delete is a no-op on absent keys
+    MediaStore.forget(spark, mediaBlobs(spark, doomed), table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = (base.count() - doomed.count()) * 4L
+    require(stored == expected,
+      s"x220: store holds $stored band rows after forget, expected $expected")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x220: no survivor matches — vacuous gate")
+    pairs
+  }
+
+  val x220Sql: String =
+    s"""WITH $mediaOracleCtes
+       SELECT t.media_id AS probe_id, s.media_id AS store_id,
+         CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+       FROM pht t JOIN phb s ON t.media_id <> s.media_id
+       WHERE s.media_id % 20 <> 0
+         AND bit_count(xor(t.ph, s.ph)) <= 3"""
+
+  // --- x221: STREAMING media-store maintenance --------------------------------
+  // x219 fed by a stream (the x161/x196/x203 door): asset days arrive
+  // as micro-batches, each folded by MediaStore.append in foreachBatch;
+  // one day re-delivered post-drain (at-least-once), then the twins
+  // probe — bit-identical to the batch build, x219's oracle verbatim.
+  def x221StreamMedia(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Dedup.materialize(mediaBase(spark, dir)
+      .withColumn("day", pmod(col("media_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "smediastore")
+    val root = FreshTables.next(spark, dir, "smediain")
+    (0 until 3).foreach { b =>
+      base.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$root/in")
+    }
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MediaStore.append(spark, mediaBlobs(spark, batch), table)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x221: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the keyed merge replaces
+    MediaStore.append(spark,
+      mediaBlobs(spark, base.filter(col("day") === 1L)), table)
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x221: no matches — vacuous gate")
+    pairs
+  }
+
+  val x221Sql: String = x219Sql
+
+  // --- x222/x223: maintained benchmark-gram registry --------------------------
+  // x31/x55's decontamination probe becomes a LIFECYCLE registry: eval
+  // suites are appended (and re-delivered — keyed merge REPLACES, row
+  // accounting REQUIREd) and RETIRED (one suite-partition keyed delete,
+  // idempotent) over time, while corpus increments probe the persisted
+  // gram table — the benchmark texts are never re-tokenized. Suites:
+  // docs %50==0 → suiteA, %50==25 → suiteB; corpus = the rest.
+
+  private def benchRegistryTable(spark: SparkSession, dir: String,
+      prefix: String): (String, DataFrame) = {
+    val docs = Dedup.materialize(t(spark, dir, "documents"))
+    val table = FreshTables.next(spark, dir, prefix)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 25), "doc_id", "text", "suiteB", table)
+    // re-deliver suiteA: the (s, suite) keyed merge must REPLACE
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    // per-doc grams first (shingle windows must never stitch across
+    // docs), then distinct per suite — the store's (s, suite) key space
+    val expected = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 50 === 0 || col("doc_id") % 50 === 25),
+        "doc_id", "text", 6)
+      .select(when(pmod(col("id"), lit(50L)) === 0L, lit("suiteA"))
+        .otherwise(lit("suiteB")).as("suite"), col("s"))
+      .distinct().count()
+    require(stored == expected,
+      s"$prefix: registry holds $stored gram rows, expected $expected — " +
+        "the suiteA replay duplicated instead of replacing")
+    (table, docs)
+  }
+
+  // --- x222: append + replay + retire + probe ---------------------------------
+  // suiteB is retired (twice — idempotence) before the probe, so the
+  // contamination read must equal x31's plan against suiteA ALONE: a
+  // leftover suiteB gram anywhere inflates a doc's n_contaminated and
+  // flips the hash.
+  def x222BenchRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchreg")
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry.probe(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(out.agg(sum(col("n_contaminated"))).head().getLong(0) > 0L,
+      "x222: zero contamination hits — vacuous gate")
+    out
+  }
+
+  val x222Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       bg AS (SELECT DISTINCT s FROM posts WHERE doc_id % 50 = 0),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+       hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+                FROM corpus c JOIN bg ON c.s = bg.s GROUP BY 1)
+       SELECT s.doc_id, s.n_grams,
+         COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
+       FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+
+  // --- x223: per-suite attribution ("WHICH benchmark leaks?") -----------------
+  // Both suites live; the triage read after a probe flags a batch — hit
+  // counts per (doc, suite), suites a doc doesn't touch emit no row. A
+  // gram in BOTH suites counts once per suite (the registry is keyed
+  // (s, suite)).
+  def x223SuiteAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchattr")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry
+      .attribute(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(!out.head(1).isEmpty, "x223: no attributed hits — vacuous gate")
+    out
+  }
+
+  val x223Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       reg AS (SELECT DISTINCT s,
+           CASE WHEN doc_id % 50 = 0 THEN 'suiteA' ELSE 'suiteB' END AS suite
+         FROM posts WHERE doc_id % 50 = 0 OR doc_id % 50 = 25),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25)
+       SELECT c.doc_id, r.suite, CAST(count(*) AS BIGINT) AS n_hits
+       FROM corpus c JOIN reg r ON c.s = r.s GROUP BY 1, 2"""
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{MediaStore, Multimodal}
+import graft.sources.ManifestStore
+
+/** Maintained perceptual-hash media store (x219–x221): probe == one-shot
+  * equality, replay idempotence (append and forget), geometry refusal,
+  * and partition-pruned probes on hand fixtures.
+  */
+class MediaStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    s"/tmp/graft/mediaspec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  // deterministic ≥72-byte payloads so every grid cell samples a
+  // distinct position; twin(b) flips one middle byte (≤ 2 dHash bits)
+  private def payload(seed: Int): Array[Byte] =
+    Array.tabulate[Byte](100)(i => ((i * 37 + seed * 11 + (i % 7) * seed) % 251).toByte)
+
+  private def twin(b: Array[Byte]): Array[Byte] = {
+    val c = b.clone(); c(50) = (c(50) ^ 0x7f).toByte; c
+  }
+
+  private val store: Seq[Multimodal.MediaBlob] =
+    (1 to 8).map(i => Multimodal.MediaBlob(i.toLong, payload(i)))
+  private val twins: Seq[Multimodal.MediaBlob] =
+    Seq(1, 4).map(i => Multimodal.MediaBlob(100L + i, twin(payload(i))))
+
+  private def blobs(s: Seq[Multimodal.MediaBlob]) = spark.createDataset(s)
+
+  /** Reference result: the one-shot x218 pipeline over store ∪ probe,
+    * restricted to probe×store pairs (what the store probe answers).
+    */
+  private def oneShot(maxDist: Int,
+      storeSide: Seq[Multimodal.MediaBlob]): Set[(Long, Long, Int)] = {
+    val probeIds = twins.map(_.media_id).toSet
+    Multimodal.perceptualPairs(blobs(storeSide ++ twins), maxDist)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect {
+        case (a, b, h) if probeIds.contains(a) && !probeIds.contains(b) => (a, b, h)
+        case (a, b, h) if probeIds.contains(b) && !probeIds.contains(a) => (b, a, h)
+      }.toSet
+  }
+
+  private def probeSet(table: String, maxDist: Int): Set[(Long, Long, Int)] =
+    MediaStore.probe(spark, blobs(twins), table, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("probe over split appends equals the one-shot perceptual pairs") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store.take(5)), table, partitions = 4)
+    MediaStore.append(spark, blobs(store.drop(5)), table, partitions = 4)
+    val got = probeSet(table, maxDist = 3)
+    assert(got == oneShot(3, store) && got.nonEmpty)
+    // the twins are within 2 bits of their originals — both must match
+    assert(got.map(_._1) == twins.map(_.media_id).toSet)
+  }
+
+  test("append replay replaces; forget is idempotent and exact for survivors") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, partitions = 4)
+    MediaStore.append(spark, blobs(store.take(3)), table, partitions = 4)
+    assert(ManifestStore.read(spark, table).count() == store.size * 4L)
+    // forget asset 1 (twin 101's original) twice — idempotent, pruned
+    val doomed = store.filter(_.media_id == 1L)
+    MediaStore.forget(spark, blobs(doomed), table)
+    MediaStore.forget(spark, blobs(doomed), table)
+    assert(ManifestStore.read(spark, table).count() == (store.size - 1) * 4L)
+    // survivors' probe == an index built WITHOUT the doomed asset
+    assert(probeSet(table, 3) == oneShot(3, store.filterNot(_.media_id == 1L)))
+  }
+
+  test("probe is partition-pruned: inputFiles ⊆ the increment's band buckets") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, partitions = 4)
+    val expected = MediaStore.bandRows(blobs(twins), chunks = 4, partitions = 4)
+      .select(col("pt")).distinct().collect().map(r => s"pt=${r.getLong(0)}").toSet
+    val probe = MediaStore.probe(spark, blobs(twins), table, maxDist = 3)
+    val files = probe.inputFiles.filter(_.contains(table))
+    assert(files.nonEmpty && files.forall(f => expected.exists(b => f.contains(b))),
+      s"expected ⊆ $expected, got ${files.mkString(",")}")
+  }
+
+  test("geometry: chunks/partitions mismatches and maxDist ≥ chunks fail loudly") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, chunks = 4, partitions = 4)
+    intercept[IllegalArgumentException] {
+      MediaStore.append(spark, blobs(twins), table, chunks = 8, partitions = 4)
+    }
+    intercept[IllegalArgumentException] {
+      MediaStore.append(spark, blobs(twins), table, chunks = 4, partitions = 8)
+    }
+    intercept[IllegalArgumentException] {
+      MediaStore.probe(spark, blobs(twins), table, maxDist = 4)
+    }
+    intercept[IllegalArgumentException] {
+      MediaStore.append(spark, blobs(store), fresh(), chunks = 5)
+    }
+    intercept[IllegalStateException] {
+      MediaStore.probe(spark, blobs(twins), fresh(), maxDist = 3)
+    }
+  }
+}
