@@ -616,7 +616,11 @@ object ScaleBench {
     // commit floors
     "x222_bench_registry",
     // same registry staging + the per-(doc, suite) attribution rollup
-    "x223_suite_attribution")
+    "x223_suite_attribution",
+    // clone + O(index) lens rebadge + one-partition stats replacement +
+    // doomed-sized forgets + the pruned probe — the rebadge's index
+    // scan is the linear term (the periodic-job shape, like x216)
+    "x224_stats_compaction")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

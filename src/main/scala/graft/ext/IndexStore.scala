@@ -71,6 +71,11 @@ object IndexStore {
       root: String,
       partitions: Int = 8): Unit = {
     requireGeometry(spark, root, partitions)
+    // the epoch namespace is reserved for [[compactStats]]: a day replay
+    // under an epoch tag would REPLACE the epoch subtotal (day merges are
+    // keyed) and silently drop every compacted day's counts
+    require(!day.startsWith("epoch:"),
+      s"IndexStore.appendDay: day '$day' uses the reserved 'epoch:' prefix (compactStats output)")
     val tf = Dedup.materialize(
       LangModel.tokenRows(docs, idCol, textCol)
         .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf")))
@@ -127,6 +132,19 @@ object IndexStore {
       forgetSeq: Long,
       partitions: Int = 8): Unit = {
     requireGeometry(spark, root, partitions)
+    // compaction fence: inside compactStats' crash window the lens
+    // breadcrumbs already say `epoch:` but the stats table has no epoch
+    // row yet — the day-keyed correction below would inner-join to
+    // nothing and silently skip the subtraction. Refuse BEFORE any
+    // mutation; the cure is replaying the open compaction.
+    val compactStarted =
+      ManifestStore.lastTxn(spark, sub(root, "lens"), "compactStarted").getOrElse(0L)
+    val compactCompleted =
+      ManifestStore.lastTxn(spark, sub(root, "stats"), "compactCompleted").getOrElse(0L)
+    require(compactCompleted >= compactStarted,
+      s"IndexStore.forget: stats compaction $compactStarted started (lens days rebadged) " +
+        s"but not completed (last completed: $compactCompleted) — replay " +
+        "compactStats with the same arguments first, then re-run this forget")
     val doomed = Dedup.materialize(
       docs.select(col(idCol).as("id"), col(textCol).as("__text")).distinct())
     if (doomed.head(1).isEmpty) return
@@ -265,6 +283,83 @@ object IndexStore {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("id").as(idCol),
         round(col("s9").cast("double") / lit(1e9d), 6).as("score"))
+  }
+
+  /** EPOCH COMPACTION of the day-keyed stats subtotals — the metadata
+    * diet for a store that ingests daily for years: without it the
+    * stats table (and every probe's N/avgdl rollup) grows O(days)
+    * forever. The named `days`' rows collapse into ONE `epochDay`
+    * subtotal — counts and length sums are exact LONG sums, so every
+    * later probe is BIT-IDENTICAL — and the affected docs' lens `day`
+    * breadcrumbs are rebadged to the epoch so a later [[forget]]
+    * subtracts from the row that now holds their counts.
+    *
+    * Two commits under a started/completed fence (the ClusterStore
+    * rebuild pattern), each replay-convergent:
+    *  1. lens rebadge, carrying `compactStarted` — O(index) scan,
+    *     deliberately: this is the PERIODIC job, like [[repair]];
+    *     probes stay correct mid-window (stats rows are untouched);
+    *  2. stats [[ManifestStore.replaceWhere]], carrying
+    *     `compactCompleted` — ONE atomic manifest flip in which the
+    *     doomed day rows (plus any prior `epochDay` row being folded
+    *     again) become the single epoch subtotal; there is NO window
+    *     where both old days and the epoch row are visible.
+    * [[forget]] refuses while started > completed (the correction would
+    * silently miss); replaying compactStats with the same arguments
+    * closes the window. `compactSeq` must be assigned monotonically
+    * across compactions (a ticket number, the forgetSeq contract).
+    *
+    * Retention contract, stated honestly: compaction CONSUMES the
+    * replay window of the folded days — [[appendDay]] re-delivery of a
+    * compacted day would create a fresh day row double-counting the
+    * epoch. Only compact days older than any possible re-delivery (the
+    * standard retention-horizon rule); the `epoch:` prefix is reserved
+    * and appendDay refuses it, so an epoch row can never be replaced by
+    * a day merge.
+    */
+  def compactStats(
+      spark: SparkSession,
+      root: String,
+      days: Seq[String],
+      epochDay: String,
+      compactSeq: Long,
+      partitions: Int = 8): Unit = {
+    requireGeometry(spark, root, partitions)
+    require(epochDay.startsWith("epoch:"),
+      s"IndexStore.compactStats: epoch tag must carry the reserved 'epoch:' " +
+        s"prefix, got '$epochDay'")
+    require(days.nonEmpty && !days.contains(epochDay),
+      s"IndexStore.compactStats: days must be non-empty and not contain the epoch tag")
+    // a NEW compaction over an older open window would close the forget
+    // fence (completed catches up to a larger started) while the old
+    // window's stats days were never folded — only a REPLAY (same seq)
+    // may run into an open window
+    val started0 =
+      ManifestStore.lastTxn(spark, sub(root, "lens"), "compactStarted").getOrElse(0L)
+    val completed0 =
+      ManifestStore.lastTxn(spark, sub(root, "stats"), "compactCompleted").getOrElse(0L)
+    require(completed0 >= started0 || compactSeq == started0,
+      s"IndexStore.compactStats: compaction $started0 is still open (last completed: " +
+        s"$completed0) — replay it with the same arguments before starting seq $compactSeq")
+    import spark.implicits._
+    // 1. lens rebadge FIRST (started marker): every doc that counted
+    // under a doomed day now counts under the epoch
+    val rebadged = ManifestStore.read(spark, sub(root, "lens"))
+      .filter(col("day").isin(days: _*))
+      .withColumn("day", lit(epochDay))
+    ManifestStore.merge(spark, sub(root, "lens"), rebadged, Seq("id"), Seq("dpt"),
+      txnRecord = Map("compactStarted" -> compactSeq))
+    // 2. stats: one atomic partition replacement (a replay recomputes
+    // the identical epoch row from whatever subset still exists)
+    val statsT = sub(root, "stats")
+    val doomedDays = (days :+ epochDay).distinct
+    val epochRow = ManifestStore.read(spark, statsT)
+      .filter(col("day").isin(doomedDays: _*))
+      .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+      .withColumn("day", lit(epochDay))
+      .filter(col("nd").isNotNull) // no doomed rows → no epoch row, not a null one
+    ManifestStore.replaceWhere(spark, statsT, epochRow, doomedDays.toDF("day"),
+      Seq("day"), txnRecord = Map("compactCompleted" -> compactSeq))
   }
 
   /** Postings rows of the probed terms' buckets only — package-private

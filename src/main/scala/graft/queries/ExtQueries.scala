@@ -8977,4 +8977,55 @@ object ExtQueries {
        corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25)
        SELECT c.doc_id, r.suite, CAST(count(*) AS BIGINT) AS n_hits
        FROM corpus c JOIN reg r ON c.s = r.s GROUP BY 1, 2"""
+
+  // --- x224: epoch compaction of the index's day subtotals --------------------
+  // The metadata diet for a years-of-ingest store: days d0+d1 fold into
+  // ONE epoch row via ManifestStore.replaceWhere (one atomic manifest
+  // flip — no window where both old days and the epoch are visible),
+  // lens breadcrumbs rebadge so forgets keep subtracting from the row
+  // that holds their counts. Compaction replayed (crash recovery), THEN
+  // a forget of docs whose counts now live under the epoch — the probe
+  // must hash-match the survivors-only batch BM25 (x172's oracle): a
+  // dropped subtraction or a double-counted day flips N/avgdl and the
+  // scores with it.
+  def x224StatsCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "bmcompact")
+    ProtoStores.cloneTo(spark, bm25Proto(spark, dir), root)
+    def statsRows(): Seq[String] = ManifestStore.read(spark, s"$root/stats")
+      .select(col("day")).collect().map(_.getString(0)).sorted.toSeq
+    require(statsRows() == Seq("d0", "d1", "d2"), s"x224: unexpected days ${statsRows()}")
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01", compactSeq = 1L)
+    // replay with the same seq — both steps converge
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01", compactSeq = 1L)
+    require(statsRows() == Seq("d2", "epoch:01"),
+      s"x224: compaction left days ${statsRows()}")
+    val lensDays = ManifestStore.read(spark, s"$root/lens")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSet
+    require(lensDays.subsetOf(Set("d2", "epoch:01")),
+      s"x224: lens breadcrumbs not rebadged: $lensDays")
+    // N must be UNCHANGED by compaction (exact sums)
+    def statsN(): Long = ManifestStore.read(spark, s"$root/stats")
+      .agg(sum(col("nd"))).head().getLong(0)
+    require(statsN() == docs.count(), s"x224: compaction changed N to ${statsN()}")
+    // forget across the epoch: doomed docs' counts subtract from the
+    // epoch (or d2) row their breadcrumb names — then replay (fence)
+    val doomed = docs.filter(col("doc_id") % 7 === 2)
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2).count()
+    require(statsN() == survivors, s"x224: stats N ${statsN()} != $survivors survivors")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8)
+  }
+
+  // compaction is bit-invisible and the forget exact — x172's
+  // survivors-only batch BM25 oracle verbatim
+  val x224Sql: String = x172Sql
 }

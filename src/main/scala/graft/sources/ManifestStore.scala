@@ -708,6 +708,86 @@ object ManifestStore {
     }
   }
 
+  /** Atomic INSERT OVERWRITE of selected partitions (Delta's
+    * `replaceWhere` / Hive's INSERT OVERWRITE PARTITION — the third
+    * copy-on-write primitive after keyed [[merge]] and keyed [[delete]]):
+    * in ONE manifest flip, every partition named in `doomed` (a frame of
+    * partition-column tuples) and every partition the `batch` writes is
+    * repointed so the table's content for that partition set becomes
+    * EXACTLY the batch's rows. Doomed partitions absent from the batch
+    * drop out of the manifest; partitions outside the set are untouched.
+    * This is what keyed ops cannot express: collapsing N partitions into
+    * one (epoch compaction of day subtotals) or clearing a partition
+    * outright, with no crash window in which both old and new rows are
+    * visible.
+    *
+    * Contract: the batch carries COMPLETE contents for every partition
+    * it touches (partition-level overwrite, not an upsert), with
+    * non-null partition values. Unlike the full-table [[write]], the
+    * txn map RIDES FORWARD (the replaced scope is partition-bounded, so
+    * incremental writers' fences for the REST of the table stay valid);
+    * writers whose progress bookkeeping describes the replaced
+    * partitions must fence themselves via `txnRecord` — the
+    * started/completed pattern (see IndexStore.compactStats).
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      doomed: DataFrame,
+      partitionCols: Seq[String],
+      maxRetries: Int = 3,
+      txnRecord: Map[String, Long] = Map.empty): Unit =
+    withClaimRetry(maxRetries) { () =>
+      replaceWhereAttempt(spark, path, batch, doomed, partitionCols, txnRecord)
+    }
+
+  private def replaceWhereAttempt(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      doomed: DataFrame,
+      partitionCols: Seq[String],
+      txnRecord: Map[String, Long]): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = fsFor(spark, new Path(path))
+    val m = latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"ManifestStore: no manifest under $path — write() first"))
+    require(m.partitionCols == partitionCols,
+      s"ManifestStore: table is partitioned by ${m.partitionCols.mkString(",")}, not ${partitionCols.mkString(",")}")
+    val doomedTuples = doomed.select(partitionCols.map(col): _*).distinct()
+    require(doomedTuples.collect().forall(r => partitionCols.indices.forall(r.get(_) != null)),
+      s"replaceWhere: null ${partitionCols.mkString(",")} in doomed")
+    // stage the doomed tuples hive-partitioned: Spark's own write yields
+    // the leaf names with the table's exact escaping (the delete()
+    // convention — never string-format partition values)
+    val probeDir = new Path(path, s"_tmp/replace_${java.util.UUID.randomUUID().toString}")
+    val doomedLeafs =
+      try {
+        doomedTuples.withColumn("__probe", lit(1))
+          .write.partitionBy(partitionCols: _*).parquet(probeDir.toString)
+        leafPartitionDirs(fs, probeDir, partitionCols).map(_._1)
+          .filter(m.partitions.contains).toSet
+      } finally { try fs.delete(probeDir, true) catch { case _: java.io.IOException => () } }
+    val batchTuples = batch.select(partitionCols.map(col): _*).distinct()
+      .collect().map(r => partitionCols.indices.map(r.get)).toSeq
+    require(!batchTuples.exists(_.contains(null)),
+      s"replaceWhere: null ${partitionCols.mkString(",")} in batch")
+    // nothing to drop, nothing to write, nothing to record → no-op (no
+    // empty commit); with only a txnRecord to land, fall through — the
+    // marker must still commit (the compaction completed fence)
+    if (doomedLeafs.isEmpty && batchTuples.isEmpty && txnRecord.isEmpty) return
+    val (uuid, staged) = writeCommit(spark, path, batch, partitionCols)
+    try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
+      (m.partitions -- doomedLeafs) ++ staged.map(_ -> s"commits/$uuid"),
+      m.txn ++ txnRecord))
+    catch { case e: java.io.IOException =>
+      try fs.delete(new Path(path, s"commits/$uuid"), true)
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
+  }
+
   /** Change-data-feed between two readable snapshots: one row per key
     * whose state differs between `fromVersion` and `toVersion`, tagged
     * `insert` / `update` / `delete`, carrying the new values (old values

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IndexStore, Retrieval}
+import graft.sources.ManifestStore
+
+/** ManifestStore.replaceWhere (atomic INSERT OVERWRITE of selected
+  * partitions) + IndexStore.compactStats (x224): overwrite semantics,
+  * probe bit-equality across compaction, the started/completed crash
+  * fence, and the epoch-namespace guard.
+  */
+class StatsCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(prefix: String): String =
+    s"/tmp/graft/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("replaceWhere: doomed partitions drop, batch partitions overwrite, atomically") {
+    val table = fresh("rw")
+    ManifestStore.write(spark,
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)).toDF("v", "p"), table, "p")
+    // fold p=0 and p=1 into p=9; also hand p=2 a complete replacement
+    ManifestStore.replaceWhere(spark, table,
+      Seq((100L, 9L), (40L, 2L)).toDF("v", "p"),
+      Seq(0L, 1L).toDF("p"), Seq("p"))
+    // partition values read back via directory-name inference (int) —
+    // compare through an explicit cast
+    val got = ManifestStore.read(spark, table)
+      .select(col("v"), col("p").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 9L), (40L, 2L)))
+    // absent doomed partitions are a no-op; an empty call changes nothing
+    val v0 = ManifestStore.currentVersion(spark, table)
+    ManifestStore.replaceWhere(spark, table,
+      spark.emptyDataset[(Long, Long)].toDF("v", "p"),
+      Seq(777L).toDF("p"), Seq("p"))
+    assert(ManifestStore.currentVersion(spark, table) == v0)
+    assert(ManifestStore.read(spark, table).count() == 2L)
+  }
+
+  private val docs = Seq(
+    (1L, "alpha beta beta gamma"),
+    (2L, "beta gamma gamma delta"),
+    (3L, "alpha alpha epsilon"),
+    (4L, "delta epsilon zeta alpha"),
+    (5L, "zeta zeta beta")).toDF("doc_id", "text")
+
+  private val qs = Seq(
+    ("qa", Seq("alpha", "gamma")),
+    ("qb", Seq("delta", "zeta"))).toDF("query_id", "terms")
+
+  private def probe(root: String) =
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 10, partitions = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  private def threeDay(root: String): Unit = {
+    IndexStore.appendDay(spark, docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", "d0", root, partitions = 4)
+    IndexStore.appendDay(spark, docs.filter(col("doc_id") === 3),
+      "doc_id", "text", "d1", root, partitions = 4)
+    IndexStore.appendDay(spark, docs.filter(col("doc_id") >= 4),
+      "doc_id", "text", "d2", root, partitions = 4)
+  }
+
+  test("compaction is bit-invisible to the probe; forget subtracts from the epoch") {
+    val root = fresh("cmp")
+    threeDay(root)
+    val before = probe(root)
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:a", 1L, partitions = 4)
+    assert(probe(root) == before)
+    assert(ManifestStore.read(spark, s"$root/stats")
+      .select("day").collect().map(_.getString(0)).sorted.toSeq == Seq("d2", "epoch:a"))
+    // replay converges
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:a", 1L, partitions = 4)
+    assert(probe(root) == before)
+    // forget a doc whose counts now live under the epoch
+    IndexStore.forget(spark, docs.filter(col("doc_id") === 1),
+      "doc_id", "text", root, forgetSeq = 1L, partitions = 4)
+    val want = Retrieval.bm25TopK(docs.filter(col("doc_id") =!= 1),
+        "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(probe(root) == want)
+    // a second epoch folds the first one plus d2 — still bit-invisible
+    IndexStore.compactStats(spark, root, Seq("epoch:a", "d2"), "epoch:b", 2L, partitions = 4)
+    assert(probe(root) == want)
+    assert(ManifestStore.read(spark, s"$root/stats").count() == 1L)
+  }
+
+  test("crash window: forget and a NEW compaction refuse; same-seq replay cures") {
+    val root = fresh("fence")
+    threeDay(root)
+    // simulate a crash between compactStats' two commits: rebadge the
+    // lens days (started marker) without the stats replacement
+    val rebadged = ManifestStore.read(spark, s"$root/lens")
+      .filter(col("day").isin("d0", "d1")).withColumn("day", lit("epoch:a"))
+    ManifestStore.merge(spark, s"$root/lens", rebadged, Seq("id"), Seq("dpt"),
+      txnRecord = Map("compactStarted" -> 3L))
+    intercept[IllegalArgumentException] {
+      IndexStore.forget(spark, docs.filter(col("doc_id") === 1),
+        "doc_id", "text", root, forgetSeq = 1L, partitions = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.compactStats(spark, root, Seq("d2"), "epoch:z", 4L, partitions = 4)
+    }
+    // the cure: replay the OPEN compaction (same seq), then forget passes
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:a", 3L, partitions = 4)
+    IndexStore.forget(spark, docs.filter(col("doc_id") === 1),
+      "doc_id", "text", root, forgetSeq = 1L, partitions = 4)
+    val want = Retrieval.bm25TopK(docs.filter(col("doc_id") =!= 1),
+        "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(probe(root) == want)
+  }
+
+  test("epoch namespace is reserved: appendDay and compactStats refuse misuse") {
+    val root = fresh("ns")
+    threeDay(root)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendDay(spark, docs, "doc_id", "text", "epoch:a", root, partitions = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.compactStats(spark, root, Seq("d0"), "notanepoch", 1L, partitions = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.compactStats(spark, root, Seq("d0", "epoch:a"), "epoch:a", 1L, partitions = 4)
+    }
+  }
+}
