@@ -620,7 +620,11 @@ object ScaleBench {
     // clone + O(index) lens rebadge + one-partition stats replacement +
     // doomed-sized forgets + the pruned probe — the rebadge's index
     // scan is the linear term (the periodic-job shape, like x216)
-    "x224_stats_compaction")
+    "x224_stats_compaction",
+    // 3 day folds + forget + two O(dim²) compactions + the corpus-free
+    // direction read — the day folds' corpus pass is the linear term,
+    // everything after is dim-sized
+    "x225_moments_compaction")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

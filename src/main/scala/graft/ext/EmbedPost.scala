@@ -163,6 +163,10 @@ object EmbedPost {
       day: String,
       table: String): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[momentsCompact]]: a day
+    // replay under an epoch tag would REPLACE the folded subtotals
+    require(!day.startsWith("epoch:"),
+      s"momentsAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     // an empty day contributes zero to every moment — appending it
     // would only initialize/extend the store with no-partition commits
     // (a stream's empty micro-batch must not poison the table)
@@ -204,6 +208,8 @@ object EmbedPost {
       tag: String,
       table: String): Unit = {
     import graft.sources.ManifestStore
+    require(!tag.startsWith("epoch:"),
+      s"momentsForget: tag '$tag' uses the reserved 'epoch:' prefix")
     if (doomed.isEmpty) return
     val (m1, m2) = batchMoments(doomed, vecCol, dim)
     val neg1 = m1.select(col("pos"), (-col("sv")).as("sv"), (-col("n")).as("n"))
@@ -212,6 +218,39 @@ object EmbedPost {
       .withColumn("day", lit(tag))
     ManifestStore.mergeOrCreate(spark, s"$table/m1", neg1, Seq("pos", "day"), "day")
     ManifestStore.mergeOrCreate(spark, s"$table/m2", neg2, Seq("i", "j", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of the moment store — [[ManifestStore.compactDays]]
+    * over both moment tables: the named days' (and forget tags') rows
+    * fold into one `epochDay` subtotal set per table. Reads are
+    * bit-identical (exact LONG sums, summed unordered by every reader),
+    * and NO fence is needed, unlike IndexStore.compactStats: nothing in
+    * this store references day names (forgets append fresh tags, reads
+    * sum everything), so each table's fold is independently atomic and
+    * a partial crash (m1 folded, m2 not) changes no read.
+    *
+    * Fold the forget TAGS deliberately: a (day row, negative correction
+    * row) pair reconstructs the forgotten subject's aggregate
+    * contribution by subtraction — compaction destroys that erasure
+    * ledger, leaving only survivors' totals (the privacy completion of
+    * x205's forget). Retention contract as everywhere: a folded day or
+    * tag must never be re-delivered ('epoch:' is refused on both
+    * append paths).
+    */
+  def momentsCompact(
+      spark: SparkSession,
+      table: String,
+      daysAndTags: Seq[String],
+      epochDay: String): Unit = {
+    import graft.sources.ManifestStore
+    require(epochDay.startsWith("epoch:"),
+      s"momentsCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    ManifestStore.compactDays(spark, s"$table/m1", "day",
+      groupCols = Seq("pos"), sumCols = Seq("sv", "n"),
+      foldDays = daysAndTags, epochDay = epochDay)
+    ManifestStore.compactDays(spark, s"$table/m2", "day",
+      groupCols = Seq("i", "j"), sumCols = Seq("svv"),
+      foldDays = daysAndTags, epochDay = epochDay)
   }
 
   /** Batch moments over a frame — the law [[momentsAppendDay]] stores

@@ -341,7 +341,6 @@ object IndexStore {
     require(completed0 >= started0 || compactSeq == started0,
       s"IndexStore.compactStats: compaction $started0 is still open (last completed: " +
         s"$completed0) — replay it with the same arguments before starting seq $compactSeq")
-    import spark.implicits._
     // 1. lens rebadge FIRST (started marker): every doc that counted
     // under a doomed day now counts under the epoch
     val rebadged = ManifestStore.read(spark, sub(root, "lens"))
@@ -351,15 +350,10 @@ object IndexStore {
       txnRecord = Map("compactStarted" -> compactSeq))
     // 2. stats: one atomic partition replacement (a replay recomputes
     // the identical epoch row from whatever subset still exists)
-    val statsT = sub(root, "stats")
-    val doomedDays = (days :+ epochDay).distinct
-    val epochRow = ManifestStore.read(spark, statsT)
-      .filter(col("day").isin(doomedDays: _*))
-      .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
-      .withColumn("day", lit(epochDay))
-      .filter(col("nd").isNotNull) // no doomed rows → no epoch row, not a null one
-    ManifestStore.replaceWhere(spark, statsT, epochRow, doomedDays.toDF("day"),
-      Seq("day"), txnRecord = Map("compactCompleted" -> compactSeq))
+    ManifestStore.compactDays(spark, sub(root, "stats"), "day",
+      groupCols = Seq.empty, sumCols = Seq("nd", "tl"),
+      foldDays = days, epochDay = epochDay,
+      txnRecord = Map("compactCompleted" -> compactSeq))
   }
 
   /** Postings rows of the probed terms' buckets only — package-private

@@ -9028,4 +9028,43 @@ object ExtQueries {
   // compaction is bit-invisible and the forget exact — x172's
   // survivors-only batch BM25 oracle verbatim
   val x224Sql: String = x172Sql
+
+  // --- x225: epoch compaction of the moment store -----------------------------
+  // x205's forget leaves an erasure LEDGER: the (day row, negative
+  // correction row) pair reconstructs the forgotten vectors' aggregate
+  // moments by subtraction. Folding all days AND the forget tag into
+  // one epoch destroys that ledger (the privacy completion) and caps
+  // the store at O(dim²) rows forever — while the direction read stays
+  // BIT-IDENTICAL (exact sums, summed unordered). Replay converges;
+  // row accounting REQUIREd; oracle = survivors-only direction, x205's
+  // verbatim.
+  def x225MomentsCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestStore
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "momcompact")
+    (0 until 3).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
+    }
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    graft.ext.EmbedPost.momentsForget(spark, doomed, "embedding", 64, "f1", table)
+    graft.ext.EmbedPost.momentsCompact(spark, table,
+      Seq("d0", "d1", "d2", "f1"), "epoch:all")
+    // replay — each table's fold recomputes the identical epoch rows
+    graft.ext.EmbedPost.momentsCompact(spark, table,
+      Seq("d0", "d1", "d2", "f1"), "epoch:all")
+    // the ledger is gone: exactly one subtotal row set survives
+    val m1Rows = ManifestStore.read(spark, s"$table/m1").count()
+    require(m1Rows == 64L, s"x225: m1 holds $m1Rows rows, expected 64 (one per pos)")
+    val m2Days = ManifestStore.read(spark, s"$table/m2")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSeq
+    require(m2Days == Seq("epoch:all"), s"x225: m2 days $m2Days")
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  val x225Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
 }

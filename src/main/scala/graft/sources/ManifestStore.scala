@@ -788,6 +788,58 @@ object ManifestStore {
     }
   }
 
+  /** EPOCH COMPACTION of a day-partitioned subtotal table — the generic
+    * metadata diet over the store convention every maintained family
+    * shares (one summable subtotal row set per ingested day, reads sum
+    * across days): the named `days`' rows (plus any prior `epochDay` row
+    * set being folded again) collapse into ONE group-summed row set
+    * under `epochDay`, via a single atomic [[replaceWhere]]. Because
+    * `sumCols` are exact integer sums and every reader sums day rows
+    * unordered, reads are BIT-IDENTICAL before, during (the single
+    * commit is atomic — there is no during), and after.
+    *
+    * Negative correction rows (the forget-by-subtraction convention)
+    * fold in like any other day — with a PRIVACY bonus: the
+    * (day row, correction row) pair that could reconstruct a forgotten
+    * subject's aggregate contribution is destroyed by the fold, leaving
+    * only the survivors' totals.
+    *
+    * Contract: callers own the retention rule (a compacted day's
+    * re-delivery would double-count — reserve an `epoch:` namespace and
+    * refuse it on the append path, see IndexStore.appendDay) and any
+    * cross-table ordering fence (see IndexStore.compactStats, whose
+    * lens breadcrumbs reference day names).
+    */
+  def compactDays(
+      spark: SparkSession,
+      path: String,
+      dayCol: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      foldDays: Seq[String],
+      epochDay: String,
+      txnRecord: Map[String, Long] = Map.empty): Unit = {
+    // foldDays, not days: spark.sql.functions.days (the partition
+    // transform) would shadow the param under the wildcard import
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    require(foldDays.nonEmpty && !foldDays.contains(epochDay),
+      s"compactDays: foldDays must be non-empty and not contain the epoch tag")
+    require(sumCols.nonEmpty, "compactDays: nothing to sum")
+    val doomedDays = (foldDays :+ epochDay).distinct
+    val epoch = read(spark, path)
+      .filter(col(dayCol).isin(doomedDays: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .withColumn(dayCol, lit(epochDay))
+      // a global agg over zero doomed rows yields one all-null row, not
+      // zero rows — no doomed content means no epoch row
+      .filter(sumCols.map(col(_).isNotNull).reduce(_ || _))
+    replaceWhere(spark, path, epoch, doomedDays.toDF(dayCol), Seq(dayCol),
+      txnRecord = txnRecord)
+  }
+
   /** Change-data-feed between two readable snapshots: one row per key
     * whose state differs between `fromVersion` and `toVersion`, tagged
     * `insert` / `update` / `delete`, carrying the new values (old values

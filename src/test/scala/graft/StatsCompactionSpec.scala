@@ -115,6 +115,40 @@ class StatsCompactionSpec extends SparkSpec {
     assert(probe(root) == want)
   }
 
+  test("momentsCompact: ledger folds away, direction bit-identical to survivors build") {
+    import graft.ext.EmbedPost
+    val dim = 4
+    val vecs = (1L to 12L).map(i =>
+      (i, Array.tabulate(dim)(d => ((i * 7 + d * 3) % 11).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val table = fresh("mom")
+    (0 until 2).foreach { b =>
+      EmbedPost.momentsAppendDay(spark,
+        vecs.filter(col("vec_id") % 2 === b.toLong), "embedding", dim, s"d$b", table)
+    }
+    val doomed = vecs.filter(col("vec_id") % 3 === 0)
+    EmbedPost.momentsForget(spark, doomed, "embedding", dim, "f1", table)
+    val before = EmbedPost.directionFromMoments(spark, table, dim, iters = 3).toSeq
+    EmbedPost.momentsCompact(spark, table, Seq("d0", "d1", "f1"), "epoch:a")
+    EmbedPost.momentsCompact(spark, table, Seq("d0", "d1", "f1"), "epoch:a")
+    assert(EmbedPost.directionFromMoments(spark, table, dim, iters = 3).toSeq == before)
+    assert(ManifestStore.read(spark, s"$table/m1").count() == dim.toLong)
+    // survivors-only from-scratch store gives the same direction
+    val ref = fresh("momref")
+    EmbedPost.momentsAppendDay(spark,
+      vecs.filter(col("vec_id") % 3 =!= 0), "embedding", dim, "d0", ref)
+    assert(EmbedPost.directionFromMoments(spark, ref, dim, iters = 3).toSeq == before)
+    intercept[IllegalArgumentException] {
+      EmbedPost.momentsAppendDay(spark, vecs, "embedding", dim, "epoch:x", table)
+    }
+    intercept[IllegalArgumentException] {
+      EmbedPost.momentsForget(spark, doomed, "embedding", dim, "epoch:a", table)
+    }
+    intercept[IllegalArgumentException] {
+      EmbedPost.momentsCompact(spark, table, Seq("epoch:a"), "nope")
+    }
+  }
+
   test("epoch namespace is reserved: appendDay and compactStats refuse misuse") {
     val root = fresh("ns")
     threeDay(root)
