@@ -624,7 +624,10 @@ object ScaleBench {
     // 3 day folds + forget + two O(dim²) compactions + the corpus-free
     // direction read — the day folds' corpus pass is the linear term,
     // everything after is dim-sized
-    "x225_moments_compaction")
+    "x225_moments_compaction",
+    // 3 register-table day folds + one O(groups × 2^p) max fold + the
+    // estimate read — the day folds' value hashing is the linear term
+    "x226_hll_compaction")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

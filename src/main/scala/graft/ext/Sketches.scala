@@ -518,10 +518,38 @@ object Sketches {
       table: String,
       p: Int = 8): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[hllCompact]]
+    require(!day.startsWith("epoch:"),
+      s"hllAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     val regs = hllRegisters(df, groupCol, valueCol, p)
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, regs,
       Seq(groupCol, "idx", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of an [[hllAppendDay]] store —
+    * [[graft.sources.ManifestStore.compactDays]] with a MAX fold:
+    * register rows of the named days collapse into one max-merged
+    * epoch row set per (group, idx), so the store holds O(groups × 2^p)
+    * rows however many days were ingested, and
+    * [[hllRegistersFromStore]]'s read is BIT-IDENTICAL (its own
+    * max-merge is associative and idempotent — a day folded twice, or a
+    * fold replayed mid-crash, converges to the same registers). HLL has
+    * no forget (sketches cannot subtract, stated at x143), so unlike
+    * the moment store there is no erasure ledger here — compaction is
+    * purely the metadata diet.
+    */
+  def hllCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      groupCol: String,
+      days: Seq[String],
+      epochDay: String): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"hllCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    graft.sources.ManifestStore.compactDays(spark, table, "day",
+      groupCols = Seq(groupCol, "idx"), sumCols = Seq.empty,
+      foldDays = days, epochDay = epochDay, maxCols = Seq("rho"))
   }
 
   /** The full-history register table from a [[hllAppendDay]] store —

@@ -9067,4 +9067,39 @@ object ExtQueries {
   }
 
   val x225Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
+
+  // --- x226: epoch compaction of the HLL store (MAX fold) ---------------------
+  // The metadata diet reaches the sketch stores: register rows of all 3
+  // days max-fold into one epoch set — O(groups × 2^p) rows forever —
+  // and the estimate read is bit-identical (max-merge is associative
+  // AND idempotent, so even a double fold converges). Row accounting
+  // REQUIREd; oracle = x138's estimate, x143's verbatim.
+  def x226HllCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val u = Dedup.materialize(hllSource(spark, dir)
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "hllcompact")
+    (0 until 3).foreach { b =>
+      Sketches.hllAppendDay(spark, u.filter(col("day") === s"d$b"),
+        "grp", "v", s"d$b", table)
+    }
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
+    // replay — the max fold is idempotent
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = u
+      .select(col("grp"),
+        shiftright(org.apache.spark.sql.graftfn.HashExpressions
+          .md5Prefix48(col("v")), 40).as("idx"))
+      .distinct().count()
+    require(stored == expected,
+      s"x226: store holds $stored register rows after compaction, expected " +
+        s"$expected (one per live (grp, idx))")
+    Sketches.hllEstimate(
+      Sketches.hllRegistersFromStore(spark, table, "grp"), "grp")
+      .join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
+        Seq("grp"))
+  }
+
+  val x226Sql: String = x138Sql
 }

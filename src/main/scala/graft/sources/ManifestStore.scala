@@ -818,24 +818,28 @@ object ManifestStore {
       sumCols: Seq[String],
       foldDays: Seq[String],
       epochDay: String,
-      txnRecord: Map[String, Long] = Map.empty): Unit = {
+      txnRecord: Map[String, Long] = Map.empty,
+      maxCols: Seq[String] = Seq.empty): Unit = {
     // foldDays, not days: spark.sql.functions.days (the partition
     // transform) would shadow the param under the wildcard import
     import org.apache.spark.sql.functions._
     import spark.implicits._
     require(foldDays.nonEmpty && !foldDays.contains(epochDay),
       s"compactDays: foldDays must be non-empty and not contain the epoch tag")
-    require(sumCols.nonEmpty, "compactDays: nothing to sum")
+    // maxCols: for stores whose day cells merge by MAX instead of SUM
+    // (HLL registers) — max is idempotent, so these folds are immune
+    // even to a day accidentally folded twice
+    require(sumCols.nonEmpty || maxCols.nonEmpty, "compactDays: nothing to fold")
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val doomedDays = (foldDays :+ epochDay).distinct
     val epoch = read(spark, path)
       .filter(col(dayCol).isin(doomedDays: _*))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn(dayCol, lit(epochDay))
       // a global agg over zero doomed rows yields one all-null row, not
       // zero rows — no doomed content means no epoch row
-      .filter(sumCols.map(col(_).isNotNull).reduce(_ || _))
+      .filter((sumCols ++ maxCols).map(col(_).isNotNull).reduce(_ || _))
     replaceWhere(spark, path, epoch, doomedDays.toDF(dayCol), Seq(dayCol),
       txnRecord = txnRecord)
   }

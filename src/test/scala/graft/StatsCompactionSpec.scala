@@ -149,6 +149,31 @@ class StatsCompactionSpec extends SparkSpec {
     }
   }
 
+  test("hllCompact: max fold is idempotent and the estimate unchanged") {
+    import graft.ext.Sketches
+    val rows = (1L to 60L).map(i => (s"g${i % 2}", s"v${i % 37}"))
+      .toDF("grp", "v")
+    val table = fresh("hll")
+    (0 until 3).foreach { b =>
+      Sketches.hllAppendDay(spark, rows.filter(xxhash64(col("v")) % 3 === b.toLong),
+        "grp", "v", s"d$b", table)
+    }
+    val before = Sketches.hllEstimate(
+        Sketches.hllRegistersFromStore(spark, table, "grp"), "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:a")
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:a")
+    val after = Sketches.hllEstimate(
+        Sketches.hllRegistersFromStore(spark, table, "grp"), "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(ManifestStore.read(spark, table).select("day").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("epoch:a"))
+    intercept[IllegalArgumentException] {
+      Sketches.hllAppendDay(spark, rows, "grp", "v", "epoch:a", table)
+    }
+  }
+
   test("epoch namespace is reserved: appendDay and compactStats refuse misuse") {
     val root = fresh("ns")
     threeDay(root)
