@@ -627,7 +627,10 @@ object ScaleBench {
     "x225_moments_compaction",
     // 3 register-table day folds + one O(groups × 2^p) max fold + the
     // estimate read — the day folds' value hashing is the linear term
-    "x226_hll_compaction")
+    "x226_hll_compaction",
+    // all-docs build + the narrow id locate scan ×2 + bucket-pruned
+    // rewrites + survivors probe — build + locate are the linear terms
+    "x227_media_forget_by_id")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -172,4 +172,36 @@ object MediaStore {
       .select(col("media_id"), col("chunk"), col("pt")).distinct()
     ManifestStore.delete(spark, table, doomed, Seq("media_id", "chunk"), Seq("pt"))
   }
+
+  /** [[forget]] BY ID ALONE — the common real deletion-request shape
+    * (the request carries identifiers; the lakehouse bytes may already
+    * be gone), and the CURE when a forget ran with DIVERGENT bytes:
+    * divergence rebands the delete into the wrong buckets, where the
+    * (media_id, chunk) keys kill the real rows only in buckets the
+    * wrong band keys happen to touch — rows in untouched buckets
+    * survive as ORPHANS, which (unlike [[IndexStore]]'s unscoreable
+    * orphans) keep MATCHING probes: erased content still surfaces as a
+    * near-dup partner, a privacy leak, not a stats skew. Whatever a
+    * divergent attempt did or didn't delete, this converges the index
+    * to the survivors-only state.
+    *
+    * Cost trade, stated honestly: without the content there is no band
+    * key to prune by, so [[ManifestStore.delete]] first LOCATES the
+    * doomed rows via a key+partition-column scan of the index (narrow —
+    * two columns of a 5-column table), then rewrites only the buckets
+    * that held them. O(index) locate + O(doomed buckets) rewrite — the
+    * periodic/cure shape (x216's repair), vs [[forget]]'s
+    * O(doomed buckets) when the bytes are at hand. Idempotent like
+    * every keyed delete.
+    */
+  def forgetById(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      table: String): Unit = {
+    geometryOf(spark, table) // refuse loudly on a non-MediaStore path
+    ManifestStore.delete(spark, table,
+      ids.select(col(idCol).as("media_id")).distinct(),
+      Seq("media_id"), Seq("pt"))
+  }
 }

@@ -9102,4 +9102,33 @@ object ExtQueries {
   }
 
   val x226Sql: String = x138Sql
+
+  // --- x227: media forget BY ID (the bytes-unavailable deletion path) ---------
+  // The real deletion-request shape: identifiers only, the lakehouse
+  // bytes already gone. No band key to prune by, so the delete LOCATES
+  // the doomed rows via a narrow key+partition scan of the index (the
+  // x216 periodic/cure shape) and rewrites only their buckets — also
+  // the convergence cure after a divergent-bytes forget (spec-pinned
+  // with an adversarial orphan fixture). Replay idempotent; row
+  // accounting REQUIREd; survivors' probe = x220's oracle verbatim
+  // (same doomed slice).
+  def x227MediaForgetById(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val table = FreshTables.next(spark, dir, "mediaid")
+    MediaStore.append(spark, mediaBlobs(spark, base), table)
+    val doomed = base.filter(col("media_id") % 20 === 0)
+    MediaStore.forgetById(spark, doomed.select(col("media_id")), "media_id", table)
+    MediaStore.forgetById(spark, doomed.select(col("media_id")), "media_id", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = (base.count() - doomed.count()) * 4L
+    require(stored == expected,
+      s"x227: store holds $stored band rows after forgetById, expected $expected")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x227: no survivor matches — vacuous gate")
+    pairs
+  }
+
+  val x227Sql: String = x220Sql
 }

@@ -84,6 +84,43 @@ class MediaStoreSpec extends SparkSpec {
       s"expected ⊆ $expected, got ${files.mkString(",")}")
   }
 
+  test("forgetById: bytes-unavailable delete, and the divergent-orphan cure") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, partitions = 4)
+    // bytes-unavailable path: id-only delete, idempotent, exact
+    import spark.implicits._
+    MediaStore.forgetById(spark, Seq(2L).toDF("media_id"), "media_id", table)
+    MediaStore.forgetById(spark, Seq(2L).toDF("media_id"), "media_id", table)
+    assert(ManifestStore.read(spark, table).count() == (store.size - 1) * 4L)
+    assert(probeSet(table, 3) == oneShot(3, store.filterNot(_.media_id == 2L)))
+    // divergent-bytes forget: search payloads until one leaves orphans
+    // (divergence only strands rows whose real bucket the wrong band
+    // keys miss — adversarial fixture, found deterministically)
+    def orphans(): Long = ManifestStore.read(spark, table)
+      .filter(col("media_id") === 3L).count()
+    val divergentSeed = (100 to 160).find { seed =>
+      // restore the asset first: a previous attempt's touched buckets
+      // may already have deleted every row (no orphan can come back)
+      MediaStore.append(spark,
+        blobs(Seq(Multimodal.MediaBlob(3L, payload(3)))), table, partitions = 4)
+      MediaStore.forget(spark,
+        blobs(Seq(Multimodal.MediaBlob(3L, payload(seed)))), table)
+      orphans() > 0L
+    }
+    assert(divergentSeed.nonEmpty, "no divergent payload stranded an orphan")
+    // the orphan still MATCHES probes (the privacy leak this cures):
+    // twin 101 pairs with asset 1; rebuild the leak check on asset 3's
+    // twin instead
+    val twin3 = Seq(Multimodal.MediaBlob(103L, twin(payload(3))))
+    val leaked = MediaStore.probe(spark, blobs(twin3), table, 3)
+      .filter(col("store_id") === 3L).count()
+    assert(leaked > 0L, "orphan rows no longer match — leak demo is dead")
+    MediaStore.forgetById(spark, Seq(3L).toDF("media_id"), "media_id", table)
+    assert(orphans() == 0L)
+    assert(probeSet(table, 3) ==
+      oneShot(3, store.filterNot(b => b.media_id == 2L || b.media_id == 3L)))
+  }
+
   test("geometry: chunks/partitions mismatches and maxDist ≥ chunks fail loudly") {
     val table = fresh()
     MediaStore.append(spark, blobs(store), table, chunks = 4, partitions = 4)
