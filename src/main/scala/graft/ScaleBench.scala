@@ -630,7 +630,10 @@ object ScaleBench {
     "x226_hll_compaction",
     // all-docs build + the narrow id locate scan ×2 + bucket-pruned
     // rewrites + survivors probe — build + locate are the linear terms
-    "x227_media_forget_by_id")
+    "x227_media_forget_by_id",
+    // store build + divergent forget + fp locate scans + probes — the
+    // build and the x65-shaped probe are the linear terms
+    "x228_dedup_forget_by_id")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

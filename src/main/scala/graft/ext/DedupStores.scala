@@ -226,6 +226,40 @@ object DedupStores {
     ManifestStore.delete(spark, idxTable, doomedIds, Seq("id"), Seq("pt"))
   }
 
+  /** [[forget]] BY ID ALONE — the bytes-unavailable deletion path and
+    * the CURE for a divergent-content forget. The fp store is keyed by
+    * the CONTENT hash, so a forget whose supplied text diverges from
+    * the ingested bytes recomputes a fp that matches nothing:
+    * deterministically, every one of the subject's (fp, id) rows
+    * survives as an orphan — and orphaned fp rows keep FLAGGING, so
+    * re-submitted erased content still reads "already seen" (a
+    * correctness leak on top of the privacy one: the store remembers
+    * what it was told to forget). The index delete is id-keyed and
+    * never diverges, so only the fp side leaks.
+    *
+    * The fp rows carry the holder id, so the cure needs no content:
+    * [[ManifestStore.delete]] LOCATES the id's rows via a narrow
+    * key+partition scan of the fp store (the x216/x227 periodic-cure
+    * cost shape — O(store) locate, O(doomed buckets) rewrite, stated),
+    * then the id-bucketed index delete prunes as usual. Idempotent;
+    * shared-fp semantics preserved (other holders' rows are keyed by
+    * their own id and survive).
+    */
+  def forgetById(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      fpTable: String,
+      idxTable: String): Unit = {
+    val g = readGeometry(spark, idxTable).getOrElse(
+      throw new IllegalStateException(
+        s"DedupStores.forgetById: $idxTable has no geometry sidecar — not a DedupStores table"))
+    val keyed = ids.select(col(idCol).as("id")).distinct()
+    ManifestStore.delete(spark, fpTable, keyed, Seq("id"), Seq("pt"))
+    ManifestStore.delete(spark, idxTable,
+      keyed.withColumn("pt", bucket(col("id"), g.partitions)), Seq("id"), Seq("pt"))
+  }
+
   /** [[Dedup.noveltyScore]] with history read from the PERSISTED index
     * table: the historical shingle set is recovered from the store's
     * `sh` column (the index already carries each doc's distinct

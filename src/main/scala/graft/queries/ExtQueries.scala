@@ -9131,4 +9131,50 @@ object ExtQueries {
   }
 
   val x227Sql: String = x220Sql
+
+  // --- x228: dedup-store forget by id (the fp-orphan cure) --------------------
+  // The fp store is keyed by the CONTENT hash, so a divergent-content
+  // forget deterministically strands EVERY one of the subject's
+  // (fp, id) rows — and orphaned fp rows keep flagging, so erased
+  // content re-submitted still reads "already seen" (REQUIREd visible
+  // via a probe of the erased texts). DedupStores.forgetById cures by
+  // id alone (narrow locate scan, the x216/x227 cost shape), replayed
+  // once; final probe = x171's survivors-only oracle verbatim (same
+  // slices).
+  def x228DedupForgetById(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fpT = FreshTables.next(spark, dir, "fpidcure")
+    val idxT = FreshTables.next(spark, dir, "idxidcure")
+    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    val doomed = Dedup.materialize(hist.filter(col("doc_id") % 7 === 2))
+    require(doomed.count() > 0L, "x228: empty doomed slice")
+    // the divergent request: the supplied text is NOT the ingested bytes
+    DedupStores.forget(spark,
+      doomed.withColumn("text", lit("qq divergent zz")), "doc_id", "text", fpT, idxT)
+    val doomedIds = doomed.select(col("doc_id").as("id"))
+    val fpOrphans = ManifestStore.read(spark, fpT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    require(fpOrphans > 0L, "x228: divergent forget stranded no fp orphans")
+    // the leak, demonstrated: the erased texts re-probed under fresh ids
+    // still flag exact-dup via the orphaned fingerprints
+    val leak = DedupStores.probe(spark,
+        doomed.select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text")),
+        "doc_id", "text", fpT, idxT)
+      .filter(col("is_exact_dup")).count()
+    require(leak > 0L, "x228: orphaned fps no longer flag — leak demo dead")
+    DedupStores.forgetById(spark, doomedIds, "id", fpT, idxT)
+    DedupStores.forgetById(spark, doomedIds, "id", fpT, idxT)
+    val left = ManifestStore.read(spark, fpT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    require(left == 0L, s"x228: $left fp rows survived the cure")
+    DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("clean"))
+  }
+
+  val x228Sql: String = x171Sql
 }

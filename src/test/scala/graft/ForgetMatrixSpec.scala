@@ -23,6 +23,34 @@ class ForgetMatrixSpec extends SparkSpec {
     (5L, "one two three four five six seven nine") // near dup of 3
   ).toDF("doc_id", "text")
 
+  test("forgetById cures the divergent fp orphans that keep flagging erased content") {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val (fpT, idxT) = (fresh("fpid"), fresh("idxid"))
+    DedupStores.build(spark, corpus, "doc_id", "text", fpT, idxT, partitions = 4)
+    val doomed = corpus.filter(col("doc_id") === 4L)
+    // divergent request: wrong bytes → the fp delete matches nothing,
+    // DETERMINISTICALLY (the key IS the content hash)
+    DedupStores.forget(spark, doomed.withColumn("text", lit("wrong bytes")),
+      "doc_id", "text", fpT, idxT)
+    assert(ManifestStore.read(spark, fpT).filter(col("id") === 4L).count() == 1L)
+    // the orphan keeps flagging the erased content as already-seen
+    val leak = DedupStores.probe(spark,
+      Seq((99L, "totally different content with unique words here"))
+        .toDF("doc_id", "text"), "doc_id", "text", fpT, idxT)
+    assert(leak.filter(col("is_exact_dup")).count() == 1L)
+    DedupStores.forgetById(spark, Seq(4L).toDF("id"), "id", fpT, idxT)
+    DedupStores.forgetById(spark, Seq(4L).toDF("id"), "id", fpT, idxT)
+    assert(ManifestStore.read(spark, fpT).filter(col("id") === 4L).count() == 0L)
+    val cured = DedupStores.probe(spark,
+      Seq((99L, "totally different content with unique words here"))
+        .toDF("doc_id", "text"), "doc_id", "text", fpT, idxT)
+    assert(cured.filter(col("is_exact_dup")).count() == 0L)
+    intercept[IllegalStateException] {
+      DedupStores.forgetById(spark, Seq(4L).toDF("id"), "id", fpT, fresh("none"))
+    }
+  }
+
   test("x171: forgetting ONE holder of a shared fingerprint keeps exact-dup detection") {
     val fpT = fresh("fp")
     val idxT = fresh("idx")
