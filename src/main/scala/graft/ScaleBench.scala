@@ -633,7 +633,10 @@ object ScaleBench {
     "x227_media_forget_by_id",
     // store build + divergent forget + fp locate scans + probes — the
     // build and the x65-shaped probe are the linear terms
-    "x228_dedup_forget_by_id")
+    "x228_dedup_forget_by_id",
+    // 3 bigram-sketch day folds + one O(groups × k) set fold + the
+    // estimate read — the bigram explode is the linear term
+    "x229_kmv_compaction")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

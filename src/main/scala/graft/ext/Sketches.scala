@@ -587,9 +587,53 @@ object Sketches {
       k: Int = 64,
       saltBuckets: Int = 8): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[kmvCompact]]
+    require(!day.startsWith("epoch:"),
+      s"kmvAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     val mins = kmvMins(df, groupCol, valueCol, k, saltBuckets)
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, mins, Seq(groupCol, "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of a [[kmvAppendDay]] store — the third fold
+    * algebra after sums and maxes: per group, the doomed days' mins
+    * arrays fold by UNION → DISTINCT → K SMALLEST into one epoch row.
+    * Exact for every later read: an element of the global k-minimum
+    * over all days has fewer than k hashes below it globally, hence
+    * fewer than k within the folded days — so it survives the fold
+    * (the same pigeonhole that makes [[kmvMinsFromStore]]'s read
+    * exact). Idempotent (re-folding the epoch row reproduces it). `k`
+    * must be the store's build k: a smaller fold width would DROP mins
+    * later reads still need — guarded best-effort against the widest
+    * stored array, and by contract. KMV has no forget (mins cannot be
+    * un-seen, x148's documented limit) — purely the metadata diet.
+    */
+  def kmvCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      groupCol: String,
+      days: Seq[String],
+      epochDay: String,
+      k: Int = 64): Unit = {
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    require(epochDay.startsWith("epoch:"),
+      s"kmvCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    require(days.nonEmpty && !days.contains(epochDay),
+      "kmvCompact: days must be non-empty and not contain the epoch tag")
+    val doomedDays = (days :+ epochDay).distinct
+    val cells = ManifestStore.read(spark, table)
+      .filter(col("day").isin(doomedDays: _*))
+    val widest = cells.agg(coalesce(max(size(col("mins"))), lit(0)))
+      .head().getInt(0)
+    require(k >= widest,
+      s"kmvCompact: fold width k=$k is narrower than a stored sketch ($widest) — " +
+        "the fold would silently drop mins later reads need")
+    val epoch = cells.groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
+        .as("mins"))
+      .withColumn("day", lit(epochDay))
+    ManifestStore.replaceWhere(spark, table, epoch, doomedDays.toDF("day"), Seq("day"))
   }
 
   /** The merged (group, mins) sketch state from a [[kmvAppendDay]]

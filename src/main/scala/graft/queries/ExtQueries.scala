@@ -9177,4 +9177,39 @@ object ExtQueries {
   }
 
   val x228Sql: String = x171Sql
+
+  // --- x229: epoch compaction of the KMV store (k-min set fold) ---------------
+  // The third fold algebra (sums x224/x225, maxes x226, k-min unions
+  // here): per group, the 3 days' mins arrays fold into one epoch row
+  // by union → distinct → k smallest — exact by the same pigeonhole
+  // that makes the store read exact, idempotent by construction. Row
+  // accounting REQUIREd (one row per group); estimate = x40's oracle,
+  // x148's verbatim.
+  def x229KmvCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Dedup.materialize(ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "kmvcompact")
+    (0 until 3).foreach { b =>
+      Sketches.kmvAppendDay(spark, bg.filter(col("day") === s"d$b"),
+        "lang", "bg", s"d$b", table)
+    }
+    Sketches.kmvCompact(spark, table, "lang", Seq("d0", "d1", "d2"), "epoch:all")
+    // replay — the k-min set fold is idempotent
+    Sketches.kmvCompact(spark, table, "lang", Seq("d0", "d1", "d2"), "epoch:all")
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val groups = bg.select(col("lang")).distinct().count()
+    require(stored == groups,
+      s"x229: store holds $stored sketch rows after compaction, expected $groups")
+    Sketches.kmvDistinctFromStore(spark, table, "lang")
+  }
+
+  val x229Sql: String = x40Sql
 }

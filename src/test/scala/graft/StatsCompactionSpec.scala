@@ -174,6 +174,30 @@ class StatsCompactionSpec extends SparkSpec {
     }
   }
 
+  test("kmvCompact: k-min set fold is exact, idempotent, and width-guarded") {
+    import graft.ext.Sketches
+    val rows = (1L to 200L).map(i => (s"g${i % 2}", s"v${i % 91}")).toDF("grp", "v")
+    val table = fresh("kmv")
+    (0 until 3).foreach { b =>
+      Sketches.kmvAppendDay(spark, rows.filter(xxhash64(col("v")) % 3 === b.toLong),
+        "grp", "v", s"d$b", table, k = 16)
+    }
+    val before = Sketches.kmvDistinctFromStore(spark, table, "grp", k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Sketches.kmvCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:a", k = 16)
+    Sketches.kmvCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:a", k = 16)
+    assert(Sketches.kmvDistinctFromStore(spark, table, "grp", k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(ManifestStore.read(spark, table).count() == 2L)
+    // a narrower fold would drop mins later reads need — refused
+    intercept[IllegalArgumentException] {
+      Sketches.kmvCompact(spark, table, "grp", Seq("epoch:a"), "epoch:b", k = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.kmvAppendDay(spark, rows, "grp", "v", "epoch:a", table, k = 16)
+    }
+  }
+
   test("epoch namespace is reserved: appendDay and compactStats refuse misuse") {
     val root = fresh("ns")
     threeDay(root)
