@@ -636,7 +636,11 @@ object ScaleBench {
     "x228_dedup_forget_by_id",
     // 3 bigram-sketch day folds + one O(groups × k) set fold + the
     // estimate read — the bigram explode is the linear term
-    "x229_kmv_compaction")
+    "x229_kmv_compaction",
+    // x89's two retrievers (pruned postings + dense N×|Q|) + the
+    // candidate-pruned text join + one O(queries × k) scoring pass —
+    // the retrievers are the linear terms, the rerank corpus-free
+    "x230_rerank")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

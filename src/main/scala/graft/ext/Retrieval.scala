@@ -186,6 +186,62 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("id").as(idCol), col("rrf_fp"))
   }
 
+  /** Cross-encoder RERANKING of a fused candidate list — the last stage
+    * of the standard retrieve → fuse → rerank pipeline (the production
+    * RAG shape: cheap retrievers propose, an expensive pairwise model
+    * reorders the short list). The SCORER is STUBBED deterministically
+    * (this container has no model runtime — the [[Multimodal.decodeStub]]
+    * / x191 convention): score = the 48-bit integer image of
+    * md5(query_id || '|' || text), so the whole rerank oracles
+    * bit-for-bit; swap the body of the batch scorer for a real
+    * cross-encoder session in deployment. The Spark-side shape is the
+    * production one and is the point:
+    *  - the candidates are ALREADY per-query top-k lists (corpus-size-
+    *    independent), and the doc-text fetch is CANDIDATE-PRUNED (one
+    *    left-semi join before the text columns are touched — the model
+    *    never sees a non-candidate row);
+    *  - scoring is ONE mapPartitions pass: model state initialized ONCE
+    *    per partition, rows fed in `batchSize` groups (one "encoder
+    *    call" per group — exactly where a real session amortizes);
+    *  - a per-query window takes the reranked top-k (ties on id).
+    * Output: (query_id, rank, idCol, score48).
+    */
+  def rerankStub(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+      batchSize: Int = 32): DataFrame = {
+    require(topK > 0 && batchSize > 0, s"rerankStub: topK=$topK batchSize=$batchSize")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates
+      .select(col("query_id").cast("string").as("q"), col(idCol).cast("long").as("id"))
+      .distinct()
+    val texts = docs
+      .select(col(idCol).cast("long").as("id"), coalesce(col(textCol), lit("")).as("t"))
+      .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val scored = cand.join(texts, Seq("id"))
+      .select(col("q"), col("id"), col("t")).as[(String, Long, String)]
+      .mapPartitions { it =>
+        // real impl: load the cross-encoder session ONCE here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
+          // real impl: ONE batched model call over `batch`
+          batch.map { case (q, id, t) =>
+            val hex = md.digest((q + "|" + t).getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            (q, id, java.lang.Long.parseLong(hex.substring(0, 12), 16))
+          }
+        }
+      }.toDF("query_id", "id", "score48")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score48").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("id").as(idCol), col("score48"))
+  }
+
   /** nDCG@k of an approximate ranking against an exact one — the
     * POSITION-SENSITIVE quality audit next to the recall audits
     * (x144/x145 count hits; nDCG also charges for returning them in

@@ -9212,4 +9212,31 @@ object ExtQueries {
   }
 
   val x229Sql: String = x40Sql
+
+  // --- x230: cross-encoder reranking of the fused candidates ------------------
+  // The retrieval pipeline's LAST production stage (retrieve → fuse →
+  // rerank): x89's hybrid RRF list joins its candidate-pruned doc
+  // texts and one mapPartitions pass batches (query, text) pairs
+  // through the scorer — model state per partition, one "call" per
+  // batch; the scorer itself is the deterministic md5 STUB (the
+  // x191/x218 convention — swap for a real cross-encoder session in
+  // deployment), so the oracle replays retrieval + fusion + scoring +
+  // the top-5 window bit-for-bit.
+  def x230Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val out = Retrieval.rerankStub(
+      x89RrfFusion(spark, dir), t(spark, dir, "documents"),
+      "doc_id", "text", topK = 5, batchSize = 8)
+    require(!out.head(1).isEmpty, "x230: empty rerank — vacuous gate")
+    out
+  }
+
+  val x230Sql: String = {
+    val hx = "md5(f.query_id || '|' || coalesce(d.text, ''))"
+    s"""SELECT query_id, rank, doc_id, score48 FROM (
+         SELECT f.query_id, f.doc_id, ${duckHex48(hx)} AS score48,
+           row_number() OVER (PARTITION BY f.query_id
+             ORDER BY ${duckHex48(hx)} DESC, f.doc_id) AS rank
+         FROM ($x89Sql) f JOIN documents d USING (doc_id))
+       WHERE rank <= 5"""
+  }
 }

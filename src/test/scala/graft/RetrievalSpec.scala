@@ -6,6 +6,41 @@ import graft.ext.Retrieval
 
 /** BM25 keyword retrieval (x69). */
 class RetrievalSpec extends SparkSpec {
+
+  test("rerankStub: candidate-pruned scoring matches the hand-computed md5 ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"),
+      (4L, null.asInstanceOf[String]), (5L, "never a candidate"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      ("qa", 1, 1L), ("qa", 2, 2L), ("qa", 3, 4L),
+      ("qb", 1, 2L), ("qb", 2, 3L)).toDF("query_id", "rank", "doc_id")
+    val got = graft.ext.Retrieval
+      .rerankStub(cands, docs, "doc_id", "text", topK = 2, batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def score(q: String, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((q + "|" + t).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val texts = Map(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon", 4L -> "")
+    val want = Seq(("qa", Seq(1L, 2L, 4L)), ("qb", Seq(2L, 3L))).flatMap { case (q, ids) =>
+      ids.map(id => (q, id, score(q, texts(id))))
+        .sortBy { case (_, id, s) => (-s, id) }
+        .take(2).zipWithIndex
+        .map { case ((qq, id, s), i) => (qq, i + 1, id, s) }
+    }.toSet
+    assert(got == want)
+    // doc 5 is never scored: the text fetch is candidate-pruned
+    val scoredIds = graft.ext.Retrieval
+      .rerankStub(cands, docs, "doc_id", "text", topK = 10, batchSize = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!scoredIds.contains(5L))
+  }
+
   import spark.implicits._
 
   private def score(tf: Long, len: Long, n: Long, df: Long, avgdl: Double): Double = {
