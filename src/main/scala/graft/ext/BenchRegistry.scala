@@ -38,16 +38,8 @@ object BenchRegistry {
     * (6-grams never string-match 5-grams) — refuse loudly instead.
     */
   private def requireOrInitN(spark: SparkSession, table: String, shingleN: Int): Int =
-    StoreSidecar.read(spark, table, Seq("shingleN")).map(_("shingleN").toInt) match {
-      case Some(n) =>
-        require(n == shingleN,
-          s"BenchRegistry: $table holds $n-grams but this call uses $shingleN-grams — " +
-            "a mismatch silently zeroes contamination recall")
-        n
-      case None =>
-        StoreSidecar.write(spark, table, Seq("shingleN" -> shingleN.toLong))
-        shingleN
-    }
+    StoreSidecar.requireOrInit(spark, table,
+      Seq("shingleN" -> shingleN.toLong), "BenchRegistry")("shingleN").toInt
 
   private def registryN(spark: SparkSession, table: String): Int =
     StoreSidecar.read(spark, table, Seq("shingleN")).map(_("shingleN").toInt)
@@ -55,8 +47,13 @@ object BenchRegistry {
         s"BenchRegistry: $table has no shingleN sidecar — not a BenchRegistry table"))
 
   /** Register (or re-deliver) a suite: tokenize ITS texts only and
-    * keyed-merge the distinct grams into the suite's partition —
-    * replays REPLACE, other suites' partitions are never touched.
+    * REPLACE the suite's partition with the full recomputed gram set —
+    * one atomic [[ManifestStore.replaceWhere]], other suites'
+    * partitions never touched. TRUE replacement, not an upsert: a
+    * re-delivery after a fixed mis-extraction drops the spurious grams
+    * the first delivery registered (a keyed merge would keep them
+    * inflating contamination counts forever — the suite's gram set is
+    * recomputed wholly on every call, so replacement is always safe).
     */
   def appendSuite(
       spark: SparkSession,
@@ -71,7 +68,12 @@ object BenchRegistry {
     val grams = Dedup.shingleRows(bench, idCol, textCol, n)
       .select(col("s")).distinct()
       .withColumn("suite", lit(suite))
-    ManifestStore.mergeOrCreate(spark, table, grams, Seq("s", "suite"), "suite")
+    import spark.implicits._
+    if (!ManifestStore.exists(spark, table))
+      ManifestStore.write(spark, grams, table, "suite")
+    else
+      ManifestStore.replaceWhere(spark, table, grams,
+        Seq(suite).toDF("suite"), Seq("suite"))
   }
 
   /** Retire a suite (retraction, extraction bug, license change): one

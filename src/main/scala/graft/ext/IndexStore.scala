@@ -49,14 +49,9 @@ object IndexStore {
   private def sub(root: String, name: String): String =
     new org.apache.hadoop.fs.Path(root, name).toString
 
-  private def requireGeometry(spark: SparkSession, root: String, partitions: Int): Unit = {
-    val got = StoreSidecar.read(spark, root, Seq("partitions"))
-      .map(_("partitions").toInt)
-    if (got.isEmpty)
-      StoreSidecar.write(spark, root, Seq("partitions" -> partitions.toLong))
-    else require(got.contains(partitions),
-      s"IndexStore: $root was built with partitions=${got.get}, not $partitions")
-  }
+  private def requireGeometry(spark: SparkSession, root: String, partitions: Int): Unit =
+    StoreSidecar.requireOrInit(spark, root,
+      Seq("partitions" -> partitions.toLong), "IndexStore")
 
   /** Fold one day's documents into the index: tf per (doc, term), doc
     * lengths, and the day's corpus-stat subtotal — three keyed merges,

@@ -54,17 +54,10 @@ object MediaStore {
     */
   private def requireOrInitGeometry(
       spark: SparkSession, table: String, want: Geometry): Geometry = {
-    readGeometry(spark, table) match {
-      case Some(g) =>
-        require(g == want,
-          s"MediaStore: $table was built with $g but this call uses $want — " +
-            "a geometry mismatch silently zeroes recall or duplicates store keys")
-        g
-      case None =>
-        StoreSidecar.write(spark, table, Seq(
-          "chunks" -> want.chunks.toLong, "partitions" -> want.partitions.toLong))
-        want
-    }
+    StoreSidecar.requireOrInit(spark, table, Seq(
+      "chunks" -> want.chunks.toLong, "partitions" -> want.partitions.toLong),
+      "MediaStore")
+    want
   }
 
   private def readGeometry(spark: SparkSession, table: String): Option[Geometry] =

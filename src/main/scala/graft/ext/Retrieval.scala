@@ -216,9 +216,12 @@ object Retrieval {
     require(topK > 0 && batchSize > 0, s"rerankStub: topK=$topK batchSize=$batchSize")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cand = candidates
+    // materialized: `cand` feeds BOTH the text prune and the scoring
+    // join, and upstream is the whole retrieval+fusion pipeline — the
+    // per-query top-k list is tiny, the pipeline is not
+    val cand = Dedup.materialize(candidates
       .select(col("query_id").cast("string").as("q"), col(idCol).cast("long").as("id"))
-      .distinct()
+      .distinct())
     val texts = docs
       .select(col(idCol).cast("long").as("id"), coalesce(col(textCol), lit("")).as("t"))
       .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")

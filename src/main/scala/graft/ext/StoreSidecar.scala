@@ -43,4 +43,29 @@ private[graft] object StoreSidecar {
     }.toMap
     if (parsed.size == keys.size) Some(parsed) else None
   }
+
+  /** The require-or-init policy most stores share (IndexStore,
+    * MediaStore, BenchRegistry): first touch on a fresh table RECORDS
+    * the geometry; every later touch REQUIRES an exact match and fails
+    * loudly otherwise — one copy of the compare loop so the stores
+    * cannot subtly diverge. (DedupStores keeps its own
+    * validate-if-present flavor: its probe validates a field SUBSET
+    * and must never initialize a partial sidecar.)
+    */
+  def requireOrInit(
+      spark: SparkSession,
+      root: String,
+      want: Seq[(String, Long)],
+      store: String): Map[String, Long] =
+    read(spark, root, want.map(_._1)) match {
+      case Some(got) =>
+        for ((k, v) <- want)
+          require(got(k) == v,
+            s"$store: $root was built with $k=${got(k)} but this call uses $k=$v — " +
+              "a geometry mismatch silently corrupts reads or recall")
+        got
+      case None =>
+        write(spark, root, want)
+        want.toMap
+    }
 }

@@ -8524,8 +8524,12 @@ object ExtQueries {
         Seq("okey", "l_linenumber"), forgetSeq = 1L,
         groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
       Scd2Store.forget(spark, scT, doomedUsers, "user_id")
+      // null-text docs were never media-ingested (mediaBase filters
+      // them), so the media request carries only ingested assets — an
+      // unfiltered null blob would NPE inside dHash64
       MediaStore.forget(spark, mediaBlobs(spark,
-        doomedDocs.select(col("doc_id").as("media_id"), col("text"))), mdT)
+        doomedDocs.filter(col("text").isNotNull)
+          .select(col("doc_id").as("media_id"), col("text"))), mdT)
     }
     runRequest()
     // --- BLIND AUDIT: zero hits for the subject in every id-keyed table ---
@@ -8705,12 +8709,11 @@ object ExtQueries {
 
   val x218Sql: String = {
     // bit (r*8 + c): grid cell k = r*9 + c samples byte ⌊k·len/72⌋
-    // (1-based substr; ASCII fixture ⇒ ascii(char) == byte value)
-    val bits = (0 until 64).map { i =>
-      val k1 = (i / 8) * 9 + (i % 8)
-      def px(k: Int) = s"ascii(substr(text, CAST(($k * len) // 72 AS BIGINT) + 1, 1))"
-      s"CASE WHEN ${px(k1 + 1)} > ${px(k1)} THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-    }.mkString("(", "\n             + ", ")")
+    // (1-based substr; ASCII fixture ⇒ ascii(char) == byte value) —
+    // ONE shared generator (dhashBitsSql) for every dHash oracle
+    // (x217/x219/x220/x227 included), so the recipe can never
+    // desynchronize between gates
+    val bits = dhashBitsSql
     s"""WITH base AS (SELECT doc_id AS media_id, text
          FROM documents WHERE text IS NOT NULL),
        m AS (SELECT media_id, text FROM base

@@ -769,21 +769,30 @@ object ManifestStore {
         leafPartitionDirs(fs, probeDir, partitionCols).map(_._1)
           .filter(m.partitions.contains).toSet
       } finally { try fs.delete(probeDir, true) catch { case _: java.io.IOException => () } }
-    val batchTuples = batch.select(partitionCols.map(col): _*).distinct()
-      .collect().map(r => partitionCols.indices.map(r.get)).toSeq
-    require(!batchTuples.exists(_.contains(null)),
-      s"replaceWhere: null ${partitionCols.mkString(",")} in batch")
-    // nothing to drop, nothing to write, nothing to record → no-op (no
-    // empty commit); with only a txnRecord to land, fall through — the
-    // marker must still commit (the compaction completed fence)
-    if (doomedLeafs.isEmpty && batchTuples.isEmpty && txnRecord.isEmpty) return
+    // ONE batch execution: writeCommit stages the data and its staged
+    // leaf names ARE the written-partition set (a pre-commit
+    // `.select(partitionCols).collect()` would re-run the whole batch
+    // plan — for compactDays that is the full epoch aggregation, twice)
     val (uuid, staged) = writeCommit(spark, path, batch, partitionCols)
+    def reclaim(): Unit =
+      try fs.delete(new Path(path, s"commits/$uuid"), true)
+      catch { case _: java.io.IOException => () }
+    // a null partition value lands in Spark's default-partition leaf —
+    // refused, with the staged commit reclaimed
+    if (staged.exists(_.contains("__HIVE_DEFAULT_PARTITION__"))) {
+      reclaim()
+      throw new IllegalArgumentException(
+        s"replaceWhere: null ${partitionCols.mkString(",")} in batch")
+    }
+    // nothing to drop, nothing written, nothing to record → no-op (no
+    // manifest bump); with only a txnRecord to land, fall through — the
+    // marker must still commit (the compaction completed fence)
+    if (doomedLeafs.isEmpty && staged.isEmpty && txnRecord.isEmpty) { reclaim(); return }
     try commitManifest(fs, path, Manifest(m.version + 1, partitionCols, uuid,
       (m.partitions -- doomedLeafs) ++ staged.map(_ -> s"commits/$uuid"),
       m.txn ++ txnRecord))
     catch { case e: java.io.IOException =>
-      try fs.delete(new Path(path, s"commits/$uuid"), true)
-      catch { case _: java.io.IOException => () }
+      reclaim()
       throw e
     }
   }

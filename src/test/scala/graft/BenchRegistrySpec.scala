@@ -71,6 +71,24 @@ class BenchRegistrySpec extends SparkSpec {
     assert(got.keySet.map(_._2) == Set("A", "C"))
   }
 
+  test("re-delivery is TRUE replacement: a corrected suite drops its stale grams") {
+    val table = fresh()
+    // first delivery mis-extracted: suiteA's text plus a spurious line
+    val bad = suiteA.unionByName(
+      Seq((11L, "spurious mis extracted gram line")).toDF("doc_id", "text"))
+    BenchRegistry.appendSuite(spark, bad, "doc_id", "text", "A", table, shingleN = 3)
+    val before = ManifestStore.read(spark, table).count()
+    // corrected re-delivery: the suite partition is REPLACED, so the
+    // spurious grams vanish (an upsert would keep them forever)
+    BenchRegistry.appendSuite(spark, suiteA, "doc_id", "text", "A", table, shingleN = 3)
+    val grams = ManifestStore.read(spark, table)
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(ManifestStore.read(spark, table).count() < before)
+    assert(!grams.exists(_.contains("spurious")))
+    assert(grams == Dedup.shingleRows(suiteA, "doc_id", "text", 3)
+      .collect().map(_.getString(1)).toSet)
+  }
+
   test("geometry: an n mismatch and a non-registry path fail loudly") {
     val table = fresh()
     BenchRegistry.appendSuite(spark, suiteA, "doc_id", "text", "A", table, shingleN = 3)
