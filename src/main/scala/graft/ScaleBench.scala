@@ -640,7 +640,11 @@ object ScaleBench {
     // x89's two retrievers (pruned postings + dense N×|Q|) + the
     // candidate-pruned text join + one O(queries × k) scoring pass —
     // the retrievers are the linear terms, the rerank corpus-free
-    "x230_rerank")
+    "x230_rerank",
+    // registry staging + the bloom build (registry-sized) + ONE narrow
+    // corpus posting pass + the FP-killing verify join — x55's curve
+    // shape fed from the store
+    "x231_registry_bloom")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -113,6 +113,31 @@ object BenchRegistry {
           / col("n_grams").cast("double")).as("contamination_ratio"))
   }
 
+  /** [[probe]]'s BLOOM-PREFILTERED form — the scale path the probe doc
+    * promises, now actual code: for a registry past broadcast-as-exact-
+    * set size, the store read feeds
+    * [[Dedup.benchmarkOverlapBloomFromGrams]] — a 16-bits/key filter
+    * built distributed from the stored grams, a codegen'd narrow probe
+    * over the corpus postings, and the exact verify join that kills
+    * every false positive, so the answer is EXACT. Output shape is
+    * [[Dedup.benchmarkOverlapBloom]]'s: only docs with ≥ 1 hit (the
+    * un-contaminated majority never reaches the join), vs [[probe]]'s
+    * all-docs report.
+    */
+  def probeBloom(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      bitsPerKey: Int = 16): DataFrame = {
+    val n = registryN(spark, table)
+    val grams = Dedup.materialize(
+      ManifestStore.read(spark, table).select(col("s")).distinct())
+    Dedup.benchmarkOverlapBloomFromGrams(
+      corpus, grams, idCol, textCol, n, bitsPerKey)
+  }
+
   /** Per-suite attribution for flagged docs — "WHICH benchmark does
     * this doc leak?": hit counts per (doc, suite), suites with zero
     * hits for a doc emit no row. Same broadcast join, grouped one level

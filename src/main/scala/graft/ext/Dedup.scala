@@ -759,14 +759,30 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int,
+      bitsPerKey: Int = 16): DataFrame =
+    benchmarkOverlapBloomFromGrams(corpus,
+      // materialize (NOT persist — see the materialize scaladoc: cache
+      // entries outlive the operator) the distinct bench grams once: the
+      // count sizing the filter, the hash scan building it, and the
+      // exact verify join all reuse the same checkpointed blocks
+      materialize(
+        shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct()),
+      idCol, textCol, shingleN, bitsPerKey)
+
+  /** [[benchmarkOverlapBloom]] fed a PRECOMPUTED distinct gram frame
+    * `(s)` — the entry point for gram sets that already exist as data
+    * (a maintained registry table, BenchRegistry.probeBloom) instead of
+    * as benchmark texts to tokenize. `benchGrams` must be distinct and
+    * cheap to scan twice (pass it materialized).
+    */
+  def benchmarkOverlapBloomFromGrams(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
       bitsPerKey: Int = 16): DataFrame = {
     import org.apache.spark.sql.graftfn.{Bloom, BloomExpressions}
-    // materialize (NOT persist — see the materialize scaladoc: cache
-    // entries outlive the operator) the distinct bench grams once: the
-    // count sizing the filter, the hash scan building it, and the exact
-    // verify join below all reuse the same checkpointed blocks
-    val benchGrams = materialize(
-      shingleRows(bench, idCol, textCol, shingleN).select(col("s")).distinct())
     // distributed build: per-partition bitsets OR-merged via treeAggregate —
     // the driver only ever holds the finished m-bit filter, never the raw
     // gram hashes

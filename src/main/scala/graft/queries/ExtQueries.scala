@@ -9242,4 +9242,29 @@ object ExtQueries {
          FROM ($x89Sql) f JOIN documents d USING (doc_id))
        WHERE rank <= 5"""
   }
+
+  // --- x231: bloom-prefiltered registry probe ---------------------------------
+  // x222's scale path made real: the SAME registry (suiteB retired),
+  // probed through the store-fed bloom prefilter — filter built
+  // distributed from the stored grams, codegen'd narrow probe, exact
+  // verify killing every FP — so the answer equals x222's restricted
+  // to contaminated docs (the bloom must be invisible in the result,
+  // x55's contract against the maintained store).
+  def x231RegistryBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchbloom")
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry
+      .probeBloom(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(!out.head(1).isEmpty, "x231: zero contaminated docs — vacuous gate")
+    out
+  }
+
+  // only docs with >= 1 hit (benchmarkOverlapBloom's inner-join shape)
+  val x231Sql: String = {
+    val tail = "FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"
+    require(x222Sql.trim.endsWith(tail), "x231: x222Sql tail moved")
+    x222Sql + "\n       WHERE COALESCE(h.n_contaminated, 0) > 0"
+  }
 }

@@ -89,6 +89,18 @@ class BenchRegistrySpec extends SparkSpec {
       .collect().map(_.getString(1)).toSet)
   }
 
+  test("probeBloom: the bloom is invisible — equals probe restricted to hit docs") {
+    val table = fresh()
+    BenchRegistry.appendSuite(spark, suiteA, "doc_id", "text", "A", table, shingleN = 3)
+    BenchRegistry.appendSuite(spark, suiteB, "doc_id", "text", "B", table, shingleN = 3)
+    val got = BenchRegistry.probeBloom(spark, corpus, "doc_id", "text", table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = BenchRegistry.probe(spark, corpus, "doc_id", "text", table)
+      .filter(col("n_contaminated") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("geometry: an n mismatch and a non-registry path fail loudly") {
     val table = fresh()
     BenchRegistry.appendSuite(spark, suiteA, "doc_id", "text", "A", table, shingleN = 3)
