@@ -46,6 +46,19 @@ object BenchRegistry {
       .getOrElse(throw new IllegalStateException(
         s"BenchRegistry: $table has no shingleN sidecar — not a BenchRegistry table"))
 
+  /** The live gram rows, tolerating a registry whose every suite has
+    * been retired: retiring the last suite drops the table's last
+    * partition, and a bare read would throw "no partitions" — but an
+    * EMPTY registry is a legitimate curation state that must read as
+    * "zero contamination everywhere", not crash every nightly probe.
+    */
+  private def liveGrams(spark: SparkSession, table: String): DataFrame =
+    if (ManifestStore.hasData(spark, table)) ManifestStore.read(spark, table)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("s", "suite")
+    }
+
   /** Register (or re-deliver) a suite: tokenize ITS texts only and
     * REPLACE the suite's partition with the full recomputed gram set —
     * one atomic [[ManifestStore.replaceWhere]], other suites'
@@ -101,7 +114,7 @@ object BenchRegistry {
       textCol: String,
       table: String): DataFrame = {
     val n = registryN(spark, table)
-    val grams = ManifestStore.read(spark, table)
+    val grams = liveGrams(spark, table)
       .select(col("s")).distinct().withColumn("__hit", lit(1))
     Dedup.shingleRows(corpus, idCol, textCol, n)
       .join(broadcast(grams), Seq("s"), "left")
@@ -133,7 +146,7 @@ object BenchRegistry {
       bitsPerKey: Int = 16): DataFrame = {
     val n = registryN(spark, table)
     val grams = Dedup.materialize(
-      ManifestStore.read(spark, table).select(col("s")).distinct())
+      liveGrams(spark, table).select(col("s")).distinct())
     Dedup.benchmarkOverlapBloomFromGrams(
       corpus, grams, idCol, textCol, n, bitsPerKey)
   }
@@ -151,7 +164,7 @@ object BenchRegistry {
       textCol: String,
       table: String): DataFrame = {
     val n = registryN(spark, table)
-    val grams = ManifestStore.read(spark, table)
+    val grams = liveGrams(spark, table)
       .select(col("s"), col("suite")).distinct()
     Dedup.shingleRows(corpus, idCol, textCol, n)
       .join(broadcast(grams), Seq("s"))

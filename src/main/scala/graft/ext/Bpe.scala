@@ -94,6 +94,9 @@ object Bpe {
       table: String,
       byCols: Seq[String] = Nil): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[vocabCompact]]
+    require(!day.startsWith("epoch:"),
+      s"vocabAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     // an empty day contributes nothing — don't poison the table with a
     // no-partition commit (a stream's empty micro-batch)
     if (docs.isEmpty) return
@@ -102,6 +105,31 @@ object Bpe {
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, v,
       byCols ++ Seq("w", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of a [[vocabAppendDay]] store — the metadata diet
+    * for a years-of-ingest vocabulary: word counts are plain exact
+    * sums, so the named days' (w, cnt) rows collapse into one
+    * group-summed epoch row set and [[vocabFromStore]] (hence
+    * [[learnMergesFromStore]] and every Heaps/Zipf read) is
+    * BIT-IDENTICAL before and after. Grouped stores pass the same
+    * `byCols` the appends used — the fold keys on them. Note for
+    * [[graft.ext.TextAnalysis.heapsFit]] consumers: the growth-curve
+    * fit treats each stored day as one corpus increment, so folding
+    * days collapses those increments into one point — compact only
+    * days older than the growth horizon you still fit over.
+    */
+  def vocabCompact(
+      spark: SparkSession,
+      table: String,
+      days: Seq[String],
+      epochDay: String,
+      byCols: Seq[String] = Nil): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"vocabCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    graft.sources.ManifestStore.compactDays(spark, table, "day",
+      groupCols = byCols :+ "w", sumCols = Seq("cnt"),
+      foldDays = days, epochDay = epochDay)
   }
 
   /** The merged weighted vocabulary of a [[vocabAppendDay]] store —

@@ -104,6 +104,9 @@ object DataCard {
       textCol: String = "text",
       langCol: String = "lang",
       charsCol: String = "n_chars"): Unit = {
+    // the epoch namespace is reserved for [[compactDays]]
+    require(!day.startsWith("epoch:"),
+      s"DataCard.appendDay: day '$day' uses the reserved 'epoch:' prefix")
     val d = docs.withColumn("day", lit(day))
     def upsert(path: String, batch: DataFrame, keys: Seq[String]): Unit =
       try ManifestStore.merge(spark, path, batch, keys, "day")
@@ -130,6 +133,37 @@ object DataCard {
           TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
         .agg(count(lit(1)).as("cnt")),
       Seq("source", "fp", "day"))
+  }
+
+  /** EPOCH COMPACTION of all four day-keyed card stores — the metadata
+    * diet for a datasheet maintained over years of daily ingest: every
+    * card statistic is derived from group-summed subtotals (counts per
+    * source, per (source, lang), per (source, n_chars), per
+    * (source, fp)), and exact integer sums fold losslessly, so
+    * [[cardFromStore]] is BIT-IDENTICAL before and after. Even the two
+    * non-sum card columns survive exactly: n_langs counts DISTINCT
+    * langs and dup mass thresholds per-fp totals — both functions of
+    * the group-summed tables, and the fold preserves the group key
+    * sets. Four independent atomic partition replacements; a crash
+    * between any two leaves every table individually exact (each read
+    * is fold-invariant on its own) and a replay converges — the
+    * [[graft.ext.LangModel.lmCompact]] multi-table pattern.
+    */
+  def compactDays(
+      spark: SparkSession,
+      root: String,
+      days: Seq[String],
+      epochDay: String): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"DataCard.compactDays: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    def fold(path: String, groupCols: Seq[String], sumCols: Seq[String]): Unit =
+      ManifestStore.compactDays(spark, path, "day",
+        groupCols = groupCols, sumCols = sumCols,
+        foldDays = days, epochDay = epochDay)
+    fold(s"$root/base", Seq("source"), Seq("n_docs", "tok_sum"))
+    fold(s"$root/lang", Seq("source", "lang"), Seq("cnt"))
+    fold(s"$root/len", Seq("source", "n_chars"), Seq("cnt"))
+    fold(s"$root/fp", Seq("source", "fp"), Seq("cnt"))
   }
 
   /** Derive the card from the maintained stores — same schema and exact

@@ -525,10 +525,14 @@ object Dedup {
         "divide 64 bits evenly — the leftover bits would silently lose recall " +
         "(use maxDist in {0, 1, 3, 7, 15, 31, 63})")
     val bitsPer = 64 / chunks
+    // maxDist=0 → one 64-bit chunk, where (1L << 64) - 1 is 0 under
+    // Java's mod-64 shift — mask with all-ones so the exact-match band
+    // key is the full fingerprint, not a constant
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     val blocked = hashed.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map(i =>
         shiftrightunsigned(col("fp"), i * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk", "ckey")))
+          .bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
     blocked.as("a").join(blocked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.id") < col("b.id"))

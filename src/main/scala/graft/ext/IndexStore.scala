@@ -333,6 +333,14 @@ object IndexStore {
       ManifestStore.lastTxn(spark, sub(root, "lens"), "compactStarted").getOrElse(0L)
     val completed0 =
       ManifestStore.lastTxn(spark, sub(root, "stats"), "compactCompleted").getOrElse(0L)
+    // monotonic-seq contract ENFORCED, not just documented: a stale seq
+    // below the recorded started marker would commit txn maps that
+    // REGRESS compactStarted/compactCompleted (m.txn ++ txnRecord keeps
+    // the last write), silently re-opening or mislabeling the fence
+    require(compactSeq >= started0,
+      s"IndexStore.compactStats: compactSeq=$compactSeq is stale — the last " +
+        s"started compaction is $started0 (a replay reuses that exact seq; a " +
+        "new compaction needs a larger one)")
     require(completed0 >= started0 || compactSeq == started0,
       s"IndexStore.compactStats: compaction $started0 is still open (last completed: " +
         s"$completed0) — replay it with the same arguments before starting seq $compactSeq")

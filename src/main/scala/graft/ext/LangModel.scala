@@ -145,6 +145,9 @@ object LangModel {
       day: String,
       table: String): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[lmCompact]]
+    require(!day.startsWith("epoch:"),
+      s"lmAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     // an empty day contributes nothing (see the moment store's note)
     if (ref.isEmpty) return
     val bg = bigramRows(ref, idCol, textCol)
@@ -155,6 +158,35 @@ object LangModel {
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, s"$table/bg", bg, Seq("w1", "w2", "day"), "day")
     ManifestStore.mergeOrCreate(spark, s"$table/uni", uni, Seq("w", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of an [[lmAppendDay]] store — both tables fold by
+    * plain exact sums: bigram counts per (w1, w2), unigram counts per
+    * w. The model's one non-sum statistic — V = the DISTINCT stored
+    * unigram count — survives exactly because the fold GROUPS BY `w`:
+    * the set of live words is invariant under collapsing their day
+    * subtotals (a word present in any folded day is present in the
+    * epoch row set; no other word appears). So
+    * [[perplexityFromStore]]'s scores are BIT-IDENTICAL before and
+    * after, however many years of daily reference feeds have folded.
+    * Each table's fold is one atomic partition replacement; a crash
+    * BETWEEN the two leaves both tables individually exact (each read
+    * is fold-invariant on its own), and a replay re-folds the already-
+    * folded table into itself — convergent, no fence needed.
+    */
+  def lmCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      days: Seq[String],
+      epochDay: String): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"lmCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    graft.sources.ManifestStore.compactDays(spark, s"$table/bg", "day",
+      groupCols = Seq("w1", "w2"), sumCols = Seq("cnt"),
+      foldDays = days, epochDay = epochDay)
+    graft.sources.ManifestStore.compactDays(spark, s"$table/uni", "day",
+      groupCols = Seq("w"), sumCols = Seq("cnt"),
+      foldDays = days, epochDay = epochDay)
   }
 
   /** Score a corpus against an [[lmAppendDay]] store — c2 sums across

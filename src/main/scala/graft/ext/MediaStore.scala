@@ -76,11 +76,16 @@ object MediaStore {
   private[graft] def bandRows(
       media: Dataset[Multimodal.MediaBlob], chunks: Int, partitions: Int): DataFrame = {
     val bitsPer = 64 / chunks
+    // chunks=1 → bitsPer=64, and Java shifts mod 64 make (1L << 64) - 1
+    // equal 0, not all-ones — the ckey would collapse to 0 for every
+    // asset, silently funneling the whole index into one bucket (exact
+    // results, dead pruning). The one-chunk key is the full hash.
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     Multimodal.dHash64(media).toDF()
       .select(col("media_id"), col("phash"), posexplode(
         array((0 until chunks).map(i =>
           shiftrightunsigned(col("phash"), i * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk", "ckey")))
+            .bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
       .withColumn("pt", bucket(col("chunk"), col("ckey"), partitions))
   }
 
@@ -103,8 +108,36 @@ object MediaStore {
       s"MediaStore: chunks=$chunks does not divide 64 bits evenly — the " +
         "leftover bits would silently lose recall (use 1, 2, 4, 8, 16, 32, 64)")
     val g = requireOrInitGeometry(spark, table, Geometry(chunks, partitions))
-    ManifestStore.mergeOrCreate(spark, table,
-      bandRows(media, g.chunks, g.partitions), Seq("media_id", "chunk"), "pt")
+    val batch = Dedup.materialize(bandRows(media, g.chunks, g.partitions))
+    // immutable-bytes contract, now DETECTED instead of only documented:
+    // re-ingesting CHANGED bytes under an old id rebands into other
+    // buckets, stranding the old ckeys as match-capable orphans — the
+    // exact privacy hazard forgetById exists to cure. Guard: within the
+    // batch's own buckets, an existing row under the same (media_id,
+    // chunk) key with a DIFFERENT phash is proof of drift — refuse
+    // loudly. Partial by construction (an asset whose every chunk key
+    // changed lands only in other buckets and slips past — stated
+    // honestly; the full check would be an index-wide scan per append),
+    // but one unchanged chunk is enough to catch the common
+    // re-ingest-with-drift. Same-bytes re-delivery has equal phash and
+    // passes, so at-least-once replay is untouched. Cost: one extra
+    // read of the buckets the merge rewrites anyway.
+    if (ManifestStore.hasData(spark, table)) {
+      val leafs = batch.select(col("pt")).distinct()
+        .collect().map(r => s"pt=${r.getLong(0)}").sorted
+      val drifted = ManifestStore.readPartitions(spark, table, leafs.toSeq)
+        .select(col("media_id"), col("chunk"), col("phash").as("__old"))
+        .join(batch, Seq("media_id", "chunk"))
+        .filter(col("__old") =!= col("phash"))
+      if (!drifted.head(1).isEmpty)
+        throw new IllegalStateException(
+          "MediaStore.append: batch re-ingests existing media_ids with " +
+            "CHANGED bytes (phash drift detected in " +
+            s"${drifted.select(col("media_id")).distinct().count()} asset(s)) — " +
+            s"assets are immutable corpus members; forgetById the old ids " +
+            "first, then ingest the new bytes under new ids")
+    }
+    ManifestStore.mergeOrCreate(spark, table, batch, Seq("media_id", "chunk"), "pt")
   }
 
   /** Flag an increment against the PERSISTED index: hash the increment,

@@ -225,8 +225,13 @@ object Retrieval {
     val texts = docs
       .select(col(idCol).cast("long").as("id"), coalesce(col(textCol), lit("")).as("t"))
       .join(cand.select(col("id")).distinct(), Seq("id"), "left_semi")
-    val scored = cand.join(texts, Seq("id"))
-      .select(col("q"), col("id"), col("t")).as[(String, Long, String)]
+    // LEFT join: a candidate id with no docs row (a retriever index
+    // newer than the doc snapshot) must not silently shorten that
+    // query's reranked list — it scores like a null-text doc and stays
+    // rankable, the same coalesce the null-text path takes
+    val scored = cand.join(texts, Seq("id"), "left")
+      .select(col("q"), col("id"), coalesce(col("t"), lit("")).as("t"))
+      .as[(String, Long, String)]
       .mapPartitions { it =>
         // real impl: load the cross-encoder session ONCE here
         val md = java.security.MessageDigest.getInstance("MD5")

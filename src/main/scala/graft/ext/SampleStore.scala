@@ -56,12 +56,108 @@ object SampleStore {
       table: String,
       byCols: Seq[String] = Nil): Unit = {
     require(k > 0 && slack >= 0, s"SampleStore.appendDay: k=$k, slack=$slack")
+    // the epoch namespace is reserved for [[compactDays]]
+    require(!day.startsWith("epoch:"),
+      s"SampleStore.appendDay: day '$day' uses the reserved 'epoch:' prefix")
     import graft.sources.ManifestStore
+    // (k, slack) are STORE properties (the kmv-store lesson): a day
+    // appended at a different retention width would silently break the
+    // pigeonhole that makes the merged read exact — and compactDays
+    // reads the fold width from here, so it can never mismatch either
+    StoreSidecar.requireOrInit(spark, table, Seq(
+      "k" -> k.toLong, "slack" -> slack.toLong), "SampleStore")
     val top = Sampling.weightedTopKBy(df, keyCol, weight, byCols, k + slack)
       .select((byCols :+ keyCol).map(col) :+ col("es_key"): _*)
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, top,
       byCols ++ Seq(keyCol, "day"), "day")
+  }
+
+  private def ledgerT(table: String) = s"$table/_forgetledger"
+
+  /** EPOCH COMPACTION of the day summaries — the metadata diet for a
+    * sample maintained over years of daily ingest, with the slack law
+    * restated for the folded world. The named days' retained rows fold
+    * into ONE epoch row set: the global top-(k+slack) of their
+    * surviving union (per stratum when the store is grouped), under
+    * the store's own (k, slack) from the geometry sidecar — so the
+    * fold width can never mismatch the build.
+    *
+    * Exactness, the x229 pigeonhole applied twice: (1) the READ is
+    * bit-identical — any row in the global top-k over all stored rows
+    * ranks ≤ k within the folded union, so it survives a
+    * top-(k+slack) fold; (2) the slack BUDGET resets — the epoch's
+    * row set is re-derived from survivors, so the epoch behaves as one
+    * fresh day: the merged top-k stays exact while at most `slack`
+    * rows of the EPOCH's retained set (and of each unfolded day's,
+    * the original law) are forgotten. The price, stated honestly: N
+    * days' separate slack budgets collapse into ONE epoch budget.
+    *
+    * The refusal (the forget-accountability fence): each folded day's
+    * forgotten-row count — maintained by [[forget]] in the
+    * `_forgetledger` sidecar table — must be ≤ slack. A day past its
+    * budget is already serving a degraded sample ("top-k over retained
+    * candidates", see the object doc), and folding it would DESTROY
+    * the evidence, laundering the breach into an epoch that claims a
+    * fresh budget. The cure: re-append the breached day from the
+    * scrubbed corpus (the wholesale replace restores a full retained
+    * set) and [[clearLedgerDay]] it — the fold is then legal with the
+    * budget refilled. Ledger rows of folded days are
+    * dropped AFTER the fold commits (their budget is accounted by the
+    * re-derivation); a crash between the two replays convergently.
+    */
+  def compactDays(
+      spark: SparkSession,
+      table: String,
+      keyCol: String,
+      foldDays: Seq[String],
+      epochDay: String,
+      byCols: Seq[String] = Nil): Unit = {
+    import graft.sources.ManifestStore
+    require(epochDay.startsWith("epoch:"),
+      s"SampleStore.compactDays: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    require(foldDays.nonEmpty && !foldDays.contains(epochDay),
+      "SampleStore.compactDays: foldDays must be non-empty and not contain the epoch tag")
+    val g = StoreSidecar.read(spark, table, Seq("k", "slack")).getOrElse(
+      throw new IllegalStateException(
+        s"SampleStore.compactDays: $table has no (k, slack) geometry sidecar — " +
+          "not a SampleStore table (or it predates the sidecar; re-append any day)"))
+    val (k, slack) = (g("k").toInt, g("slack").toInt)
+    val doomedDays = (foldDays :+ epochDay).distinct
+    val lt = ledgerT(table)
+    if (ManifestStore.hasData(spark, lt)) {
+      val breaches = ManifestStore.read(spark, lt)
+        .filter(col("day").isin(doomedDays: _*))
+        .groupBy(col("day")).agg(sum(col("cnt")).as("forgotten"))
+        .filter(col("forgotten") > slack)
+        .collect()
+      require(breaches.isEmpty,
+        s"SampleStore.compactDays: day(s) ${breaches.map(r =>
+            s"${r.getString(0)} (${r.getLong(1)} forgotten)").mkString(", ")} " +
+          s"exceeded the slack budget ($slack) — their sample reads are already " +
+          "degraded, and folding would make the breach unaccountable; " +
+          "re-append the breached day(s) first to restore exactness")
+    }
+    val global = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col("es_key").desc, col(keyCol))
+    val epoch = ManifestStore.read(spark, table)
+      .filter(col("day").isin(doomedDays: _*))
+      .withColumn("__rk", row_number().over(global))
+      .filter(col("__rk") <= k + slack)
+      .select((byCols :+ keyCol).map(col) :+ col("es_key"): _*)
+      .withColumn("day", lit(epochDay))
+    import spark.implicits._
+    ManifestStore.replaceWhere(spark, table, epoch,
+      doomedDays.toDF("day"), Seq("day"))
+    // the folded days' ledger rows are consumed by the re-derivation —
+    // the epoch starts with a full budget; dropped AFTER the fold so a
+    // crash in between never erases an unconsumed breach record
+    // (hasData, not exists: a fully-cleared ledger has no partitions
+    // left to read or drop)
+    if (ManifestStore.hasData(spark, lt))
+      ManifestStore.replaceWhere(spark, lt,
+        ManifestStore.read(spark, lt).limit(0),
+        doomedDays.toDF("day"), Seq("day"))
   }
 
   /** The maintained sample: global top-k by (es_key desc, key) over the
@@ -91,12 +187,55 @@ object SampleStore {
     * day column, so the delete's locate pass reads the STORE (bounded:
     * O(days × (k+slack)) rows), never the corpus. Exactness after the
     * forget follows the slack law in the object doc.
+    *
+    * The LEDGER (what makes the law auditable and [[compactDays]]
+    * refusable): before the delete, the doomed keys' per-day hit
+    * counts — per (day, stratum) MAX when the store is grouped, the
+    * conservative reading of the per-stratum law — land in
+    * `_forgetledger` keyed (day, forgetSeq). `forgetSeq` is the
+    * per-request ticket number (the ViewStore/IndexStore contract:
+    * unique per request, reused verbatim on replay), which makes the
+    * two-commit window convergent: a replay BEFORE the delete
+    * recomputes identical counts and upserts them in place; a replay
+    * AFTER finds zero hits, writes nothing, and the committed rows
+    * stand. Budget spent = ledger sum per day; re-appending a day
+    * wholesale-replaces its rows AND clears its ledger (exactness
+    * restored, budget refilled).
     */
   def forget(
       spark: SparkSession,
       table: String,
       keyCol: String,
-      doomed: DataFrame): Unit =
-    graft.sources.ManifestStore.delete(
-      spark, table, doomed.select(col(keyCol)), Seq(keyCol), Seq("day"))
+      doomed: DataFrame,
+      forgetSeq: Long,
+      byCols: Seq[String] = Nil): Unit = {
+    import graft.sources.ManifestStore
+    val keys = doomed.select(col(keyCol)).distinct()
+    val hitsByStratum = ManifestStore.read(spark, table)
+      .join(keys, Seq(keyCol), "left_semi")
+      .groupBy((byCols :+ "day").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val ledger = hitsByStratum
+      .groupBy(col("day")).agg(max(col("cnt")).as("cnt"))
+      .withColumn("seq", lit(forgetSeq))
+    if (!ledger.head(1).isEmpty)
+      ManifestStore.mergeOrCreate(spark, ledgerT(table), ledger,
+        Seq("day", "seq"), "day")
+    ManifestStore.delete(spark, table, keys, Seq(keyCol), Seq("day"))
+  }
+
+  /** Clear a day's forget-ledger rows — called when a day is
+    * re-appended from the corpus (the breach cure: the wholesale
+    * day replace restores the full retained set, so its budget
+    * refills). Kept separate from [[appendDay]] because appendDay is
+    * also the FIRST-delivery path, where no ledger exists to clear.
+    */
+  def clearLedgerDay(spark: SparkSession, table: String, day: String): Unit = {
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    val lt = ledgerT(table)
+    if (ManifestStore.hasData(spark, lt))
+      ManifestStore.replaceWhere(spark, lt,
+        ManifestStore.read(spark, lt).limit(0), Seq(day).toDF("day"), Seq("day"))
+  }
 }

@@ -331,9 +331,35 @@ object Sketches {
       depth: Int,
       width: Int): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[countMinCompact]]
+    require(!day.startsWith("epoch:"),
+      s"countMinAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     val cells = countMinCells(df, valueCol, depth, width)
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, cells, Seq("r", "cell", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of a [[countMinAppendDay]] store — the plain-SUM
+    * member of the fold matrix ([[graft.sources.ManifestStore.compactDays]]
+    * verbatim): the named days' cell subtotals collapse into one
+    * group-summed epoch row set per (r, cell), so the table holds
+    * ≤ d×w rows however many days were ingested, and
+    * [[countMinCellsFromStore]]'s read (its own sum is associative) is
+    * BIT-IDENTICAL. CM cells add losslessly across any slicing — the
+    * same algebra that makes the daily append exact makes the fold
+    * exact. Replay-convergent: the fold recomputes the identical epoch
+    * rows from whatever day subset still exists.
+    */
+  def countMinCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      days: Seq[String],
+      epochDay: String): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"countMinCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    graft.sources.ManifestStore.compactDays(spark, table, "day",
+      groupCols = Seq("r", "cell"), sumCols = Seq("cnt"),
+      foldDays = days, epochDay = epochDay)
   }
 
   /** The full-history cell table from a [[countMinAppendDay]] store. */
@@ -374,8 +400,29 @@ object Sketches {
       day: String,
       table: String): Unit = {
     import graft.sources.ManifestStore
+    // the epoch namespace is reserved for [[histCompact]]
+    require(!day.startsWith("epoch:"),
+      s"histAppendDay: day '$day' uses the reserved 'epoch:' prefix")
     val cells = histCells(df, valueCol, bucketWidth).withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, cells, Seq("bucket", "day"), "day")
+  }
+
+  /** EPOCH COMPACTION of a [[histAppendDay]] store — plain-SUM fold per
+    * bucket ([[countMinCompact]]'s algebra on the histogram synopsis):
+    * the table holds O(buckets) rows however many days were ingested,
+    * and [[histCellsFromStore]] (and every [[histQuantiles]] read over
+    * it) is BIT-IDENTICAL before and after.
+    */
+  def histCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      days: Seq[String],
+      epochDay: String): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"histCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    graft.sources.ManifestStore.compactDays(spark, table, "day",
+      groupCols = Seq("bucket"), sumCols = Seq("cnt"),
+      foldDays = days, epochDay = epochDay)
   }
 
   /** The full-history bucket table from a [[histAppendDay]] store. */
@@ -590,6 +637,15 @@ object Sketches {
     // the epoch namespace is reserved for [[kmvCompact]]
     require(!day.startsWith("epoch:"),
       s"kmvAppendDay: day '$day' uses the reserved 'epoch:' prefix")
+    // geometry sidecar (the MediaStore/BenchRegistry convention): the
+    // build k is a STORE property, not a call argument — a later fold
+    // or read at a different k would silently truncate the sketch (and
+    // then report the truncated count as EXACT via the n_vals < k
+    // path). The per-day arrays cannot carry the law themselves: days
+    // with < k distinct values store narrow arrays, so "widest stored
+    // array" under-reports the build k.
+    StoreSidecar.requireOrInit(spark, table, Seq(
+      "k" -> k.toLong, "saltBuckets" -> saltBuckets.toLong), "Sketches.kmv")
     val mins = kmvMins(df, groupCol, valueCol, k, saltBuckets)
       .withColumn("day", lit(day))
     ManifestStore.mergeOrCreate(spark, table, mins, Seq(groupCol, "day"), "day")
@@ -608,6 +664,24 @@ object Sketches {
     * stored array, and by contract. KMV has no forget (mins cannot be
     * un-seen, x148's documented limit) — purely the metadata diet.
     */
+  /** The store's build `k` from the geometry sidecar, REQUIREd equal to
+    * the caller's: a fold or read at a different k silently truncates
+    * the sketch (narrow per-day arrays defeat any best-effort "widest
+    * stored array" probe — build k=16 over days of ≤ 8 mins each passes
+    * that guard at fold k=8, and the truncated union then reads back as
+    * an EXACT count). Stores written before the sidecar existed have no
+    * file; for them the legacy widest-array guard below still applies.
+    */
+  private def requireKmvK(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, k: Int, op: String): Unit =
+    StoreSidecar.read(spark, table, Seq("k")).foreach { got =>
+      require(got("k") == k.toLong,
+        s"$op: $table was built with k=${got("k")} but this call uses k=$k — " +
+          "a width mismatch silently truncates the sketch or mislabels " +
+          "estimates as exact")
+    }
+
   def kmvCompact(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
@@ -621,6 +695,7 @@ object Sketches {
       s"kmvCompact: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
     require(days.nonEmpty && !days.contains(epochDay),
       "kmvCompact: days must be non-empty and not contain the epoch tag")
+    requireKmvK(spark, table, k, "kmvCompact")
     val doomedDays = (days :+ epochDay).distinct
     val cells = ManifestStore.read(spark, table)
       .filter(col("day").isin(doomedDays: _*))
@@ -645,6 +720,7 @@ object Sketches {
       groupCol: String,
       k: Int = 64): DataFrame = {
     import graft.sources.ManifestStore
+    requireKmvK(spark, table, k, "kmvMinsFromStore")
     ManifestStore.read(spark, table)
       .groupBy(col(groupCol))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
@@ -706,6 +782,19 @@ object Sketches {
         coalesce(min(col("c")), lit(0L)).as("mc"), count(lit(1)).as("nk")))
       .select(lit(day).as("day"), col("n"),
         when(col("nd") > col("nk"), col("mc")).otherwise(lit(0L)).as("kth"))
+    // NON-COMPACTABLE, and loudly so: unlike every sum/max/k-min store,
+    // the hh day summaries are NOT epoch-foldable — the TA/TPUT bound
+    // pads each candidate by the kth of exactly the days SILENT on it,
+    // and a fold forgets which days those were (a folded epoch would
+    // either under-pad present-in-some-day values, risking false
+    // negatives, or the bound law would need a widened per-value kth
+    // ledger). A generic compactDays over these tables would silently
+    // loosen every certified threshold — the sidecar tag makes it
+    // refuse instead (see ManifestStore.compactDays).
+    StoreSidecar.requireOrInit(spark, s"$table/totals",
+      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
+    StoreSidecar.requireOrInit(spark, s"$table/hh",
+      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
     // totals first, summary second; a crash between the two commits
     // leaves the day sets diverging, which hhFromStore REFUSES loudly
     // (the kth bound only holds for a committed summary) — replaying

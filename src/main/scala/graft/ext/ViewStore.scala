@@ -172,16 +172,14 @@ object ViewStore {
       groupCols: Seq[String],
       sumCols: Seq[String],
       partitions: Int = 8): Unit = {
+    // the epoch namespace is reserved for [[compactAgg]]
+    require(!day.startsWith("epoch:"),
+      s"ViewStore.appendDayAgg: day '$day' uses the reserved 'epoch:' prefix")
     // forget fence: a crashed forgetA (correction committed, base-A
     // delete not) must be replayed before new days append — an append
     // pairing still-present doomed rows would be double-corrected by
     // the replay's recomputed correction
-    if (ManifestStore.exists(spark, aggT(root)) && ManifestStore.exists(spark, aT(root)))
-      for (s <- ManifestStore.lastTxn(spark, aggT(root), ForgetTxn)
-           if !ManifestStore.lastTxn(spark, aT(root), ForgetTxn).exists(_ >= s))
-        throw new IllegalStateException(
-          s"ViewStore: $root has an unreplayed crashed forget (seq $s) — " +
-            "replay it to convergence before appending")
+    requireNoOpenForget(spark, root, "appending")
     deltaView(spark, root, deltaA, deltaB, jk, aKeys, bKeys, partitions)
       .foreach { keyed =>
         val viewKeys = (aKeys ++ bKeys).distinct
@@ -232,6 +230,56 @@ object ViewStore {
     * would be double-corrected by the replay's recomputed correction).
     */
   private val ForgetTxn = "graft.view.forget"
+
+  /** Refuse while a forgetA crash window is open (correction committed
+    * on the agg table, base-A delete not) — shared by [[appendDayAgg]]
+    * and [[compactAgg]], which must both wait for the replay: an append
+    * would double-correct (see [[appendDayAgg]]), and a fold that
+    * consumed the committed `__forget_<seq>` correction day would be
+    * RE-merged by the replay's recomputed correction under that same
+    * day key, double-subtracting the doomed mass.
+    */
+  private def requireNoOpenForget(
+      spark: SparkSession, root: String, verb: String): Unit =
+    if (ManifestStore.exists(spark, aggT(root)) && ManifestStore.exists(spark, aT(root)))
+      for (s <- ManifestStore.lastTxn(spark, aggT(root), ForgetTxn)
+           if !ManifestStore.lastTxn(spark, aT(root), ForgetTxn).exists(_ >= s))
+        throw new IllegalStateException(
+          s"ViewStore: $root has an unreplayed crashed forget (seq $s) — " +
+            s"replay it to convergence before $verb")
+
+  /** EPOCH COMPACTION of the maintained aggregate view's day subtotals
+    * — the metadata diet for a rollup maintained over years of daily
+    * ingest, INCLUDING the `__forget_<seq>` correction days: both
+    * positive day subtotals and negative corrections are plain exact
+    * sums, so they fold together and [[readAgg]]'s re-sum is
+    * BIT-IDENTICAL — groups whose mass was fully forgotten net to a
+    * cnt = 0 epoch row that readAgg's `cnt > 0` filter still drops,
+    * exactly as it dropped the (day, correction) pair. Folding a
+    * correction day DESTROYS the (subtotal, correction) pair that
+    * could reconstruct a forgotten subject's contribution — the x205/
+    * moments-store privacy completion, inherited from
+    * [[graft.sources.ManifestStore.compactDays]]'s contract. Refused
+    * while a forget crash window is open (see
+    * [[requireNoOpenForget]]); a COMMITTED correction (closed window)
+    * folds safely because replays of closed forgets find no doomed
+    * view rows and leave the agg table untouched.
+    */
+  def compactAgg(
+      spark: SparkSession,
+      root: String,
+      days: Seq[String],
+      epochDay: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): Unit = {
+    require(epochDay.startsWith("epoch:"),
+      s"ViewStore.compactAgg: epoch tag must carry the reserved 'epoch:' prefix, got '$epochDay'")
+    requireNoOpenForget(spark, root, "compacting")
+    ManifestStore.compactDays(spark, aggT(root), "day",
+      groupCols = groupCols,
+      sumCols = "cnt" +: sumCols.map(c => s"sum_$c"),
+      foldDays = days, epochDay = epochDay)
+  }
 
   /** Right-to-be-forgotten over the maintained views — the view member
     * of the forget matrix (x157/x171/x172/x173): remove doomed A-side

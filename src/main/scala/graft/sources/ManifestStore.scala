@@ -839,6 +839,18 @@ object ManifestStore {
     // (HLL registers) — max is idempotent, so these folds are immune
     // even to a day accidentally folded twice
     require(sumCols.nonEmpty || maxCols.nonEmpty, "compactDays: nothing to fold")
+    // stores whose day rows are NOT foldable opt out via a sidecar tag
+    // and are refused wholesale: the heavy-hitter store's TA/TPUT bound
+    // pads each candidate by the kth of exactly the days silent on it —
+    // information a group-fold destroys — so a "successful" compaction
+    // there would silently loosen every certified threshold
+    if (graft.ext.StoreSidecar.read(spark, path, Seq("no_epoch_fold"))
+        .exists(_("no_epoch_fold") == 1L))
+      throw new IllegalStateException(
+        s"compactDays: $path is tagged no_epoch_fold — its day rows carry " +
+          "per-day read-time guarantees (e.g. the heavy-hitter kth bounds) " +
+          "that a group fold would silently loosen; this store must keep " +
+          "its day granularity (prune old days by retention policy instead)")
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val doomedDays = (foldDays :+ epochDay).distinct
     val epoch = read(spark, path)

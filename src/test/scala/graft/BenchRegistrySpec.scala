@@ -114,4 +114,22 @@ class BenchRegistrySpec extends SparkSpec {
       BenchRegistry.retireSuite(spark, "A", fresh())
     }
   }
+
+  test("a fully-retired registry reads as zero contamination, not a crash") {
+    val table = fresh()
+    BenchRegistry.appendSuite(spark, suiteA, "doc_id", "text", "A", table, shingleN = 3)
+    BenchRegistry.appendSuite(spark, suiteB, "doc_id", "text", "B", table, shingleN = 3)
+    BenchRegistry.retireSuite(spark, "A", table)
+    BenchRegistry.retireSuite(spark, "B", table)
+    // probe: every doc reports its gram count with 0 contaminated —
+    // the all-suites-retracted curation state is an answer, not an error
+    val got = BenchRegistry.probe(spark, corpus, "doc_id", "text", table)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got.keySet == want && got.values.forall(_ == 0L))
+    // attribute and the bloom path report no hits (their hit-only shape)
+    assert(BenchRegistry.attribute(spark, corpus, "doc_id", "text", table).isEmpty)
+    assert(BenchRegistry.probeBloom(spark, corpus, "doc_id", "text", table).isEmpty)
+  }
 }

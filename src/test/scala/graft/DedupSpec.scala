@@ -221,4 +221,19 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // 3 is opposite, 4 is another block
   }
+
+  test("hammingPairs64 at maxDist=0 bands on the full fingerprint, not a constant") {
+    // one 64-bit chunk: (1L << 64) is 1 under Java's mod-64 shift, so
+    // the old mask collapsed every band key to 0 — an all-pairs join
+    // (exact results via the popcount verify, dead pruning). The fixed
+    // mask keys exact-match bands by the full fp.
+    val hashed = Seq(
+      (1L, 0x1234567890abcdefL), (2L, 0x1234567890abcdefL),
+      (3L, 0x1234567890abcdeeL), // 1 bit off — NOT a maxDist=0 pair
+      (4L, -0x7fffffffffffffffL), (5L, -0x7fffffffffffffffL))
+      .toDF("id", "fp")
+    val got = Dedup.hammingPairs64(hashed, maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
 }

@@ -140,4 +140,58 @@ class MediaStoreSpec extends SparkSpec {
       MediaStore.probe(spark, blobs(twins), fresh(), maxDist = 3)
     }
   }
+
+  test("append refuses re-ingested CHANGED bytes under an existing id") {
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, partitions = 4)
+    // same-bytes re-delivery (at-least-once) still replaces quietly
+    MediaStore.append(spark, blobs(store.take(3)), table, partitions = 4)
+    assert(ManifestStore.read(spark, table).count() == store.size * 4L)
+    def phashOf(b: Array[Byte]): Long =
+      Multimodal.dHash64(blobs(Seq(Multimodal.MediaBlob(999L, b))))
+        .head().phash
+    def chunkKeys(h: Long): Seq[Long] =
+      (0 until 4).map(i => (h >>> (i * 16)) & 0xffffL)
+    // build a DRIFTED payload for id 1: the dHash must actually change
+    // (a single byte flip can be hash-invisible) while sharing ≥ 1 of
+    // the 4 chunk keys, so the drift lands in the batch's own buckets —
+    // the "common case" the guard is specified to catch
+    val ph1 = phashOf(payload(1))
+    val drifted = (40 to 90).iterator.map { pos =>
+      val c = payload(1).clone(); c(pos) = (c(pos) ^ 0x55).toByte; c
+    }.find { c =>
+      val h = phashOf(c)
+      h != ph1 && chunkKeys(h).zip(chunkKeys(ph1)).exists(p => p._1 == p._2)
+    }.getOrElse(fail("no drifted payload shares a chunk key"))
+    val e = intercept[IllegalStateException] {
+      MediaStore.append(spark,
+        blobs(Seq(Multimodal.MediaBlob(1L, drifted))), table, partitions = 4)
+    }
+    assert(e.getMessage.contains("CHANGED bytes"))
+    // the refused batch committed nothing
+    assert(ManifestStore.read(spark, table).count() == store.size * 4L)
+    // the documented escape hatch: forgetById the old id, then ingest
+    MediaStore.forgetById(spark, Seq(1L).toDF("media_id"), "media_id", table)
+    MediaStore.append(spark,
+      blobs(Seq(Multimodal.MediaBlob(1L, drifted))), table, partitions = 4)
+    assert(ManifestStore.read(spark, table).count() == store.size * 4L)
+  }
+
+  test("chunks=1: the one-chunk band key is the full hash, not a constant") {
+    // (1L << 64) is 1 under Java's mod-64 shift, so the old mask made
+    // every chunks=1 ckey 0 — one bucket holding the whole index, dead
+    // pruning. The fixed mask keys by the full phash.
+    val rows = MediaStore.bandRows(blobs(store), chunks = 1, partitions = 4)
+    val keys = rows.select(col("ckey")).distinct().count()
+    val phashes = rows.select(col("phash")).distinct().count()
+    assert(keys == phashes && keys > 1L, s"ckeys $keys vs phashes $phashes")
+    assert(rows.select(col("pt")).distinct().count() > 1L)
+    // end-to-end at the chunks=1 geometry: exact-duplicate probe
+    val table = fresh()
+    MediaStore.append(spark, blobs(store), table, chunks = 1, partitions = 4)
+    val dup = Seq(Multimodal.MediaBlob(201L, payload(2)))
+    val got = MediaStore.probe(spark, blobs(dup), table, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((201L, 2L, 0)))
+  }
 }

@@ -41,6 +41,26 @@ class RetrievalSpec extends SparkSpec {
     assert(!scoredIds.contains(5L))
   }
 
+  test("rerankStub: a candidate with no docs row stays in the list, scored as empty text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // candidate 99 resolves to NO docs row (a retriever index newer than
+    // the doc snapshot) — it must not silently shorten qa's list
+    val cands = Seq(("qa", 1, 1L), ("qa", 2, 99L)).toDF("query_id", "rank", "doc_id")
+    val got = graft.ext.Retrieval
+      .rerankStub(cands, docs, "doc_id", "text", topK = 5, batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    def score(q: String, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((q + "|" + t).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    // the unresolved candidate scores exactly like a null-text doc
+    assert(got == Set(("qa", 1L, score("qa", "alpha beta")),
+      ("qa", 99L, score("qa", ""))))
+  }
+
   import spark.implicits._
 
   private def score(tf: Long, len: Long, n: Long, df: Long, avgdl: Double): Double = {

@@ -57,7 +57,7 @@ class SampleStoreSpec extends SparkSpec {
     // surviving corpus
     val doomed = SampleStore.sampleFromStore(spark, t, "id", 3).select(col("id"))
     val doomedIds = doomed.collect().map(_.getLong(0)).toSet
-    SampleStore.forget(spark, t, "id", doomed)
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 1L)
     val got = SampleStore.sampleFromStore(spark, t, "id", 10)
       .orderBy("sample_rank").collect().map(_.toSeq).toSeq
     val want = Sampling.weightedTopK(
@@ -74,7 +74,7 @@ class SampleStoreSpec extends SparkSpec {
     // forget 4 of the day's retained 7 — 2 past slack: the store can
     // only answer from its 3 retained survivors
     val doomed = SampleStore.sampleFromStore(spark, t, "id", 4).select(col("id"))
-    SampleStore.forget(spark, t, "id", doomed)
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 1L)
     val got = SampleStore.sampleFromStore(spark, t, "id", 5).collect()
     assert(got.length == 3) // honest under-fill, not invented rows
     // every returned row is a true survivor ranked consistently with
@@ -111,13 +111,133 @@ class SampleStoreSpec extends SparkSpec {
     assert(got.count(_.head == "g0") == 10 && got.count(_.head == "g1") == 10)
   }
 
+  test("epoch fold: reads bit-identical across a double compaction") {
+    val t = fresh()
+    val df = corpus(300, 4)
+    append(t, df, days = 4, k = 10, slack = 3)
+    val before = SampleStore.sampleFromStore(spark, t, "id", 10)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    // replay (crash recovery) — the fold re-derives identical rows
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    val mid = SampleStore.sampleFromStore(spark, t, "id", 10)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(mid == before)
+    // second-generation fold: the prior epoch folds again with d2
+    SampleStore.compactDays(spark, t, "id", Seq("epoch:01", "d2"), "epoch:02")
+    val after = SampleStore.sampleFromStore(spark, t, "id", 10)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // metadata diet: 2 live day partitions (epoch:02, d3), each ≤ k+slack
+    val days = graft.sources.ManifestStore.read(spark, t)
+      .groupBy(col("day")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(days.keySet == Set("epoch:02", "d3") && days.values.forall(_ <= 13L))
+  }
+
+  test("epoch fold: post-fold forgets within the epoch's slack stay exact") {
+    val t = fresh()
+    val df = corpus(300, 3)
+    append(t, df, days = 3, k = 10, slack = 3)
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1", "d2"), "epoch:all")
+    // the epoch's budget is FRESH: forget the global top-3 (all
+    // necessarily inside the epoch's retained set) — still exact
+    val doomed = SampleStore.sampleFromStore(spark, t, "id", 3).select(col("id"))
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 1L)
+    val got = SampleStore.sampleFromStore(spark, t, "id", 10)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    val want = Sampling.weightedTopK(
+        df.filter(!col("id").isin(doomedIds.toSeq: _*)), "id", col("w"), 10)
+      .select(col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("epoch fold refuses a day past its slack budget (breach stays accountable)") {
+    val t = fresh()
+    val df = corpus(120, 2)
+    append(t, df, days = 2, k = 5, slack = 2)
+    // forget 3 retained rows (> slack = 2) across two requests — the
+    // ledger must ACCUMULATE per day, not count requests
+    val d1 = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    SampleStore.forget(spark, t, "id", d1, forgetSeq = 1L)
+    val d2 = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    SampleStore.forget(spark, t, "id", d2, forgetSeq = 2L)
+    // 4 forgotten rows over 2 days: at least one day is past slack=2,
+    // OR both days absorbed ≤ 2 — make the breach deterministic by
+    // checking the ledger and folding only if a breach exists; with
+    // k+slack=7 retained per day and the global top-4 doomed, the
+    // pigeonhole guarantees ≥ 2 in one day... so force a clear breach:
+    val d3 = SampleStore.sampleFromStore(spark, t, "id", 3).select(col("id"))
+    SampleStore.forget(spark, t, "id", d3, forgetSeq = 3L)
+    val perDay = graft.sources.ManifestStore.read(spark, s"$t/_forgetledger")
+      .groupBy(col("day")).agg(sum(col("cnt")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDay.values.exists(_ > 2L), s"fixture never breached: $perDay")
+    val breached = perDay.collect { case (d, f) if f > 2L => d }.toSeq
+    val err = intercept[IllegalArgumentException] {
+      SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    }
+    assert(err.getMessage.contains("slack budget"))
+    // the cure: re-append the breached day(s) from the surviving corpus
+    // and clear their ledger — the fold is then legal and exact
+    val allDoomed = (d1.collect() ++ d2.collect() ++ d3.collect())
+      .map(_.getLong(0)).toSet
+    val surv = df.filter(!col("id").isin(allDoomed.toSeq: _*))
+    breached.foreach { d =>
+      SampleStore.appendDay(spark, surv.filter(col("day") === d.drop(1).toLong),
+        "id", col("w"), d, 5, 2, t)
+      SampleStore.clearLedgerDay(spark, t, d)
+    }
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    val got = SampleStore.sampleFromStore(spark, t, "id", 5)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    val want = Sampling.weightedTopK(surv, "id", col("w"), 5)
+      .select(col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("forget ledger: a replayed request (same seq) does not double-count") {
+    val t = fresh()
+    val df = corpus(120, 1)
+    append(t, df, days = 1, k = 5, slack = 2)
+    val doomed = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    val pinned = doomed.collect().map(_.getLong(0)).toSeq.toDF("id")
+    SampleStore.forget(spark, t, "id", pinned, forgetSeq = 7L)
+    SampleStore.forget(spark, t, "id", pinned, forgetSeq = 7L)
+    val total = graft.sources.ManifestStore.read(spark, s"$t/_forgetledger")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(total == 2L)
+  }
+
+  test("appendDay and compactDays refuse epoch-namespace misuse") {
+    val t = fresh()
+    val df = corpus(50, 1)
+    val e1 = intercept[IllegalArgumentException] {
+      SampleStore.appendDay(spark, df, "id", col("w"), "epoch:x", 5, 1, t)
+    }
+    assert(e1.getMessage.contains("reserved"))
+    append(t, df, days = 1, k = 5, slack = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      SampleStore.compactDays(spark, t, "id", Seq("d0"), "notepoch")
+    }
+    assert(e2.getMessage.contains("epoch"))
+    // geometry sidecar: a later append at different (k, slack) refuses
+    val e3 = intercept[IllegalArgumentException] {
+      SampleStore.appendDay(spark, df, "id", col("w"), "d9", 6, 1, t)
+    }
+    assert(e3.getMessage.contains("geometry"))
+  }
+
   test("forgetting unknown keys is a no-op") {
     val t = fresh()
     val df = corpus(50, 1)
     append(t, df, days = 1, k = 5, slack = 1)
     val before = SampleStore.sampleFromStore(spark, t, "id", 5)
       .collect().map(_.toSeq).toSeq
-    SampleStore.forget(spark, t, "id", Seq(9999L).toDF("id"))
+    SampleStore.forget(spark, t, "id", Seq(9999L).toDF("id"), forgetSeq = 1L)
     val after = SampleStore.sampleFromStore(spark, t, "id", 5)
       .collect().map(_.toSeq).toSeq
     assert(before == after)

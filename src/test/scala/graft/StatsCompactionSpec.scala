@@ -198,6 +198,54 @@ class StatsCompactionSpec extends SparkSpec {
     }
   }
 
+  test("kmv sidecar: narrow per-day arrays cannot launder a too-small fold k") {
+    import graft.ext.Sketches
+    // the adversarial case the widest-array guard alone misses: build
+    // k=16 over days that each carry ≤ 8 distinct values, so every
+    // stored array is narrower than a k=8 fold — which would truncate
+    // the ≥ 8-wide UNION and then read back as an "exact" count
+    val rows = (1L to 12L).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val table = fresh("kmvnarrow")
+    (0 until 3).foreach { b =>
+      Sketches.kmvAppendDay(spark, rows.filter(pmod(xxhash64(col("v")), lit(3L)) === b.toLong),
+        "grp", "v", s"d$b", table, k = 16)
+    }
+    val widest = ManifestStore.read(spark, table)
+      .agg(max(size(col("mins")))).head().getInt(0)
+    assert(widest <= 8, s"fixture days too wide ($widest) to exercise the hole")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:a", k = 8)
+    }
+    assert(e.getMessage.contains("k=16"))
+    // a mismatched read width is refused the same way
+    intercept[IllegalArgumentException] {
+      Sketches.kmvDistinctFromStore(spark, table, "grp", k = 8)
+    }
+    // the store's own k still works and is exact (12 < 16 distinct)
+    val got = Sketches.kmvDistinctFromStore(spark, table, "grp", k = 16)
+      .head().getLong(1)
+    assert(got == 12L)
+  }
+
+  test("compactStats: a stale compactSeq is refused even with the window closed") {
+    val root = fresh("staleseq")
+    threeDay(root)
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01",
+      compactSeq = 5L, partitions = 4)
+    // seq 5 closed cleanly; a later invocation with seq 3 would commit
+    // txn maps that REGRESS the started/completed fence — refused
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.compactStats(spark, root, Seq("d2"), "epoch:02",
+        compactSeq = 3L, partitions = 4)
+    }
+    assert(e.getMessage.contains("stale"))
+    // replay with the SAME seq still converges, and a larger seq proceeds
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01",
+      compactSeq = 5L, partitions = 4)
+    IndexStore.compactStats(spark, root, Seq("d2"), "epoch:02",
+      compactSeq = 6L, partitions = 4)
+  }
+
   test("epoch namespace is reserved: appendDay and compactStats refuse misuse") {
     val root = fresh("ns")
     threeDay(root)

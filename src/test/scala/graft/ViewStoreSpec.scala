@@ -207,6 +207,28 @@ class ViewStoreSpec extends SparkSpec {
     assert(agg(root) == Map("q" -> ((2L, 23L))))
   }
 
+  test("x237: compactAgg refuses inside an open forget window") {
+    val root = fresh()
+    appendAgg(root, Seq((1L, 10L, "x"), (2L, 11L, "y")).toDF("jk", "a_id", "a_val"),
+      Seq((1L, 20L, "p"), (2L, 21L, "q")).toDF("jk", "b_id", "b_val"), "d0")
+    val corr = Seq(("p", -1L, -10L, "__forget_5")).toDF("b_val", "cnt", "sum_a_id", "day")
+    ManifestStore.merge(spark, s"$root/aggview", corr, Seq("day"), Seq("day"),
+      txnRecord = Map("graft.view.forget" -> 5L))
+    // folding the open window's correction day would be re-merged by
+    // the replay's recomputed correction — refused like an append
+    val e = intercept[IllegalStateException] {
+      ViewStore.compactAgg(spark, root, Seq("d0", "__forget_5"), "epoch:01",
+        Seq("b_val"), Seq("a_id"))
+    }
+    assert(e.getMessage.contains("unreplayed crashed forget"))
+    // close the window (the replay), then the fold is legal and exact
+    forget(root, Seq((1L, 10L)).toDF("jk", "a_id"), 5L)
+    val before = agg(root)
+    ViewStore.compactAgg(spark, root, Seq("d0", "__forget_5"), "epoch:01",
+      Seq("b_val"), Seq("a_id"))
+    assert(agg(root) == before)
+  }
+
   test("x181: forgetting unknown rows is a no-op") {
     val root = fresh()
     appendAgg(root, Seq((1L, 10L, "x")).toDF("jk", "a_id", "a_val"),
