@@ -646,6 +646,21 @@ object ScaleBench {
     // shape fed from the store
     "x231_registry_bloom")
 
+  /** Round-13 gates: the epoch-compaction rollout (each = its parent
+    * store's day-fold passes + one-to-two group folds over
+    * metadata-sized tables + the parent's read — the day appends'
+    * corpus passes are the linear terms, the folds are bounded by
+    * distinct cells/words/groups), the hh refusal (build + two
+    * metadata-sized refusal probes + the TA/TPUT read), and the
+    * registry-fed streaming funnel (3 micro-batch probes, each x31's
+    * broadcast-join plan over a day's increment + a keyed merge —
+    * per-batch cost tracks batch size).
+    */
+  val R13Family: Seq[String] = Seq(
+    "x232_cm_compaction", "x233_hist_compaction", "x234_vocab_compaction",
+    "x235_lm_compaction", "x236_card_compaction", "x237_view_compaction",
+    "x238_sample_compaction", "x239_hh_no_fold", "x240_stream_registry")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -774,7 +789,8 @@ object ScaleBench {
       "r9_scale" -> R9Family, "r9b_scale" -> R9bFamily,
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
       "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily,
-      "r11d_scale" -> R11dFamily, "r12_scale" -> R12Family)
+      "r11d_scale" -> R11dFamily, "r12_scale" -> R12Family,
+      "r13_scale" -> R13Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)
@@ -879,6 +895,51 @@ object ScaleBench {
       val (b1, l1, p1) = minCycle(d1, "1")
       val (bN, lN, pN) = minCycle(dN, "n")
       println(f"""{"metric":"vec_lifecycle_scale","reps":$reps,"unit":"sec","x1":{"build":$b1%.3f,"law":$l1%.3f,"probe":$p1%.3f},"x$reps":{"build":$bN%.3f,"law":$lN%.3f,"probe":$pN%.3f},"growth":{"build":${bN / b1}%.2f,"law":${lN / l1}%.2f,"probe":${pN / p1}%.2f}}""")
+    }
+    // The PRODUCTION centroid sizing measured (r12 verdict #1): the
+    // vec_lifecycle fixture inherits the oracle gates' C = N/50 law
+    // (build O(N·C) = N²/50 — quadratic BY FIXTURE CONSTRUCTION), and
+    // the stated production posture "size C ≈ √N, serving grows ~√N
+    // per decade" was prose with no measurement behind it. This entry
+    // IS that measurement: same store, same law write, same probeAuto,
+    // but C = N / round(√N) ≈ √N centroids — build O(N^1.5) confined to
+    // the periodic job, law O(q·C·k) and probe O(q·(C + nprobe·N/C))
+    // expected ~√N per decade. Centroid counts are reported so the
+    // curve reads against the sizing it claims.
+    if (want("vec_sqrt_scale")) {
+      import graft.ext.VectorStore
+      def cycle(dir: String, tag: String): (Double, Double, Double, Long) = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        val stride = math.max(1L, math.round(math.sqrt(n.toDouble)))
+        val cents = emb.filter(col("vec_id") % stride === 0)
+        val c = cents.count()
+        val qs = emb.filter(col("vec_id") < 8)
+        val fsRoot = s"$root/vecsqrt_$tag"
+        val fs = new org.apache.hadoop.fs.Path(fsRoot)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
+        val t0 = System.nanoTime()
+        VectorStore.build(spark, emb, cents, "vec_id", "embedding", fsRoot,
+          dim = 64, m = 4, k = 16, stride = 3)
+        val t1 = System.nanoTime()
+        VectorStore.writeNprobeLaw(spark, emb, qs, "vec_id", "embedding",
+          fsRoot, k = 10)
+        val t2 = System.nanoTime()
+        VectorStore.probeAuto(spark, qs, "vec_id", "embedding", fsRoot,
+          dim = 64, m = 4, k = 16, stride = 3, targetRecall = 0.9,
+          topK = 10).count()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, c)
+      }
+      def minCycle(dir: String, tag: String): (Double, Double, Double, Long) = {
+        val (a, b) = (cycle(dir, tag), cycle(dir, tag))
+        (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3), a._4)
+      }
+      minCycle(d1, "w") // warm
+      val (b1, l1, p1, c1) = minCycle(d1, "1")
+      val (bN, lN, pN, cN) = minCycle(dN, "n")
+      println(f"""{"metric":"vec_sqrt_scale","reps":$reps,"unit":"sec","x1":{"centroids":$c1,"build":$b1%.3f,"law":$l1%.3f,"probe":$p1%.3f},"x$reps":{"centroids":$cN,"build":$bN%.3f,"law":$lN%.3f,"probe":$pN%.3f},"growth":{"build":${bN / b1}%.2f,"law":${lN / l1}%.2f,"probe":${pN / p1}%.2f}}""")
     }
     spark.stop()
   }
