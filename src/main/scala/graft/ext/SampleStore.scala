@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * the store holds O(days × (k+slack)) rows total, so reads and
   * forgets touch bounded state no matter the corpus size. Forgets are
   * [[graft.sources.ManifestStore.delete]] keyed deletes whose locate
-  * pass scans only the store itself.
+  * pass scans only the store itself, with per-day doomed counts
+  * recorded in a seq-keyed `_forgetledger` — the budget bookkeeping
+  * that lets [[compactDays]] fold old days into an epoch (capping the
+  * store at O(live days × (k+slack)) forever) while REFUSING to
+  * launder a day already past its slack.
   */
 object SampleStore {
 
