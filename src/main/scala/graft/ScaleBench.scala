@@ -659,7 +659,8 @@ object ScaleBench {
   val R13Family: Seq[String] = Seq(
     "x232_cm_compaction", "x233_hist_compaction", "x234_vocab_compaction",
     "x235_lm_compaction", "x236_card_compaction", "x237_view_compaction",
-    "x238_sample_compaction", "x239_hh_no_fold", "x240_stream_registry")
+    "x238_sample_compaction", "x239_hh_no_fold", "x240_stream_registry",
+    "x241_hh_retention")
 
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 

@@ -804,6 +804,32 @@ object Sketches {
       top.withColumn("day", lit(day)), Seq("day"), "day")
   }
 
+  /** RETENTION PRUNING of the heavy-hitter store — the alternative the
+    * [[graft.sources.ManifestStore.compactDays]] refusal names: hh day
+    * summaries cannot FOLD (the TA/TPUT bound needs to know which days
+    * were silent per candidate), but days past the monitoring horizon
+    * can be DROPPED outright — [[hhFromStore]]'s bounds over the
+    * retained window are exactly the maintained answer for "heavy
+    * hitters over the last N days", and the store stays O(retained
+    * days × m) forever. Two keyed day-partition deletes (summaries
+    * first, totals second); a crash between them leaves the day sets
+    * diverging, which [[hhFromStore]]'s torn-window fence already
+    * REFUSES loudly — replaying the prune converges (keyed deletes are
+    * no-ops on absent days). `epoch:` days cannot exist here (the
+    * store refuses folding wholesale), so any day name is prunable.
+    */
+  def hhPruneDays(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      days: Seq[String]): Unit = {
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    require(days.nonEmpty, "hhPruneDays: no days to prune")
+    val doomed = days.toDF("day")
+    ManifestStore.delete(spark, s"$table/hh", doomed, Seq("day"), Seq("day"))
+    ManifestStore.delete(spark, s"$table/totals", doomed, Seq("day"), Seq("day"))
+  }
+
   /** Heavy hitters above `N / minFractionDen` from the maintained store:
     * per candidate, `c_lo` (sum of reporting days) and `c_hi` (`c_lo` +
     * every silent day's `kth`), with `decided = c_lo >= threshold`. No
@@ -829,8 +855,8 @@ object Sketches {
     val totDays = tot.select(col("day")).distinct().collect().map(_.getString(0)).toSet
     require(hhDays == totDays,
       s"hhFromStore: day sets diverge (summaries ${hhDays.size}, totals " +
-        s"${totDays.size}) — an append crashed mid-window; replay " +
-        s"${(hhDays.diff(totDays) ++ totDays.diff(hhDays)).mkString(",")}")
+        s"${totDays.size}) — an append or prune crashed mid-window; replay " +
+        s"it for ${(hhDays.diff(totDays) ++ totDays.diff(hhDays)).mkString(",")}")
     val agg = tot.agg(
       coalesce(sum(col("n")), lit(0L)),
       coalesce(sum(col("kth")), lit(0L))).head()

@@ -8456,7 +8456,10 @@ object ExtQueries {
   // fp/idx, BM25 postings; the media band index — x219's store — runs
   // with them, its delete keys derive from the subject's bytes) — they
   // need the subject's bytes, so they must run before the lakehouse's
-  // own delete would remove them;
+  // own delete would remove them. WITHIN a phase the families fan out
+  // in parallel (disjoint store tables, independent transactional
+  // deletes — the orchestrator shape; phase boundaries stay
+  // sequential);
   // (2) id-keyed derived stores (vector, cluster, sample); (3)
   // subtraction-correction stores (moments, view aggregates); (4) the
   // dimension history (SCD2) last. The moment store holds no per-id
@@ -8500,6 +8503,16 @@ object ExtQueries {
     import spark.implicits._
     import graft.ext.{ClusterStore, DedupStores, IndexStore, Scd2Store, VectorStore, ViewStore}
     import graft.sources.ManifestStore
+    // coarse phase profile (SPARK_GRAFT_X217_PROFILE=1): the bench-diet
+    // feedback loop — which of clone/request/audit/replay/folds carries
+    // the wall. Off by default; stderr only, never the result.
+    val profile = sys.env.contains("SPARK_GRAFT_X217_PROFILE")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (profile) {
+      val t1 = System.nanoTime()
+      Console.err.println(f"x217-profile $phase ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     // plain parquet reads, NOT materialized: these are the corpus tables
     // (caching the corpus is exactly what a 100 TB pipeline must not do);
     // only the small doomed slices below are pinned
@@ -8536,28 +8549,52 @@ object ExtQueries {
     val doomedUsers = feed.filter(col("user_id") % 7 === 2)
     require(doomedDocs.count() > 0 && doomedVecs.count() > 0,
       "x217: empty erasure manifest")
+    mark("clones+request-slices")
+    // the request fans out IN PARALLEL within each ordering phase — the
+    // production orchestrator shape: the nine families touch disjoint
+    // store tables, so within a phase their transactional deletes are
+    // independent Spark jobs (local scheduler interleaves them; a real
+    // cluster runs them from orchestrator workers). The PHASE order is
+    // the documented contract and stays sequential.
+    def phase(steps: (() => Unit)*): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(steps.map(st => Future(st()))),
+        scala.concurrent.duration.Duration(20, "min"))
+      ()
+    }
     def runRequest(): Unit = {
-      DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT)
-      IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
-        forgetSeq = 1L, partitions = 8)
-      VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT)
-      ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8)
-      SampleStore.forget(spark, smpT, "doc_id",
-        doomedDocs.select(col("doc_id")), forgetSeq = 1L)
-      graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
-        "f1", momT)
-      ViewStore.forgetA(spark, vwT, doomedLi, "okey",
-        Seq("okey", "l_linenumber"), forgetSeq = 1L,
-        groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+      // phase 1: content-consuming forgets (need the subject's bytes,
+      // so they run before any lakehouse delete could remove them)
+      phase(
+        () => DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT),
+        () => IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
+          forgetSeq = 1L, partitions = 8),
+        // null-text docs were never media-ingested (mediaBase filters
+        // them), so the media request carries only ingested assets — an
+        // unfiltered null blob would NPE inside dHash64
+        () => MediaStore.forget(spark, mediaBlobs(spark,
+          doomedDocs.filter(col("text").isNotNull)
+            .select(col("doc_id").as("media_id"), col("text"))), mdT))
+      // phase 2: id-keyed derived stores
+      phase(
+        () => VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT),
+        () => ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8),
+        () => SampleStore.forget(spark, smpT, "doc_id",
+          doomedDocs.select(col("doc_id")), forgetSeq = 1L))
+      // phase 3: subtraction-correction stores
+      phase(
+        () => graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
+          "f1", momT),
+        () => ViewStore.forgetA(spark, vwT, doomedLi, "okey",
+          Seq("okey", "l_linenumber"), forgetSeq = 1L,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")))
+      // phase 4: the dimension history, last
       Scd2Store.forget(spark, scT, doomedUsers, "user_id")
-      // null-text docs were never media-ingested (mediaBase filters
-      // them), so the media request carries only ingested assets — an
-      // unfiltered null blob would NPE inside dHash64
-      MediaStore.forget(spark, mediaBlobs(spark,
-        doomedDocs.filter(col("text").isNotNull)
-          .select(col("doc_id").as("media_id"), col("text"))), mdT)
     }
     runRequest()
+    mark("forgets")
     // --- BLIND AUDIT: zero hits for the subject in every id-keyed table ---
     def hits(table: String, keyCol: String, keys: DataFrame): Long =
       ManifestStore.read(spark, table)
@@ -8579,8 +8616,10 @@ object ExtQueries {
         doomedDocs.select(col("doc_id").as("media_id")))))
     for ((name, n) <- audit)
       require(n == 0L, s"x217 blind audit: $n subject rows survived in $name")
+    mark("audit")
     // --- REPLAY the whole request: the orchestrator-crash recovery ---
     runRequest()
+    mark("replay")
     // --- serving fingerprints, one row per store ---
     def fold(store: String, df: DataFrame, canon: org.apache.spark.sql.Column): DataFrame =
       df.select(conv(substring(md5(canon), 1, 12), 16, 10).cast("long").as("__h"))
@@ -8622,6 +8661,16 @@ object ExtQueries {
       fold("media", MediaStore.probe(spark,
           mediaBlobs(spark, mediaTwins(mediaBase(spark, dir))), mdT, maxDist = 3),
         concat_ws("|", col("probe_id"), col("store_id"), col("hamming"))))
+    if (profile) {
+      val names = Seq("dedup_fp", "dedup_idx", "cluster", "bm25", "ann",
+        "moments", "sample", "view", "scd2", "media")
+      names.zip(folds).foreach { case (n, f) =>
+        val ts = System.nanoTime()
+        f.count()
+        Console.err.println(
+          f"x217-profile fold:$n ${(System.nanoTime() - ts) / 1e9}%.2f s")
+      }
+    }
     folds.reduce(_ unionByName _)
   }
 
@@ -9610,4 +9659,52 @@ object ExtQueries {
   }
 
   val x240Sql: String = x222Sql
+
+  // --- x241: heavy-hitter RETENTION pruning -----------------------------------
+  // The alternative x239's refusal names, made real: hh day summaries
+  // cannot fold, but days past the monitoring horizon DROP outright —
+  // the bounds over the retained window are exactly "heavy hitters over
+  // the last N days", and the store stays O(retained days × m). The
+  // gate simulates the torn prune window first (summaries deleted,
+  // totals not — hhFromStore's fence REQUIREd to refuse), then replays
+  // hhPruneDays to convergence (twice — idempotent) and reads the
+  // retained window; oracle = the frequency threshold over the
+  // retained days' docs only.
+  def x241HhRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val toks = Dedup.materialize(
+      LangModel.tokenRows(docs, "doc_id", "text")
+        .withColumn("day", pmod(col("id"), lit(3L))))
+    val table = FreshTables.next(spark, dir, "hhretain")
+    (0 until 3).foreach { b =>
+      Sketches.hhAppendDay(spark, toks.filter(col("day") === b.toLong),
+        "w", s"d$b", table)
+    }
+    // simulated crash: the prune's FIRST delete landed (summaries),
+    // the totals delete didn't — the day sets diverge and the
+    // torn-window fence must refuse the read
+    ManifestStore.delete(spark, s"$table/hh",
+      Seq("d0").toDF("day"), Seq("day"), Seq("day"))
+    val refused =
+      try { Sketches.hhFromStore(spark, table, 50L).head(1); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("diverge") }
+    require(refused, "x241: torn prune window was not refused")
+    // the cure: replay the prune — keyed deletes converge; twice for
+    // idempotence
+    Sketches.hhPruneDays(spark, table, Seq("d0"))
+    Sketches.hhPruneDays(spark, table, Seq("d0"))
+    val daysLeft = ManifestStore.read(spark, s"$table/totals")
+      .select(col("day")).distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(daysLeft == Seq("d1", "d2"), s"x241: retained days $daysLeft")
+    Sketches.hhFromStore(spark, table, minFractionDen = 50L)
+  }
+
+  // x176's oracle over the retained window's docs only
+  val x241Sql: String = {
+    val anchor = "FROM documents)"
+    require(x176Sql.contains(anchor), "x241: x176Sql anchor moved")
+    x176Sql.replace(anchor, "FROM documents WHERE doc_id % 3 <> 0)")
+  }
 }

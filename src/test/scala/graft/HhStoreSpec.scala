@@ -114,6 +114,38 @@ class HhStoreSpec extends SparkSpec {
     assert(out.count() >= 1L)
   }
 
+  test("retention pruning: dropped days leave window-exact bounds; torn prune refused") {
+    val t = fresh()
+    Sketches.hhAppendDay(spark, day("a" -> 10, "b" -> 5, "c" -> 3), "v", "d0", t, m = 2)
+    Sketches.hhAppendDay(spark, day("a" -> 8, "c" -> 6, "d" -> 2), "v", "d1", t, m = 2)
+    Sketches.hhAppendDay(spark, day("a" -> 4, "d" -> 7), "v", "d2", t, m = 2)
+    // simulated crash: the prune's summaries delete landed, totals not
+    ManifestStore.delete(spark, s"$t/hh", Seq("d0").toDF("day"), Seq("day"), Seq("day"))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hhFromStore(spark, t, minFractionDen = 2L).head(1)
+    }
+    assert(e.getMessage.contains("diverge"))
+    // replay converges; a second replay is a no-op
+    Sketches.hhPruneDays(spark, t, Seq("d0"))
+    Sketches.hhPruneDays(spark, t, Seq("d0"))
+    // the retained window d1+d2: N = 16 + 11 = 27, den 3 → minCount 9;
+    // d1 keeps {a:8, c:6} (kth 6, d's 2 fell below the cut), d2 keeps
+    // {d:7, a:4} (kth 0, both fit) → tailSum 6 < 9, certifiable.
+    // a: lo 12 in both summaries, hi 12 — decided. d: lo 7 (d2 only),
+    // hi 7 + kth(d1) = 13 straddles 9 — surfaced undecided (its true
+    // window count is 9, inside the bounds). c: lo 6, hi 6 — filtered.
+    // b lived only in the pruned day — absent entirely.
+    val out = Sketches.hhFromStore(spark, t, minFractionDen = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("a") == ((12L, 12L, true)))
+    assert(out("d") == ((7L, 13L, false)))
+    assert(out.keySet == Set("a", "d"))
+    // pruning an absent day is a no-op (keyed deletes)
+    Sketches.hhPruneDays(spark, t, Seq("d9"))
+    assert(Sketches.hhFromStore(spark, t, minFractionDen = 3L).count() == out.size)
+  }
+
   test("replaying a completed day replaces wholesale, never duplicates") {
     val t = fresh()
     Sketches.hhAppendDay(spark, day("a" -> 10, "b" -> 5), "v", "d0", t, m = 2)

@@ -199,6 +199,56 @@ class SampleStoreSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stratified epoch fold: per-group reads bit-identical; ledger counts the stratum max") {
+    val t = fresh()
+    val df = (1 to 300).map(i =>
+      (i.toLong, 1L + (i % 7).toLong, (i % 3).toLong, s"g${i % 2}"))
+      .toDF("id", "w", "day", "grp")
+    (0 until 3).foreach { d =>
+      SampleStore.appendDay(spark, df.filter(col("day") === d.toLong),
+        "id", col("w"), s"d$d", 10, 3, t, byCols = Seq("grp"))
+    }
+    val before = SampleStore.sampleFromStore(spark, t, "id", 10, byCols = Seq("grp"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01",
+      byCols = Seq("grp"))
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01",
+      byCols = Seq("grp")) // replay
+    assert(SampleStore.sampleFromStore(spark, t, "id", 10, byCols = Seq("grp"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq == before)
+    // per-stratum retention: each live (grp, day) holds ≤ k+slack rows
+    val perCell = graft.sources.ManifestStore.read(spark, t)
+      .groupBy(col("grp"), col("day")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(perCell.keys.map(_._2).toSet == Set("epoch:01", "d2"))
+    assert(perCell.values.forall(_ <= 13L))
+    // ledger conservatism: forget 2 of g0's top + 1 of g1's top in one
+    // request — the day entry records the per-stratum MAX (2), not the
+    // total (3)
+    val top = SampleStore.sampleFromStore(spark, t, "id", 3, byCols = Seq("grp"))
+    // pinned BEFORE the forget: the lazy store read would re-evaluate
+    // against the mutated table afterwards
+    val doomedIds = top.filter(
+        (col("grp") === "g0" && col("sample_rank") <= 2) ||
+        (col("grp") === "g1" && col("sample_rank") === 1))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val doomed = doomedIds.toSeq.toDF("id")
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 1L, byCols = Seq("grp"))
+    val ledger = graft.sources.ManifestStore.read(spark, s"$t/_forgetledger")
+      .groupBy(col("day")).agg(sum(col("cnt")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger.values.sum <= 4L && ledger.values.forall(_ <= 2L),
+      s"ledger should carry per-stratum maxima: $ledger")
+    // post-forget reads stay exact per stratum (within slack everywhere)
+    val got = SampleStore.sampleFromStore(spark, t, "id", 10, byCols = Seq("grp"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    val want = Sampling.weightedTopKBy(
+        df.filter(!col("id").isin(doomedIds.toSeq: _*)), "id", col("w"), Seq("grp"), 10)
+      .select(col("grp"), col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("grp", "sample_rank").collect().map(_.toSeq).toSeq
+    assert(got.map(_.toList) == want.map(_.toList))
+  }
+
   test("forget ledger: a replayed request (same seq) does not double-count") {
     val t = fresh()
     val df = corpus(120, 1)
