@@ -80,6 +80,10 @@ object MediaStore {
     // equal 0, not all-ones — the ckey would collapse to 0 for every
     // asset, silently funneling the whole index into one bucket (exact
     // results, dead pruning). The one-chunk key is the full hash.
+    // MIGRATION NOTE: this changes the persisted band key (and pt
+    // layout) for chunks=1 stores written by pre-fix code — such a
+    // store must be REBUILT (its rows all sit at ckey=0, which upgraded
+    // probes no longer visit). chunks ≥ 2 stores are bit-identical.
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     Multimodal.dHash64(media).toDF()
       .select(col("media_id"), col("phash"), posexplode(

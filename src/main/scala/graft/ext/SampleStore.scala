@@ -106,9 +106,13 @@ object SampleStore {
     * fresh budget. The cure: re-append the breached day from the
     * scrubbed corpus (the wholesale replace restores a full retained
     * set) and [[clearLedgerDay]] it — the fold is then legal with the
-    * budget refilled. Ledger rows of folded days are
+    * budget refilled. Ledger rows of FOLDED days are
     * dropped AFTER the fold commits (their budget is accounted by the
-    * re-derivation); a crash between the two replays convergently.
+    * re-derivation); the epoch's own ledger rows are never dropped by
+    * its own fold — a crash-window replay re-derives the epoch from
+    * already-shrunk rows, so interleaved-forget budget must survive it
+    * (see the inline note). A crash between the two commits replays
+    * convergently.
     */
   def compactDays(
       spark: SparkSession,
@@ -127,6 +131,17 @@ object SampleStore {
         s"SampleStore.compactDays: $table has no (k, slack) geometry sidecar — " +
           "not a SampleStore table (or it predates the sidecar; re-append any day)"))
     val (k, slack) = (g("k").toInt, g("slack").toInt)
+    // byCols is a store property of the same class as (k, slack): a fold
+    // with the wrong strata would window minority-stratum rows out of a
+    // GLOBAL top-(k+slack) and drop them irreversibly. The sidecar holds
+    // integers only, but the table schema determines the columns exactly
+    // — validate against it
+    val have = ManifestStore.read(spark, table).columns.toSet
+    val want = (byCols ++ Seq(keyCol, "es_key", "day")).toSet
+    require(have == want,
+      s"SampleStore.compactDays: $table columns ${have.toSeq.sorted.mkString(",")} " +
+        s"do not match byCols+keyCol (${want.toSeq.sorted.mkString(",")}) — " +
+        "folding with the wrong strata would drop per-stratum retained rows")
     val doomedDays = (foldDays :+ epochDay).distinct
     val lt = ledgerT(table)
     if (ManifestStore.hasData(spark, lt)) {
@@ -153,15 +168,23 @@ object SampleStore {
     import spark.implicits._
     ManifestStore.replaceWhere(spark, table, epoch,
       doomedDays.toDF("day"), Seq("day"))
-    // the folded days' ledger rows are consumed by the re-derivation —
+    // the FOLDED days' ledger rows are consumed by the re-derivation —
     // the epoch starts with a full budget; dropped AFTER the fold so a
-    // crash in between never erases an unconsumed breach record
+    // crash in between never erases an unconsumed breach record. The
+    // epoch's OWN ledger rows are NEVER dropped here: a crash-window
+    // replay re-derives the epoch from the already-shrunk epoch rows
+    // (the folded days are gone — it cannot refill the retained set),
+    // so budget spent on the epoch by an interleaved forget must
+    // survive the replay or it would be laundered — the exact hole the
+    // fence exists to close. (An epoch's ledger is consumed only when
+    // that epoch is itself a foldDay of a LATER fold, whose
+    // re-derivation from survivors genuinely refills the budget.)
     // (hasData, not exists: a fully-cleared ledger has no partitions
     // left to read or drop)
     if (ManifestStore.hasData(spark, lt))
       ManifestStore.replaceWhere(spark, lt,
         ManifestStore.read(spark, lt).limit(0),
-        doomedDays.toDF("day"), Seq("day"))
+        foldDays.distinct.toDF("day"), Seq("day"))
   }
 
   /** The maintained sample: global top-k by (es_key desc, key) over the
@@ -219,9 +242,11 @@ object SampleStore {
       .join(keys, Seq(keyCol), "left_semi")
       .groupBy((byCols :+ "day").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-    val ledger = hitsByStratum
+    // materialized: the emptiness probe AND the merge both consume it
+    // (the ViewStore.forgetA corr convention) — one store scan, not two
+    val ledger = Dedup.materialize(hitsByStratum
       .groupBy(col("day")).agg(max(col("cnt")).as("cnt"))
-      .withColumn("seq", lit(forgetSeq))
+      .withColumn("seq", lit(forgetSeq)))
     if (!ledger.head(1).isEmpty)
       ManifestStore.mergeOrCreate(spark, ledgerT(table), ledger,
         Seq("day", "seq"), "day")

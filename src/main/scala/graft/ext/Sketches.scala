@@ -791,10 +791,7 @@ object Sketches {
     // ledger). A generic compactDays over these tables would silently
     // loosen every certified threshold — the sidecar tag makes it
     // refuse instead (see ManifestStore.compactDays).
-    StoreSidecar.requireOrInit(spark, s"$table/totals",
-      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
-    StoreSidecar.requireOrInit(spark, s"$table/hh",
-      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
+    hhTagNoFold(spark, table)
     // totals first, summary second; a crash between the two commits
     // leaves the day sets diverging, which hhFromStore REFUSES loudly
     // (the kth bound only holds for a committed summary) — replaying
@@ -818,6 +815,21 @@ object Sketches {
     * no-ops on absent days). `epoch:` days cannot exist here (the
     * store refuses folding wholesale), so any day name is prunable.
     */
+  /** Install the `no_epoch_fold` tag on both hh sub-tables — run by
+    * every append, read, and prune, so a store created before the tag
+    * existed gains the compactDays refusal on its first touch by
+    * upgraded code (the legacy net: without this, a pre-tag store could
+    * be "successfully" folded once, silently loosening every certified
+    * bound).
+    */
+  private def hhTagNoFold(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    StoreSidecar.requireOrInit(spark, s"$table/totals",
+      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
+    StoreSidecar.requireOrInit(spark, s"$table/hh",
+      Seq("no_epoch_fold" -> 1L), "Sketches.hh")
+  }
+
   def hhPruneDays(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
@@ -825,6 +837,7 @@ object Sketches {
     import graft.sources.ManifestStore
     import spark.implicits._
     require(days.nonEmpty, "hhPruneDays: no days to prune")
+    hhTagNoFold(spark, table)
     val doomed = days.toDF("day")
     ManifestStore.delete(spark, s"$table/hh", doomed, Seq("day"), Seq("day"))
     ManifestStore.delete(spark, s"$table/totals", doomed, Seq("day"), Seq("day"))
@@ -845,6 +858,7 @@ object Sketches {
       minFractionDen: Long): DataFrame = {
     import graft.sources.ManifestStore
     require(minFractionDen >= 1L, s"hhFromStore: minFractionDen=$minFractionDen")
+    hhTagNoFold(spark, table) // legacy net: first read installs the tag
     val hh = ManifestStore.read(spark, s"$table/hh")
     val tot = ManifestStore.read(spark, s"$table/totals")
     // torn-window fence: a day in one table but not the other means an

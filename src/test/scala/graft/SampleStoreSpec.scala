@@ -249,6 +249,55 @@ class SampleStoreSpec extends SparkSpec {
     assert(got.map(_.toList) == want.map(_.toList))
   }
 
+  test("epoch fold replay never launders budget spent on the epoch by an interleaved forget") {
+    val t = fresh()
+    val df = corpus(200, 2)
+    append(t, df, days = 2, k = 5, slack = 2)
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    // an interleaved forget spends 2 of the epoch's slack-2 budget...
+    val doomed = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    val pinned = doomed.collect().map(_.getLong(0)).toSeq.toDF("id")
+    SampleStore.forget(spark, t, "id", pinned, forgetSeq = 1L)
+    // ...and the crash-recovery REPLAY of the fold (indistinguishable
+    // from a crash between its two commits) must leave that spending
+    // on the ledger — the replay re-derives the epoch from the
+    // already-shrunk rows, it cannot refill the budget
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    val spent = graft.sources.ManifestStore.read(spark, s"$t/_forgetledger")
+      .filter(col("day") === "epoch:01")
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    assert(spent == 2L, s"epoch budget spending laundered by the replay: $spent")
+    // one more forget breaches the epoch's budget — the NEXT fold
+    // (epoch:01 + nothing new) must refuse, proving the record is live
+    val d2 = SampleStore.sampleFromStore(spark, t, "id", 1).select(col("id"))
+    SampleStore.forget(spark, t, "id",
+      d2.collect().map(_.getLong(0)).toSeq.toDF("id"), forgetSeq = 2L)
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.compactDays(spark, t, "id", Seq("epoch:01"), "epoch:02")
+    }
+    assert(e.getMessage.contains("slack budget"))
+  }
+
+  test("epoch fold refuses mismatched strata (byCols is a store property)") {
+    val t = fresh()
+    val df = (1 to 200).map(i =>
+      (i.toLong, 1L + (i % 7).toLong, (i % 2).toLong, s"g${i % 2}"))
+      .toDF("id", "w", "day", "grp")
+    (0 until 2).foreach { d =>
+      SampleStore.appendDay(spark, df.filter(col("day") === d.toLong),
+        "id", col("w"), s"d$d", 10, 2, t, byCols = Seq("grp"))
+    }
+    // folding a stratified store as a GLOBAL one would window minority
+    // strata out irreversibly — refused via the schema check
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    }
+    assert(e.getMessage.contains("strata"))
+    // the right byCols still folds
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01",
+      byCols = Seq("grp"))
+  }
+
   test("forget ledger: a replayed request (same seq) does not double-count") {
     val t = fresh()
     val df = corpus(120, 1)
