@@ -132,12 +132,53 @@ object Bpe {
       foldDays = days, epochDay = epochDay)
   }
 
+  /** Right-to-be-forgotten over the vocab store (the x205/x181
+    * negative-correction pattern reaching the tokenizer family): word
+    * counts are EXACT sums, so erasure is SUBTRACTION — the doomed
+    * docs' counts land as ONE NEGATIVE correction day, and
+    * [[vocabFromStore]]'s read-time net sum (filtered to positive)
+    * then yields exactly the survivors-only vocabulary, bit-for-bit —
+    * so [[learnMergesFromStore]] trains on survivors and a forgotten
+    * subject's text stops contributing to BPE merges. Re-issuing under
+    * the same tag REPLACES its rows; distinct requests need distinct
+    * tags. The caller supplies the doomed docs' CONTENT (the erasure
+    * request carries the record it erases); doomed ⊆ ingested is the
+    * net-count ≥ 0 contract shared with x205. [[vocabCompact]] folds
+    * correction tags WITH days, destroying the (day, correction) pair
+    * that could reconstruct the forgotten counts (the x225 pattern).
+    * Caveat for [[TextAnalysis.heapsFit]] consumers (x210), which read
+    * the raw day rows as growth increments: a correction tag is not a
+    * corpus increment — exclude `__forget_*` days from the fit window
+    * (net-count readers like [[vocabFromStore]] need no such care).
+    */
+  def vocabForget(
+      spark: SparkSession,
+      doomed: DataFrame,
+      idCol: String,
+      textCol: String,
+      tag: String,
+      table: String,
+      byCols: Seq[String] = Nil): Unit = {
+    import graft.sources.ManifestStore
+    require(!tag.startsWith("epoch:"),
+      s"vocabForget: tag '$tag' uses the reserved 'epoch:' prefix")
+    if (doomed.isEmpty) return
+    val neg = LangModel.tokenRowsBy(doomed, idCol, textCol, byCols)
+      .groupBy((byCols :+ "w").map(col): _*).agg((-sum(lit(1L))).as("cnt"))
+      .withColumn("day", lit(tag))
+    ManifestStore.mergeOrCreate(spark, table, neg,
+      byCols ++ Seq("w", "day"), "day")
+  }
+
   /** The merged weighted vocabulary of a [[vocabAppendDay]] store —
     * counts SUM across days (losslessly: a word count is insensitive
-    * to how history was sliced), re-seeded with the character
-    * encoding. Bit-identical to [[collapse]] over the union (specced).
-    * Grouped stores (byCols) keep their group columns — the shape
-    * per-group analyses ([[TextAnalysis.zipfFitFromCounts]]) read.
+    * to how history was sliced), restricted to POSITIVE net counts
+    * (a no-op for forget-free stores; after [[vocabForget]] the
+    * zero-net words leave the vocabulary exactly as a survivors-only
+    * build would omit them), re-seeded with the character encoding.
+    * Bit-identical to [[collapse]] over the union (specced). Grouped
+    * stores (byCols) keep their group columns — the shape per-group
+    * analyses ([[TextAnalysis.zipfFitFromCounts]]) read.
     */
   def vocabFromStore(
       spark: SparkSession,
@@ -145,6 +186,7 @@ object Bpe {
       byCols: Seq[String] = Nil): DataFrame =
     Dedup.materialize(graft.sources.ManifestStore.read(spark, table)
       .groupBy((byCols :+ "w").map(col): _*).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0L)
       .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 "))))
 
   /** Train from the maintained vocabulary — [[learnMerges]] without the

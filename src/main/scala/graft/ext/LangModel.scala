@@ -189,10 +189,56 @@ object LangModel {
       foldDays = days, epochDay = epochDay)
   }
 
+  /** Right-to-be-forgotten over the LM store (the x205/x181 negative-
+    * correction pattern reaching the LM family): bigram and unigram
+    * counts are EXACT sums, so erasure is SUBTRACTION — the doomed
+    * reference docs' counts land as ONE NEGATIVE correction day per
+    * table, and [[perplexityFromStore]]'s read-time sums then yield
+    * exactly the survivors-only model, bit-for-bit: c2/c1 because
+    * counts net out, and V because the read counts a word only while
+    * its NET unigram count is positive (a word seen only in doomed
+    * docs nets to zero and leaves the vocabulary — see the read).
+    * Re-issuing under the same tag REPLACES its rows (day-keyed
+    * merge), so at-least-once delivery converges; distinct requests
+    * need distinct tags. The caller supplies the doomed docs' CONTENT
+    * (the erasure request carries the record it erases — the
+    * MediaStore.forget contract); forgetting docs never ingested
+    * breaks the net-count ≥ 0 invariant, the same contract as x205.
+    * Cost: one pass over the DOOMED docs + O(their vocabulary) commit
+    * I/O — never touches history. [[lmCompact]] folds correction tags
+    * WITH days, destroying the (day, correction) pair that could
+    * reconstruct a forgotten doc's counts (the x225 privacy pattern).
+    */
+  def lmForget(
+      spark: org.apache.spark.sql.SparkSession,
+      doomed: DataFrame,
+      idCol: String,
+      textCol: String,
+      tag: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    require(!tag.startsWith("epoch:"),
+      s"lmForget: tag '$tag' uses the reserved 'epoch:' prefix")
+    if (doomed.isEmpty) return
+    val bg = bigramRows(doomed, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg((-count(lit(1))).as("cnt"))
+      .withColumn("day", lit(tag))
+    val uni = tokenRows(doomed, idCol, textCol)
+      .groupBy(col("w")).agg((-count(lit(1))).as("cnt"))
+      .withColumn("day", lit(tag))
+    ManifestStore.mergeOrCreate(spark, s"$table/bg", bg, Seq("w1", "w2", "day"), "day")
+    ManifestStore.mergeOrCreate(spark, s"$table/uni", uni, Seq("w", "day"), "day")
+  }
+
   /** Score a corpus against an [[lmAppendDay]] store — c2 sums across
-    * days, V is the distinct stored unigram count, then the shared
-    * scoring pass. Bit-identical to [[perplexityScore]] with the
-    * union-of-days reference.
+    * days, V is the count of unigrams with POSITIVE net stored count,
+    * then the shared scoring pass. Bit-identical to
+    * [[perplexityScore]] with the union-of-days reference minus any
+    * [[lmForget]]-erased docs: for forget-free stores every count is
+    * positive so the net filter is a no-op, and after forgets the
+    * zero-net words (and zero-net bigrams, which contribute nothing to
+    * c2/c1 by summing to zero) drop out exactly as a survivors-only
+    * build would omit them.
     */
   def perplexityFromStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -204,7 +250,9 @@ object LangModel {
     val lm = ManifestStore.read(spark, s"$table/bg")
       .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
     val vocab = ManifestStore.read(spark, s"$table/uni")
-      .agg(count_distinct(col("w")).as("v"))
+      .groupBy(col("w")).agg(sum(col("cnt")).as("c"))
+      .filter(col("c") > 0L)
+      .agg(count(lit(1)).as("v"))
     scoreAgainst(docs, idCol, textCol, lm, vocab)
   }
 

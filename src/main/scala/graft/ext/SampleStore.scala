@@ -258,13 +258,73 @@ object SampleStore {
     * day replace restores the full retained set, so its budget
     * refills). Kept separate from [[appendDay]] because appendDay is
     * also the FIRST-delivery path, where no ledger exists to clear.
+    *
+    * REFUSES `epoch:` days: an epoch cannot be re-appended
+    * ([[appendDay]] rejects the reserved prefix), so clearing its
+    * ledger alone would launder a breach WITHOUT restoring the
+    * retained set — the sample would silently keep serving the
+    * degraded epoch under a fresh budget. The epoch cure is
+    * [[repairEpoch]], which re-derives the rows from the surviving
+    * corpus slice and clears the ledger together.
     */
   def clearLedgerDay(spark: SparkSession, table: String, day: String): Unit = {
+    require(!day.startsWith("epoch:"),
+      s"SampleStore.clearLedgerDay: '$day' is an epoch — clearing its ledger " +
+        "without re-deriving its rows would launder the breach while the " +
+        "sample keeps serving the degraded retained set; use repairEpoch")
+    clearLedgerAny(spark, table, day)
+  }
+
+  private def clearLedgerAny(spark: SparkSession, table: String, day: String): Unit = {
     import graft.sources.ManifestStore
     import spark.implicits._
     val lt = ledgerT(table)
     if (ManifestStore.hasData(spark, lt))
       ManifestStore.replaceWhere(spark, lt,
         ManifestStore.read(spark, lt).limit(0), Seq(day).toDF("day"), Seq("day"))
+  }
+
+  /** The EPOCH breach cure — the repair path ordinary days get from
+    * "re-append + [[clearLedgerDay]]", for epochs, whose source days no
+    * longer exist as store rows: re-derive the epoch's retained set
+    * from the SURVIVING corpus slice that the folded days covered
+    * (`df`, already scrubbed of every forgotten subject — the same
+    * input contract as re-appending a day from the scrubbed corpus),
+    * wholesale-replace the epoch's rows, and clear its ledger. The
+    * epoch is then a fresh retained set with a full slack budget, and
+    * the merged read is again bit-identical to the batch sample over
+    * survivors.
+    *
+    * Two commits, replay-convergent: a crash after the replace but
+    * before the ledger clear re-runs both — the replace re-derives the
+    * identical row set (its input is the corpus slice, not the store),
+    * and the clear then lands; a crash before the replace leaves the
+    * breached epoch AND its ledger intact, so [[compactDays]] keeps
+    * refusing — the fence never opens on a half-repaired store.
+    */
+  def repairEpoch(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      weight: org.apache.spark.sql.Column,
+      epochDay: String,
+      table: String,
+      byCols: Seq[String] = Nil): Unit = {
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    require(epochDay.startsWith("epoch:"),
+      s"SampleStore.repairEpoch: '$epochDay' is not an epoch day — re-append " +
+        "ordinary days via appendDay + clearLedgerDay")
+    val g = StoreSidecar.read(spark, table, Seq("k", "slack")).getOrElse(
+      throw new IllegalStateException(
+        s"SampleStore.repairEpoch: $table has no (k, slack) geometry sidecar — " +
+          "not a SampleStore table"))
+    val (k, slack) = (g("k").toInt, g("slack").toInt)
+    val top = Sampling.weightedTopKBy(df, keyCol, weight, byCols, k + slack)
+      .select((byCols :+ keyCol).map(col) :+ col("es_key"): _*)
+      .withColumn("day", lit(epochDay))
+    ManifestStore.replaceWhere(spark, table, top,
+      Seq(epochDay).toDF("day"), Seq("day"))
+    clearLedgerAny(spark, table, epochDay)
   }
 }

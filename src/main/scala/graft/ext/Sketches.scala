@@ -644,6 +644,25 @@ object Sketches {
     // path). The per-day arrays cannot carry the law themselves: days
     // with < k distinct values store narrow arrays, so "widest stored
     // array" under-reports the build k.
+    //
+    // Sidecar INIT on a non-empty legacy (pre-sidecar) table is the one
+    // place a wrong k could be enshrined for good: a first post-upgrade
+    // append at k' < build-k would record k' and thereafter ENFORCE the
+    // truncating width, defeating the legacy widest-array fallback the
+    // readers still carry. Cross-check against the stored evidence
+    // before writing: any array wider than the claimed k is proof the
+    // claim is wrong. (k ≥ widest can still over-claim an under-filled
+    // legacy store — undetectable from data, stated at requireKmvK.)
+    if (StoreSidecar.read(spark, table, Seq("k", "saltBuckets")).isEmpty
+        && ManifestStore.hasData(spark, table)) {
+      val widest = ManifestStore.read(spark, table)
+        .agg(max(size(col("mins"))).as("w")).collect()(0).getInt(0)
+      require(k >= widest,
+        s"kmvAppendDay: $table is a legacy (pre-sidecar) store holding mins " +
+          s"arrays up to width $widest, but this call claims k=$k — recording " +
+          "the smaller k would enshrine a truncating geometry; call with the " +
+          "store's true build k")
+    }
     StoreSidecar.requireOrInit(spark, table, Seq(
       "k" -> k.toLong, "saltBuckets" -> saltBuckets.toLong), "Sketches.kmv")
     val mins = kmvMins(df, groupCol, valueCol, k, saltBuckets)

@@ -81,6 +81,34 @@ object VectorStore {
             "appends against a different codebook silently corrupt ranking")
     }
 
+  /** Manifest txn key for the [[rebuild]] fence (the ClusterStore
+    * .rebuildFromIndex pattern): the codebook table records the last
+    * STARTED rebuild ticket (its overwrite is the window's first
+    * commit), the codes table the last COMPLETED one (the window's
+    * final data commit) — started != completed is exactly "a rebuild
+    * crash window is open", during which the frozen-model tables and
+    * the codes disagree about which model encoded what.
+    */
+  private val TxnRebuild = "graft.vector.rebuild"
+
+  /** Refuse probes/appends/forgets while a [[rebuild]] crash window is
+    * open: between the rebuild's first and last commit the model
+    * tables hold the NEW model while codes still hold OLD-model rows —
+    * a probe would ADC-score old codes through the new LUT (silently
+    * wrong distances) and an append would encode against a model the
+    * codes table doesn't match. The only cure is finishing the job:
+    * re-run the rebuild (it reads nothing from this store, so it is
+    * the universal repair and runs from ANY window).
+    */
+  private def requireNoOpenRebuild(spark: SparkSession, root: String): Unit = {
+    val started = ManifestStore.lastTxn(spark, codebookT(root), TxnRebuild)
+    val completed = ManifestStore.lastTxn(spark, codesT(root), TxnRebuild)
+    if (started != completed)
+      throw new IllegalStateException(
+        s"VectorStore: $root has a crashed rebuild (codebook at ticket " +
+          s"$started, codes at $completed) — re-run rebuild to close the window")
+  }
+
   private def codesT(root: String) = s"$root/codes"
   private def centroidsT(root: String) = s"$root/centroids"
   private def codebookT(root: String) = s"$root/codebook"
@@ -160,9 +188,111 @@ object VectorStore {
       .join(codes.select(col("vec_id"), col("centroid_id")).distinct(),
         Seq("vec_id"))
 
+  /** REBUILD the index from the surviving corpus — the scheduled cure
+    * [[forget]]'s model caveat names, now code instead of prose: row
+    * deletion erases a subject's CODE rows but the frozen centroids
+    * and codebook were trained with the subject's vectors still in the
+    * sample — their influence persists in the MODEL until it is
+    * re-trained. This re-trains on `data` (the survivors), re-encodes,
+    * and overwrites every table, leaving the store bit-identical to
+    * [[build]] over the survivors (gated). The nprobe law is NOT
+    * re-measured here — the codes overwrite bumps the version the law
+    * is stamped with, so [[autoNprobe]]'s staleness fence refuses
+    * until [[writeNprobeLaw]] re-runs (the honest default: a rebuilt
+    * distribution is exactly what makes an old law wrong).
+    *
+    * Crash safety (the ClusterStore.rebuildFromIndex fence, inverted
+    * like there): the rebuild reads NOTHING from this store, so it can
+    * run from ANY window — an open append, a crashed forget, a crashed
+    * prior rebuild — and closes them all. Its own window is fenced:
+    * the codebook overwrite records `rebuildSeq` as STARTED, the codes
+    * overwrite (the final data commit) records it as COMPLETED, and
+    * probe/append/forget refuse while the two diverge. `rebuildSeq` is
+    * the per-request ticket (the forgetSeq contract: unique per
+    * request, reused verbatim on replay); replaying with the same
+    * inputs rewrites identical tables — convergent from every crash
+    * position (spec-pinned).
+    */
+  def rebuild(
+      spark: SparkSession,
+      data: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      rebuildSeq: Long,
+      trainIters: Int = 0,
+      attrCols: Seq[String] = Nil): Unit =
+    rebuildFp(spark, data, centroids, idCol, vecCol, root, dim, m, k,
+      stride, rebuildSeq, trainIters, attrCols, _ => ())
+
+  /** [[rebuild]] with the failpoint seam ("started", "model", "twin",
+    * "attrs") — the ClusterStore.rebuildFromIndexFp convention, so the
+    * spec can kill the job at every commit boundary and replay.
+    */
+  private[graft] def rebuildFp(
+      spark: SparkSession,
+      data: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      stride: Long,
+      rebuildSeq: Long,
+      trainIters: Int,
+      attrCols: Seq[String],
+      failpoint: String => Unit): Unit = {
+    // an attrs-bearing store must stay attrs-bearing (and vice versa):
+    // a rebuild that silently dropped the attrs table would break every
+    // filtered probe, and one that silently added it would orphan the
+    // appendDay contract
+    require(!ManifestStore.exists(spark, attrsT(root)) || attrCols.nonEmpty,
+      s"VectorStore.rebuild: $root carries filterable attrs — rebuild must " +
+        "supply the same attrCols")
+    // geometry authority, like build: the sidecar is written first so a
+    // crash mid-rebuild leaves probes refusing on the fence, not
+    // validating against a stale geometry
+    writeGeometry(spark, root, Geometry(dim, m, k, stride, trainIters))
+    val cb =
+      if (trainIters == 0) Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
+      else Pq.codebookKmeans(data, idCol, vecCol, dim, m, k, stride, trainIters)
+    ManifestStore.write(spark, cb, codebookT(root), Seq("sub"),
+      txnRecord = Map(TxnRebuild -> rebuildSeq))
+    failpoint("started")
+    ManifestStore.write(spark,
+      centroids.select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+        .withColumn("__pt", lit(0L)),
+      centroidsT(root), "__pt")
+    failpoint("model")
+    val codes = Dedup.materialize(
+      encodeRows(spark, data, root, idCol, vecCol, dim, m))
+    ManifestStore.write(spark,
+      codes.select(col("vec_id"), col("centroid_id")).distinct()
+        .withColumn("ptid", idBucket(col("vec_id"))),
+      assignT(root), "ptid")
+    failpoint("twin")
+    if (attrCols.nonEmpty) {
+      ManifestStore.write(spark, attrRows(data, codes, idCol, attrCols),
+        attrsT(root), "centroid_id")
+      failpoint("attrs")
+    }
+    // the final data commit closes the fence
+    ManifestStore.write(spark, codes, codesT(root), Seq("centroid_id"),
+      txnRecord = Map(TxnRebuild -> rebuildSeq))
+  }
+
   /** Fold a day's vectors in: encode against the FROZEN model, merge on
     * vec_id — partition-pruned to the centroids the increment lands in,
     * and replay-idempotent (re-appending a day replaces its rows).
+    * Refuses inside an open [[rebuild]] crash window.
     */
   def appendDay(
       spark: SparkSession,
@@ -178,6 +308,7 @@ object VectorStore {
       attrCols: Seq[String] = Nil): Unit = {
     requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
       mustExist = true)
+    requireNoOpenRebuild(spark, root)
     // an attrs-bearing store must receive attrs with every append — an
     // increment without them would silently vanish from every filtered
     // probe (the attrs semi-join)
@@ -225,6 +356,7 @@ object VectorStore {
       ids: DataFrame,
       idCol: String,
       root: String): Unit = {
+    requireNoOpenRebuild(spark, root)
     val doomed = Dedup.materialize(
       ids.select(col(idCol).as("vec_id")).distinct())
     if (doomed.head(1).isEmpty) return
@@ -355,6 +487,7 @@ object VectorStore {
       attrPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     requireGeometry(spark, root, Geometry(dim, m, k, stride, trainIters),
       mustExist = true)
+    requireNoOpenRebuild(spark, root)
     val cents = ManifestStore.read(spark, centroidsT(root))
       .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
     val cb = ManifestStore.read(spark, codebookT(root))

@@ -1,0 +1,1189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, MediaStore, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, SampleStore, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+
+/** x65-x100: daily dedup store, graph centrality, retrieval, SCD2 history, quality models, BPE merges.
+  * Mechanical slice of the former single-object ExtQueries (r14);
+  * see ExtQueries.scala for the shared determinism conventions.
+  */
+private[graft] trait ExtCorpusStats extends ExtStreamSample {
+  import CoreQueries.t
+  // --- x65: day-over-day maintained dedup stores -------------------------
+  // The production form of x57's historical stores: the fingerprint set
+  // and the MinHash/LSH index are PERSISTED ManifestStore tables (x57
+  // used localCheckpoint stand-ins). Day 1 builds them from the
+  // historical slice; the day-2 increment is probed against the TABLES
+  // (the historical corpus is not an input to the probe); the day's
+  // clean docs are then folded into both stores by partition-pruned
+  // merges, and a re-probe against the merged fingerprint table shows
+  // them as historical — the day-over-day contract end to end. In-gate
+  // requires pin the index merge (rows = hist index + clean-doc index,
+  // disjoint ids). The oracle mirrors the dedup semantics; its
+  // `is_exact_dup_after` is the closed form of "the merge folded exactly
+  // the clean docs in" — any dropped/duplicated/mis-pruned partition in
+  // the Spark-side merge diverges from it.
+  def x65DedupStoreDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fpT = FreshTables.next(spark, dir, "fpstore")
+    val idxT = FreshTables.next(spark, dir, "idxstore")
+    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    val day1 = DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
+      .localCheckpoint()
+    val cleanDocs = inc.join(
+      day1.filter(col("clean")).select(col("doc_id")), Seq("doc_id"))
+    val idxBefore = ManifestStore.read(spark, idxT).count()
+    // one signature pass: the accounting count and the append share the
+    // materialized clean-doc index
+    val cleanIdx = Dedup.minhashIndex(cleanDocs, "doc_id", "text").localCheckpoint()
+    val incIdxRows = cleanIdx.count()
+    DedupStores.append(spark, cleanDocs, "doc_id", "text", fpT, idxT,
+      prebuiltIdx = Some(cleanIdx))
+    val idxAfter = ManifestStore.read(spark, idxT).count()
+    require(idxAfter == idxBefore + incIdxRows,
+      s"x65: index merge folded $idxAfter rows, expected $idxBefore + $incIdxRows")
+    // distinct: the store holds (fp, id) rows — a shared fp must not
+    // fan out the flag join
+    val merged = ManifestStore.read(spark, fpT)
+      .select(col("fp")).distinct().withColumn("__a", lit(1))
+    day1.join(merged, Seq("fp"), "left")
+      .withColumn("is_exact_dup_after", col("__a").isNotNull)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("clean"), col("is_exact_dup_after"))
+  }
+
+  val x65Sql: String =
+    """WITH dfp AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 = 0),
+       hfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents WHERE doc_id % 5 <> 0),
+       kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 = 0),
+       ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh WHERE len(sh) > 0),
+       hw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 <> 0),
+       hsh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM hw),
+       hposts AS (SELECT doc_id, unnest(sh) AS s FROM hsh WHERE len(sh) > 0),
+       inter AS (SELECT a.doc_id AS inc_id, b.doc_id AS hist_id, count(*) AS i
+                 FROM kposts a JOIN hposts b ON a.s = b.s GROUP BY 1, 2),
+       ks AS (SELECT doc_id, len(sh) AS n FROM ksh WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, len(sh) AS n FROM hsh WHERE len(sh) > 0),
+       nd AS (SELECT DISTINCT inc_id FROM inter
+              JOIN ks ON ks.doc_id = inc_id JOIN hs ON hs.doc_id = hist_id
+              WHERE CAST(i AS DOUBLE) / CAST(ks.n + hs.n - i AS DOUBLE) >= 0.7),
+       flags AS (SELECT dfp.doc_id,
+           (hfp.fp IS NOT NULL) AS is_exact_dup,
+           (nd.inc_id IS NOT NULL) AS is_near_dup
+         FROM dfp LEFT JOIN hfp ON dfp.fp = hfp.fp
+         LEFT JOIN nd ON nd.inc_id = dfp.doc_id)
+       SELECT doc_id, is_exact_dup, is_near_dup,
+         (NOT is_exact_dup AND NOT is_near_dup) AS clean,
+         (is_exact_dup OR (NOT is_exact_dup AND NOT is_near_dup)) AS is_exact_dup_after
+       FROM flags"""
+
+  // --- x66: hot-user-safe salted sessionization --------------------------
+  // x08's rollups through the two-phase salted path (Events
+  // .sessionStatsSalted): per-(user, 6h-bucket) gaps-and-islands, then a
+  // session-granularity boundary merge — a user owning half the events
+  // shards across buckets instead of serializing one reducer. The
+  // oracle is the PLAIN per-user session rollup: salting is an execution
+  // strategy, the result must be bucket-width-invariant (the 6h width is
+  // 12× the 30-min gap; SaltedSessionSpec pins invariance across widths
+  // down to 1 µs and the sharded plan shape under a 50%-hot user).
+  def x66SaltedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.sessionStatsSalted(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", gap = 30L * 60 * 1000000L, tsCol = "ts_us",
+      bucketWidth = 6L * 3600L * 1000000L)
+  }
+
+  val x66Sql: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS e FROM events),
+       s AS (SELECT user_id, e,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > 1800000000
+              THEN 1 ELSE 0 END AS ns FROM x),
+       g AS (SELECT user_id, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+       SELECT user_id, min(e) AS session_start, max(e) AS session_end,
+              count(*) AS n_events
+       FROM g GROUP BY user_id, session_seq"""
+
+  // Shared oracle CTEs for the k-means family (x67/x68): two unrolled
+  // Lloyd iterations from stride-50 seeds, mirroring Clustering's
+  // fixed-point determinism conventions exactly — Σ round(x·10⁶) LONG
+  // sums for centroid means (order-free), sequential-fold dot products,
+  // (sim DESC, cid ASC) assignment tie-break. Ends with `af`:
+  // (id, ve, nrm, cid, sim) under the final centroids.
+  protected def kmeansCtes: String = {
+    def iter(i: Int, prev: String): String =
+      s"""a$i AS (SELECT id, ve, nrm, cid FROM (
+           SELECT n.id, n.ve, n.nrm, c.cid,
+             row_number() OVER (PARTITION BY n.id ORDER BY
+               list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+                 / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+               c.cid) AS rn
+           FROM n CROSS JOIN $prev c) WHERE rn = 1),
+         e$i AS (SELECT cid, p.p AS pos, ve[p.p] AS x
+           FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS p) p),
+         s$i AS (SELECT cid, pos,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS c
+           FROM e$i GROUP BY 1, 2),
+         c$i AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+           FROM s$i GROUP BY 1)"""
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n0 AS (SELECT id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       n AS (SELECT * FROM n0 WHERE nrm > 0),
+       c0 AS (SELECT id AS cid, ve AS cv FROM n WHERE id % 50 = 0),
+       ${iter(1, "c0")},
+       ${iter(2, "c1")},
+       af AS (SELECT id, ve, nrm, cid, sim FROM (
+           SELECT n.id, n.ve, n.nrm, c.cid,
+             list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+               / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim,
+             row_number() OVER (PARTITION BY n.id ORDER BY
+               list_sum(list_transform(range(1, 65), k -> n.ve[k] * c.cv[k]))
+                 / (n.nrm * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+               c.cid) AS rn
+           FROM n CROSS JOIN c2 c) WHERE rn = 1)"""
+  }
+
+  // --- x67: spherical k-means cluster stats ------------------------------
+  // Two deterministic Lloyd iterations (SemDeDup's clustering step made
+  // engine-portable): per-cluster size + mean cosine to the final
+  // centroid. The oracle unrolls the identical iterations, so every
+  // centroid component and every argmax must match bit-for-bit — a
+  // one-ulp divergence anywhere in the double pipeline would flip an
+  // assignment and the row hashes.
+  def x67KmeansStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.kmeansStats(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", stride = 50L, iters = 2)
+
+  val x67Sql: String =
+    s"""WITH $kmeansCtes
+       SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         round(CAST(sum(CAST(round(sim * 1000000000) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 1000000000.0, 6) AS cohesion
+       FROM af GROUP BY 1"""
+
+  // --- x68: SemDeDup within-cluster semantic near-dup pairs --------------
+  // The payoff of x67's layout: the near-dup pair join is an EQUI-join
+  // on the cluster id, so candidate volume is Σ size(cluster)² — bounded
+  // by the layout, never N². τ=0.4 sits in the fixture's noise tail for
+  // the same reason x62's does (documented in BENCH_SCALE.md); real
+  // corpora run τ ≥ 0.9.
+  def x68SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.semanticDedupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      stride = 50L, iters = 2, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), col("cid"),
+        round(col("cosine"), 6).as("cosine"))
+
+  val x68Sql: String =
+    s"""WITH $kmeansCtes
+       SELECT a.id AS id_a, b.id AS id_b, a.cid AS cid,
+         round(list_sum(list_transform(range(1, 65), k -> a.ve[k] * b.ve[k]))
+           / (a.nrm * b.nrm), 6) AS cosine
+       FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id
+       WHERE list_sum(list_transform(range(1, 65), k -> a.ve[k] * b.ve[k]))
+           / (a.nrm * b.nrm) >= 0.4"""
+
+  // --- x69: BM25 keyword top-k retrieval ---------------------------------
+  // Lexical retrieval over the corpus (the keyword complement of the ANN
+  // family): three fixed term queries, Okapi BM25 (k1=1.2, b=0.75,
+  // Lucene's always-positive idf), top-15 per query. Fixed-point 1e-9
+  // partials (x58 convention) make the scores and the (score, id)
+  // ranking engine-portable.
+  def x69Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    Retrieval.bm25TopK(t(spark, dir, "documents"), "doc_id", "text", qs, k = 15)
+  }
+
+  val x69Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       lens AS (SELECT d.doc_id, coalesce(t.len, 0) AS len FROM documents d
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1) t USING (doc_id)),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+       qt AS (SELECT * FROM (VALUES
+         ('q_hash_join','hash'),('q_hash_join','join'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_vector','vector'),('q_vector','data')) AS q(query_id, w)),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+       dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+         FROM tf JOIN dft USING (w) JOIN qt USING (w)
+         JOIN lens USING (doc_id) CROSS JOIN stats
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, s9,
+           row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rank
+         FROM sc)
+       SELECT query_id, rank, doc_id,
+         round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS score
+       FROM r WHERE rank <= 15"""
+
+  // --- x70: Misra-Gries heavy hitters + exact verify ---------------------
+  // Vocabulary heavy hitters: every token with count >= ceil(N/100),
+  // found via a bounded m=256 MG sketch (guaranteed candidate superset
+  // for den <= m) + an exact recount of only the candidates — the
+  // x55-bloom "sketch prefilter, exact verify" pattern applied to
+  // frequency, so the oracle is the plain exact HAVING query.
+  def x70HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+      LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text")
+        .select(col("w")),
+      "w", m = 256, minFractionDen = 100L)
+
+  val x70Sql: String =
+    """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+       SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks CROSS JOIN tot
+       GROUP BY w, n
+       HAVING count(*) >= (n + 99) // 100"""
+
+  // --- x71: context-window packing plan ----------------------------------
+  // Sequence-packing diagnostics for a 4096-token context (n_chars as
+  // the token stand-in, x61's convention): docs concatenated in id
+  // order, per-source boundary-crossing stats. The Spark side computes
+  // global offsets with the two-phase DISTRIBUTED prefix sum (the only
+  // unpartitioned window runs over O(buckets) totals); the oracle's
+  // single global window is the semantic spec the distributed form must
+  // equal.
+  def x71PackingStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packingStats(
+      t(spark, dir, "documents"), "doc_id", "n_chars", "source",
+      capacity = 4096L, bucketWidth = 1000L)
+
+  val x71Sql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(coalesce(n_chars, 0) AS BIGINT) AS len
+         FROM documents),
+       o AS (SELECT doc_id, source, len,
+           CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         FROM d),
+       c AS (SELECT source, len,
+           CASE WHEN len <= 0 THEN 0
+                ELSE (s + len - 1) // 4096 - s // 4096 END AS cr
+         FROM o)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS n_toks,
+         CAST(sum(cr) AS BIGINT) AS n_crossings,
+         round(CAST(sum(cr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS crossing_frac
+       FROM c GROUP BY 1"""
+
+  // --- x72: hard-negative mining -----------------------------------------
+  // Contrastive-training batch construction: for each query vector, the
+  // top-5 most-similar vectors with a DIFFERENT label (the
+  // highest-confusion negatives). Label inequality rides the broadcast
+  // join condition; ranking shares the ANN family's (cosine DESC, id)
+  // total order.
+  def x72HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val x72Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       n AS (SELECT vec_id, label, ve,
+           sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM v),
+       q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+       sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), k -> q.ve[k] * c.ve[k])) / (q.nrm * c.nrm) AS cos
+         FROM q JOIN n c ON c.label <> q.label),
+       r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM sc)
+       SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       FROM r WHERE rank <= 5"""
+
+  // --- x73: hourly event-volume anomalies --------------------------------
+  // Data-quality monitoring on the ingest feed: per event type, hours
+  // whose count deviates > 3σ from the type's hourly mean. ENTIRELY
+  // integer arithmetic ((c·n − S)² > 9·(n·Q − S²)) — no
+  // floating-point threshold anywhere, so both engines agree exactly on
+  // the anomaly set.
+  def x73EventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.hourlyAnomalies(
+      ev.withColumn("ts_us", Events.epochMicros(ev)), "event_type", "ts_us", k = 3)
+  }
+
+  val x73Sql: String =
+    """WITH x AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+       h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+         FROM h GROUP BY 1),
+       a AS (SELECT h.event_type, h.c,
+           CASE WHEN (h.c * st.n - st.s) * (h.c * st.n - st.s)
+                     > 9 * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END AS an
+         FROM h JOIN st USING (event_type))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(an) AS BIGINT) AS n_anomalies
+       FROM a GROUP BY 1"""
+
+  // --- x74: per-doc novelty vs the historical corpus ---------------------
+  // Memorization-risk / freshness scoring: fraction of each arrival
+  // doc's distinct trigram shingles never seen in history — catches
+  // recombined known text that no single pairwise near-dup threshold
+  // flags. One posting left-join against the DISTINCT historical
+  // shingle set; the store-backed twin (DedupStores.noveltyAgainstStore)
+  // is pinned ≡ in StreamingFunnelSpec.
+  def x74NoveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.noveltyScore(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", shingleN = 3)
+  }
+
+  val x74Sql: String =
+    """WITH kw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 = 0),
+       ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM kw),
+       kposts AS (SELECT doc_id, unnest(sh) AS s FROM ksh WHERE len(sh) > 0),
+       hw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 5 <> 0),
+       hsh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM hw),
+       hset AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM hsh WHERE len(sh) > 0)),
+       j AS (SELECT k.doc_id, CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END AS seen
+             FROM kposts k LEFT JOIN hset h ON h.s = k.s)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(seen) AS BIGINT) AS n_seen,
+         round(1.0 - CAST(sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+       FROM j GROUP BY 1"""
+
+  // --- x75: cluster-balanced diversity sample ----------------------------
+  // SemDeDup-pipeline companion: cap each semantic cluster's
+  // contribution at 20 vectors, chosen by engine-portable md5 rank —
+  // head clusters stop dominating the mix. Shares x67's unrolled-Lloyd
+  // oracle CTEs.
+  def x75BalancedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.balancedSample(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      stride = 50L, iters = 2, quota = 20)
+
+  val x75Sql: String =
+    s"""WITH $kmeansCtes,
+       r AS (SELECT id AS vec_id, cid,
+           row_number() OVER (PARTITION BY cid
+             ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+         FROM af)
+       SELECT vec_id, cid, rk FROM r WHERE rk <= 20"""
+
+  // --- x76: per-type event-volume trend ----------------------------------
+  // Drift monitoring: OLS slope of hourly counts per event type, exact
+  // integer sums (x re-based per type so both engines stay in BIGINT)
+  // and one rounded double division.
+  def x76VolumeTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.volumeTrend(
+      ev.withColumn("ts_us", Events.epochMicros(ev)), "event_type", "ts_us")
+  }
+
+  val x76Sql: String =
+    """WITH x AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+       h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+       h0 AS (SELECT event_type, CAST(min(b) AS BIGINT) AS b0 FROM h GROUP BY 1),
+       r AS (SELECT h.event_type, h.b - h0.b0 AS xx, h.c FROM h JOIN h0 USING (event_type)),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xx) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+           CAST(sum(xx * xx) AS BIGINT) AS sxx, CAST(sum(xx * c) AS BIGINT) AS sxy
+         FROM r GROUP BY 1)
+       SELECT event_type, n AS n_buckets,
+         CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope
+       FROM s"""
+
+  // --- x77: per-source length-distribution drift (JS divergence) ---------
+  // Today's arrivals vs history, per source: Jensen-Shannon divergence
+  // of the n_chars histogram over 16 shared-bounds integer bins. Exact
+  // integer binning, 1e-9 fixed-point log terms (x58 convention).
+  // split on doc_id % 3: the fixture assigns source = doc_id % 20, so
+  // any split modulus sharing a factor with 20 (2, 5, ...) correlates
+  // EXACTLY with source and leaves every source one-sided; 3 is coprime,
+  // so each source's ids cycle through all residues
+  def x77LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ext.Drift.jsDivergence(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      "source", "n_chars", bins = 16)
+  }
+
+  val x77Sql: String =
+    """WITH u AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS side
+         FROM documents WHERE n_chars IS NOT NULL),
+       bd AS (SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx FROM u),
+       bn AS (SELECT g, side, ((v - mn) * 16) // (mx - mn + 1) AS bin
+         FROM u CROSS JOIN bd),
+       h AS (SELECT g, bin,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM bn GROUP BY 1, 2),
+       tt AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1
+         HAVING sum(ca) > 0 AND sum(cb) > 0),
+       terms AS (SELECT h.g,
+           CASE WHEN ca > 0 THEN CAST(round(
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+             * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS ta,
+           CASE WHEN cb > 0 THEN CAST(round(
+             (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+             * 1000000000.0) AS BIGINT) ELSE 0 END AS tb,
+           na, nb
+         FROM h JOIN tt ON tt.g = h.g)
+       SELECT g AS source, max(na) AS n_a, max(nb) AS n_b,
+         round((CAST(sum(ta) AS DOUBLE) / 1000000000.0
+              + CAST(sum(tb) AS DOUBLE) / 1000000000.0) / 2.0, 6) AS js
+       FROM terms GROUP BY 1"""
+
+  // --- x78: vocabulary coverage curve ------------------------------------
+  // Tokenizer sizing: fraction of corpus token occurrences covered by
+  // the top-K token types, K in {5, 10, 20}. The global top-K is the
+  // salted two-stage exact top-k; ranking (count DESC, token) is total.
+  def x78VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(spark, dir, "documents"), "doc_id", "text",
+      cutoffs = Seq(5, 10, 20))
+
+  val x78Sql: String =
+    """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab FROM c),
+       r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+       ks AS (SELECT unnest([5, 10, 20]) AS k)
+       SELECT ks.k, st.n_vocab, st.total_tokens,
+         round(CAST(sum(r.cnt) AS DOUBLE) / CAST(st.total_tokens AS DOUBLE), 6) AS coverage
+       FROM r JOIN ks ON r.rk <= ks.k CROSS JOIN st
+       GROUP BY 1, 2, 3"""
+
+  // --- x79: per-label embedding-centroid drift ---------------------------
+  // Representation drift between two embedding slices: cosine between
+  // each label's fixed-point mean vectors (k-means convention — both
+  // engines compute bit-identical centroids).
+  def x79EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    graft.ext.Drift.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0),
+      "label", "embedding")
+  }
+
+  val x79Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       ex AS (SELECT label, vec_id % 2 AS side, p.p AS pos, ve[p.p] AS x
+         FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS p) p),
+       s AS (SELECT label, side, pos,
+           CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+         FROM ex GROUP BY 1, 2, 3),
+       m AS (SELECT label, side, max(c) AS n,
+           list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS mv
+         FROM s GROUP BY 1, 2),
+       ma AS (SELECT label, n AS n_a, mv AS va FROM m WHERE side = 0),
+       mb AS (SELECT label, n AS n_b, mv AS vb FROM m WHERE side = 1)
+       SELECT ma.label, ma.n_a, mb.n_b,
+         round(list_sum(list_transform(range(1, 65), k -> va[k] * vb[k]))
+           / (sqrt(list_sum(list_transform(va, x -> x * x)))
+            * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS drift_cosine
+       FROM ma JOIN mb USING (label)"""
+
+  // --- x80: train/val/test split + leakage audit -------------------------
+  // Eval hygiene WITHIN the corpus (x31/x55 decontaminate against an
+  // EXTERNAL benchmark): assign a deterministic 80/10/10 md5-hash split,
+  // then count near-dup pairs per split combination — pairs crossing
+  // train/test are leakage an eval must not trust. Pairs ride x04's
+  // banded-MinHash machinery; the canonical (least, greatest) rollup is
+  // x60's convention.
+  def x80SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val split = Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 52429), ("val", 58982)), "test")
+      .select(col("doc_id"), col("split"))
+    allPairs(spark, dir)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  val x80Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       p AS (SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS j
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       sp AS (SELECT doc_id,
+           CASE WHEN bkt < 52429 THEN 'train'
+                WHEN bkt < 58982 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) AS bkt
+           FROM documents)),
+       ps AS (SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b, j
+         FROM p JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b)
+       SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         max(j) AS max_jaccard
+       FROM ps GROUP BY 1, 2"""
+
+  // --- x81: cross-modality coverage audit --------------------------------
+  // Pipeline health before multimodal training: per source, the
+  // fraction of docs with a companion embedding (vec_id keys the same
+  // id space), plus one __no_primary__ row counting orphan embeddings.
+  def x81ModalityCoverage(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.coverageAudit(
+      t(spark, dir, "documents"), t(spark, dir, "embeddings"),
+      "doc_id", "vec_id", "source")
+
+  val x81Sql: String =
+    """WITH c AS (SELECT DISTINCT vec_id FROM embeddings),
+       m AS (SELECT d.source AS g, CAST(count(*) AS BIGINT) AS n_primary,
+           CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+         FROM documents d LEFT JOIN c ON d.doc_id = c.vec_id
+         GROUP BY 1),
+       o AS (SELECT '__no_primary__' AS g, CAST(0 AS BIGINT) AS n_primary,
+           CAST(count(*) AS BIGINT) AS n_matched
+         FROM c WHERE vec_id NOT IN (SELECT DISTINCT doc_id FROM documents)),
+       u AS (SELECT * FROM m UNION ALL SELECT * FROM o)
+       SELECT g AS source, n_primary, n_matched,
+         CASE WHEN n_primary = 0 THEN 0.0
+              ELSE round(CAST(n_matched AS DOUBLE) / CAST(n_primary AS DOUBLE), 6) END AS coverage
+       FROM u"""
+
+  // --- x82: PMI token-pair association -----------------------------------
+  // Collocation mining (Church & Hanks 1990): document-frequency PMI over
+  // token-type pairs co-occurring in a document. Pair candidates come
+  // from a per-document self-join (Σ_doc v², linear in corpus), never
+  // vocab²; support cutoff 5 bounds the output.
+  def x82PmiPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(t(spark, dir, "documents"), "doc_id", "text",
+      minPairDocs = 5L)
+
+  val x82Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+         FROM documents),
+       posts AS (SELECT DISTINCT doc_id, w FROM tk),
+       dfk AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY 1),
+       nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM posts),
+       pr AS (SELECT a.w AS tok_a, b.w AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+         FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.w < b.w
+         GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT tok_a, tok_b, n_ab,
+         round(ln(CAST(n_ab * nd AS DOUBLE) / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+       FROM pr JOIN dfk da ON da.w = tok_a JOIN dfk db ON db.w = tok_b
+       CROSS JOIN nd"""
+
+  // --- x83: shuffle-key skew profiler ------------------------------------
+  // The pre-flight a 100 TB groupBy/join runs on its candidate key: key
+  // cardinality, hottest-key share, exact p50/p99 of the per-key count
+  // distribution, and distribution entropy — all derived from the
+  // O(distinct count-values) distribution, never a per-row sort.
+  def x83KeySkew(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.keySkewStats(t(spark, dir, "events"),
+      Seq("user_id", "event_type"))
+
+  protected def skewCtes(k: String, p: String): String =
+    s"""${p}c AS (SELECT $k AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       ${p}d AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM ${p}c GROUP BY 1),
+       ${p}w AS (SELECT c, m,
+           CAST(sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(sum(m) OVER () AS BIGINT) AS nk,
+           CAST(sum(c * m) OVER () AS BIGINT) AS nr
+         FROM ${p}d),
+       ${p}s AS (SELECT '$k' AS key_col,
+           max(nr) AS n_rows, max(nk) AS n_keys, max(c) AS max_cnt,
+           max(CASE WHEN floor(0.5 * (nk - 1)) + 1 > cum - m
+                     AND floor(0.5 * (nk - 1)) + 1 <= cum THEN c END) AS p50_cnt,
+           max(CASE WHEN floor(0.99 * (nk - 1)) + 1 > cum - m
+                     AND floor(0.99 * (nk - 1)) + 1 <= cum THEN c END) AS p99_cnt,
+           round(CAST(max(c) AS DOUBLE) / CAST(max(nr) AS DOUBLE), 6) AS top_share,
+           round(-CAST(sum(m * CAST(round((CAST(c AS DOUBLE) / nr) * ln(CAST(c AS DOUBLE) / nr) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS entropy
+         FROM ${p}w)"""
+
+  val x83Sql: String =
+    s"""WITH ${skewCtes("user_id", "u")},
+       ${skewCtes("event_type", "e")}
+       SELECT * FROM us UNION ALL SELECT * FROM es"""
+
+  // --- x84: per-source corpus data card ----------------------------------
+  // The release datasheet: volume, token mass, language mix, within-
+  // source exact-dup mass, and the exact length median per source — one
+  // table, every column an exact integer or one rounded division.
+  def x84DataCard(spark: SparkSession, dir: String): DataFrame =
+    DataCard.sourceCard(t(spark, dir, "documents"))
+
+  val x84Sql: String =
+    """WITH tk AS (SELECT source, lang, n_chars,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents),
+       base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM tk GROUP BY 1),
+       lt AS (SELECT source, lang AS top_lang, CAST(count(*) AS BIGINT) AS lc,
+           row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+         FROM documents GROUP BY source, lang),
+       lt1 AS (SELECT source, top_lang, lc FROM lt WHERE rn = 1),
+       dup AS (SELECT source,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+         FROM (SELECT source, fp, CAST(count(*) AS BIGINT) AS c
+               FROM tk GROUP BY 1, 2) GROUP BY 1),
+       med AS (SELECT source, n_chars AS med_chars FROM (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents WHERE n_chars IS NOT NULL)
+         WHERE rk = floor(0.5 * (n - 1)) + 1)
+       SELECT source, n_docs, n_tokens, n_langs, top_lang,
+         round(CAST(lc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+         dup_docs, med_chars
+       FROM base JOIN lt1 USING (source) JOIN dup USING (source)
+       LEFT JOIN med USING (source)"""
+
+  // --- x85: near-dup graph centrality (fixed-point PageRank) -------------
+  // Keeper selection upgraded from min-id to most-canonical: PageRank
+  // over x04's banded-MinHash pair graph, 3 damped iterations in exact
+  // 1e-9 fixed-point LONG arithmetic (every division integral on
+  // positive operands — both engines produce bit-identical rank
+  // vectors; no floating accumulation anywhere).
+  def x85PairCentrality(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerank(
+      allPairs(spark, dir),
+      "id_a", "id_b", "doc_id", iters = 3)
+
+  protected def pagerankCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""m$i AS (SELECT ud.v, CAST(sum(r${i - 1}.r // ud.deg) AS BIGINT) AS s
+           FROM ud JOIN r${i - 1} USING (u) GROUP BY 1),
+         r$i AS (SELECT deg.u,
+             15000000000 // (100 * nv) + (85 * coalesce(s, 0)) // 100 AS r
+           FROM deg LEFT JOIN m$i ON m$i.v = deg.u CROSS JOIN nv)"""
+    }.mkString(",\n       ")
+
+  val x85Sql: String =
+    s"""WITH ${jaccardCtes(3)},
+       e AS (SELECT id_a, id_b
+         FROM inter JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.7),
+       und AS (SELECT id_a AS u, id_b AS v FROM e
+               UNION ALL SELECT id_b, id_a FROM e),
+       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+       ud AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (u)),
+       r0 AS (SELECT u, 1000000000 // nv AS r FROM deg CROSS JOIN nv),
+       ${pagerankCtes(3)}
+       SELECT deg.u AS doc_id, deg.deg AS deg, r3.r AS rank9
+       FROM r3 JOIN deg USING (u)"""
+
+  // --- x86: centrality-based keeper selection ----------------------------
+  // The x23 + x85 composition: duplicate clusters keyed by their most-
+  // CENTRAL member — the canonical document many variants derive from —
+  // instead of the arbitrary min-id keeper. One pair list feeds both
+  // the connected-components pass and the rank iteration.
+  def x86CentralityKeepers(spark: SparkSession, dir: String): DataFrame =
+    Graph.centralityKeepers(
+      allPairs(spark, dir),
+      "id_a", "id_b", iters = 3)
+
+  val x86Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(3)},
+       ${componentCtes(0.7)},
+       cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       und AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+       ud AS (SELECT und.u, und.v, deg.deg FROM und JOIN deg USING (u)),
+       r0 AS (SELECT u, 1000000000 // nv AS r FROM deg CROSS JOIN nv),
+       ${pagerankCtes(3)},
+       rk AS (SELECT deg.u AS doc_id, r3.r AS rank9 FROM r3 JOIN deg USING (u)),
+       j AS (SELECT cl.cluster_id, cl.doc_id, rk.rank9,
+           row_number() OVER (PARTITION BY cl.cluster_id
+             ORDER BY rk.rank9 DESC, cl.doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n
+         FROM cl JOIN rk USING (doc_id))
+       SELECT cluster_id, n AS n_members, doc_id AS keeper_id,
+         rank9 AS keeper_rank9
+       FROM j WHERE rn = 1"""
+
+  // --- x87: per-source quality funnel ------------------------------------
+  // Where does each source's data die? x32's gate rolled up per source:
+  // total docs, survivors, per-rule failure counts (a doc failing
+  // several rules counts in each), survivor fraction. One map-side-
+  // combined shuffle to O(sources) rows on top of the narrow gate.
+  def x87QualityFunnel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFunnel(t(spark, dir, "documents"),
+      "text", "lang", "source")
+
+  val x87Sql: String =
+    s"""WITH $qgCtes
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN ($qgMask) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(CASE WHEN NOT (wc BETWEEN 10 AND 5000) THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+         CAST(sum(CASE WHEN swr < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         CAST(sum(CASE WHEN pr > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
+         CAST(sum(CASE WHEN NOT (awl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+         CAST(sum(CASE WHEN lang_pred IS DISTINCT FROM lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+         round(CAST(sum(CASE WHEN ($qgMask) = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS yield_frac
+       FROM f GROUP BY 1"""
+
+  // --- x88: maintained data card (day-over-day stores) -------------------
+  // The x84 datasheet kept current by daily ingest: three "days"
+  // (doc_id % 3) are appended as day-keyed SUBTOTALS into ManifestStore
+  // tables (merge pruned to the day's partition, replay-idempotent);
+  // the card derives from the stores alone — corpus never rescanned.
+  // The oracle is the DIRECT datasheet over the full corpus: maintenance
+  // must be invisible in the result.
+  def x88CardStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "cardstore")
+    for (d <- 0 to 2)
+      DataCard.appendDay(spark, docs.filter(col("doc_id") % 3 === d), s"day$d", root)
+    DataCard.cardFromStore(spark, root)
+  }
+
+  val x88Sql: String = x84Sql
+
+  // --- x89: hybrid retrieval via reciprocal-rank fusion ------------------
+  // BM25 top-20 (x69's three term queries) fused with dense cosine
+  // top-20 (probe vectors 0/1/2 standing in for the queries' embeddings;
+  // vec_id ≡ doc_id per the x81 referential audit) — RRF with exact
+  // integer floor(1e12/(60+rank)) contributions, top-10 per query.
+  def x89RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val lexical = Retrieval
+      .bm25TopK(t(spark, dir, "documents"), "doc_id", "text", qs, k = 20)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val emb = t(spark, dir, "embeddings")
+    val probeMap = Seq(("q_hash_join", 0L), ("q_stream", 1L), ("q_vector", 2L))
+      .toDF("qname", "pvec")
+    val dense = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+      .join(broadcast(probeMap), col("query_id") === col("pvec"))
+      .select(col("qname").as("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    Retrieval.rrfFuse(Seq(lexical, dense), "doc_id", k = 10)
+  }
+
+  val x89Sql: String =
+    """WITH toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       lens AS (SELECT d.doc_id, coalesce(t.len, 0) AS len FROM documents d
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1) t USING (doc_id)),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+       qt AS (SELECT * FROM (VALUES
+         ('q_hash_join','hash'),('q_hash_join','join'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_vector','vector'),('q_vector','data')) AS q(query_id, w)),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1, 2),
+       dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT qt.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+             ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+             * 1000000000.0) AS BIGINT)) AS BIGINT) AS s9
+         FROM tf JOIN dft USING (w) JOIN qt USING (w)
+         JOIN lens USING (doc_id) CROSS JOIN stats
+         GROUP BY 1, 2),
+       lexr AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rank
+           FROM sc) WHERE rank <= 20),
+       ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       vn AS (SELECT vec_id, ve, sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm FROM ve),
+       vq AS (SELECT vec_id AS pid, ve AS qv, nrm AS qn FROM vn WHERE vec_id < 3),
+       vscored AS (SELECT vq.pid, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(vq.qv) + 1), i -> vq.qv[i] * c.ve[i])) / (vq.qn * c.nrm) AS cos
+         FROM vn c JOIN vq ON c.vec_id <> vq.pid),
+       vr AS (SELECT pid, neighbor_id, rank FROM (
+           SELECT pid, neighbor_id,
+             row_number() OVER (PARTITION BY pid ORDER BY cos DESC, neighbor_id) AS rank
+           FROM vscored) WHERE rank <= 20),
+       qmap AS (SELECT * FROM (VALUES
+         ('q_hash_join', 0), ('q_stream', 1), ('q_vector', 2)) AS m(query_id, pvec)),
+       densr AS (SELECT qmap.query_id, vr.neighbor_id AS doc_id, vr.rank
+         FROM vr JOIN qmap ON vr.pid = qmap.pvec),
+       contrib AS (
+         SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM lexr
+         UNION ALL
+         SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM densr),
+       fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp
+         FROM contrib GROUP BY 1, 2),
+       rr AS (SELECT query_id, doc_id, rrf_fp,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS rank
+         FROM fused)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_fp
+       FROM rr WHERE rank <= 10"""
+
+  // --- x90: k-anonymity / l-diversity release audit ----------------------
+  // Publishing per-document metadata re-identifies by rare combination:
+  // the audit groups customers by (nation, segment, balance band) and
+  // flags equivalence classes smaller than k=5. One map-side-combined
+  // groupBy to O(distinct QI combos) rows.
+  def x90Kanonymity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityAudit(
+      t(spark, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / lit(500.0d)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), "c_acctbal", k = 5)
+
+  val x90Sql: String =
+    """SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+         count(*) < 5 AS at_risk
+       FROM customer GROUP BY 1, 2, 3"""
+
+  // --- x91: SCD2 dimension history build ---------------------------------
+  // Type-2 validity intervals from the purchase change feed: one row per
+  // change with version numbers and [valid_from, valid_to) in exact
+  // micros; ties within a (user, ts) are ordered by event_id. ONE
+  // shuffle on the user key (row_number + lead share the sort).
+  def x91Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Scd2.build(
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", "event_id", Seq("value"))
+  }
+
+  val x91Sql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT user_id, value,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         t AS valid_from_us,
+         lead(t) OVER w AS valid_to_us
+       FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)"""
+
+  // --- x92: SCD2 point-in-time probe -------------------------------------
+  // Every click resolves the user's purchase-dimension state as of the
+  // click instant. The engine runs AsofJoin's union+window (one shuffle,
+  // linear scan — no range join); the oracle checks it with the plain
+  // interval-containment BETWEEN join the window provably equals
+  // (versions tile time; zero-width versions collapsed on both sides).
+  def x92Scd2Probe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val hist = Scd2.build(
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us", "event_id", Seq("value"))
+    val probes = ev.filter(col("event_type") === "click")
+      .withColumn("t_us", Events.epochMicros(ev))
+      .select(col("event_id"), col("user_id"), col("t_us"))
+    Scd2.probe(hist, probes, "user_id", "t_us", Seq("value"))
+  }
+
+  val x92Sql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+         FROM events WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, value,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           t AS valid_from_us,
+           lead(t) OVER w AS valid_to_us
+         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       lv AS (SELECT * FROM v
+         WHERE valid_to_us IS NULL OR valid_from_us < valid_to_us),
+       p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+         FROM events WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id, p.t_us, lv.value, lv.version
+       FROM p LEFT JOIN lv ON lv.user_id = p.user_id
+         AND lv.valid_from_us <= p.t_us
+         AND (lv.valid_to_us IS NULL OR p.t_us < lv.valid_to_us)"""
+
+  // --- x93: hashed linear quality-model inference ------------------------
+  // fastText-shaped quality scoring with a hash-derived weight table:
+  // the whole model is a narrow map + one groupBy on the doc id — no
+  // weight-table join anywhere (see TextAnalysis.hashedLinearScore).
+  def x93QualityModel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")
+
+  // hashed-linear-model scoring chain (x93's model), shared with x97:
+  // ends in sc(doc_id, n_toks, score_fp3)
+  protected lazy val qmScoreCtes: String =
+    s"""toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       hb AS (SELECT doc_id, md5(w) AS hx FROM toks),
+       b AS (SELECT doc_id, ${duckHex48("hx")} % 1024 AS b FROM hb),
+       hw AS (SELECT doc_id, md5('w' || CAST(b AS VARCHAR)) AS hx FROM b),
+       wf AS (SELECT doc_id, (${duckHex48("hx")} % 2001) - 1000 AS wf FROM hw),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(wf) AS BIGINT) AS score_fp3 FROM wf GROUP BY 1)"""
+
+  val x93Sql: String =
+    s"""WITH $qmScoreCtes
+       SELECT doc_id, n_toks, score_fp3, score_fp3 > 0 AS pred FROM sc"""
+
+  // --- x94: ordered conversion funnel ------------------------------------
+  // view -> click -> purchase, each stage strictly after the user's
+  // earliest valid previous stage; per-stage reached-user counts.
+  def x94EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.funnel(ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+  }
+
+  val x94Sql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+       s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY 1),
+       s2 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s1 ON e.u = s1.u AND e.t > s1.t
+         WHERE e.et = 'click' GROUP BY 1),
+       s3 AS (SELECT e.u, min(e.t) AS t FROM e JOIN s2 ON e.u = s2.u AND e.t > s2.t
+         WHERE e.et = 'purchase' GROUP BY 1)
+       SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3"""
+
+  // --- x95: weekly retention cohorts -------------------------------------
+  // Users cohorted by first-event epoch-week; actives counted per
+  // (cohort, offset). Event stream collapses to distinct user-weeks in
+  // the first map-side-combined shuffle.
+  def x95RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.retentionCohorts(ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "ts_us")
+  }
+
+  val x95Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS wk FROM events),
+       c AS (SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cw FROM uw)
+       SELECT cw AS cohort_week, wk - cw AS week_offset,
+         CAST(count(*) AS BIGINT) AS users
+       FROM c GROUP BY 1, 2"""
+
+  // --- x96: count-min frequency sketch + exact verify --------------------
+  // The x70 pattern for the CM sketch: estimates are one-sided
+  // (est >= exact by construction), so the gate probes the exact top-20
+  // tokens and reports est alongside the exact count — `overcount`
+  // being >= 0 everywhere IS the sketch's guarantee, checked row by row.
+  def x96CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = LangModel.tokenRows(t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("w"))
+    // ONE token-stream pass: the exact vocab table feeds both the
+    // weighted cell build (bit-identical to the raw-stream build, but
+    // d-way-expanding O(vocab) rows) and the top-20 probe set
+    val exact = Dedup.materialize(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val cells = Sketches.countMinCellsWeighted(exact, "w", "cnt",
+      depth = 4, width = 1024)
+    val top = Sampling.scoredTopK(exact, "w", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(cells, top, "w", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  val x96Sql: String =
+    s"""WITH toks AS (SELECT
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       ex AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       top AS (SELECT w, cnt FROM (
+           SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM ex)
+         WHERE rn <= 20),
+       rr AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+       cells0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || w) AS hx
+         FROM toks CROSS JOIN rr),
+       cells AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS ccnt
+         FROM cells0 GROUP BY 1, 2),
+       pr0 AS (SELECT w, cnt, r, md5('cm' || CAST(r AS VARCHAR) || '_' || w) AS hx
+         FROM top CROSS JOIN rr),
+       pr AS (SELECT w, cnt, r, ${duckHex48("hx")} % 1024 AS cell FROM pr0)
+       SELECT pr.w, pr.cnt, CAST(min(cells.ccnt) AS BIGINT) AS est,
+         CAST(min(cells.ccnt) - pr.cnt AS BIGINT) AS overcount
+       FROM pr JOIN cells USING (r, cell) GROUP BY pr.w, pr.cnt"""
+
+  // --- x97: curriculum phase assignment ----------------------------------
+  // Difficulty phases from the x93 model score WITHOUT a global sort:
+  // phase = floor(8 · strictlyBetter / N) off the O(distinct scores)
+  // distribution, broadcast-joined back (ties share a phase by
+  // construction). Gate reports the per-phase rollup.
+  def x97CurriculumPhases(spark: SparkSession, dir: String): DataFrame =
+    // materialized: curriculumPhases consumes the scored frame twice
+    // (distribution + join-back) — without this the scoring pass runs
+    // twice (x05 multi-consumer rule)
+    Sampling.curriculumPhases(
+        Dedup.materialize(
+          TextAnalysis.hashedLinearScore(t(spark, dir, "documents"), "doc_id", "text")),
+        "score_fp3", phases = 8)
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_fp3")).as("min_score"),
+        max(col("score_fp3")).as("max_score"))
+
+  val x97Sql: String =
+    s"""WITH $qmScoreCtes,
+       d AS (SELECT score_fp3 AS s, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM d),
+       cb AS (SELECT s, CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         FROM d),
+       ph AS (SELECT sc.doc_id, sc.score_fp3,
+           (8 * cb.cum) // nn.n AS phase
+         FROM sc JOIN cb ON sc.score_fp3 = cb.s CROSS JOIN nn)
+       SELECT CAST(phase AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n_docs,
+         min(score_fp3) AS min_score, max(score_fp3) AS max_score
+       FROM ph GROUP BY 1"""
+
+  // --- x98: CM-sketch join-size estimation -------------------------------
+  // The planner pre-flight: |events ⋈ orders on user=custkey| estimated
+  // from two d=4×w=1024 count-min sketches via the inner-product bound
+  // (est >= exact, one-sided), verified against the exact aggregated
+  // product — which the gate also computes, O(distinct keys), never the
+  // joined rows.
+  def x98JoinsizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "events").select(col("user_id").as("k"))
+    val b = t(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val est = Sketches.countMinJoinSize(
+      Sketches.countMinCells(a, "k", depth = 4, width = 1024),
+      Sketches.countMinCells(b, "k", depth = 4, width = 1024))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("__ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("__cb")), Seq("k"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("exact_join_size"))
+    exact.crossJoin(est)
+      .withColumn("overcount", col("est_join_size") - col("exact_join_size"))
+  }
+
+  val x98Sql: String =
+    s"""WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+       ob AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+       rr AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+       ca0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || v) AS hx
+         FROM ea CROSS JOIN rr),
+       ca AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS c
+         FROM ca0 GROUP BY 1, 2),
+       cb0 AS (SELECT r, md5('cm' || CAST(r AS VARCHAR) || '_' || v) AS hx
+         FROM ob CROSS JOIN rr),
+       cbb AS (SELECT r, ${duckHex48("hx")} % 1024 AS cell,
+           CAST(count(*) AS BIGINT) AS c
+         FROM cb0 GROUP BY 1, 2),
+       er AS (SELECT ca.r, CAST(sum(ca.c * cbb.c) AS BIGINT) AS er
+         FROM ca JOIN cbb ON ca.r = cbb.r AND ca.cell = cbb.cell GROUP BY 1),
+       est AS (SELECT CAST(min(er) AS BIGINT) AS est_join_size FROM er),
+       ex AS (SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT) AS exact_join_size
+         FROM (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1) x
+         JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) y USING (k))
+       SELECT ex.exact_join_size, est.est_join_size,
+         est.est_join_size - ex.exact_join_size AS overcount
+       FROM ex CROSS JOIN est"""
+
+  // --- x99: last-touch attribution ---------------------------------------
+  // Every purchase resolves the user's latest at-or-before touch
+  // (view/click/signup/error, deduped per instant by max event_id) via
+  // the asof union+window; the oracle is an independent argmax
+  // correlated subquery over the same touch set.
+  def x99Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    Events.lastTouchAttribution(
+      ev.withColumn("ts_us", Events.epochMicros(ev)),
+      "user_id", "event_type", "ts_us", "event_id", "purchase", Seq("value"))
+  }
+
+  val x99Sql: String =
+    """WITH np AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id
+         FROM events WHERE event_type <> 'purchase'),
+       np1 AS (SELECT user_id, t, event_type AS channel FROM (
+           SELECT user_id, t, event_type,
+             row_number() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) AS rn
+           FROM np) WHERE rn = 1),
+       p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts_us, p.value,
+         (SELECT channel FROM np1
+          WHERE np1.user_id = p.user_id AND np1.t <= p.ts_us
+          ORDER BY np1.t DESC LIMIT 1) AS channel
+       FROM p"""
+
+  // --- x100: BPE merge learning ------------------------------------------
+  // Two tokenizer-induction rounds over the weighted vocabulary; the
+  // oracle unrolls both rounds (pair count -> argmax -> replace-apply)
+  // in SQL with the SAME left-to-right non-overlapping replace
+  // semantics (see Bpe scaladoc).
+  def x100BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.learnMerges(t(spark, dir, "documents"), "doc_id", "text", rounds = 2)
+
+  // the two-round BPE chain (x100's model), shared with x104: ends in
+  // m1/m2 (the chosen merges) and s1 (the vocab after merge 1)
+  protected lazy val bpeCtes: String =
+    """toks AS (SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       FROM documents),
+       vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       s0 AS (SELECT w, cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq FROM vocab),
+       i0 AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s0)),
+       p1 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         FROM i0 GROUP BY 1, 2),
+       m1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+       s1 AS (SELECT s0.w, s0.cnt,
+           trim(replace(' ' || s0.seq || ' ',
+             ' ' || m1.a || ' ' || m1.b || ' ',
+             ' ' || m1.a || m1.b || ' ')) AS seq
+         FROM s0 CROSS JOIN m1),
+       i1 AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i
+         FROM (SELECT cnt, string_split(seq, ' ') AS l FROM s1)),
+       p2 AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+         FROM i1 GROUP BY 1, 2),
+       m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1)"""
+
+  val x100Sql: String =
+    s"""WITH $bpeCtes
+       SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+         pc AS pair_count FROM m1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), a, b, pc FROM m2"""
+
+}

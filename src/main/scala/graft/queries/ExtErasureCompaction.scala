@@ -1,0 +1,1417 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{AsofJoin, Chunking, DataCard, Dedup, Dsir, Events, Graph, LangModel, MediaStore, Multimodal, Pq, Privacy, Profiling, Quantiles, Redaction, Retrieval, SampleStore, Sampling, Scd2, Sharding, Similarity, Sketches, TextAnalysis}
+
+/** x217-x241: composed erasure, media store, bench registry, epoch compaction rollout.
+  * Mechanical slice of the former single-object ExtQueries (r14);
+  * see ExtQueries.scala for the shared determinism conventions.
+  */
+private[graft] trait ExtErasureCompaction extends ExtLmStores {
+  import CoreQueries.t
+  // --- x217: COMPOSED cross-store erasure ------------------------------------
+  // The shape a real deletion pipeline runs: ONE erasure request — a
+  // manifest carrying the subject's keys in every keyspace (doc_id /
+  // vec_id / l_orderkey / user_id, all % 7 == 2; a production request
+  // enumerates its identifiers per system) plus the subject's content
+  // for the content-keyed stores — driven through ALL NINE forget
+  // families in one documented order, then a BLIND AUDIT (every
+  // id-keyed store table probed for the keys: zero hits, REQUIREd) and
+  // a full-request REPLAY (the orchestrator-crash recovery: every
+  // family is keyed-idempotent or fenced). Output: one serving-read
+  // FINGERPRINT row per store — count + bit_xor of md5-48 over the
+  // canonical row string — each of which the oracle recomputes from
+  // the SURVIVING base rows, so any stale or missing serving content
+  // in any store flips the hash.
+  //
+  // Order, documented: (1) content-consuming forgets first (dedup
+  // fp/idx, BM25 postings; the media band index — x219's store — runs
+  // with them, its delete keys derive from the subject's bytes) — they
+  // need the subject's bytes, so they must run before the lakehouse's
+  // own delete would remove them. WITHIN a phase the families fan out
+  // in parallel (disjoint store tables, independent transactional
+  // deletes — the orchestrator shape; phase boundaries stay
+  // sequential);
+  // (2) id-keyed derived stores (vector, cluster, sample); (3)
+  // subtraction-correction stores (moments, view aggregates); (4) the
+  // dimension history (SCD2) last. The moment store holds no per-id
+  // rows, so its audit IS the serving equality (direction == survivors'
+  // from-scratch build, bit-exact).
+  /** x217's three inline-built stores as build-once prototypes (the r12
+    * bench-diet follow-up): the moment, sample, and media stores were
+    * the last per-gate-per-pass ingest cycles in the erasure composite —
+    * pure commit-floor wall-time measuring nothing new, since their
+    * build REQUIREs are gated elsewhere (x199/x195/x219). x217 clones
+    * each and mutates the clone; the fixtures are byte-identical to the
+    * previous inline builds.
+    */
+  protected def mom2Proto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "mom2day") { root =>
+      val emb = t(spark, dir, "embeddings")
+      (0 until 2).foreach { d =>
+        graft.ext.EmbedPost.momentsAppendDay(spark,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === d.toLong),
+          "embedding", 64, s"d$d", root)
+      }
+    }
+
+  protected def sample2Proto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "sample2day") { root =>
+      val wdocs = t(spark, dir, "documents").select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("wc"))
+      (0 until 2).foreach { d =>
+        SampleStore.appendDay(spark,
+          wdocs.filter(pmod(col("doc_id"), lit(2L)) === d.toLong),
+          "doc_id", col("wc"), s"d$d", k = 100, slack = 64, table = root)
+      }
+    }
+
+  protected def mediaAllProto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "mediaall") { root =>
+      MediaStore.append(spark, mediaBlobs(spark, mediaBase(spark, dir)), root)
+    }
+
+  def x217ComposedErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.{ClusterStore, DedupStores, IndexStore, Scd2Store, VectorStore, ViewStore}
+    import graft.sources.ManifestStore
+    // coarse phase profile (SPARK_GRAFT_X217_PROFILE=1): the bench-diet
+    // feedback loop — which of clone/request/audit/replay/folds carries
+    // the wall. Off by default; stderr only, never the result.
+    val profile = sys.env.contains("SPARK_GRAFT_X217_PROFILE")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (profile) {
+      val t1 = System.nanoTime()
+      Console.err.println(f"x217-profile $phase ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
+    // plain parquet reads, NOT materialized: these are the corpus tables
+    // (caching the corpus is exactly what a 100 TB pipeline must not do);
+    // only the small doomed slices below are pinned
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    // --- build the eight stores ---
+    val dd = FreshTables.next(spark, dir, "cedd")
+    ProtoStores.cloneTo(spark, dedupAllProto(spark, dir), dd)
+    val (fpT, idxT) = (s"$dd/fp", s"$dd/idx")
+    val clT = FreshTables.next(spark, dir, "cecl")
+    ProtoStores.cloneTo(spark, clusterAllProto(spark, dir), clT)
+    val bmT = FreshTables.next(spark, dir, "cebm")
+    ProtoStores.cloneTo(spark, bm25Proto(spark, dir), bmT)
+    val annT = FreshTables.next(spark, dir, "ceann")
+    ProtoStores.cloneTo(spark, vecStoreProto(spark, dir), annT)
+    val momT = FreshTables.next(spark, dir, "cemom")
+    ProtoStores.cloneTo(spark, mom2Proto(spark, dir), momT)
+    val smpT = FreshTables.next(spark, dir, "cesmp")
+    ProtoStores.cloneTo(spark, sample2Proto(spark, dir), smpT)
+    val vwT = FreshTables.next(spark, dir, "cevw")
+    ProtoStores.cloneTo(spark, aggViewProto(spark, dir), vwT)
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val scT = FreshTables.next(spark, dir, "cesc")
+    ProtoStores.cloneTo(spark, scd2Proto(spark, dir), scT)
+    val feed = scd2Feed(spark, dir)
+    val mdT = FreshTables.next(spark, dir, "cemd")
+    ProtoStores.cloneTo(spark, mediaAllProto(spark, dir), mdT)
+    // --- THE REQUEST: the subject's keys + content, every keyspace ---
+    val doomedDocs = Dedup.materialize(docs.filter(col("doc_id") % 7 === 2))
+    val doomedDocIds = doomedDocs.select(col("doc_id").as("id"))
+    val doomedVecs = Dedup.materialize(emb.filter(col("vec_id") % 7 === 2))
+    val doomedLi = li.filter(col("okey") % 7 === 2)
+    val doomedUsers = feed.filter(col("user_id") % 7 === 2)
+    require(doomedDocs.count() > 0 && doomedVecs.count() > 0,
+      "x217: empty erasure manifest")
+    mark("clones+request-slices")
+    // the request fans out IN PARALLEL within each ordering phase — the
+    // production orchestrator shape: the nine families touch disjoint
+    // store tables, so within a phase their transactional deletes are
+    // independent Spark jobs (local scheduler interleaves them; a real
+    // cluster runs them from orchestrator workers). The PHASE order is
+    // the documented contract and stays sequential.
+    def phase(steps: (() => Unit)*): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(steps.map(st => Future(st()))),
+        scala.concurrent.duration.Duration(20, "min"))
+      ()
+    }
+    def runRequest(): Unit = {
+      // phase 1: content-consuming forgets (need the subject's bytes,
+      // so they run before any lakehouse delete could remove them)
+      phase(
+        () => DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT),
+        () => IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
+          forgetSeq = 1L, partitions = 8),
+        // null-text docs were never media-ingested (mediaBase filters
+        // them), so the media request carries only ingested assets — an
+        // unfiltered null blob would NPE inside dHash64
+        () => MediaStore.forget(spark, mediaBlobs(spark,
+          doomedDocs.filter(col("text").isNotNull)
+            .select(col("doc_id").as("media_id"), col("text"))), mdT))
+      // phase 2: id-keyed derived stores
+      phase(
+        () => VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT),
+        () => ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8),
+        () => SampleStore.forget(spark, smpT, "doc_id",
+          doomedDocs.select(col("doc_id")), forgetSeq = 1L))
+      // phase 3: subtraction-correction stores
+      phase(
+        () => graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
+          "f1", momT),
+        () => ViewStore.forgetA(spark, vwT, doomedLi, "okey",
+          Seq("okey", "l_linenumber"), forgetSeq = 1L,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")))
+      // phase 4: the dimension history, last
+      Scd2Store.forget(spark, scT, doomedUsers, "user_id")
+    }
+    runRequest()
+    mark("forgets")
+    // --- BLIND AUDIT: zero hits for the subject in every id-keyed table ---
+    def hits(table: String, keyCol: String, keys: DataFrame): Long =
+      ManifestStore.read(spark, table)
+        .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi").count()
+    val audit = Seq(
+      ("dedup_fp", hits(fpT, "id", doomedDocIds)),
+      ("dedup_idx", hits(idxT, "id", doomedDocIds)),
+      ("cluster", hits(clT, "id", doomedDocIds)),
+      ("cluster_twin", hits(s"$clT/_idindex", "id", doomedDocIds)),
+      ("bm25_postings", hits(s"$bmT/postings", "id", doomedDocIds)),
+      ("bm25_lens", hits(s"$bmT/lens", "id", doomedDocIds)),
+      ("ann_codes", hits(s"$annT/codes", "vec_id", doomedVecs)),
+      ("ann_assign", hits(s"$annT/assign", "vec_id", doomedVecs)),
+      ("sample", hits(smpT, "doc_id", doomedDocs)),
+      ("view_base", hits(s"$vwT/a", "okey", doomedLi)),
+      ("view_rows", hits(s"$vwT/view", "okey", doomedLi)),
+      ("scd2", hits(scT, "user_id", doomedUsers)),
+      ("media_idx", hits(mdT, "media_id",
+        doomedDocs.select(col("doc_id").as("media_id")))))
+    for ((name, n) <- audit)
+      require(n == 0L, s"x217 blind audit: $n subject rows survived in $name")
+    mark("audit")
+    // --- REPLAY the whole request: the orchestrator-crash recovery ---
+    runRequest()
+    mark("replay")
+    // --- serving fingerprints, one row per store ---
+    def fold(store: String, df: DataFrame, canon: org.apache.spark.sql.Column): DataFrame =
+      df.select(conv(substring(md5(canon), 1, 12), 16, 10).cast("long").as("__h"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(__h)"), lit(0L)).as("fp"))
+        .select(lit(store).as("store"), col("n_rows"), col("fp"))
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val folds = Seq(
+      fold("dedup_fp", ManifestStore.read(spark, fpT),
+        concat_ws("|", col("fp"), col("id"))),
+      fold("dedup_idx", ManifestStore.read(spark, idxT), col("id").cast("string")),
+      fold("cluster", ClusterStore.readLabels(spark, clT),
+        concat_ws("|", col("id"), col("label"))),
+      fold("bm25", IndexStore.bm25Probe(spark, bmT, qs, "doc_id",
+          topK = 15, partitions = 8),
+        concat_ws("|", col("query_id"), col("rank"), col("doc_id"),
+          round(col("score") * lit(1e6d), 0).cast("long"))),
+      fold("ann", VectorStore.probe(spark, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", annT,
+          dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10),
+        concat_ws("|", col("query_id"), col("rank"), col("vec_id"), col("est_d9"))),
+      fold("moments",
+        graft.ext.EmbedPost.directionFromMoments(spark, momT, 64, iters = 3)
+          .zipWithIndex.map { case (c, p) => (p, c) }.toSeq.toDF("pos", "comp"),
+        concat_ws("|", col("pos"), col("comp"))),
+      fold("sample", SampleStore.sampleFromStore(spark, smpT, "doc_id", 100),
+        concat_ws("|", col("doc_id"), col("sample_rank"),
+          round(col("es_key") * lit(1e6d), 0).cast("long"))),
+      fold("view", ViewStore.readAgg(spark, vwT,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")),
+        concat_ws("|", col("o_orderpriority"), col("cnt"),
+          round(col("sum_l_quantity") * lit(100d), 0).cast("long"))),
+      fold("scd2", Scd2Store.history(spark, scT),
+        concat_ws("|", col("user_id"), round(col("value") * lit(1e6d), 0).cast("long"),
+          col("version"), col("valid_from_us"), coalesce(col("valid_to_us"), lit(-1L)))),
+      fold("media", MediaStore.probe(spark,
+          mediaBlobs(spark, mediaTwins(mediaBase(spark, dir))), mdT, maxDist = 3),
+        concat_ws("|", col("probe_id"), col("store_id"), col("hamming"))))
+    if (profile) {
+      val names = Seq("dedup_fp", "dedup_idx", "cluster", "bm25", "ann",
+        "moments", "sample", "view", "scd2", "media")
+      names.zip(folds).foreach { case (n, f) =>
+        val ts = System.nanoTime()
+        f.count()
+        Console.err.println(
+          f"x217-profile fold:$n ${(System.nanoTime() - ts) / 1e9}%.2f s")
+      }
+    }
+    folds.reduce(_ unionByName _)
+  }
+
+  // each store's serving read recomputed from the SURVIVING base rows,
+  // folded with the same md5-48 bit_xor
+  val x217Sql: String = {
+    def sec(store: String, inner: String, canon: String): String =
+      s"""SELECT '$store' AS store, CAST(count(*) AS BIGINT) AS n_rows,
+         coalesce(bit_xor(${duckHex48("hx")}), 0) AS fp
+       FROM (SELECT md5($canon) AS hx FROM ($inner) t0) t"""
+    val clusterInner =
+      s"""WITH RECURSIVE ${jaccardCtes(3)},
+         ${componentCtes(0.7)},
+         cl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         surv AS (SELECT id, comp FROM cl WHERE id % 7 <> 2),
+         rel AS (SELECT comp, min(id) AS label FROM surv GROUP BY comp)
+         SELECT surv.id AS id, rel.label AS label FROM surv JOIN rel USING (comp)"""
+    val sampleInner =
+      s"""WITH w AS (SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS wc,
+           md5(CAST(doc_id AS VARCHAR)) AS hx
+         FROM documents WHERE doc_id % 7 <> 2),
+         h AS (SELECT doc_id, wc, ${duckHex48("hx")} AS h48 FROM w),
+         k AS (SELECT doc_id,
+               round(ln((CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0)
+                     / greatest(CAST(wc AS DOUBLE), 1.0), 6) AS es_key FROM h),
+         r AS (SELECT doc_id, es_key,
+               row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn FROM k)
+         SELECT doc_id, CAST(rn AS BIGINT) AS sample_rank, es_key
+         FROM r WHERE rn <= 100"""
+    val viewAnchor = "FROM lineitem JOIN orders"
+    require(x179Sql.contains(viewAnchor), "x217: x179Sql anchor moved")
+    val scd2Anchor = "WHERE event_type = 'purchase'"
+    require(x91Sql.contains(scd2Anchor), "x217: x91Sql anchor moved")
+    Seq(
+      sec("dedup_fp",
+        """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id AS id
+           FROM documents WHERE doc_id % 7 <> 2 AND text IS NOT NULL""",
+        "fp || '|' || CAST(id AS VARCHAR)"),
+      sec("dedup_idx",
+        """SELECT doc_id AS id FROM (
+             SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+             FROM documents WHERE doc_id % 7 <> 2) w
+           WHERE len(ws) >= 3""",
+        "CAST(id AS VARCHAR)"),
+      sec("cluster", clusterInner,
+        "CAST(id AS VARCHAR) || '|' || CAST(label AS VARCHAR)"),
+      sec("bm25", x216Sql,
+        "query_id || '|' || CAST(rank AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(CAST(round(score * 1000000.0) AS BIGINT) AS VARCHAR)"),
+      sec("ann", x157Sql,
+        "CAST(query_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) || '|' || CAST(est_d9 AS VARCHAR)"),
+      sec("moments", momentsSql("WHERE vec_id % 7 <> 2"),
+        "CAST(pos AS VARCHAR) || '|' || CAST(comp AS VARCHAR)"),
+      sec("sample", sampleInner,
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(sample_rank AS VARCHAR) || '|' || CAST(CAST(round(es_key * 1000000.0) AS BIGINT) AS VARCHAR)"),
+      sec("view",
+        x179Sql.replace(viewAnchor,
+          "FROM (SELECT * FROM lineitem WHERE l_orderkey % 7 <> 2) lineitem JOIN orders"),
+        "o_orderpriority || '|' || CAST(cnt AS VARCHAR) || '|' || CAST(CAST(round(sum_l_quantity * 100.0) AS BIGINT) AS VARCHAR)"),
+      sec("scd2",
+        x91Sql.replace(scd2Anchor,
+          scd2Anchor + " AND user_id % 7 <> 2"),
+        "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(round(value * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(version AS VARCHAR) || '|' || CAST(valid_from_us AS VARCHAR) || '|' || CAST(coalesce(valid_to_us, -1) AS VARCHAR)"),
+      sec("media",
+        s"""WITH $mediaOracleCtes
+           SELECT t.media_id AS probe_id, s.media_id AS store_id,
+             CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+           FROM pht t JOIN phb s ON t.media_id <> s.media_id
+           WHERE s.media_id % 7 <> 2 AND bit_count(xor(t.ph, s.ph)) <= 3""",
+        "CAST(probe_id AS VARCHAR) || '|' || CAST(store_id AS VARCHAR) || '|' || CAST(hamming AS VARCHAR)")
+    ).mkString("\nUNION ALL\n")
+  }
+
+  // --- x218: perceptual near-dup over media blobs (dHash + Hamming bands) ----
+  // The media modality joins the near-dup matrix (text has 5 flavors,
+  // embeddings SRP/SemDeDup; media had none): the standard public
+  // recipe — dHash bits over the stubbed decode's deterministic 9×8
+  // grid, Hamming-banded candidate pairs via x06's pigeonhole blocks
+  // (exact recall at maxDist=3), exact popcount verify. The fixture is
+  // ASCII, so each sampled byte is a codepoint and the oracle unrolls
+  // the WHOLE pipeline — grid sampling, all 64 dHash bits, the
+  // brute-force Hamming verify — in SQL.
+  // The fixture has no natural near-dup PAYLOADS (its near-dup texts
+  // differ byte-wise enough that the sampled grid diverges — min pair
+  // distance 13 at gate SFs), so the gate derives the actual use case
+  // deterministically in BOTH engines: every 10th asset gets a
+  // "re-encoded twin" with ONE middle byte replaced. One byte feeds at
+  // most one grid cell (len ≥ 72 samples each position once; a cell
+  // appears in ≤ 2 adjacent comparisons), so a twin's dHash is within
+  // Hamming 2 of its original — the banded pipeline must surface
+  // exactly the twin pairs, and the REQUIRE pins non-vacuity.
+  def x218PerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val twins = base
+      .filter(col("media_id") % 10 === 0 && length(col("text")) >= 4)
+      .select((col("media_id") + lit(100000000L)).as("media_id"),
+        expr("concat(substr(text, 1, length(text) div 2), 'q', " +
+          "substr(text, length(text) div 2 + 2))").as("text"))
+    val media = base.unionByName(twins)
+      .select(col("media_id"), col("text").cast("binary").as("blob"))
+      .as[Multimodal.MediaBlob]
+    val pairs = Multimodal.perceptualPairs(media, maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x218: no perceptual pairs — vacuous gate")
+    pairs
+  }
+
+  val x218Sql: String = {
+    // bit (r*8 + c): grid cell k = r*9 + c samples byte ⌊k·len/72⌋
+    // (1-based substr; ASCII fixture ⇒ ascii(char) == byte value) —
+    // ONE shared generator (dhashBitsSql) for every dHash oracle
+    // (x217/x219/x220/x227 included), so the recipe can never
+    // desynchronize between gates
+    val bits = dhashBitsSql
+    s"""WITH base AS (SELECT doc_id AS media_id, text
+         FROM documents WHERE text IS NOT NULL),
+       m AS (SELECT media_id, text FROM base
+         UNION ALL
+         SELECT media_id + 100000000,
+           substr(text, 1, length(text) // 2) || 'q' || substr(text, length(text) // 2 + 2)
+         FROM base WHERE media_id % 10 = 0 AND length(text) >= 4),
+       mm AS (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM m),
+       ph AS (SELECT media_id,
+           CASE WHEN len = 0 THEN 0 ELSE $bits END AS ph
+         FROM mm)
+       SELECT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       FROM ph a JOIN ph b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.ph, b.ph)) <= 3"""
+  }
+
+  // --- x219-x221: maintained perceptual-hash media store ---------------------
+  // x218's one-shot near-dup becomes a LIFECYCLE store (the last
+  // one-shot-only near-dup family): banded dHash postings in a
+  // ManifestStore table, probes pruned to the increment's band
+  // buckets, keyed append/forget. Shared fixture derivation with x218:
+  // base docs as media blobs, every 10th asset a re-encoded twin (one
+  // replaced middle byte, ≤ 2 dHash bits).
+
+  protected def mediaBase(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text"))
+
+  protected def mediaTwins(base: DataFrame): DataFrame = base
+    .filter(col("media_id") % 10 === 0 && length(col("text")) >= 4)
+    .select((col("media_id") + lit(100000000L)).as("media_id"),
+      expr("concat(substr(text, 1, length(text) div 2), 'q', " +
+        "substr(text, length(text) div 2 + 2))").as("text"))
+
+  protected def mediaBlobs(spark: SparkSession, df: DataFrame)
+      : Dataset[Multimodal.MediaBlob] = {
+    import spark.implicits._
+    df.select(col("media_id"), col("text").cast("binary").as("blob"))
+      .as[Multimodal.MediaBlob]
+  }
+
+  /** The x218 dHash recipe as a reusable SQL fragment: 64 CASE bits over
+    * a (media_id, text, len) relation — grid cell k of the 9×8 grid
+    * samples byte ⌊k·len/72⌋ (ASCII fixture ⇒ ascii == byte value).
+    */
+  // lazy: referenced by x217Sql, which is declared ABOVE these helpers —
+  // a plain val would still be null when the object initializer builds it
+  protected lazy val dhashBitsSql: String = (0 until 64).map { i =>
+    val k1 = (i / 8) * 9 + (i % 8)
+    def px(k: Int) = s"ascii(substr(text, CAST(($k * len) // 72 AS BIGINT) + 1, 1))"
+    s"CASE WHEN ${px(k1 + 1)} > ${px(k1)} THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+  }.mkString("(", "\n             + ", ")")
+
+  protected lazy val mediaOracleCtes: String =
+    s"""base AS (SELECT doc_id AS media_id, text
+         FROM documents WHERE text IS NOT NULL),
+       tw AS (SELECT media_id + 100000000 AS media_id,
+           substr(text, 1, length(text) // 2) || 'q' || substr(text, length(text) // 2 + 2) AS text
+         FROM base WHERE media_id % 10 = 0 AND length(text) >= 4),
+       phb AS (SELECT media_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE $dhashBitsSql END AS ph
+         FROM (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM base)),
+       pht AS (SELECT media_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE $dhashBitsSql END AS ph
+         FROM (SELECT media_id, text, CAST(length(text) AS BIGINT) AS len FROM tw))"""
+
+  // --- x219: build + append + replay + pruned probe ---------------------------
+  // Two-slice ingest (the daily cycle), day-2 re-delivered (the keyed
+  // merge must REPLACE — row accounting REQUIREd), then the twins probe
+  // the store: exact recall at Hamming ≤ 3 vs EVERY ingested asset,
+  // store-side corpus never rescanned.
+  def x219MediaStore(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val hist = base.filter(col("media_id") % 3 =!= 0)
+    val inc = base.filter(col("media_id") % 3 === 0)
+    val table = FreshTables.next(spark, dir, "mediastore")
+    MediaStore.append(spark, mediaBlobs(spark, hist), table)
+    MediaStore.append(spark, mediaBlobs(spark, inc), table)
+    // at-least-once: re-deliver the increment — keyed merge replaces
+    MediaStore.append(spark, mediaBlobs(spark, inc), table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = base.count() * 4L
+    require(stored == expected,
+      s"x219: store holds $stored band rows, expected $expected — " +
+        "the replay duplicated instead of replacing")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x219: no matches — vacuous gate")
+    pairs
+  }
+
+  val x219Sql: String =
+    s"""WITH $mediaOracleCtes
+       SELECT t.media_id AS probe_id, s.media_id AS store_id,
+         CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+       FROM pht t JOIN phb s ON t.media_id <> s.media_id
+       WHERE bit_count(xor(t.ph, s.ph)) <= 3"""
+
+  // --- x220: right-to-be-forgotten over the media index -----------------------
+  // Every 20th asset (half the twins' originals) is erased — keyed,
+  // bucket-pruned delete, replayed once (idempotence) — then the twins
+  // probe: the doomed originals MUST vanish from the matches while
+  // survivor matches are bit-identical to an index built without them.
+  def x220MediaForget(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val table = FreshTables.next(spark, dir, "mediaforget")
+    // the same full-corpus store x219 gates the build of — cloned, not
+    // re-ingested (the bench-diet rule: this gate's subject is forget)
+    ProtoStores.cloneTo(spark, mediaAllProto(spark, dir), table)
+    val doomed = base.filter(col("media_id") % 20 === 0)
+    MediaStore.forget(spark, mediaBlobs(spark, doomed), table)
+    // replay the same request: keyed delete is a no-op on absent keys
+    MediaStore.forget(spark, mediaBlobs(spark, doomed), table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = (base.count() - doomed.count()) * 4L
+    require(stored == expected,
+      s"x220: store holds $stored band rows after forget, expected $expected")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x220: no survivor matches — vacuous gate")
+    pairs
+  }
+
+  val x220Sql: String =
+    s"""WITH $mediaOracleCtes
+       SELECT t.media_id AS probe_id, s.media_id AS store_id,
+         CAST(bit_count(xor(t.ph, s.ph)) AS BIGINT) AS hamming
+       FROM pht t JOIN phb s ON t.media_id <> s.media_id
+       WHERE s.media_id % 20 <> 0
+         AND bit_count(xor(t.ph, s.ph)) <= 3"""
+
+  // --- x221: STREAMING media-store maintenance --------------------------------
+  // x219 fed by a stream (the x161/x196/x203 door): asset days arrive
+  // as micro-batches, each folded by MediaStore.append in foreachBatch;
+  // one day re-delivered post-drain (at-least-once), then the twins
+  // probe — bit-identical to the batch build, x219's oracle verbatim.
+  def x221StreamMedia(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Dedup.materialize(mediaBase(spark, dir)
+      .withColumn("day", pmod(col("media_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "smediastore")
+    val root = FreshTables.next(spark, dir, "smediain")
+    (0 until 3).foreach { b =>
+      base.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$root/in")
+    }
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MediaStore.append(spark, mediaBlobs(spark, batch), table)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x221: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — the keyed merge replaces
+    MediaStore.append(spark,
+      mediaBlobs(spark, base.filter(col("day") === 1L)), table)
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x221: no matches — vacuous gate")
+    pairs
+  }
+
+  val x221Sql: String = x219Sql
+
+  // --- x222/x223: maintained benchmark-gram registry --------------------------
+  // x31/x55's decontamination probe becomes a LIFECYCLE registry: eval
+  // suites are appended (and re-delivered — keyed merge REPLACES, row
+  // accounting REQUIREd) and RETIRED (one suite-partition keyed delete,
+  // idempotent) over time, while corpus increments probe the persisted
+  // gram table — the benchmark texts are never re-tokenized. Suites:
+  // docs %50==0 → suiteA, %50==25 → suiteB; corpus = the rest.
+
+  protected def benchRegistryTable(spark: SparkSession, dir: String,
+      prefix: String): (String, DataFrame) = {
+    val docs = Dedup.materialize(t(spark, dir, "documents"))
+    val table = FreshTables.next(spark, dir, prefix)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 25), "doc_id", "text", "suiteB", table)
+    // re-deliver suiteA: the (s, suite) keyed merge must REPLACE
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    // per-doc grams first (shingle windows must never stitch across
+    // docs), then distinct per suite — the store's (s, suite) key space
+    val expected = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 50 === 0 || col("doc_id") % 50 === 25),
+        "doc_id", "text", 6)
+      .select(when(pmod(col("id"), lit(50L)) === 0L, lit("suiteA"))
+        .otherwise(lit("suiteB")).as("suite"), col("s"))
+      .distinct().count()
+    require(stored == expected,
+      s"$prefix: registry holds $stored gram rows, expected $expected — " +
+        "the suiteA replay duplicated instead of replacing")
+    (table, docs)
+  }
+
+  // --- x222: append + replay + retire + probe ---------------------------------
+  // suiteB is retired (twice — idempotence) before the probe, so the
+  // contamination read must equal x31's plan against suiteA ALONE: a
+  // leftover suiteB gram anywhere inflates a doc's n_contaminated and
+  // flips the hash.
+  def x222BenchRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchreg")
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry.probe(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(out.agg(sum(col("n_contaminated"))).head().getLong(0) > 0L,
+      "x222: zero contamination hits — vacuous gate")
+    out
+  }
+
+  val x222Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       bg AS (SELECT DISTINCT s FROM posts WHERE doc_id % 50 = 0),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+       hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+                FROM corpus c JOIN bg ON c.s = bg.s GROUP BY 1)
+       SELECT s.doc_id, s.n_grams,
+         COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS contamination_ratio
+       FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+
+  // --- x223: per-suite attribution ("WHICH benchmark leaks?") -----------------
+  // Both suites live; the triage read after a probe flags a batch — hit
+  // counts per (doc, suite), suites a doc doesn't touch emit no row. A
+  // gram in BOTH suites counts once per suite (the registry is keyed
+  // (s, suite)).
+  def x223SuiteAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchattr")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry
+      .attribute(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(!out.head(1).isEmpty, "x223: no attributed hits — vacuous gate")
+    out
+  }
+
+  val x223Sql: String =
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM documents),
+       sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM w),
+       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       posts AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       reg AS (SELECT DISTINCT s,
+           CASE WHEN doc_id % 50 = 0 THEN 'suiteA' ELSE 'suiteB' END AS suite
+         FROM posts WHERE doc_id % 50 = 0 OR doc_id % 50 = 25),
+       corpus AS (SELECT * FROM posts WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25)
+       SELECT c.doc_id, r.suite, CAST(count(*) AS BIGINT) AS n_hits
+       FROM corpus c JOIN reg r ON c.s = r.s GROUP BY 1, 2"""
+
+  // --- x224: epoch compaction of the index's day subtotals --------------------
+  // The metadata diet for a years-of-ingest store: days d0+d1 fold into
+  // ONE epoch row via ManifestStore.replaceWhere (one atomic manifest
+  // flip — no window where both old days and the epoch are visible),
+  // lens breadcrumbs rebadge so forgets keep subtracting from the row
+  // that holds their counts. Compaction replayed (crash recovery), THEN
+  // a forget of docs whose counts now live under the epoch — the probe
+  // must hash-match the survivors-only batch BM25 (x172's oracle): a
+  // dropped subtraction or a double-counted day flips N/avgdl and the
+  // scores with it.
+  def x224StatsCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.IndexStore
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "bmcompact")
+    ProtoStores.cloneTo(spark, bm25Proto(spark, dir), root)
+    def statsRows(): Seq[String] = ManifestStore.read(spark, s"$root/stats")
+      .select(col("day")).collect().map(_.getString(0)).sorted.toSeq
+    require(statsRows() == Seq("d0", "d1", "d2"), s"x224: unexpected days ${statsRows()}")
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01", compactSeq = 1L)
+    // replay with the same seq — both steps converge
+    IndexStore.compactStats(spark, root, Seq("d0", "d1"), "epoch:01", compactSeq = 1L)
+    require(statsRows() == Seq("d2", "epoch:01"),
+      s"x224: compaction left days ${statsRows()}")
+    val lensDays = ManifestStore.read(spark, s"$root/lens")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSet
+    require(lensDays.subsetOf(Set("d2", "epoch:01")),
+      s"x224: lens breadcrumbs not rebadged: $lensDays")
+    // N must be UNCHANGED by compaction (exact sums)
+    def statsN(): Long = ManifestStore.read(spark, s"$root/stats")
+      .agg(sum(col("nd"))).head().getLong(0)
+    require(statsN() == docs.count(), s"x224: compaction changed N to ${statsN()}")
+    // forget across the epoch: doomed docs' counts subtract from the
+    // epoch (or d2) row their breadcrumb names — then replay (fence)
+    val doomed = docs.filter(col("doc_id") % 7 === 2)
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    IndexStore.forget(spark, doomed, "doc_id", "text", root, forgetSeq = 1L)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 2).count()
+    require(statsN() == survivors, s"x224: stats N ${statsN()} != $survivors survivors")
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    IndexStore.bm25Probe(spark, root, qs, "doc_id", topK = 15, partitions = 8)
+  }
+
+  // compaction is bit-invisible and the forget exact — x172's
+  // survivors-only batch BM25 oracle verbatim
+  val x224Sql: String = x172Sql
+
+  // --- x225: epoch compaction of the moment store -----------------------------
+  // x205's forget leaves an erasure LEDGER: the (day row, negative
+  // correction row) pair reconstructs the forgotten vectors' aggregate
+  // moments by subtraction. Folding all days AND the forget tag into
+  // one epoch destroys that ledger (the privacy completion) and caps
+  // the store at O(dim²) rows forever — while the direction read stays
+  // BIT-IDENTICAL (exact sums, summed unordered). Replay converges;
+  // row accounting REQUIREd; oracle = survivors-only direction, x205's
+  // verbatim.
+  def x225MomentsCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestStore
+    val emb = Dedup.materialize(t(spark, dir, "embeddings")
+      .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "momcompact")
+    (0 until 3).foreach { b =>
+      graft.ext.EmbedPost.momentsAppendDay(spark,
+        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
+    }
+    val doomed = emb.filter(col("vec_id") % 7 === 0)
+    graft.ext.EmbedPost.momentsForget(spark, doomed, "embedding", 64, "f1", table)
+    graft.ext.EmbedPost.momentsCompact(spark, table,
+      Seq("d0", "d1", "d2", "f1"), "epoch:all")
+    // replay — each table's fold recomputes the identical epoch rows
+    graft.ext.EmbedPost.momentsCompact(spark, table,
+      Seq("d0", "d1", "d2", "f1"), "epoch:all")
+    // the ledger is gone: exactly one subtotal row set survives
+    val m1Rows = ManifestStore.read(spark, s"$table/m1").count()
+    require(m1Rows == 64L, s"x225: m1 holds $m1Rows rows, expected 64 (one per pos)")
+    val m2Days = ManifestStore.read(spark, s"$table/m2")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSeq
+    require(m2Days == Seq("epoch:all"), s"x225: m2 days $m2Days")
+    val x = graft.ext.EmbedPost.directionFromMoments(spark, table, 64, iters = 3)
+    x.zipWithIndex.map { case (c, p) => (p, c) }.toSeq
+      .toDF("pos", "comp")
+  }
+
+  val x225Sql: String = momentsSql("WHERE vec_id % 7 <> 0")
+
+  // --- x226: epoch compaction of the HLL store (MAX fold) ---------------------
+  // The metadata diet reaches the sketch stores: register rows of all 3
+  // days max-fold into one epoch set — O(groups × 2^p) rows forever —
+  // and the estimate read is bit-identical (max-merge is associative
+  // AND idempotent, so even a double fold converges). Row accounting
+  // REQUIREd; oracle = x138's estimate, x143's verbatim.
+  def x226HllCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val u = Dedup.materialize(hllSource(spark, dir)
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "hllcompact")
+    (0 until 3).foreach { b =>
+      Sketches.hllAppendDay(spark, u.filter(col("day") === s"d$b"),
+        "grp", "v", s"d$b", table)
+    }
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
+    // replay — the max fold is idempotent
+    Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = u
+      .select(col("grp"),
+        shiftright(org.apache.spark.sql.graftfn.HashExpressions
+          .md5Prefix48(col("v")), 40).as("idx"))
+      .distinct().count()
+    require(stored == expected,
+      s"x226: store holds $stored register rows after compaction, expected " +
+        s"$expected (one per live (grp, idx))")
+    Sketches.hllEstimate(
+      Sketches.hllRegistersFromStore(spark, table, "grp"), "grp")
+      .join(u.groupBy(col("grp")).agg(count_distinct(col("v")).as("n_exact")),
+        Seq("grp"))
+  }
+
+  val x226Sql: String = x138Sql
+
+  // --- x227: media forget BY ID (the bytes-unavailable deletion path) ---------
+  // The real deletion-request shape: identifiers only, the lakehouse
+  // bytes already gone. No band key to prune by, so the delete LOCATES
+  // the doomed rows via a narrow key+partition scan of the index (the
+  // x216 periodic/cure shape) and rewrites only their buckets — also
+  // the convergence cure after a divergent-bytes forget (spec-pinned
+  // with an adversarial orphan fixture). Replay idempotent; row
+  // accounting REQUIREd; survivors' probe = x220's oracle verbatim
+  // (same doomed slice).
+  def x227MediaForgetById(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.materialize(mediaBase(spark, dir))
+    val table = FreshTables.next(spark, dir, "mediaid")
+    // cloned full-corpus store (x220's diet note): the subject here is
+    // forgetById, not the ingest
+    ProtoStores.cloneTo(spark, mediaAllProto(spark, dir), table)
+    val doomed = base.filter(col("media_id") % 20 === 0)
+    MediaStore.forgetById(spark, doomed.select(col("media_id")), "media_id", table)
+    MediaStore.forgetById(spark, doomed.select(col("media_id")), "media_id", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = (base.count() - doomed.count()) * 4L
+    require(stored == expected,
+      s"x227: store holds $stored band rows after forgetById, expected $expected")
+    val pairs = MediaStore
+      .probe(spark, mediaBlobs(spark, mediaTwins(base)), table, maxDist = 3)
+      .select(col("probe_id"), col("store_id"), col("hamming").cast("long").as("hamming"))
+    require(!pairs.head(1).isEmpty, "x227: no survivor matches — vacuous gate")
+    pairs
+  }
+
+  val x227Sql: String = x220Sql
+
+  // --- x228: dedup-store forget by id (the fp-orphan cure) --------------------
+  // The fp store is keyed by the CONTENT hash, so a divergent-content
+  // forget deterministically strands EVERY one of the subject's
+  // (fp, id) rows — and orphaned fp rows keep flagging, so erased
+  // content re-submitted still reads "already seen" (REQUIREd visible
+  // via a probe of the erased texts). DedupStores.forgetById cures by
+  // id alone (narrow locate scan, the x216/x227 cost shape), replayed
+  // once; final probe = x171's survivors-only oracle verbatim (same
+  // slices).
+  def x228DedupForgetById(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.DedupStores
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fpT = FreshTables.next(spark, dir, "fpidcure")
+    val idxT = FreshTables.next(spark, dir, "idxidcure")
+    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    val doomed = Dedup.materialize(hist.filter(col("doc_id") % 7 === 2))
+    require(doomed.count() > 0L, "x228: empty doomed slice")
+    // the divergent request: the supplied text is NOT the ingested bytes
+    DedupStores.forget(spark,
+      doomed.withColumn("text", lit("qq divergent zz")), "doc_id", "text", fpT, idxT)
+    val doomedIds = doomed.select(col("doc_id").as("id"))
+    val fpOrphans = ManifestStore.read(spark, fpT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    require(fpOrphans > 0L, "x228: divergent forget stranded no fp orphans")
+    // the leak, demonstrated: the erased texts re-probed under fresh ids
+    // still flag exact-dup via the orphaned fingerprints
+    val leak = DedupStores.probe(spark,
+        doomed.select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text")),
+        "doc_id", "text", fpT, idxT)
+      .filter(col("is_exact_dup")).count()
+    require(leak > 0L, "x228: orphaned fps no longer flag — leak demo dead")
+    DedupStores.forgetById(spark, doomedIds, "id", fpT, idxT)
+    DedupStores.forgetById(spark, doomedIds, "id", fpT, idxT)
+    val left = ManifestStore.read(spark, fpT)
+      .join(doomedIds, Seq("id"), "left_semi").count()
+    require(left == 0L, s"x228: $left fp rows survived the cure")
+    DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        col("clean"))
+  }
+
+  val x228Sql: String = x171Sql
+
+  // --- x229: epoch compaction of the KMV store (k-min set fold) ---------------
+  // The third fold algebra (sums x224/x225, maxes x226, k-min unions
+  // here): per group, the 3 days' mins arrays fold into one epoch row
+  // by union → distinct → k smallest — exact by the same pigeonhole
+  // that makes the store read exact, idempotent by construction. Row
+  // accounting REQUIREd (one row per group); estimate = x40's oracle,
+  // x148's verbatim.
+  def x229KmvCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Dedup.materialize(ws.withColumn("__w1", lead(col("w"), 1).over(byDoc))
+      .filter(col("__w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+      .withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))))
+    val table = FreshTables.next(spark, dir, "kmvcompact")
+    (0 until 3).foreach { b =>
+      Sketches.kmvAppendDay(spark, bg.filter(col("day") === s"d$b"),
+        "lang", "bg", s"d$b", table)
+    }
+    Sketches.kmvCompact(spark, table, "lang", Seq("d0", "d1", "d2"), "epoch:all")
+    // replay — the k-min set fold is idempotent
+    Sketches.kmvCompact(spark, table, "lang", Seq("d0", "d1", "d2"), "epoch:all")
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val groups = bg.select(col("lang")).distinct().count()
+    require(stored == groups,
+      s"x229: store holds $stored sketch rows after compaction, expected $groups")
+    Sketches.kmvDistinctFromStore(spark, table, "lang")
+  }
+
+  val x229Sql: String = x40Sql
+
+  // --- x230: cross-encoder reranking of the fused candidates ------------------
+  // The retrieval pipeline's LAST production stage (retrieve → fuse →
+  // rerank): x89's hybrid RRF list joins its candidate-pruned doc
+  // texts and one mapPartitions pass batches (query, text) pairs
+  // through the scorer — model state per partition, one "call" per
+  // batch; the scorer itself is the deterministic md5 STUB (the
+  // x191/x218 convention — swap for a real cross-encoder session in
+  // deployment), so the oracle replays retrieval + fusion + scoring +
+  // the top-5 window bit-for-bit.
+  def x230Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val out = Retrieval.rerankStub(
+      x89RrfFusion(spark, dir), t(spark, dir, "documents"),
+      "doc_id", "text", topK = 5, batchSize = 8)
+    require(!out.head(1).isEmpty, "x230: empty rerank — vacuous gate")
+    out
+  }
+
+  val x230Sql: String = {
+    val hx = "md5(f.query_id || '|' || coalesce(d.text, ''))"
+    s"""SELECT query_id, rank, doc_id, score48 FROM (
+         SELECT f.query_id, f.doc_id, ${duckHex48(hx)} AS score48,
+           row_number() OVER (PARTITION BY f.query_id
+             ORDER BY ${duckHex48(hx)} DESC, f.doc_id) AS rank
+         FROM ($x89Sql) f JOIN documents d USING (doc_id))
+       WHERE rank <= 5"""
+  }
+
+  // --- x231: bloom-prefiltered registry probe ---------------------------------
+  // x222's scale path made real: the SAME registry (suiteB retired),
+  // probed through the store-fed bloom prefilter — filter built
+  // distributed from the stored grams, codegen'd narrow probe, exact
+  // verify killing every FP — so the answer equals x222's restricted
+  // to contaminated docs (the bloom must be invisible in the result,
+  // x55's contract against the maintained store).
+  def x231RegistryBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (table, docs) = benchRegistryTable(spark, dir, "benchbloom")
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", table)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+    val out = graft.ext.BenchRegistry
+      .probeBloom(spark, corpus, "doc_id", "text", table)
+      .withColumnRenamed("id", "doc_id")
+    require(!out.head(1).isEmpty, "x231: zero contaminated docs — vacuous gate")
+    out
+  }
+
+  // only docs with >= 1 hit (benchmarkOverlapBloom's inner-join shape)
+  val x231Sql: String = {
+    val tail = "FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"
+    require(x222Sql.trim.endsWith(tail), "x231: x222Sql tail moved")
+    x222Sql + "\n       WHERE COALESCE(h.n_contaminated, 0) > 0"
+  }
+
+  // --- x232–x237: the epoch-compaction ROLLOUT (r12 verdict #2) ---------------
+  // compactDays (the generic sum/max fold, x224–x226/x229's mechanism)
+  // reaches every remaining day-keyed store still accumulating O(days)
+  // rows forever. Each gate: build the store exactly as its parent gate
+  // does, DOUBLE-compact (fold, replay the fold, then fold the epoch
+  // again with the remaining days — the second-generation fold a years-
+  // long deployment runs monthly), REQUIRE the row/day accounting, and
+  // read — the parent's oracle verbatim, because the fold must be
+  // bit-invisible.
+
+  // --- x232: epoch compaction of the count-min store (x114) -------------------
+  def x232CmCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val keys = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("k"))
+    val table = FreshTables.next(spark, dir, "cmcompact")
+    for (d <- 0 to 2)
+      Sketches.countMinAppendDay(spark,
+        keys.filter(col("event_id") % 3 === d).select(col("k")),
+        "k", s"day$d", table, depth = 4, width = 1024)
+    Sketches.countMinCompact(spark, table, Seq("day0", "day1"), "epoch:01")
+    // replay (crash recovery), then the second-generation fold
+    Sketches.countMinCompact(spark, table, Seq("day0", "day1"), "epoch:01")
+    Sketches.countMinCompact(spark, table, Seq("epoch:01", "day2"), "epoch:02")
+    val days = ManifestStore.read(spark, table).select(col("day")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(days == Seq("epoch:02"), s"x232: post-fold days $days")
+    require(ManifestStore.read(spark, table).count() <= 4L * 1024L,
+      "x232: folded store exceeds the d×w cell bound")
+    val cells = Sketches.countMinCellsFromStore(spark, table)
+    val exact = Dedup.materialize(
+      keys.groupBy(col("k")).agg(count(lit(1)).as("cnt")))
+    val top = Sampling.scoredTopK(exact, "k", col("cnt"), k = 20).drop("sel_rank")
+    Sketches.countMinEstimate(cells, top, "k", depth = 4, width = 1024)
+      .withColumn("overcount", col("est") - col("cnt"))
+  }
+
+  val x232Sql: String = x114Sql
+
+  // --- x233: epoch compaction of the histogram store (x123) -------------------
+  def x233HistCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val table = FreshTables.next(spark, dir, "histcompact")
+    for (d <- 0 to 2)
+      Sketches.histAppendDay(spark,
+        docs.filter(col("doc_id") % 3 === d).select(col("n_chars")),
+        "n_chars", bucketWidth = 32L, day = s"day$d", table = table)
+    Sketches.histCompact(spark, table, Seq("day0", "day1"), "epoch:01")
+    Sketches.histCompact(spark, table, Seq("day0", "day1"), "epoch:01")
+    Sketches.histCompact(spark, table, Seq("epoch:01", "day2"), "epoch:02")
+    val stored = ManifestStore.read(spark, table).count()
+    val buckets = docs.filter(col("n_chars").isNotNull)
+      .select(expr("n_chars div 32L")).distinct().count()
+    require(stored == buckets,
+      s"x233: folded store holds $stored rows, expected one per live bucket ($buckets)")
+    Sketches.histQuantiles(
+      Sketches.histCellsFromStore(spark, table), bucketWidth = 32L,
+      qs = Seq(0.5, 0.9, 0.99))
+  }
+
+  val x233Sql: String = x123Sql
+
+  // --- x234: epoch compaction of the vocabulary store (x202) ------------------
+  def x234VocabCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "vocabcompact")
+    (0 until 3).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark,
+        docs.filter(col("day") === b.toLong), "doc_id", "text", s"d$b", table)
+    }
+    graft.ext.Bpe.vocabCompact(spark, table, Seq("d0", "d1"), "epoch:01")
+    graft.ext.Bpe.vocabCompact(spark, table, Seq("d0", "d1"), "epoch:01")
+    graft.ext.Bpe.vocabCompact(spark, table, Seq("epoch:01", "d2"), "epoch:02")
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    val expected = graft.ext.LangModel.tokenRows(docs, "doc_id", "text")
+      .select(col("w")).distinct().count()
+    require(stored == expected,
+      s"x234: folded store holds $stored rows, expected one per distinct word ($expected)")
+    graft.ext.Bpe.learnMergesFromStore(spark, table, rounds = 2)
+  }
+
+  val x234Sql: String = x202Sql
+
+  // --- x235: epoch compaction of the bigram-LM store (x207) -------------------
+  // The fold's one non-sum statistic — V = distinct stored unigrams —
+  // survives because the fold GROUPS BY w (the live word set is
+  // invariant under collapsing day subtotals); REQUIREd explicitly.
+  def x235LmCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val ref = Dedup.materialize(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "lmcompact")
+    (0 until 3).foreach { b =>
+      LangModel.lmAppendDay(spark, ref.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table)
+    }
+    LangModel.lmCompact(spark, table, Seq("d0", "d1"), "epoch:01")
+    LangModel.lmCompact(spark, table, Seq("d0", "d1"), "epoch:01")
+    LangModel.lmCompact(spark, table, Seq("epoch:01", "d2"), "epoch:02")
+    val v = ManifestStore.read(spark, s"$table/uni").count()
+    val expected = LangModel.tokenRows(ref, "doc_id", "text")
+      .select(col("w")).distinct().count()
+    require(v == expected,
+      s"x235: folded uni table holds $v rows, expected one per distinct word " +
+        s"($expected) — V (the vocabulary size) would be wrong")
+    val bgDays = ManifestStore.read(spark, s"$table/bg").select(col("day"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(bgDays == Seq("epoch:02"), s"x235: bg days $bgDays")
+    LangModel.perplexityFromStore(spark, table, docs, "doc_id", "text")
+  }
+
+  val x235Sql: String = x207Sql
+
+  // --- x236: epoch compaction of the data-card stores (x88) -------------------
+  // All four subtotal tables fold in one call; the card's non-sum
+  // columns (n_langs = distinct langs, dup mass over per-fp totals)
+  // survive because the folds preserve the group-key sets.
+  def x236CardCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val root = FreshTables.next(spark, dir, "cardcompact")
+    for (d <- 0 to 2)
+      DataCard.appendDay(spark, docs.filter(col("doc_id") % 3 === d), s"day$d", root)
+    DataCard.compactDays(spark, root, Seq("day0", "day1"), "epoch:01")
+    DataCard.compactDays(spark, root, Seq("day0", "day1"), "epoch:01")
+    DataCard.compactDays(spark, root, Seq("epoch:01", "day2"), "epoch:02")
+    for (sub <- Seq("base", "lang", "len", "fp")) {
+      val days = ManifestStore.read(spark, s"$root/$sub").select(col("day"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      require(days == Seq("epoch:02"), s"x236: $sub days $days")
+    }
+    DataCard.cardFromStore(spark, root)
+  }
+
+  val x236Sql: String = x88Sql
+
+  // --- x237: epoch compaction of the aggregate view (x179/x181) ---------------
+  // Folds the positive day subtotals TOGETHER WITH a __forget_<seq>
+  // correction day: readAgg's re-sum is bit-identical (x181's
+  // survivors-only oracle verbatim), and the (subtotal, correction)
+  // pair that could reconstruct the forgotten subject's contribution is
+  // destroyed — the x225 ledger-destruction pattern on the view family.
+  def x237ViewCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ViewStore
+    import graft.sources.ManifestStore
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val root = FreshTables.next(spark, dir, "viewcompact")
+    ProtoStores.cloneTo(spark, aggViewProto(spark, dir), root)
+    val doomed = li.filter(col("okey") % 11 === 3)
+    ViewStore.forgetA(spark, root, doomed, "okey",
+      Seq("okey", "l_linenumber"), forgetSeq = 1L,
+      groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+    val preDays = ManifestStore.read(spark, s"$root/aggview").select(col("day"))
+      .distinct().collect().map(_.getString(0)).toSet
+    require(preDays == Set("d1", "d2", "__forget_1"),
+      s"x237: pre-fold agg days $preDays — the correction day is missing")
+    ViewStore.compactAgg(spark, root, Seq("d1", "d2", "__forget_1"), "epoch:01",
+      Seq("o_orderpriority"), Seq("l_quantity"))
+    ViewStore.compactAgg(spark, root, Seq("d1", "d2", "__forget_1"), "epoch:01",
+      Seq("o_orderpriority"), Seq("l_quantity"))
+    val postDays = ManifestStore.read(spark, s"$root/aggview").select(col("day"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(postDays == Seq("epoch:01"), s"x237: post-fold agg days $postDays")
+    ViewStore.readAgg(spark, root,
+      groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+  }
+
+  val x237Sql: String = x181Sql
+
+  // --- x238: epoch compaction of the sample store (x195) ----------------------
+  // The fold with a LAW, not just an algebra: day summaries fold by the
+  // x229 pigeonhole (the union's top-(k+slack) survives), but the slack
+  // budgets fold too — N days' budgets collapse into ONE epoch budget,
+  // re-derived full because the epoch row set is recomputed from
+  // survivors. The gate drives forget → fold → forget → fold → read
+  // (exact at every step, x195's oracle), and REQUIREs the refusal when
+  // a day past its slack budget would be folded (the breach must stay
+  // accountable — SampleStore.compactDays' fence).
+  def x238SampleCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("wc"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "samplecompact")
+    (0 until 3).foreach { b =>
+      SampleStore.appendDay(spark, docs.filter(col("day") === b.toLong),
+        "doc_id", col("wc"), s"d$b", k = 100, slack = 8, table = table)
+    }
+    // forget the global top-4 (within every day's slack), fold, replay
+    val d1 = SampleStore.sampleFromStore(spark, table, "doc_id", 4)
+      .select(col("doc_id"))
+    SampleStore.forget(spark, table, "doc_id", d1, forgetSeq = 1L)
+    SampleStore.compactDays(spark, table, "doc_id", Seq("d0", "d1"), "epoch:01")
+    SampleStore.compactDays(spark, table, "doc_id", Seq("d0", "d1"), "epoch:01")
+    // post-fold forget (spends the EPOCH's budget), then the
+    // second-generation fold
+    val d2 = SampleStore.sampleFromStore(spark, table, "doc_id", 4)
+      .select(col("doc_id"))
+    SampleStore.forget(spark, table, "doc_id", d2, forgetSeq = 2L)
+    SampleStore.compactDays(spark, table, "doc_id", Seq("epoch:01", "d2"), "epoch:02")
+    // the refusal fence, on a sacrificial store: slack=2, 3 forgets
+    val mini = FreshTables.next(spark, dir, "samplebreach")
+    SampleStore.appendDay(spark, docs, "doc_id", col("wc"), "d0",
+      k = 5, slack = 2, table = mini)
+    SampleStore.forget(spark, mini, "doc_id",
+      SampleStore.sampleFromStore(spark, mini, "doc_id", 3).select(col("doc_id")),
+      forgetSeq = 1L)
+    val refused =
+      try { SampleStore.compactDays(spark, mini, "doc_id", Seq("d0"), "epoch:x"); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("slack budget") }
+    require(refused, "x238: a past-budget day folded without refusal")
+    // the maintained read: bit-identical to the batch sample over the
+    // survivors (global ranks 1–8 forgotten) — x195's oracle verbatim
+    SampleStore.sampleFromStore(spark, table, "doc_id", 100)
+  }
+
+  val x238Sql: String = x195Sql
+
+  // --- x239: the heavy-hitter store is NOT foldable — and refuses loudly ------
+  // The one day-keyed store compactDays must never touch: the TA/TPUT
+  // read pads each candidate by the kth of exactly the days SILENT on
+  // it, and a fold forgets which days those were — a "successful"
+  // compaction would silently loosen every certified threshold. The
+  // hh tables carry the no_epoch_fold sidecar tag; the gate REQUIREs
+  // the naive fold path to fail loudly on BOTH sub-tables, then reads
+  // the untouched store — x176's oracle verbatim.
+  def x239HhNoFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val toks = Dedup.materialize(
+      LangModel.tokenRows(docs, "doc_id", "text")
+        .withColumn("day", pmod(col("id"), lit(3L))))
+    val table = FreshTables.next(spark, dir, "hhnofold")
+    (0 until 3).foreach { b =>
+      Sketches.hhAppendDay(spark, toks.filter(col("day") === b.toLong),
+        "w", s"d$b", table)
+    }
+    for (sub <- Seq("hh", "totals")) {
+      val refused =
+        try {
+          ManifestStore.compactDays(spark, s"$table/$sub", "day",
+            groupCols = Seq("day"), sumCols = Seq("n"),
+            foldDays = Seq("d0", "d1"), epochDay = "epoch:01")
+          false
+        } catch {
+          case e: IllegalStateException => e.getMessage.contains("no_epoch_fold")
+        }
+      require(refused, s"x239: compactDays on $sub did not refuse")
+    }
+    Sketches.hhFromStore(spark, table, minFractionDen = 50L)
+  }
+
+  val x239Sql: String = x176Sql
+
+  // --- x240: the streaming corpus funnel decontaminates from the REGISTRY -----
+  // The registry's production story completed (r12 verdict #5): daily
+  // corpus increments arrive as micro-batches and are probed inside
+  // foreachBatch against the MAINTAINED gram registry (one store read
+  // per batch — the benchmark texts are never re-tokenized), results
+  // folded into a keyed ManifestStore table; one batch re-delivered
+  // post-drain (the probe is deterministic and the merge keyed, so
+  // at-least-once converges). Read ≡ x222's one-shot probe (suiteB
+  // retired) — the registry read is bit-invisible to the answer.
+  def x240StreamRegistry(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ManifestStore
+    val (regT, docs) = benchRegistryTable(spark, dir, "streamreg")
+    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", regT)
+    val corpus = Dedup.materialize(
+      docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+        .select(col("doc_id"), col("text"))
+        .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "streamregout")
+    val base = FreshTables.next(spark, dir, "streamregin")
+    (0 until 3).foreach { b =>
+      corpus.filter(col("day") === b.toLong).repartition(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    def fold(batch: DataFrame): Unit = {
+      val out = graft.ext.BenchRegistry
+        .probe(spark, batch, "doc_id", "text", regT)
+        .withColumn("pt", pmod(col("id"), lit(8L)))
+      if (!out.head(1).isEmpty)
+        ManifestStore.mergeOrCreate(spark, table, out, Seq("id"), "pt")
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new RuntimeException("x240: drain timeout")
+    } finally q.stop()
+    // at-least-once: re-deliver day 1 — keyed merge replaces in place
+    fold(corpus.filter(col("day") === 1L))
+    val out = ManifestStore.read(spark, table).select(
+      col("id").cast("long").as("doc_id"), col("n_grams"),
+      col("n_contaminated"), col("contamination_ratio"))
+    require(out.agg(sum(col("n_contaminated"))).head().getLong(0) > 0L,
+      "x240: zero contamination hits — vacuous gate")
+    out
+  }
+
+  val x240Sql: String = x222Sql
+
+  // --- x241: heavy-hitter RETENTION pruning -----------------------------------
+  // The alternative x239's refusal names, made real: hh day summaries
+  // cannot fold, but days past the monitoring horizon DROP outright —
+  // the bounds over the retained window are exactly "heavy hitters over
+  // the last N days", and the store stays O(retained days × m). The
+  // gate simulates the torn prune window first (summaries deleted,
+  // totals not — hhFromStore's fence REQUIREd to refuse), then replays
+  // hhPruneDays to convergence (twice — idempotent) and reads the
+  // retained window; oracle = the frequency threshold over the
+  // retained days' docs only.
+  def x241HhRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ManifestStore
+    val docs = t(spark, dir, "documents")
+    val toks = Dedup.materialize(
+      LangModel.tokenRows(docs, "doc_id", "text")
+        .withColumn("day", pmod(col("id"), lit(3L))))
+    val table = FreshTables.next(spark, dir, "hhretain")
+    (0 until 3).foreach { b =>
+      Sketches.hhAppendDay(spark, toks.filter(col("day") === b.toLong),
+        "w", s"d$b", table)
+    }
+    // simulated crash: the prune's FIRST delete landed (summaries),
+    // the totals delete didn't — the day sets diverge and the
+    // torn-window fence must refuse the read
+    ManifestStore.delete(spark, s"$table/hh",
+      Seq("d0").toDF("day"), Seq("day"), Seq("day"))
+    val refused =
+      try { Sketches.hhFromStore(spark, table, 50L).head(1); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("diverge") }
+    require(refused, "x241: torn prune window was not refused")
+    // the cure: replay the prune — keyed deletes converge; twice for
+    // idempotence
+    Sketches.hhPruneDays(spark, table, Seq("d0"))
+    Sketches.hhPruneDays(spark, table, Seq("d0"))
+    val daysLeft = ManifestStore.read(spark, s"$table/totals")
+      .select(col("day")).distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(daysLeft == Seq("d1", "d2"), s"x241: retained days $daysLeft")
+    Sketches.hhFromStore(spark, table, minFractionDen = 50L)
+  }
+
+  // x176's oracle over the retained window's docs only
+  val x241Sql: String = {
+    val anchor = "FROM documents)"
+    require(x176Sql.contains(anchor), "x241: x176Sql anchor moved")
+    x176Sql.replace(anchor, "FROM documents WHERE doc_id % 3 <> 0)")
+  }
+
+  // --- x243: LM-store forget (the forget matrix reaches the LM family) ------
+  // The x205 negative-correction pattern applied to x207's store: the
+  // doomed reference docs' bigram/unigram counts land as ONE negative
+  // correction day, re-issued once (the tag-keyed merge must REPLACE,
+  // never double-subtract), and the whole corpus re-scores against the
+  // net model — x58's oracle with the doomed docs excluded from the
+  // reference, including V (net-positive unigrams; the doomed-only-word
+  // V drop is spec-pinned on a hand fixture in LangModelSpec). The gate
+  // then COMPACTS days + correction tag into one epoch — destroying the
+  // (day, correction) pair that could reconstruct the forgotten counts
+  // (the x225 privacy completion) — and the score the driver hashes is
+  // the post-fold one, so the oracle doubles as the fold bit-identity
+  // proof.
+  def x243LmForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ref = Dedup.materialize(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "lmforget")
+    (0 until 3).foreach { b =>
+      LangModel.lmAppendDay(spark, ref.filter(col("day") === b.toLong),
+        "doc_id", "text", s"d$b", table)
+    }
+    val doomed = Dedup.materialize(ref.filter(col("doc_id") % 3 === 0))
+    LangModel.lmForget(spark, doomed, "doc_id", "text", "__forget_1", table)
+    LangModel.lmForget(spark, doomed, "doc_id", "text", "__forget_1", table)
+    // accounting: one correction row per DISTINCT doomed bigram — a
+    // doubled subtraction would keep the count but corrupt the sums, a
+    // duplicated day would double the count; check both via the net
+    val ms = graft.sources.ManifestStore
+    val corrRows = ms.read(spark, s"$table/bg")
+      .filter(col("day") === "__forget_1")
+    val wantRows = LangModel.bigramRows(doomed, "doc_id", "text")
+      .select(col("w1"), col("w2")).distinct().count()
+    require(corrRows.count() == wantRows,
+      s"x243: correction day holds ${corrRows.count()} bigram rows, " +
+        s"expected $wantRows — the tag replay duplicated instead of replacing")
+    LangModel.lmCompact(spark, table,
+      Seq("d0", "d1", "d2", "__forget_1"), "epoch:01")
+    val daysLeft = ms.read(spark, s"$table/bg")
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSeq
+    require(daysLeft == Seq("epoch:01"), s"x243: bg days $daysLeft — the " +
+      "fold left the correction ledger reconstructable")
+    LangModel.perplexityFromStore(spark, table, docs, "doc_id", "text")
+  }
+
+  // x58's oracle with the doomed docs (ref ∩ doc_id % 3 = 0) excluded
+  // from BOTH reference CTEs (model counts and vocabulary)
+  val x243Sql: String = {
+    val anchor = "doc_id % 7 = 0"
+    require(x58Sql.sliding(anchor.length).count(_ == anchor) == 2,
+      "x243: x58Sql reference anchors moved")
+    x58Sql.replace(anchor, "doc_id % 7 = 0 AND doc_id % 3 <> 0")
+  }
+
+  // --- x244: vocab-store forget (the forget matrix reaches the tokenizer) ---
+  // x243's pattern on x202's store: the doomed docs' word counts land
+  // as one negative correction day (replayed once), the tag folds away
+  // with the days, and the trainer re-learns from the net vocabulary —
+  // x100's merges over the SURVIVORS, with no corpus rescan: a
+  // forgotten subject's text stops contributing to BPE merges, the
+  // gap the r13 verdict named (lmForget/vocabForget did not exist).
+  def x244VocabForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.materialize(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
+    val table = FreshTables.next(spark, dir, "vocabforget")
+    (0 until 3).foreach { b =>
+      graft.ext.Bpe.vocabAppendDay(spark,
+        docs.filter(col("day") === b.toLong), "doc_id", "text", s"d$b", table)
+    }
+    val doomed = Dedup.materialize(docs.filter(col("doc_id") % 5 === 0))
+    graft.ext.Bpe.vocabForget(spark, doomed, "doc_id", "text", "__forget_1", table)
+    graft.ext.Bpe.vocabForget(spark, doomed, "doc_id", "text", "__forget_1", table)
+    graft.ext.Bpe.vocabCompact(spark, table,
+      Seq("d0", "d1", "d2", "__forget_1"), "epoch:01")
+    val daysLeft = graft.sources.ManifestStore.read(spark, table)
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSeq
+    require(daysLeft == Seq("epoch:01"), s"x244: days $daysLeft — the " +
+      "fold left the correction ledger reconstructable")
+    graft.ext.Bpe.learnMergesFromStore(spark, table, rounds = 2)
+  }
+
+  // x100's trainer oracle over the survivors only
+  val x244Sql: String = {
+    val anchor = "FROM documents)"
+    require(x100Sql.contains(anchor), "x244: x100Sql anchor moved")
+    x100Sql.replace(anchor, "FROM documents WHERE doc_id % 5 <> 0)")
+  }
+
+  // --- x245: vector-store REBUILD (frozen-model unlearning made code) -------
+  // x157's caveat — "deletion doesn't unlearn the codebook; rebuild
+  // cadence is the cure" — becomes the cure itself: forget a subject,
+  // then RE-TRAIN the model on the surviving corpus and re-encode,
+  // under a started/completed txn fence (the x215 pattern: codebook
+  // overwrite records the ticket as started, the codes overwrite as
+  // completed; probes/appends/forgets refuse mid-window, spec-pinned
+  // with failpoints in VectorForgetSpec). Run twice — the second is
+  // the crash-window replay, which must converge. The probe is then
+  // x128's pipeline derived ENTIRELY from the survivors: corpus,
+  // centroid sample, codebook seeds, and queries all exclude the
+  // forgotten subject — the model influence is gone, not just the rows.
+  def x245VectorRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.VectorStore
+    val data = t(spark, dir, "embeddings")
+    val root = FreshTables.next(spark, dir, "vrebuild")
+    ProtoStores.cloneTo(spark, vecStoreProto(spark, dir), root)
+    val doomed = data.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
+    VectorStore.forget(spark, doomed, "vec_id", root)
+    val surv = Dedup.materialize(data.filter(col("vec_id") % 7 =!= 2))
+    val cents = surv.filter(col("vec_id") % 50 === 0)
+    VectorStore.rebuild(spark, surv, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, rebuildSeq = 1L)
+    VectorStore.rebuild(spark, surv, cents, "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, rebuildSeq = 1L)
+    // accounting: the store equals a from-scratch survivors build —
+    // every code row belongs to a survivor, m rows each
+    val nCodes = graft.sources.ManifestStore.read(spark, s"$root/codes").count()
+    require(nCodes == surv.count() * 4,
+      s"x245: rebuilt store holds $nCodes code rows for ${surv.count()} survivors")
+    VectorStore.probe(spark, surv.filter(col("vec_id") < 8),
+      "vec_id", "embedding", root,
+      dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10)
+  }
+
+  // x128's pipeline derived from the survivors alone: one source-CTE
+  // substitution re-derives centroids, codebook, assignments, and
+  // candidates from the post-erasure world
+  val x245Sql: String = {
+    val anchor = "FROM embeddings)"
+    require(x128Sql.contains(anchor), "x245: x128Sql anchor moved")
+    x128Sql.replace(anchor, "FROM embeddings WHERE vec_id % 7 <> 2)")
+  }
+}

@@ -851,9 +851,47 @@ object ManifestStore {
           "per-day read-time guarantees (e.g. the heavy-hitter kth bounds) " +
           "that a group fold would silently loosen; this store must keep " +
           "its day granularity (prune old days by retention policy instead)")
+    // legacy-net backstop for the one store family the tag protects: an
+    // hh store written BEFORE the tag existed has no sidecar at all, and
+    // the tag-on-first-touch net only closes once upgraded code touches
+    // it — a generic compactDays arriving first would still fold it.
+    // Its structure is unmistakable though: an `hh`/`totals` sub-table
+    // with its sibling sub-table beside it. Refuse that shape when no
+    // sidecar says otherwise.
+    // (locally, not a bare block: a bare `{` after the throw above would
+    // parse as an anonymous subclass body of the exception)
+    locally {
+      val p = new Path(path)
+      val leaf = p.getName
+      if ((leaf == "hh" || leaf == "totals") && p.getParent != null
+          && graft.ext.StoreSidecar.read(spark, path, Seq("no_epoch_fold")).isEmpty) {
+        val sibling = new Path(p.getParent, if (leaf == "hh") "totals" else "hh")
+        if (fsFor(spark, p).exists(new Path(sibling, "_manifests")))
+          throw new IllegalStateException(
+            s"compactDays: $path looks like a pre-tag heavy-hitter sub-table " +
+              s"(sibling ${sibling.getName}/ table present, no sidecar) — " +
+              "hh day summaries are not epoch-foldable (the TA/TPUT bound " +
+              "needs per-day silence); touch the store with upgraded hh code " +
+              "to install its tag, or prune old days by retention instead")
+      }
+    }
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val doomedDays = (foldDays :+ epochDay).distinct
-    val epoch = read(spark, path)
+    val cur = read(spark, path)
+    // the fold's column spec must COVER the table exactly: a caller that
+    // omits a stratum column (e.g. a grouped vocab store folded without
+    // its byCols) would sum counts across strata and write epoch rows
+    // missing the column, which later unionByName reads null-fill —
+    // silent corruption. Extra named columns are equally wrong (typo'd
+    // spec folds nothing it thinks it folds). Same check SampleStore
+    // .compactDays does for its own shape.
+    val have = cur.columns.toSet
+    val want = (groupCols ++ sumCols ++ maxCols :+ dayCol).toSet
+    require(have == want,
+      s"compactDays: $path columns [${have.toSeq.sorted.mkString(",")}] do not " +
+        s"match groupCols+sumCols+maxCols+dayCol [${want.toSeq.sorted.mkString(",")}] — " +
+        "folding with a mismatched column spec silently merges strata or drops columns")
+    val epoch = cur
       .filter(col(dayCol).isin(doomedDays: _*))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

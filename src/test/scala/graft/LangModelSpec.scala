@@ -112,6 +112,67 @@ class LangModelSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lmForget: scores equal the survivors-only model; V drops doomed-only words") {
+    import graft.ext.LangModel
+    val t = s"/tmp/graft/lmforget_${java.util.UUID.randomUUID().toString.take(8)}"
+    // 'qq' and 'zz' occur ONLY in the doomed doc — after the forget they
+    // must leave the vocabulary (V is net-positive words, not stored rows)
+    val ref = Seq(
+      (0L, "a b a b c"),
+      (2L, "qq zz qq a"), // doomed
+      (4L, "b c a b")).toDF("id", "text")
+    val docs = ref.unionByName(Seq((1L, "a b qq"), (3L, "c a")).toDF("id", "text"))
+    LangModel.lmAppendDay(spark, ref, "id", "text", "d0", t)
+    val doomed = ref.filter(col("id") === 2L)
+    LangModel.lmForget(spark, doomed, "id", "text", "f1", t)
+    // tag replay: the day-keyed merge must REPLACE, never double-subtract
+    LangModel.lmForget(spark, doomed, "id", "text", "f1", t)
+    val got = LangModel.perplexityFromStore(spark, t, docs, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val want = LangModel.perplexityScore(docs, ref.filter(col("id") =!= 2L),
+      "id", "text").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the V path is genuinely exercised: the store still HOLDS rows for
+    // the doomed-only words (positive day + negative tag), net zero
+    val net = graft.sources.ManifestStore.read(spark, s"$t/uni")
+      .groupBy(col("w")).agg(sum(col("cnt")).as("c"))
+      .filter(col("w").isin("qq", "zz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(net == Map("qq" -> 0L, "zz" -> 0L), s"net counts $net")
+  }
+
+  test("vocabForget: store-trained merges equal survivors-trained merges") {
+    import graft.ext.Bpe
+    val t = s"/tmp/graft/vforgetbpe_${java.util.UUID.randomUUID().toString.take(8)}"
+    // the doomed doc dominates the pair stats — its erasure must change
+    // the learned merges to the survivors-only ones
+    val docs = Seq(
+      (0L, "low lower lowest"),
+      (1L, "zzzz zzzz zzzz zzzz zzzz"), // doomed: floods 'zz' pairs
+      (2L, "low low newer")).toDF("id", "text")
+    Bpe.vocabAppendDay(spark, docs, "id", "text", "d0", t)
+    val doomed = docs.filter(col("id") === 1L)
+    Bpe.vocabForget(spark, doomed, "id", "text", "f1", t)
+    Bpe.vocabForget(spark, doomed, "id", "text", "f1", t) // tag replay
+    val got = Bpe.learnMergesFromStore(spark, t, rounds = 2)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val want = Bpe.learnMerges(docs.filter(col("id") =!= 1L), "id", "text",
+      rounds = 2).orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // zero-net word: 'zzzz' rows remain (day + correction) but the read
+    // excludes it — the survivors' vocabulary
+    assert(Bpe.vocabFromStore(spark, t).filter(col("w") === "zzzz").count() == 0L)
+    // the correction-pair privacy completion: the fold destroys the
+    // (day, correction) pair and reads are unchanged
+    Bpe.vocabCompact(spark, t, Seq("d0", "f1"), "epoch:01")
+    val after = Bpe.learnMergesFromStore(spark, t, rounds = 2)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(after == want)
+    val days = graft.sources.ManifestStore.read(spark, t)
+      .select(col("day")).distinct().collect().map(_.getString(0)).toSeq
+    assert(days == Seq("epoch:01"), s"days $days")
+  }
+
   private def sparkDocs() =
     spark.read.parquet(s"$sfDir/documents.parquet")
 }

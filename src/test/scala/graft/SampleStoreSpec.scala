@@ -330,6 +330,64 @@ class SampleStoreSpec extends SparkSpec {
     assert(e3.getMessage.contains("geometry"))
   }
 
+  test("epoch breach cure: clearLedgerDay refuses epochs; repairEpoch re-derives and refills") {
+    val t = fresh()
+    val df = corpus(120, 2)
+    append(t, df, days = 2, k = 5, slack = 1)
+    SampleStore.compactDays(spark, t, "id", Seq("d0", "d1"), "epoch:01")
+    // breach the EPOCH itself: forget 2 (> slack = 1) of its retained rows
+    val doomed = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 1L)
+    // folding the breached epoch forward refuses (the accountability fence)
+    val folded = intercept[IllegalArgumentException] {
+      SampleStore.compactDays(spark, t, "id", Seq("epoch:01"), "epoch:02")
+    }
+    assert(folded.getMessage.contains("slack budget"))
+    // the ordinary-day escape hatch refuses epochs: clearing the ledger
+    // alone would launder the breach while the degraded rows keep serving
+    val laundered = intercept[IllegalArgumentException] {
+      SampleStore.clearLedgerDay(spark, t, "epoch:01")
+    }
+    assert(laundered.getMessage.contains("repairEpoch"))
+    // the real cure: re-derive the epoch from the surviving corpus slice
+    val surv = df.filter(!col("id").isin(doomedIds.toSeq: _*))
+    SampleStore.repairEpoch(spark, surv, "id", col("w"), "epoch:01", t)
+    val want = Sampling.weightedTopK(surv, "id", col("w"), 5)
+      .select(col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    def got() = SampleStore.sampleFromStore(spark, t, "id", 5)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(got() == want)
+    // budget refilled: the epoch folds forward legally and reads unchanged
+    SampleStore.compactDays(spark, t, "id", Seq("epoch:01"), "epoch:02")
+    assert(got() == want)
+  }
+
+  test("repairEpoch replay (crash between replace and ledger clear) converges") {
+    val t = fresh()
+    val df = corpus(80, 1)
+    append(t, df, days = 1, k = 4, slack = 1)
+    SampleStore.compactDays(spark, t, "id", Seq("d0"), "epoch:01")
+    val doomed = SampleStore.sampleFromStore(spark, t, "id", 2).select(col("id"))
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    SampleStore.forget(spark, t, "id", doomed, forgetSeq = 7L)
+    val surv = df.filter(!col("id").isin(doomedIds.toSeq: _*))
+    // run the repair twice — the second is the crash-window replay
+    SampleStore.repairEpoch(spark, surv, "id", col("w"), "epoch:01", t)
+    SampleStore.repairEpoch(spark, surv, "id", col("w"), "epoch:01", t)
+    val want = Sampling.weightedTopK(surv, "id", col("w"), 4)
+      .select(col("id"), col("sample_rank"), col("es_key"))
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(SampleStore.sampleFromStore(spark, t, "id", 4)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq == want)
+    // repairEpoch refuses ordinary days — that path is appendDay's
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.repairEpoch(spark, surv, "id", col("w"), "d0", t)
+    }
+    assert(e.getMessage.contains("appendDay"))
+  }
+
   test("forgetting unknown keys is a no-op") {
     val t = fresh()
     val df = corpus(50, 1)

@@ -84,6 +84,70 @@ class VectorForgetSpec extends SparkSpec {
     assert(nAsg == emb.count() - 1L)
   }
 
+  private def probeSet(r: String, qs: org.apache.spark.sql.DataFrame) =
+    VectorStore.probe(spark, qs, "vec_id", "embedding", r,
+      64, 4, 16, 3, nprobe = 3, topK = 10)
+      .collect().map(_.toSeq).toSet
+
+  test("rebuild: forget -> rebuild is bit-identical to build over survivors") {
+    val root = fresh()
+    buildStore(root)
+    val doomed = emb.filter(col("vec_id") % 11 === 3).select(col("vec_id"))
+    VectorStore.forget(spark, doomed, "vec_id", root)
+    val surv = emb.filter(col("vec_id") % 11 =!= 3)
+    val cents = surv.filter(col("vec_id") % 50 === 0)
+    VectorStore.rebuild(spark, surv, cents, "vec_id", "embedding", root,
+      64, 4, 16, 3, rebuildSeq = 1L)
+    val want = fresh()
+    VectorStore.build(spark, surv, cents, "vec_id", "embedding", want,
+      64, 4, 16, 3)
+    val qs = surv.filter(col("vec_id") < 12)
+    assert(probeSet(root, qs) == probeSet(want, qs) && probeSet(root, qs).nonEmpty)
+    // the MODEL genuinely retrained (the unlearning claim): every model
+    // table equals the survivors-only build's, row for row
+    for (sub <- Seq("codebook", "centroids", "codes", "assign")) {
+      val a = ManifestStore.read(spark, s"$root/$sub").collect().map(_.toSeq).toSet
+      val b = ManifestStore.read(spark, s"$want/$sub").collect().map(_.toSeq).toSet
+      assert(a == b, s"$sub diverged after rebuild")
+    }
+  }
+
+  test("rebuild replay converges from every crash position; the fence holds mid-window") {
+    val surv = emb.filter(col("vec_id") % 11 =!= 3)
+    val cents = surv.filter(col("vec_id") % 50 === 0)
+    val want = fresh()
+    VectorStore.build(spark, surv, cents, "vec_id", "embedding", want,
+      64, 4, 16, 3)
+    val qs = surv.filter(col("vec_id") < 12)
+    val wantProbe = probeSet(want, qs)
+    for (fp <- Seq("started", "model", "twin")) {
+      val root = fresh()
+      buildStore(root)
+      val boom = new RuntimeException(s"boom@$fp")
+      assert(intercept[RuntimeException] {
+        VectorStore.rebuildFp(spark, surv, cents, "vec_id", "embedding", root,
+          64, 4, 16, 3, rebuildSeq = 7L, trainIters = 0, attrCols = Nil,
+          p => if (p == fp) throw boom)
+      } eq boom)
+      // mid-window every read/write surface refuses loudly: the model
+      // tables and codes disagree about which model encoded what
+      for (op <- Seq[() => Any](
+        () => VectorStore.probe(spark, qs, "vec_id", "embedding", root,
+          64, 4, 16, 3, nprobe = 3, topK = 10),
+        () => VectorStore.appendDay(spark, surv.limit(5), "vec_id", "embedding",
+          root, 64, 4, 16, 3),
+        () => VectorStore.forget(spark, Seq(3L).toDF("vec_id"), "vec_id", root))) {
+        val e = intercept[IllegalStateException](op())
+        assert(e.getMessage.contains("crashed rebuild"), s"$fp: ${e.getMessage}")
+      }
+      // the replay (same ticket, same inputs) closes the window and
+      // converges to the survivors-only build
+      VectorStore.rebuild(spark, surv, cents, "vec_id", "embedding", root,
+        64, 4, 16, 3, rebuildSeq = 7L)
+      assert(probeSet(root, qs) == wantProbe, s"replay from $fp diverged")
+    }
+  }
+
   test("forgetting ids the store never held is a no-op") {
     val root = fresh()
     buildStore(root)
