@@ -907,6 +907,99 @@ object ScaleBench {
     // the periodic job, law O(q·C·k) and probe O(q·(C + nprobe·N/C))
     // expected ~√N per decade. Centroid counts are reported so the
     // curve reads against the sizing it claims.
+    // x237 DECOMPOSED (the r13 4.26×-at-10× curve, explained by parts —
+    // r13 verdict #5): the GATE's wall is its scaffolding — the 3-day
+    // agg-view ingest (corpus-pass day deltas + commit floors) and the
+    // forgetA correction — while the FOLD under test is one group-sum
+    // over O(groups × days) agg rows (metadata-sized, expected ~flat
+    // per decade) and the read one re-sum of the same rows. This entry
+    // times the three stages separately so the fold's own curve is a
+    // row, not an inference.
+    if (want("view_fold_scale")) {
+      import graft.ext.ViewStore
+      def cycle(dir: String, tag: String): (Double, Double, Double) = {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet").select(
+          col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+        val ord = spark.read.parquet(s"$dir/orders.parquet").select(
+          col("o_orderkey").as("okey"), col("o_orderpriority"))
+        val fsRoot = s"$root/viewfold_$tag"
+        val fs = new org.apache.hadoop.fs.Path(fsRoot)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
+        val t0 = System.nanoTime()
+        (0 until 3).foreach { d =>
+          ViewStore.appendDayAgg(spark, fsRoot,
+            li.filter(pmod(col("okey"), lit(3L)) === d.toLong),
+            ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong),
+            "okey", Seq("okey", "l_linenumber"), Seq("okey"), day = s"d$d",
+            groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+        }
+        ViewStore.forgetA(spark, fsRoot, li.filter(col("okey") % 11 === 3),
+          "okey", Seq("okey", "l_linenumber"), forgetSeq = 1L,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+        val t1 = System.nanoTime()
+        ViewStore.compactAgg(spark, fsRoot, Seq("d1", "d2", "__forget_1"),
+          "epoch:01", Seq("o_orderpriority"), Seq("l_quantity"))
+        val t2 = System.nanoTime()
+        ViewStore.readAgg(spark, fsRoot,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")).count()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      def minCycle(dir: String, tag: String): (Double, Double, Double) = {
+        val (a, b) = (cycle(dir, tag), cycle(dir, tag))
+        (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3))
+      }
+      minCycle(d1, "w") // warm
+      val (s1, f1, r1) = minCycle(d1, "1")
+      val (sN, fN, rN) = minCycle(dN, "n")
+      println(f"""{"metric":"view_fold_scale","reps":$reps,"unit":"sec","x1":{"scaffold":$s1%.3f,"fold":$f1%.3f,"read":$r1%.3f},"x$reps":{"scaffold":$sN%.3f,"fold":$fN%.3f,"read":$rN%.3f},"growth":{"scaffold":${sN / s1}%.2f,"fold":${fN / f1}%.2f,"read":${rN / r1}%.2f}}""")
+    }
+    // x240 DECOMPOSED (its r13 1.92× curve attributed by parts): the
+    // registry BUILD is suite-sized (the staged replicas mutate text, so
+    // suites grow with the corpus here — at a real deployment the
+    // benchmark set is fixed), the PROBE is the per-increment corpus
+    // term (x31's broadcast plan — the one stage that must track data),
+    // and the FUNNEL adds only streaming scaffolding + keyed merges on
+    // top of three such probes.
+    if (want("registry_probe_scale")) {
+      import graft.ext.BenchRegistry
+      def cycle(dir: String, tag: String): (Double, Double, Double) = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val fsRoot = s"$root/regprobe_$tag"
+        val fs = new org.apache.hadoop.fs.Path(fsRoot)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
+        val t0 = System.nanoTime()
+        BenchRegistry.appendSuite(spark,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", fsRoot)
+        BenchRegistry.appendSuite(spark,
+          docs.filter(col("doc_id") % 50 === 25), "doc_id", "text", "suiteB", fsRoot)
+        BenchRegistry.retireSuite(spark, "suiteB", fsRoot)
+        val t1 = System.nanoTime()
+        val corpus = docs
+          .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
+          .select(col("doc_id"), col("text"))
+        BenchRegistry.probe(spark, corpus, "doc_id", "text", fsRoot).count()
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, 0.0)
+      }
+      def funnel(dir: String): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("x240_stream_registry")(spark, dir).count()
+        catch { case _: Throwable => return Double.NaN }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def minCycle(dir: String, tag: String): (Double, Double, Double) = {
+        val (a, b) = (cycle(dir, tag), cycle(dir, tag))
+        val f = math.min(funnel(dir), funnel(dir))
+        (math.min(a._1, b._1), math.min(a._2, b._2), f)
+      }
+      minCycle(d1, "w") // warm
+      val (b1, p1, f1) = minCycle(d1, "1")
+      val (bN, pN, fN) = minCycle(dN, "n")
+      println(f"""{"metric":"registry_probe_scale","reps":$reps,"unit":"sec","x1":{"build":$b1%.3f,"probe":$p1%.3f,"funnel":$f1%.3f},"x$reps":{"build":$bN%.3f,"probe":$pN%.3f,"funnel":$fN%.3f},"growth":{"build":${bN / b1}%.2f,"probe":${pN / p1}%.2f,"funnel":${fN / f1}%.2f}}""")
+    }
     if (want("vec_sqrt_scale")) {
       import graft.ext.VectorStore
       def cycle(dir: String, tag: String): (Double, Double, Double, Long) = {

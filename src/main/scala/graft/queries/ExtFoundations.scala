@@ -739,15 +739,17 @@ private[graft] trait ExtFoundations {
   // surface already gates separately: the day's documents arrive as
   // Kafka-shaped wire records (x37's bus adapter), replay through a real
   // Structured Streaming query, and EVERY micro-batch runs the funnel —
-  // decode → quality gate (x32/x46's rules) → exact-dup probe against the
-  // persisted historical fingerprint store (x28's keys-only join) →
-  // MinHash near-dup probe against the persisted historical LSH index
-  // (x48's banded probe, index built ONCE outside the stream) — and
-  // upserts the judged rows into a manifest-committed table (x45's sink,
-  // txn-fenced). Per-batch cost is O(batch): nothing historical is
-  // recomputed per batch; at 100 TB both stores are maintained tables and
-  // the day streams against them. The oracle is the same funnel composed
-  // relationally — streaming plumbing must be invisible in the answer.
+  // decode → quality gate (x32/x46's rules) → exact/near-dup probe against
+  // the MAINTAINED historical dedup stores (x65's DedupStores tables, not
+  // an in-gate one-shot index — the r13 verdict's last one-shot leg) →
+  // decontamination probe against the MAINTAINED bench-gram registry
+  // (x240's mechanism, suiteB retired) — and upserts the judged rows into
+  // a manifest-committed table (x45's sink, txn-fenced). Per-batch cost is
+  // O(batch) + O(touched store buckets): nothing historical is recomputed
+  // per batch — exactly the tables a 100 TB deployment maintains, probed
+  // as-is. The oracle is the same funnel composed relationally —
+  // streaming plumbing AND store plumbing must be invisible in the
+  // answer.
   /** Fresh /tmp table path per (prefix, dir) invocation, reclaiming the
     * previous run's table so repeated bench passes don't accumulate.
     * Shared by the streaming-sink gates (x45, x57); each gate's FINAL
@@ -815,6 +817,49 @@ private[graft] trait ExtFoundations {
     }
   }
 
+  protected def benchRegistryTable(spark: SparkSession, dir: String,
+      prefix: String): (String, DataFrame) = {
+    val docs = Dedup.materialize(t(spark, dir, "documents"))
+    val table = FreshTables.next(spark, dir, prefix)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 25), "doc_id", "text", "suiteB", table)
+    // re-deliver suiteA: the (s, suite) keyed merge must REPLACE
+    graft.ext.BenchRegistry.appendSuite(spark,
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", table)
+    val stored = graft.sources.ManifestStore.read(spark, table).count()
+    // per-doc grams first (shingle windows must never stitch across
+    // docs), then distinct per suite — the store's (s, suite) key space
+    val expected = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 50 === 0 || col("doc_id") % 50 === 25),
+        "doc_id", "text", 6)
+      .select(when(pmod(col("id"), lit(50L)) === 0L, lit("suiteA"))
+        .otherwise(lit("suiteB")).as("suite"), col("s"))
+      .distinct().count()
+    require(stored == expected,
+      s"$prefix: registry holds $stored gram rows, expected $expected — " +
+        "the suiteA replay duplicated instead of replacing")
+    (table, docs)
+  }
+
+  /** The bench-gram registry in its steady production state — suites A
+    * and B appended, B retired — as a build-once prototype: the
+    * decontamination reference the funnels (x57, x242) probe per batch.
+    * The registry LIFECYCLE gates (x222/x223/x231/x240) keep building
+    * their own via [[benchRegistryTable]], whose replay-accounting
+    * REQUIREs are their subject.
+    */
+  protected def regProto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "regretired") { root =>
+      val docs = t(spark, dir, "documents")
+      graft.ext.BenchRegistry.appendSuite(spark,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "suiteA", root)
+      graft.ext.BenchRegistry.appendSuite(spark,
+        docs.filter(col("doc_id") % 50 === 25), "doc_id", "text", "suiteB", root)
+      graft.ext.BenchRegistry.retireSuite(spark, "suiteB", root)
+    }
+
   /** The all-docs exact-recall MinHash pair set at the house geometry
     * (3-shingles, 32×2 bands, τ=0.7) — the INPUT FIXTURE of a dozen
     * gates (graph ops, cluster stores, data-card rollups), computed
@@ -865,15 +910,15 @@ private[graft] trait ExtFoundations {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val docs = t(spark, dir, "documents")
     val inc = docs.filter(col("doc_id") % 5 === 0)
-    val hist = docs.filter(col("doc_id") % 5 =!= 0)
 
-    // the persisted historical stores (built once per day, NOT per batch):
-    // keys-only fingerprint set + MinHash/LSH index. localCheckpoint
-    // stands in for the maintained tables these are at production scale.
-    val histFp = hist.select(TextAnalysis.fingerprint(col("text")).as("fp"))
-      .distinct().withColumn("__seen", lit(1)).localCheckpoint()
-    val histIdx = Dedup.minhashIndex(hist, "doc_id", "text",
-      shingleN = 3, bands = 32, rowsPerBand = 2)
+    // the persisted historical stores the batches probe — MAINTAINED
+    // tables (DedupStores fp + LSH index over history; the retired-suite
+    // gram registry), built once per JVM, read per batch
+    val dedupT = ProtoStores.proto(dir, "x57dedup") { root =>
+      graft.ext.DedupStores.build(spark, docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", s"$root/fp", s"$root/idx")
+    }
+    val regT = regProto(spark, dir)
 
     // the day's arrivals as bus records, four arrival batches ALIGNED
     // with the table's partition key (pt = doc_id % 8, batch = pt % 4):
@@ -892,24 +937,30 @@ private[graft] trait ExtFoundations {
     def funnel(batch: DataFrame): DataFrame = {
       val gated = TextAnalysis.qualityGate(
           KafkaShaped.decode(batch, payloadSchema), "text", "lang")
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      // near-dup probe AFTER the quality gate (the funnel order: only
-      // kept docs pay the signature cost), against the prebuilt index
-      val nd = Dedup.minhashProbe(
-          Dedup.minhashIndex(gated.filter(col("keep")), "doc_id", "text",
-            shingleN = 3, bands = 32, rowsPerBand = 2),
-          histIdx, bands = 32, rowsPerBand = 2, threshold = 0.7)
-        .select(col("inc_id").as("doc_id")).distinct().withColumn("__nd", lit(1))
+      // dedup probe against the MAINTAINED store tables; the near-dup
+      // flag applies to KEPT docs only (the funnel order: only kept docs
+      // pay the signature cost — per-doc independent, so masking equals
+      // probing the kept slice), the exact fp join flags every doc
+      val probed = graft.ext.DedupStores.probe(spark, gated, "doc_id", "text",
+          s"$dedupT/fp", s"$dedupT/idx")
+        .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"))
+      // decontamination AFTER the gate too: kept docs probe the
+      // maintained gram registry (suiteB retired — only live suites flag)
+      val ct = graft.ext.BenchRegistry.probe(spark,
+          gated.filter(col("keep")), "doc_id", "text", regT)
+        .filter(col("n_contaminated") > 0L)
+        .select(col("id").as("doc_id")).withColumn("__ct", lit(1))
       gated
-        .join(histFp, Seq("fp"), "left")
-        .join(nd, Seq("doc_id"), "left")
-        .withColumn("is_exact_dup", col("__seen").isNotNull)
-        .withColumn("is_near_dup", col("__nd").isNotNull)
+        .join(probed, Seq("doc_id"))
+        .join(ct, Seq("doc_id"), "left")
+        .withColumn("is_near_dup", col("keep") && col("is_near_dup"))
+        .withColumn("is_contaminated", col("keep") && col("__ct").isNotNull)
         .withColumn("clean",
-          col("keep") && !col("is_exact_dup") && !col("is_near_dup"))
+          col("keep") && !col("is_exact_dup") && !col("is_near_dup") &&
+            !col("is_contaminated"))
         .select(col("doc_id"), col("source"), col("keep"),
-          col("is_exact_dup"), col("is_near_dup"), col("clean"),
-          pmod(col("doc_id"), lit(8L)).as("pt"))
+          col("is_exact_dup"), col("is_near_dup"), col("is_contaminated"),
+          col("clean"), pmod(col("doc_id"), lit(8L)).as("pt"))
     }
 
     // fresh table per run (repeated bench passes must not accumulate)
@@ -927,6 +978,7 @@ private[graft] trait ExtFoundations {
       col("keep").cast("boolean").as("keep"),
       col("is_exact_dup").cast("boolean").as("is_exact_dup"),
       col("is_near_dup").cast("boolean").as("is_near_dup"),
+      col("is_contaminated").cast("boolean").as("is_contaminated"),
       col("clean").cast("boolean").as("clean"))
   }
 
@@ -980,14 +1032,24 @@ private[graft] trait ExtFoundations {
        hs AS (SELECT doc_id, len(sh) AS n FROM hsh WHERE len(sh) > 0),
        nd AS (SELECT DISTINCT inc_id FROM inter
               JOIN ks ON ks.doc_id = inc_id JOIN hs ON hs.doc_id = hist_id
-              WHERE CAST(i AS DOUBLE) / CAST(ks.n + hs.n - i AS DOUBLE) >= 0.7)
+              WHERE CAST(i AS DOUBLE) / CAST(ks.n + hs.n - i AS DOUBLE) >= 0.7),
+       cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+       csh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 5, 0) + 1), i -> array_to_string(ws[i:i+5], ' '))) AS sh FROM cw),
+       cposts AS (SELECT doc_id, unnest(sh) AS s FROM csh WHERE len(sh) > 0),
+       cbg AS (SELECT DISTINCT s FROM cposts WHERE doc_id % 50 = 0),
+       ck AS (SELECT DISTINCT c.doc_id FROM cposts c JOIN cbg USING (s)
+              JOIN fl ON fl.doc_id = c.doc_id WHERE fl.keep)
        SELECT fl.doc_id, fl.source, fl.keep,
          (hfp.fp IS NOT NULL) AS is_exact_dup,
          (nd.inc_id IS NOT NULL) AS is_near_dup,
-         (fl.keep AND hfp.fp IS NULL AND nd.inc_id IS NULL) AS clean
+         (ck.doc_id IS NOT NULL) AS is_contaminated,
+         (fl.keep AND hfp.fp IS NULL AND nd.inc_id IS NULL
+            AND ck.doc_id IS NULL) AS clean
        FROM fl
        JOIN dfp ON fl.doc_id = dfp.doc_id
        LEFT JOIN hfp ON dfp.fp = hfp.fp
-       LEFT JOIN nd ON nd.inc_id = fl.doc_id"""
+       LEFT JOIN nd ON nd.inc_id = fl.doc_id
+       LEFT JOIN ck ON ck.doc_id = fl.doc_id"""
 
 }

@@ -28,14 +28,25 @@ class StreamingFunnelSpec extends SparkSpec {
     val nd = Dedup.minhashPairsAgainst(gated.filter(col("keep")), hist,
         "doc_id", "text", shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.7)
       .select(col("inc_id").as("doc_id")).distinct().withColumn("__nd", lit(1))
+    // the decontamination leg: kept docs carrying any 6-gram of the LIVE
+    // suite (A; B is retired in the funnel's registry) are flagged
+    val suiteGrams = Dedup.shingleRows(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 6)
+      .select(col("s")).distinct()
+    val ct = Dedup.shingleRows(gated.filter(col("keep")), "doc_id", "text", 6)
+      .join(suiteGrams, Seq("s"), "left_semi")
+      .select(col("id").as("doc_id")).distinct().withColumn("__ct", lit(1))
     val expected = gated
       .join(histFp, Seq("fp"), "left")
       .join(nd, Seq("doc_id"), "left")
+      .join(ct, Seq("doc_id"), "left")
       .withColumn("is_exact_dup", col("__seen").isNotNull)
       .withColumn("is_near_dup", col("__nd").isNotNull)
+      .withColumn("is_contaminated", col("__ct").isNotNull)
       .select(col("doc_id"), col("source"), col("keep"),
-        col("is_exact_dup"), col("is_near_dup"),
-        (col("keep") && !col("is_exact_dup") && !col("is_near_dup")).as("clean"))
+        col("is_exact_dup"), col("is_near_dup"), col("is_contaminated"),
+        (col("keep") && !col("is_exact_dup") && !col("is_near_dup") &&
+          !col("is_contaminated")).as("clean"))
 
     assert(out.count() > 0)
     assert(sortedRows(out) == sortedRows(expected))
