@@ -662,6 +662,18 @@ object ScaleBench {
     "x238_sample_compaction", "x239_hh_no_fold", "x240_stream_registry",
     "x241_hh_retention")
 
+  /** Round-14 gates: the ingest capstone (eleven parallel store folds
+    * per micro-batch — the day appends' corpus passes are the linear
+    * terms, every fold/probe bounded by increment or metadata size),
+    * the two count-store forgets (one doomed-docs pass + O(their
+    * vocabulary) commit + the survivors-model read), and the vector
+    * rebuild (the PERIODIC job: retrain + re-encode is corpus-sized by
+    * design — the serving probe stays pruned).
+    */
+  val R14Family: Seq[String] = Seq(
+    "x242_ingest_capstone", "x243_lm_forget", "x244_vocab_forget",
+    "x245_vector_rebuild")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -791,7 +803,7 @@ object ScaleBench {
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
       "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily,
       "r11d_scale" -> R11dFamily, "r12_scale" -> R12Family,
-      "r13_scale" -> R13Family)
+      "r13_scale" -> R13Family, "r14_scale" -> R14Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

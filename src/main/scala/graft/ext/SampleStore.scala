@@ -320,6 +320,15 @@ object SampleStore {
         s"SampleStore.repairEpoch: $table has no (k, slack) geometry sidecar — " +
           "not a SampleStore table"))
     val (k, slack) = (g("k").toInt, g("slack").toInt)
+    // byCols is a store property (the compactDays strata check, same
+    // reason): re-deriving with the wrong strata would replace the epoch
+    // with wrong-shaped, wrongly-windowed rows
+    val have = ManifestStore.read(spark, table).columns.toSet
+    val want = (byCols ++ Seq(keyCol, "es_key", "day")).toSet
+    require(have == want,
+      s"SampleStore.repairEpoch: $table columns ${have.toSeq.sorted.mkString(",")} " +
+        s"do not match byCols+keyCol (${want.toSeq.sorted.mkString(",")}) — " +
+        "re-deriving with the wrong strata would corrupt the retained set")
     val top = Sampling.weightedTopKBy(df, keyCol, weight, byCols, k + slack)
       .select((byCols :+ keyCol).map(col) :+ col("es_key"): _*)
       .withColumn("day", lit(epochDay))
