@@ -346,10 +346,11 @@ object VectorStore {
     * Commit order: codes first (the data the subject asked to erase),
     * twin second; a crash between them leaves a twin row pointing at an
     * already-emptied partition, and RE-RUNNING the same forget converges
-    * (both deletes are idempotent). Model caveat, stated honestly: the
-    * frozen centroids/codebook were trained on the full corpus and are
-    * not unlearned by row deletion — erasure of model influence is a
-    * scheduled rebuild, the standard IVF operating contract.
+    * (both deletes are idempotent). Model caveat: the frozen
+    * centroids/codebook were trained on the full corpus and are not
+    * unlearned by row deletion — erasure of model influence is
+    * [[rebuild]] (gated x245: forget → rebuild ≡ build over survivors,
+    * bit-identical), run on the deployment's unlearning cadence.
     */
   def forget(
       spark: SparkSession,
