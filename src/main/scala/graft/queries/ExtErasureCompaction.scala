@@ -1379,9 +1379,16 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
   //                orders deltas), card — DataCard.appendDay (x88), and
   //                the four sketches (CM x114, histogram x123, HLL x143,
   //                KMV x148) on their own gate fixtures' day slices.
-  // One batch is RE-DELIVERED post-drain (every fold keyed/replacing,
-  // every probe deterministic — at-least-once converges, row accounting
-  // REQUIREd), then each store serves ONE read, fingerprinted
+  // Post-drain, the CROSS-STORE FENCE INTERPLAY leg: an erasure request
+  // against the view family crashes after its correction commit (the
+  // forgetAFp seam), and a batch re-delivered INTO that window must see
+  // the view fold REFUSE (the forget fence) while the other ten stores'
+  // folds land — then the erasure replays to completion (twice), the
+  // doomed keys are REQUIREd gone, and the batch re-delivers in full
+  // with the SCRUBBED day (the re-append-from-scrubbed-corpus
+  // contract). Every fold keyed/replacing, every probe deterministic —
+  // at-least-once converges, row accounting REQUIREd — then each store
+  // serves ONE read, fingerprinted
   // (store, n_rows, fp) — and the oracle recomputes every one from the
   // base tables via the FAMILY oracles (x57/x222/x69/x128/x219/x179/
   // x84/x111/x138/x40), so a row lost or duplicated by any fold under
@@ -1464,13 +1471,19 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
         .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
         .withColumn("__b", pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))
     }
-    def fold(batch: DataFrame): Unit = {
+    def fold(batch: DataFrame, scrubViews: Boolean)
+        : Seq[(String, scala.util.Try[Unit])] = {
       val b = batch.agg(min(col("__b"))).head().getLong(0)
       val day = s"d$b"
       val bd = Dedup.materialize(batch.drop("__b"))
-      val steps: Seq[() => Unit] = Seq(
+      // re-deliveries AFTER the erasure below carry the SCRUBBED day —
+      // the re-append-from-scrubbed-corpus contract (x195/x238): an
+      // unscrubbed replay would resurrect forgotten rows as "new"
+      val liDay = li.filter(pmod(col("okey"), lit(3L)) === b)
+      val liDelta = if (scrubViews) liDay.filter(col("okey") % 13 =!= 5) else liDay
+      val steps: Seq[(String, () => Unit)] = Seq(
         // judge: quality gate + probe against the FROZEN nightly stores
-        () => {
+        "judge" -> (() => {
           val judged = TextAnalysis.qualityGate(bd, "text", "lang")
             .select(col("doc_id"), col("source"), col("keep"))
             .join(DedupStores.probe(spark, bd, "doc_id", "text",
@@ -1486,49 +1499,55 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
               col("keep") && !col("is_exact_dup") && !col("is_near_dup"))
             .withColumn("pt", pmod(col("doc_id"), lit(8L)))
           ManifestStore.mergeOrCreate(spark, judgeT, judged, Seq("doc_id"), "pt")
-        },
+        }),
         // contamination probe against the maintained registry (x240)
-        () => {
+        "contam" -> (() => {
           val out = graft.ext.BenchRegistry
             .probe(spark, bd, "doc_id", "text", regT)
             .withColumn("pt", pmod(col("id"), lit(8L)))
           if (!out.head(1).isEmpty)
             ManifestStore.mergeOrCreate(spark, contamT, out, Seq("id"), "pt")
-        },
-        () => DedupStores.append(spark, bd, "doc_id", "text",
-          s"$ddT/fp", s"$ddT/idx"),
-        () => MediaStore.append(spark, mediaBlobs(spark,
+        }),
+        "dedup" -> (() => DedupStores.append(spark, bd, "doc_id", "text",
+          s"$ddT/fp", s"$ddT/idx")),
+        "media" -> (() => MediaStore.append(spark, mediaBlobs(spark,
           bd.filter(col("text").isNotNull)
-            .select(col("doc_id").as("media_id"), col("text"))), mdT),
-        () => VectorStore.appendDay(spark,
+            .select(col("doc_id").as("media_id"), col("text"))), mdT)),
+        "vector" -> (() => VectorStore.appendDay(spark,
           embInc.filter(col("__b") === b).drop("__b"),
-          "vec_id", "embedding", annT, dim = 64, m = 4, k = 16, stride = 3),
-        () => IndexStore.appendDay(spark, bd, "doc_id", "text", day, bmT,
-          partitions = 8),
-        () => ViewStore.appendDayAgg(spark, vwT,
-          li.filter(pmod(col("okey"), lit(3L)) === b),
+          "vec_id", "embedding", annT, dim = 64, m = 4, k = 16, stride = 3)),
+        "bm25" -> (() => IndexStore.appendDay(spark, bd, "doc_id", "text",
+          day, bmT, partitions = 8)),
+        "view" -> (() => ViewStore.appendDayAgg(spark, vwT, liDelta,
           ord.filter(pmod(col("okey") + 1L, lit(3L)) === b),
           "okey", Seq("okey", "l_linenumber"), Seq("okey"), day = day,
-          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")),
-        () => DataCard.appendDay(spark,
-          docs.filter(pmod(col("doc_id"), lit(3L)) === b), day, cardT),
-        () => Sketches.countMinAppendDay(spark,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))),
+        "card" -> (() => DataCard.appendDay(spark,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b), day, cardT)),
+        "cm" -> (() => Sketches.countMinAppendDay(spark,
           events.filter(col("event_id") % 3 === b).select(col("k")),
-          "k", day, cmT, depth = 4, width = 1024),
-        () => Sketches.histAppendDay(spark,
+          "k", day, cmT, depth = 4, width = 1024)),
+        "hist" -> (() => Sketches.histAppendDay(spark,
           docs.filter(pmod(col("doc_id"), lit(3L)) === b).select(col("n_chars")),
-          "n_chars", bucketWidth = 32L, day = day, table = hsT),
-        () => Sketches.hllAppendDay(spark, hllU.filter(col("__b") === b),
-          "grp", "v", day, hlT),
-        () => Sketches.kmvAppendDay(spark, kmvBg.filter(col("__b") === b),
-          "lang", "bg", day, kvT))
+          "n_chars", bucketWidth = 32L, day = day, table = hsT)),
+        "hll" -> (() => Sketches.hllAppendDay(spark, hllU.filter(col("__b") === b),
+          "grp", "v", day, hlT)),
+        "kmv" -> (() => Sketches.kmvAppendDay(spark, kmvBg.filter(col("__b") === b),
+          "lang", "bg", day, kvT)))
       // the folds fan out in parallel — eleven independent transactional
-      // commit streams against disjoint tables (the x217 phase shape)
+      // commit streams against disjoint tables (the x217 phase shape);
+      // per-step Try outcomes let the fence-interplay leg below prove
+      // ONE store's refusal while its neighbors proceed
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(steps.map(st => Future(st()))),
-        scala.concurrent.duration.Duration(20, "min"))
-      ()
+      Await.result(Future.sequence(steps.map { case (n, st) =>
+        Future((n, scala.util.Try(st())))
+      }), scala.concurrent.duration.Duration(20, "min"))
+    }
+    def foldAll(batch: DataFrame, scrubViews: Boolean = false): Unit = {
+      val bad = fold(batch, scrubViews)
+        .collect { case (n, scala.util.Failure(e)) => s"$n: $e" }
+      require(bad.isEmpty, s"x242: fold step(s) failed: ${bad.mkString("; ")}")
     }
     val base = FreshTables.next(spark, dir, "capwire")
     (0 until 3).foreach { b =>
@@ -1538,7 +1557,7 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     val stream = spark.readStream.schema(inc.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .foreachBatch { (batch: DataFrame, _: Long) => foldAll(batch) }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1546,11 +1565,50 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       if (!q.awaitTermination(600000))
         throw new RuntimeException("x242: drain timeout")
     } finally q.stop()
-    // at-least-once: RE-DELIVER one batch through the identical fold —
+    // --- CROSS-STORE FENCE INTERPLAY: one store's crash window open
+    // while the other ten proceed — the composition no pairwise gate
+    // exercises. An erasure request against the view family crashes
+    // after its correction commit (the forgetAFp seam), leaving the
+    // view store's forget fence CLOSED to appends...
+    val doomedLi = li.filter(col("okey") % 13 === 5)
+    val boom = new RuntimeException("x242 fence fixture")
+    try {
+      ViewStore.forgetAFp(spark, vwT, doomedLi, "okey",
+        Seq("okey", "l_linenumber"), forgetSeq = 9L,
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"),
+        partitions = 8, p => if (p == "corr") throw boom)
+      throw new IllegalStateException("x242: fence fixture did not fire")
+    } catch { case e: RuntimeException if e eq boom => () }
+    // ...a batch re-delivered INTO the window: the view fold must
+    // REFUSE loudly, and every other store's fold must land — ten
+    // transactional commit streams progressing through a neighbor's
+    // open crash window
+    val outcomes = fold(inc.filter(col("__b") === 1L), scrubViews = true).toMap
+    require(outcomes("view").isFailure &&
+        outcomes("view").failed.get.getMessage.contains("unreplayed crashed forget"),
+      s"x242: view fold did not refuse inside the open window: ${outcomes("view")}")
+    val hurt = outcomes.collect {
+      case (n, scala.util.Failure(e)) if n != "view" => s"$n: $e" }
+    require(hurt.isEmpty,
+      s"x242: folds failed through a NEIGHBOR's window: ${hurt.mkString("; ")}")
+    // heal: replay the erasure to completion (twice — idempotent); the
+    // window closes and the doomed keys are gone from base and view
+    ViewStore.forgetA(spark, vwT, doomedLi, "okey", Seq("okey", "l_linenumber"),
+      forgetSeq = 9L, groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+    ViewStore.forgetA(spark, vwT, doomedLi, "okey", Seq("okey", "l_linenumber"),
+      forgetSeq = 9L, groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+    val doomedK = doomedLi.select(col("okey")).distinct()
+    for (sub <- Seq("a", "view")) {
+      val left = ManifestStore.read(spark, s"$vwT/$sub")
+        .join(doomedK, Seq("okey"), "left_semi").count()
+      require(left == 0L, s"x242: $left doomed rows survived in view/$sub")
+    }
+    // at-least-once: RE-DELIVER the batch through the identical fold —
     // every store must converge (keyed merges replace; the judge and
     // the registry probe read frozen snapshots, so their verdicts are
-    // bit-identical on replay)
-    fold(inc.filter(col("__b") === 1L))
+    // bit-identical on replay; the view re-delivers the SCRUBBED day,
+    // whose keyed anti-join finds nothing new)
+    foldAll(inc.filter(col("__b") === 1L), scrubViews = true)
     // row accounting: the replay duplicated nothing, the day is whole
     val fpRows = ManifestStore.read(spark, s"$ddT/fp").count()
     val fpWant = docs.filter(col("text").isNotNull).count()
@@ -1663,7 +1721,12 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
         "CAST(query_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR) || '|' || CAST(est_d9 AS VARCHAR)"),
       sec("media", x219Sql,
         "CAST(probe_id AS VARCHAR) || '|' || CAST(store_id AS VARCHAR) || '|' || CAST(hamming AS VARCHAR)"),
-      sec("view", x179Sql,
+      sec("view", {
+        val anchor = "FROM lineitem JOIN orders"
+        require(x179Sql.contains(anchor), "x242: x179Sql anchor moved")
+        x179Sql.replace(anchor,
+          "FROM (SELECT * FROM lineitem WHERE l_orderkey % 13 <> 5) lineitem JOIN orders")
+      },
         "o_orderpriority || '|' || CAST(cnt AS VARCHAR) || '|' || CAST(CAST(round(sum_l_quantity * 100.0) AS BIGINT) AS VARCHAR)"),
       sec("card", x84Sql,
         "source || '|' || CAST(n_docs AS VARCHAR) || '|' || CAST(n_tokens AS VARCHAR) || '|' || CAST(n_langs AS VARCHAR) || '|' || top_lang || '|' || CAST(CAST(round(top_lang_share * 1000000.0) AS BIGINT) AS VARCHAR) || '|' || CAST(dup_docs AS VARCHAR) || '|' || CAST(coalesce(med_chars, -1) AS VARCHAR)"),
