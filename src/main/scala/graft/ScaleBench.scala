@@ -781,7 +781,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val root = "/tmp/graft_scalebench"
+    val root = Scratch.path("scalebench")
     val (d1, dN) = (s"$root/x1", s"$root/x$reps")
     // SPARK_GRAFT_FAMILIES=r8_scale,srp_auto_scale restricts the run (and its
     // warm-up) to the named reports — the full sweep is hours on a loaded
@@ -1010,7 +1010,15 @@ object ScaleBench {
       minCycle(d1, "w") // warm
       val (b1, p1, f1) = minCycle(d1, "1")
       val (bN, pN, fN) = minCycle(dN, "n")
-      println(f"""{"metric":"registry_probe_scale","reps":$reps,"unit":"sec","x1":{"build":$b1%.3f,"probe":$p1%.3f,"funnel":$f1%.3f},"x$reps":{"build":$bN%.3f,"probe":$pN%.3f,"funnel":$fN%.3f},"growth":{"build":${bN / b1}%.2f,"probe":${pN / p1}%.2f,"funnel":${fN / f1}%.2f}}""")
+      // a failed funnel run is Double.NaN — which is NOT valid JSON, so
+      // it must surface as null, never be f-interpolated into the line
+      def j(v: Double): String =
+        if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+      def jr(n: Double, d: Double): String = {
+        val r = n / d
+        if (r.isNaN || r.isInfinite) "null" else f"$r%.2f"
+      }
+      println(s"""{"metric":"registry_probe_scale","reps":$reps,"unit":"sec","x1":{"build":${j(b1)},"probe":${j(p1)},"funnel":${j(f1)}},"x$reps":{"build":${j(bN)},"probe":${j(pN)},"funnel":${j(fN)}},"growth":{"build":${jr(bN, b1)},"probe":${jr(pN, p1)},"funnel":${jr(fN, f1)}}}""")
     }
     if (want("vec_sqrt_scale")) {
       import graft.ext.VectorStore

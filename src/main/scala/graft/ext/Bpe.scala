@@ -163,6 +163,8 @@ object Bpe {
     require(!tag.startsWith("epoch:"),
       s"vocabForget: tag '$tag' uses the reserved 'epoch:' prefix")
     if (doomed.isEmpty) return
+    // marker FIRST (StoreSidecar.setMarker contract) — see lmForget
+    StoreSidecar.setMarker(spark, table, "has_corrections")
     val neg = LangModel.tokenRowsBy(doomed, idCol, textCol, byCols)
       .groupBy((byCols :+ "w").map(col): _*).agg((-sum(lit(1L))).as("cnt"))
       .withColumn("day", lit(tag))

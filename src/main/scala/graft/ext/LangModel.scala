@@ -220,6 +220,10 @@ object LangModel {
     require(!tag.startsWith("epoch:"),
       s"lmForget: tag '$tag' uses the reserved 'epoch:' prefix")
     if (doomed.isEmpty) return
+    // marker FIRST (StoreSidecar.setMarker contract): readers switch to
+    // the net-sum slow path before any negative count can land; a crash
+    // after the marker costs only the slow path on an untouched store
+    StoreSidecar.setMarker(spark, table, "has_corrections")
     val bg = bigramRows(doomed, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg((-count(lit(1))).as("cnt"))
       .withColumn("day", lit(tag))
@@ -249,10 +253,19 @@ object LangModel {
     import graft.sources.ManifestStore
     val lm = ManifestStore.read(spark, s"$table/bg")
       .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
-    val vocab = ManifestStore.read(spark, s"$table/uni")
-      .groupBy(col("w")).agg(sum(col("cnt")).as("c"))
-      .filter(col("c") > 0L)
-      .agg(count(lit(1)).as("v"))
+    // V: forget-free stores (no corrections marker — the common case)
+    // hold only positive counts, so the net-sum positive filter reduces
+    // to DISTINCT w and the cheaper single aggregate is bit-identical;
+    // the slow path runs only once a [[lmForget]] has marked the store
+    val vocab =
+      if (StoreSidecar.hasMarker(spark, table, "has_corrections"))
+        ManifestStore.read(spark, s"$table/uni")
+          .groupBy(col("w")).agg(sum(col("cnt")).as("c"))
+          .filter(col("c") > 0L)
+          .agg(count(lit(1)).as("v"))
+      else
+        ManifestStore.read(spark, s"$table/uni")
+          .agg(count_distinct(col("w")).as("v"))
     scoreAgainst(docs, idCol, textCol, lm, vocab)
   }
 

@@ -44,6 +44,36 @@ private[graft] object StoreSidecar {
     if (parsed.size == keys.size) Some(parsed) else None
   }
 
+  /** A tiny named MARKER file at the table root (`_graft_<name>`) —
+    * the cheap-path switch for reads that pay a forget-correctness tax
+    * only forget-touched stores need (r14 verdict: the LM/vocab net-sum
+    * V filter ran on every forget-free read). Contract: the WRITER must
+    * set the marker BEFORE committing the state the marker describes
+    * (marker-first ordering) — a crash between the two leaves a set
+    * marker over an untouched store, which only costs the slow path,
+    * never correctness; the reverse order would serve the cheap path
+    * over corrected counts. Markers are never cleared: compaction that
+    * folds corrections away may clear via [[clearMarker]] AFTER the
+    * fold commits (slow-path-safe in the same way).
+    */
+  def setMarker(spark: SparkSession, root: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_graft_$name")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+  }
+
+  def hasMarker(spark: SparkSession, root: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_graft_$name")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def clearMarker(spark: SparkSession, root: String, name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_graft_$name")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
   /** The require-or-init policy most stores share (IndexStore,
     * MediaStore, BenchRegistry): first touch on a fresh table RECORDS
     * the geometry; every later touch REQUIRES an exact match and fails

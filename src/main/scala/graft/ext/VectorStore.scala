@@ -256,15 +256,22 @@ object VectorStore {
     require(!ManifestStore.exists(spark, attrsT(root)) || attrCols.nonEmpty,
       s"VectorStore.rebuild: $root carries filterable attrs — rebuild must " +
         "supply the same attrCols")
-    // geometry authority, like build: the sidecar is written first so a
-    // crash mid-rebuild leaves probes refusing on the fence, not
-    // validating against a stale geometry
-    writeGeometry(spark, root, Geometry(dim, m, k, stride, trainIters))
+    // fence FIRST, geometry second: the codebook commit records the
+    // rebuild ticket as STARTED, and only then does the sidecar flip to
+    // the new geometry — so there is NO window where the sidecar
+    // advertises the new geometry while the fence is still closed. (The
+    // pre-fix order wrote the sidecar first: a crash before the codebook
+    // commit left new-geometry probes passing BOTH requireGeometry and
+    // the fence check against old-model tables.) A crash between the
+    // two commits leaves the fence open — every surface refuses — and
+    // replay with the same ticket rewrites both.
     val cb =
       if (trainIters == 0) Pq.codebook(data, idCol, vecCol, dim, m, k, stride)
       else Pq.codebookKmeans(data, idCol, vecCol, dim, m, k, stride, trainIters)
     ManifestStore.write(spark, cb, codebookT(root), Seq("sub"),
       txnRecord = Map(TxnRebuild -> rebuildSeq))
+    failpoint("opened")
+    writeGeometry(spark, root, Geometry(dim, m, k, stride, trainIters))
     failpoint("started")
     ManifestStore.write(spark,
       centroids.select(col(idCol).as("centroid_id"),

@@ -230,7 +230,7 @@ object CoreQueries {
 
   def q09CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val dialect = CsvDialect(separator = "|", quote = "'", header = false)
-    val path = s"/tmp/graft/csv_orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = graft.Scratch.path(s"csv_orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     CsvSource.write(t(spark, dir, "orders"), path, dialect)
     CsvSource.read(spark, path, dialect, OrdersCsvCols)
   }
@@ -373,8 +373,7 @@ object CoreQueries {
 
   def q20JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    new java.io.File("/tmp/graft").mkdirs() // Derby won't create parents
-    val url = s"jdbc:derby:/tmp/graft/derby_${tag}_$derbyToken;create=true"
+    val url = s"jdbc:derby:${graft.Scratch.path(s"derby_${tag}_$derbyToken")};create=true"
     // Spark's JDBC writer quotes column identifiers at CREATE, so an
     // unquoted column list would fold to upper case in Derby — SELECT *
     // preserves the created names. sql_begin/sql_end run as harmless

@@ -762,7 +762,7 @@ private[graft] trait ExtFoundations {
     private val token = java.util.UUID.randomUUID().toString.take(8)
     def next(spark: SparkSession, dir: String, prefix: String): String = {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val table = s"/tmp/graft/${prefix}_tbl_${tag}_${token}_${runs.incrementAndGet()}"
+      val table = graft.Scratch.path(s"${prefix}_tbl_${tag}_${token}_${runs.incrementAndGet()}")
       Option(last.put(s"$prefix|$dir", table)).foreach { prev =>
         val fs = new org.apache.hadoop.fs.Path(prev)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -793,7 +793,7 @@ private[graft] trait ExtFoundations {
     def proto(dir: String, kind: String)(build: String => Unit): String =
       built.computeIfAbsent(s"$kind|$dir", { _ =>
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val path = s"/tmp/graft/proto_${kind}_${tag}_" +
+        val path = graft.Scratch.path(s"proto_${kind}_${tag}_") +
           java.util.UUID.randomUUID().toString.take(8)
         build(path)
         path
@@ -806,15 +806,52 @@ private[graft] trait ExtFoundations {
     def df(dir: String, kind: String)(make: => DataFrame): DataFrame =
       dfs.computeIfAbsent(s"$kind|$dir", _ => Dedup.materialize(make))
 
-    /** Copy a prototype to a fresh table a mutating gate owns. */
+    /** Copy a prototype to a fresh table a mutating gate owns.
+      *
+      * On a local filesystem the parquet DATA files are HARDLINKED, not
+      * copied — safe because every store format here treats data files
+      * as immutable once committed: ManifestStore/PartitionedStore
+      * writes create NEW uniquely-named part files under NEW commit
+      * dirs, merges and deletes retire files by unlinking (which leaves
+      * the prototype's link untouched), and nothing ever rewrites a
+      * `.parquet` in place. The small MUTABLE files — the `_latest`
+      * manifest hint and the `_graft_geometry.json` sidecar, both
+      * overwritten in place via truncating creates — are byte-copied,
+      * as is every other non-parquet file (manifests, markers, crcs).
+      * This turns the per-bench-pass clone floors of the mutating
+      * lifecycle gates (x217's eleven families, x242's four, the
+      * compaction parents) from full data copies into metadata-speed
+      * operations. Non-local filesystems fall back to a plain copy.
+      */
     def cloneTo(spark: SparkSession, src: String, dst: String): Unit = {
       val conf = spark.sessionState.newHadoopConf()
       val sp = new org.apache.hadoop.fs.Path(src)
-      val fs = sp.getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, sp, fs, new org.apache.hadoop.fs.Path(dst), false, conf)
-      ()
+      val scheme = sp.toUri.getScheme
+      if (scheme == null || scheme == "file")
+        linkClone(new java.io.File(sp.toUri.getPath match {
+          case null => src; case p => p
+        }), new java.io.File(new org.apache.hadoop.fs.Path(dst).toUri.getPath match {
+          case null => dst; case p => p
+        }))
+      else {
+        val fs = sp.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, sp, fs, new org.apache.hadoop.fs.Path(dst), false, conf)
+        ()
+      }
     }
+
+    private def linkClone(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) {
+        d.mkdirs()
+        Option(s.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(c => linkClone(c, new java.io.File(d, c.getName)))
+      } else if (s.getName.endsWith(".parquet"))
+        try { java.nio.file.Files.createLink(d.toPath, s.toPath); () }
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(s.toPath, d.toPath); ()
+        }
+      else { java.nio.file.Files.copy(s.toPath, d.toPath); () }
   }
 
   protected def benchRegistryTable(spark: SparkSession, dir: String,
@@ -971,7 +1008,7 @@ private[graft] trait ExtFoundations {
       funnel(wire.filter(col("__ab") === 0L).drop("__ab")), table, "pt")
     StreamUpsert.replayedPipeline(spark,
       wire.filter(col("__ab") =!= 0L).withColumn("__ab", col("__ab") - 1L),
-      wireCols, "__ab", s"/tmp/graft/funnel_in_$tag", table,
+      wireCols, "__ab", graft.Scratch.path(s"funnel_in_$tag"), table,
       Seq("doc_id"), Seq("pt"), funnel, writerId = Some(s"x57_$tag"))
     ManifestStore.read(spark, table).select(
       col("doc_id").cast("long").as("doc_id"), col("source"),

@@ -274,7 +274,7 @@ private[graft] trait ExtSketchStores extends ExtCorpusStats {
   def x111StreamCountmin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/scm_$tag"
+    val base = graft.Scratch.path(s"scm_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val keys = t(spark, dir, "events").select(col("user_id").as("k"))
@@ -821,7 +821,7 @@ private[graft] trait ExtSketchStores extends ExtCorpusStats {
   def x126StreamHopping(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/shop_$tag"
+    val base = graft.Scratch.path(s"shop_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val e = t(spark, dir, "events")

@@ -972,7 +972,7 @@ private[graft] trait ExtSkipIndexes extends ExtVectorStores {
   def x184StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/ssw_$tag"
+    val base = graft.Scratch.path(s"ssw_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val e = t(spark, dir, "events")

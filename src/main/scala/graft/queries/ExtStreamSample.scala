@@ -30,7 +30,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
     val sentinels = ev.groupBy("user_id").agg((max(col("ts")) + gap + 1).as("ts"))
     StatefulSessions.replayedSessionize(spark,
       ev.unionByName(sentinels.select(col("user_id"), col("ts"))), gap,
-      s"/tmp/graft/ssess_$tag", s"x33_sessions_$tag")
+      graft.Scratch.path(s"ssess_$tag"), s"x33_sessions_$tag")
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
   }
 
@@ -59,7 +59,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
   def x34StreamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/sdedup_$tag"
+    val base = graft.Scratch.path(s"sdedup_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh replay per run
     val (inc, seen) = incrementalDedupInputs(spark, dir)
@@ -197,7 +197,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
         col("__nat") + when(TextAnalysis.md5Bucket(col("event_id")) < 9830L, 2L).otherwise(0L),
         lit(nBatches - 1L)))
     LateData.replayedWindowedCounts(spark, assigned, "tu", "__ab",
-      s"/tmp/graft/late_$tag", "1 hour", "30 minutes", s"x36_late_$tag")
+      graft.Scratch.path(s"late_$tag"), "1 hour", "30 minutes", s"x36_late_$tag")
   }
 
   // Watermark algebra, relationally: per-batch max event time -> running
@@ -244,7 +244,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
     import graft.spec.Specs._
     import graft.streaming.{KafkaShaped, OnlineJob}
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/kafka_$tag"
+    val base = graft.Scratch.path(s"kafka_$tag")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run: checkpoint must not carry over
@@ -484,7 +484,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
     StreamJoin.replayedIntervalJoin(spark,
       side("click"), side("purchase"),
       "tu", "user_id", "__ab",
-      s"/tmp/graft/sj_$tag", "1 hour", 21600000000L, s"x42_sj_$tag")
+      graft.Scratch.path(s"sj_$tag"), "1 hour", 21600000000L, s"x42_sj_$tag")
       .select(col("user_id"), col("l_tu").as("click_tu"), col("r_tu").as("purchase_tu"))
   }
 
@@ -555,7 +555,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
     val all = ev.unionByName(dups).withColumn("__ab", least(
       expr(s"((tu - ${mn}L) * $nBatches) div (${mx}L - ${mn}L + 1)"), lit(nBatches - 1L)))
     StreamDedup.replayedDedup(spark, all, "tu", "event_id", "__ab",
-      s"/tmp/graft/sd_$tag", "30 minutes", s"x44_sd_$tag")
+      graft.Scratch.path(s"sd_$tag"), "30 minutes", s"x44_sd_$tag")
       .select(col("event_id"))
   }
 
@@ -603,7 +603,7 @@ private[graft] trait ExtStreamSample extends ExtFoundations {
       // O(touched partitions) contract instead of touching everything
       .withColumn("__ab", pmod(col("pt"), lit(3L)))
     StreamUpsert.replayedMerge(spark, updates, Seq("okey", "price", "pt"), "__ab",
-      s"/tmp/graft/smu_in_$tag", table, Seq("okey"), Seq("pt"))
+      graft.Scratch.path(s"smu_in_$tag"), table, Seq("okey"), Seq("pt"))
     ManifestStore.read(spark, table).select(
       col("okey").cast("long").as("okey"),
       col("price").cast("double").as("price"),

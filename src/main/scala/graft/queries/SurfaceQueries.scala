@@ -135,8 +135,7 @@ object SurfaceQueries {
   def q27DbfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Dbf
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft/dbf_$tag.dbf"
-    new java.io.File("/tmp/graft").mkdirs()
+    val path = graft.Scratch.path(s"dbf_$tag.dbf")
     // DBF field names are 10 chars max (dBase III descriptor layout) —
     // use short aliases rather than silently truncating.
     Dbf.write(t(spark, dir, "nation")
@@ -363,7 +362,7 @@ object SurfaceQueries {
   def q38PartitionedMerge(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PartitionedStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/pstore_$tag"
+    val base = graft.Scratch.path(s"pstore_$tag")
     val orders = t(spark, dir, "orders")
       .withColumn("order_year", year(col("o_orderdate")).cast("int"))
     PartitionedStore.write(orders, base, Seq("order_year"))
@@ -398,7 +397,7 @@ object SurfaceQueries {
     import graft.sinks.{LogStore, MergeRouter}
     import graft.streaming.OnlineJob
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/online_$tag"
+    val base = graft.Scratch.path(s"online_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh run: checkpoint must not carry over
     val (srcDir, logDir, ckpt, outDir) = (s"$base/in", s"$base/log", s"$base/ckpt", s"$base/out")
@@ -580,8 +579,7 @@ object SurfaceQueries {
     import graft.expr.OdooDomain
     import graft.sources.Dbf
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft/dbf_dom_$tag.dbf"
-    new java.io.File("/tmp/graft").mkdirs()
+    val path = graft.Scratch.path(s"dbf_dom_$tag.dbf")
     Dbf.write(t(spark, dir, "supplier")
       .select(col("s_suppkey").as("skey"), col("s_name").as("sname"),
         col("s_nationkey").as("nkey")), path, charLen = 32)
@@ -653,7 +651,7 @@ object SurfaceQueries {
   def q46ManifestMerge(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/mstore_$tag"
+    val base = graft.Scratch.path(s"mstore_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
     val orders = t(spark, dir, "orders")
@@ -687,7 +685,7 @@ object SurfaceQueries {
     import graft.runner.Metrics
     import graft.sinks.LogStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/metrics_$tag"
+    val base = graft.Scratch.path(s"metrics_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh log per run
     val logDir = s"$base/log"
@@ -729,7 +727,7 @@ object SurfaceQueries {
   def x52ManifestCdc(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/mcdc_$tag"
+    val base = graft.Scratch.path(s"mcdc_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
     val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
@@ -771,7 +769,7 @@ object SurfaceQueries {
   def x53ManifestCompact(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/mcompact_$tag"
+    val base = graft.Scratch.path(s"mcompact_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
     val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
@@ -819,7 +817,7 @@ object SurfaceQueries {
   def x54SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/mevolve_$tag"
+    val base = graft.Scratch.path(s"mevolve_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
     val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
@@ -857,7 +855,7 @@ object SurfaceQueries {
   def x56LifecycleVacuum(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/tmp/graft/mvacuum_$tag"
+    val base = graft.Scratch.path(s"mvacuum_$tag")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh table per run
     val orders = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 1)

@@ -12,7 +12,7 @@ class BenchRegistrySpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/benchreg_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"benchreg_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),

@@ -11,7 +11,7 @@ class BloomIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/blmspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"blmspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   // ids land in partitions by RANGE (date-partitioned-corpus shape): a
   // point lookup on `name` has no usable min/max range per partition

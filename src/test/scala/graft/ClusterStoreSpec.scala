@@ -10,7 +10,7 @@ class ClusterStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/clspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"clspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   test("appendPairs: min arriving later relabels the whole cluster") {
     val root = fresh()

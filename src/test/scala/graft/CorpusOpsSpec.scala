@@ -93,7 +93,7 @@ class CorpusOpsSpec extends SparkSpec {
     val k = 8
     val rows = (0 until 300).map(i => (s"g${i % 2}", s"val$i", s"d${i % 3}"))
     val df = rows.toDF("g", "v", "day")
-    val table = s"/tmp/graft/kmvstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val table = graft.Scratch.path(s"kmvstore_${java.util.UUID.randomUUID().toString.take(8)}")
     (0 until 3).foreach { d =>
       Sketches.kmvAppendDay(spark, df.filter(col("day") === s"d$d"),
         "g", "v", s"d$d", table, k = k)
@@ -297,8 +297,8 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, "x y", "de", "s2", 3L),
       (5L, "z", "de", "s2", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cardstore").toString
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Scratch.root), "graft_cardstore").toString
     val day1 = docs.filter(col("doc_id") <= 2)
     val day2 = docs.filter(col("doc_id") > 2)
     graft.ext.DataCard.appendDay(spark, day1, "d1", root)

@@ -144,7 +144,7 @@ class CurriculumBpeSpec extends SparkSpec {
   }
 
   test("bpe vocab store: sliced-day appends merge to collapse bit-for-bit") {
-    val t = s"/tmp/graft/vocabstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"vocabstore_${java.util.UUID.randomUUID().toString.take(8)}")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select(col("doc_id"), col("text"))
       .withColumn("day", pmod(col("doc_id"), lit(3)))
@@ -166,7 +166,7 @@ class CurriculumBpeSpec extends SparkSpec {
   }
 
   test("bpe learnMergesFromStore: store-trained merges equal corpus-trained merges") {
-    val t = s"/tmp/graft/lmfs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"lmfs_${java.util.UUID.randomUUID().toString.take(8)}")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(50).select(col("doc_id"), col("text"))
       .withColumn("day", pmod(col("doc_id"), lit(4)))
@@ -438,7 +438,7 @@ class CurriculumBpeSpec extends SparkSpec {
 
   test("countMinCells as a streaming aggregation equals the batch build") {
     import org.apache.spark.sql.streaming.Trigger
-    val base = s"/tmp/graft_test/scm_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = graft.Scratch.path(s"scm_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     val vals = (1 to 300).map(i => s"v${i % 40}").toDF("v")
     vals.write.parquet(s"$base/in")
     val cells = Sketches.countMinCells(

@@ -14,7 +14,7 @@ class DbfSpec extends SparkSpec {
       (3L, null.asInstanceOf[String], 99.0, "2024-06-15", true))
       .toDF("id", "name", "amt", "d", "flag")
       .withColumn("d", col("d").cast("date"))
-    val path = java.nio.file.Files.createTempDirectory("graft_dbf").toString + "/t.dbf"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_dbf").toString + "/t.dbf"
     Dbf.write(df, path)
     val back = Dbf.read(spark, path)
     assert(back.schema.map(_.dataType.typeName).toSeq ==
@@ -26,7 +26,7 @@ class DbfSpec extends SparkSpec {
   test("dbf read skips deleted records and applies domain filter (F2)") {
     val df = Seq((1L, "keep"), (2L, "drop"), (3L, "keep"))
       .toDF("id", "tag")
-    val path = java.nio.file.Files.createTempDirectory("graft_dbf2").toString + "/t.dbf"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_dbf2").toString + "/t.dbf"
     Dbf.write(df, path)
     // flip record 2's deletion flag byte
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))

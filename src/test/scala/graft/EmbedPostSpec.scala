@@ -65,7 +65,7 @@ class EmbedPostSpec extends SparkSpec {
   }
 
   test("moment store: sliced-day appends merge to batch moments bit-for-bit") {
-    val t = s"/tmp/graft/momstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"momstore_${java.util.UUID.randomUUID().toString.take(8)}")
     val df = planted(90).withColumn("day", pmod(col("id"), lit(3)))
     (0 until 3).foreach { d =>
       EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
@@ -86,7 +86,7 @@ class EmbedPostSpec extends SparkSpec {
   }
 
   test("directionFromMoments recovers the planted direction, corpus-free") {
-    val t = s"/tmp/graft/momdir_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"momdir_${java.util.UUID.randomUUID().toString.take(8)}")
     val df = planted(200).withColumn("day", pmod(col("id"), lit(2)))
     (0 until 2).foreach { d =>
       EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
@@ -101,7 +101,7 @@ class EmbedPostSpec extends SparkSpec {
   }
 
   test("momentsForget: store minus doomed equals batch moments over survivors") {
-    val t = s"/tmp/graft/momforget_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"momforget_${java.util.UUID.randomUUID().toString.take(8)}")
     val df = planted(120).withColumn("day", pmod(col("id"), lit(2)))
     (0 until 2).foreach { d =>
       EmbedPost.momentsAppendDay(spark, df.filter(col("day") === d.toLong),
@@ -131,7 +131,7 @@ class EmbedPostSpec extends SparkSpec {
   }
 
   test("empty-day appends are no-ops; a never-fed store fails loudly") {
-    val t = s"/tmp/graft/momempty_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"momempty_${java.util.UUID.randomUUID().toString.take(8)}")
     // empty day: no-op — must not create a poisoned no-partition table
     EmbedPost.momentsAppendDay(spark,
       planted(5).filter(col("id") < 0), "vec", dim, "d0", t)
@@ -144,7 +144,7 @@ class EmbedPostSpec extends SparkSpec {
   }
 
   test("projectFromStore: held-out scores track the planted magnitudes") {
-    val t = s"/tmp/graft/momproj_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"momproj_${java.util.UUID.randomUUID().toString.take(8)}")
     val df = planted(240)
     val train = df.filter(col("id") % 2 === 0)
       .withColumn("day", pmod(col("id"), lit(4)))

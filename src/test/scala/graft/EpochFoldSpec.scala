@@ -15,7 +15,7 @@ class EpochFoldSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(tag: String): String =
-    s"/tmp/graft/epochfold_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"epochfold_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
 
   // ---- count-min (x114's store) -------------------------------------------
 

@@ -90,7 +90,7 @@ class EtlOpsSpec extends SparkSpec {
   }
 
   test("log store: append + read round-trip with partition pruning") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_log").toString
     val entries = Seq(("j1", "1", 10L, "info", "ok", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("job", "pk", "model_id", "level", "message", "ts")
     LogStore.append(spark, dir, entries)

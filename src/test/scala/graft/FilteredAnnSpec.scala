@@ -11,7 +11,7 @@ class FilteredAnnSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/vfilt_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"vfilt_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 

@@ -13,7 +13,7 @@ class HhStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/hhstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"hhstore_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def day(vals: (String, Int)*) =
     vals.flatMap { case (v, n) => Seq.fill(n)(v) }.toDF("v")

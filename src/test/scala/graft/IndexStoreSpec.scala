@@ -10,7 +10,7 @@ class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/idxspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"idxspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private val docs = Seq(
     (1L, "alpha beta beta gamma"),

@@ -11,7 +11,7 @@ class LakehouseOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(prefix: String): String =
-    s"/tmp/graft-test/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def state(table: String): Map[Long, (String, Long)] =
     ManifestStore.read(spark, table)

@@ -92,7 +92,7 @@ class LangModelSpec extends SparkSpec {
 
   test("lm store: sliced-day appends score identically to the one-shot model") {
     import graft.ext.LangModel
-    val t = s"/tmp/graft/lmstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"lmstore_${java.util.UUID.randomUUID().toString.take(8)}")
     val docs = sparkDocs().limit(60).select(col("doc_id"), col("text"))
     val ref = docs.filter(col("doc_id") % 2 === 0)
       .withColumn("day", pmod(col("doc_id"), lit(3)))
@@ -114,7 +114,7 @@ class LangModelSpec extends SparkSpec {
 
   test("lmForget: scores equal the survivors-only model; V drops doomed-only words") {
     import graft.ext.LangModel
-    val t = s"/tmp/graft/lmforget_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"lmforget_${java.util.UUID.randomUUID().toString.take(8)}")
     // 'qq' and 'zz' occur ONLY in the doomed doc — after the forget they
     // must leave the vocabulary (V is net-positive words, not stored rows)
     val ref = Seq(
@@ -143,7 +143,7 @@ class LangModelSpec extends SparkSpec {
 
   test("vocabForget: store-trained merges equal survivors-trained merges") {
     import graft.ext.Bpe
-    val t = s"/tmp/graft/vforgetbpe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = graft.Scratch.path(s"vforgetbpe_${java.util.UUID.randomUUID().toString.take(8)}")
     // the doomed doc dominates the pair stats — its erasure must change
     // the learned merges to the survivors-only ones
     val docs = Seq(

@@ -16,7 +16,7 @@ class LateDataSpec extends SparkSpec {
   private def run(rows: Seq[(Long, Long)], window: String, name: String) = {
     val df = rows.map { case (m, b) => (mins(m), b) }.toDF("tu", "__ab")
     LateData.replayedWindowedCounts(spark, df, "tu", "__ab",
-      s"/tmp/graft/latedata_spec_$name", window, "15 minutes", s"latedata_$name")
+      graft.Scratch.path(s"latedata_spec_$name"), window, "15 minutes", s"latedata_$name")
       .collect().map(r => (r.getLong(0) / 60000000L, r.getLong(1))).toMap
   }
 

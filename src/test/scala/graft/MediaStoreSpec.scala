@@ -12,7 +12,7 @@ class MediaStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/mediaspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"mediaspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   // deterministic ≥72-byte payloads so every grid cell samples a
   // distinct position; twin(b) flips one middle byte (≤ 2 dHash bits)

@@ -51,7 +51,7 @@ class MiProfileSpec extends SparkSpec {
   }
 
   test("miProfile: all pairs share ONE scan (Expand, single leaf)") {
-    val dir = s"/tmp/graft/miplan_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = graft.Scratch.path(s"miplan_${java.util.UUID.randomUUID().toString.take(8)}")
     (1 to 300).map(i => (s"k${i % 7}", s"v${i % 5}", (i % 3).toLong))
       .toDF("a", "b", "c").write.parquet(dir)
     val df = spark.read.parquet(dir)

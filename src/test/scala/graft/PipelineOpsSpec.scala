@@ -73,8 +73,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("streaming merge equals the batch upsert and converges under replay") {
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val table = s"/tmp/graft-test/su_tbl_$token"
-    val scratch = s"/tmp/graft-test/su_in_$token"
+    val table = graft.Scratch.path(s"su_tbl_$token")
+    val scratch = graft.Scratch.path(s"su_in_$token")
     val base = Seq((1L, "a", 0L), (2L, "b", 1L), (3L, "c", 0L)).toDF("k", "v", "p")
     ManifestStore.write(spark, base, table, "p")
     // batch 0 updates key 2; batch 1 inserts key 4
@@ -101,8 +101,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("txn-fenced streaming merge makes replays exactly-once") {
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val table = s"/tmp/graft-test/suf_tbl_$token"
-    val scratch = s"/tmp/graft-test/suf_in_$token"
+    val table = graft.Scratch.path(s"suf_tbl_$token")
+    val scratch = graft.Scratch.path(s"suf_in_$token")
     val base = Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("k", "v", "p")
     ManifestStore.write(spark, base, table, "p")
     val updates = Seq((2L, "B", 1L, 0L), (3L, "c", 0L, 1L)).toDF("k", "v", "p", "__b")

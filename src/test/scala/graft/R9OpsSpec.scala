@@ -241,7 +241,7 @@ class R9OpsSpec extends SparkSpec {
   }
 
   test("readPartitions scans only the requested leafs; missing leafs are empty") {
-    val table = s"/tmp/graft_rp_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val table = graft.Scratch.path(s"graft_rp_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     val df = (0L to 99L).map(i => (i, i % 4)).toDF("id", "p")
     graft.sources.ManifestStore.write(spark, df, table, "p")
     val one = graft.sources.ManifestStore.readPartitions(spark, table, Seq("p=2"))
@@ -259,7 +259,7 @@ class R9OpsSpec extends SparkSpec {
     import graft.ext.VectorStore
     val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val incPred = col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0
-    val root = s"/tmp/graft_vstore_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = graft.Scratch.path(s"graft_vstore_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     VectorStore.build(spark, data.filter(!incPred),
       data.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", root,
       dim = 64, m = 4, k = 16, stride = 3)
@@ -340,7 +340,7 @@ class R9OpsSpec extends SparkSpec {
     import graft.sources.ManifestStore
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val (fpT, idxT) = (s"/tmp/graft_dsl_fp_$tag", s"/tmp/graft_dsl_idx_$tag")
+    val (fpT, idxT) = (graft.Scratch.path(s"graft_dsl_fp_$tag"), graft.Scratch.path(s"graft_dsl_idx_$tag"))
     // 64 hash buckets + small daily slices: each day touches a SUBSET of
     // partitions, so merge commits accumulate (a day spanning every
     // bucket would supersede the whole table and self-compact — the
@@ -374,7 +374,7 @@ class R9OpsSpec extends SparkSpec {
     // rank(0.99) = floor(0.99*999)+1 = 990 -> bucket 9
     assert(q(1).getLong(1) == 9L)
     // maintained store: three slices + a replayed day == batch cells
-    val table = s"/tmp/graft_histstore_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val table = graft.Scratch.path(s"graft_histstore_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     for (d <- 0 to 2)
       Sketches.histAppendDay(spark, df.filter(col("v") % 3 === d), "v", 100L, s"d$d", table)
     Sketches.histAppendDay(spark, df.filter(col("v") % 3 === 1), "v", 100L, "d1", table)

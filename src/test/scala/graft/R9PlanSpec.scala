@@ -34,7 +34,7 @@ class R9PlanSpec extends SparkSpec {
   }
 
   test("fdProfile cells: ONE leaf scan of the input with Expand, however many candidates") {
-    val dir = s"/tmp/graft/fdplan_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = graft.Scratch.path(s"fdplan_${java.util.UUID.randomUUID().toString.take(8)}")
     (1 to 300).map(i => (s"k${i % 7}", s"v${i % 5}", i.toLong, s"w${i % 3}"))
       .toDF("a", "b", "c", "d").write.parquet(dir)
     val df = spark.read.parquet(dir)

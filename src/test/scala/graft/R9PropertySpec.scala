@@ -26,7 +26,7 @@ class R9PropertySpec extends SparkSpec {
         .distinct
       val days = edges.groupBy(_ => rnd.nextInt(3))
       val parts = (0 to 2).map(d => days.getOrElse(d, Seq.empty))
-      val root = s"/tmp/graft/clprop_${seed}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val root = graft.Scratch.path(s"clprop_${seed}_${java.util.UUID.randomUUID().toString.take(8)}")
       // day 0 may legitimately be empty for some seeds — that exercises
       // the empty-first-day store path
       ClusterStore.build(spark, parts(0).toDF("id_a", "id_b"), root, 4)

@@ -70,7 +70,7 @@ class RunnerSpec extends SparkSpec {
 
   test("job runner end-to-end: first run inserts, second run updates via log recovery") {
     FakeDest.clear()
-    val logDir = java.nio.file.Files.createTempDirectory("graft_runner_log").toString
+    val logDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_runner_log").toString
 
     // run 1: empty state → everything inserts
     val r1 = JobRunner.run(spark, jobSpec, Some(logDir))
@@ -137,7 +137,7 @@ class RunnerSpec extends SparkSpec {
 
   test("online streaming job: availableNow drains files through transform+merge") {
     FakeDest.clear()
-    val base = java.nio.file.Files.createTempDirectory("graft_online").toString
+    val base = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_online").toString
     val srcDir = s"$base/in"; val logDir = s"$base/log"; val ckpt = s"$base/ckpt"
     new java.io.File(srcDir).mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/batch1.csv"), "1,10.5\n2,20.5\n")
@@ -213,7 +213,7 @@ class RunnerSpec extends SparkSpec {
   }
 
   test("csv sink: column header, forced values, header/footer lines in order") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csvsink").toString + "/out"
+    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_csvsink").toString + "/out"
     val df = Seq((2L, "b"), (1L, "a")).toDF("id", "name")
     val cols = Seq(FwColumn("id"), FwColumn("name"), FwColumn("tag", forced = Some("T")))
     CsvSink.write(df, dir, cols, CsvDialect(header = true), orderCol = "id",

@@ -12,7 +12,7 @@ class SampleStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/samplestore_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"samplestore_${java.util.UUID.randomUUID().toString.take(8)}")
 
   // ids 1..n with weight w(id); day = id % days
   private def corpus(n: Int, days: Int) =

@@ -244,7 +244,7 @@ class ScaleSpec extends SparkSpec {
 
   test("partitioned store prunes non-matching partition directories") {
     import graft.sources.PartitionedStore
-    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_part").toString + "/orders"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .withColumn("order_year", year(col("o_orderdate")))
     PartitionedStore.write(orders, path, Seq("order_year"))
@@ -293,7 +293,7 @@ class ScaleSpec extends SparkSpec {
   }
   test("copy-on-write merge rewrites only the touched partitions") {
     import graft.sources.PartitionedStore
-    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_merge").toString + "/t"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .withColumn("order_year", year(col("o_orderdate")).cast("int"))
     PartitionedStore.write(orders, path, Seq("order_year"))
@@ -354,7 +354,7 @@ class ScaleSpec extends SparkSpec {
 
   test("compaction collapses small files per partition, preserving data") {
     import graft.sources.PartitionedStore
-    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_compact").toString + "/t"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .withColumn("order_year", year(col("o_orderdate")))
     // simulate fragmented incremental ingest: many tiny files per partition
@@ -370,7 +370,7 @@ class ScaleSpec extends SparkSpec {
 
   test("manifest store: atomic merge, snapshot isolation, vacuum") {
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore").toString + "/t"
     val v1 = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)).toDF("k", "v", "p")
     ManifestStore.write(spark, v1, path, "p")
     val snap1 = ManifestStore.read(spark, path) // lazy plan pinned to v1's files
@@ -413,7 +413,7 @@ class ScaleSpec extends SparkSpec {
 
   test("manifest store: multi-level partitioning merges and vacuums by leaf") {
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore_ml").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore_ml").toString + "/t"
     val v1 = Seq((1L, "a", 2023, 1), (2L, "b", 2023, 2), (3L, "c", 2024, 1))
       .toDF("k", "v", "y", "m")
     ManifestStore.write(spark, v1, path, Seq("y", "m"))
@@ -434,7 +434,7 @@ class ScaleSpec extends SparkSpec {
 
   test("manifest store: legacy scalar manifests readable; empty batch is a no-op") {
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore_compat").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore_compat").toString + "/t"
     val v1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
     ManifestStore.write(spark, v1, path, "p")
     // rewrite the manifest in the PRE-multi-level format (scalar
@@ -461,7 +461,7 @@ class ScaleSpec extends SparkSpec {
 
   test("manifest store: torn claim is invisible, blocks its version, and heals via vacuum") {
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore_torn").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore_torn").toString + "/t"
     val v1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
     ManifestStore.write(spark, v1, path, "p")
     // a committer crashed mid-write after claiming v2: garbage content
@@ -484,7 +484,7 @@ class ScaleSpec extends SparkSpec {
 
   test("manifest store: snapshot resolution cost is flat in commit count (hint compaction)") {
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore_hint").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore_hint").toString + "/t"
     def commit(i: Int): Unit =
       ManifestStore.write(spark, Seq((i.toLong, s"v$i", 10)).toDF("k", "v", "p"), path, "p")
     (1 to 12).foreach(commit)
@@ -511,7 +511,7 @@ class ScaleSpec extends SparkSpec {
   test("manifest store: two concurrent writers both land via optimistic retry") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     import graft.sources.ManifestStore
-    val path = java.nio.file.Files.createTempDirectory("graft_mstore_cc").toString + "/t"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_mstore_cc").toString + "/t"
     ManifestStore.write(spark,
       Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p"), path, "p")
     val gate = new CountDownLatch(1)

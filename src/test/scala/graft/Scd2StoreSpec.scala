@@ -12,7 +12,7 @@ class Scd2StoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh() =
-    s"/tmp/graft/scd2store_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"scd2store_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private val attrs = Seq("v")
 

@@ -12,7 +12,7 @@ class SkippingIndexesSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/skpspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"skpspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   // a 4x4 grid layout: x and y each cluster within a pt cell — each
   // dimension's zone maps prune to one STRIPE, the intersection to one CELL

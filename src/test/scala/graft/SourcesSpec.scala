@@ -31,7 +31,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("fixed-width file round-trip with header/footer lines") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString + "/out"
+    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_fw").toString + "/out"
     val hCols = Seq(FwColumn("id", fieldName = Some("first_id"), position = 1, length = 6,
       align = "rjust", fillChar = "0", dataType = "long"))
     val fCols = Seq(FwColumn("id", fieldName = Some("last_id"), position = 1, length = 6,
@@ -51,7 +51,7 @@ class SourcesSpec extends SparkSpec {
   test("fixed-width read rejects multi-file sources (no implicit cross-file order)") {
     // two files in one dir: first/last/header/footer would depend on
     // Spark's split listing order (by size) — must fail loudly instead
-    val dir = java.nio.file.Files.createTempDirectory("graft_fw_multi")
+    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_fw_multi")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "000001\n000002\n")
     java.nio.file.Files.writeString(dir.resolve("b.txt"), "000003\n")
     val lcols = Seq(FwColumn("id", position = 1, length = 6,
@@ -73,7 +73,7 @@ class SourcesSpec extends SparkSpec {
   test("fixed-width read honors a non-UTF-8 encoding (Latin-1 round-trip)") {
     // 0xE9 ('é' in ISO-8859-1) is an invalid UTF-8 sequence — a UTF-8 read
     // would mangle it to the replacement char irrecoverably
-    val f = java.nio.file.Files.createTempFile("graft_latin1", ".txt")
+    val f = java.nio.file.Files.createTempFile(java.nio.file.Paths.get(graft.Scratch.root), "graft_latin1", ".txt")
     val latin1Lines = Seq("000001café      ", "000002résumé    ")
     java.nio.file.Files.write(f,
       latin1Lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
@@ -117,7 +117,7 @@ class SourcesSpec extends SparkSpec {
       FwColumn("txt", dataType = "string"),
       FwColumn("amt", dataType = "double"))
     val df = Seq((1L, "has;sep", 1.5), (2L, "plain", 2.5)).toDF("id", "txt", "amt")
-    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val path = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_csv").toString + "/out"
     CsvSource.write(df, path, dialect)
     val back = CsvSource.read(spark, path, dialect, schema)
     assert(sortedRows(back) == Seq(Seq(1L, "has;sep", 1.5), Seq(2L, "plain", 2.5)))

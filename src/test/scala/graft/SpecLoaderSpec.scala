@@ -60,7 +60,7 @@ class SpecLoaderSpec extends SparkSpec {
   }
   test("query-execution metrics collect and flush to the log store") {
     import graft.runner.Metrics
-    val logDir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    val logDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_metrics").toString
     val c = Metrics.attach(spark, "mjob")
     spark.read.parquet(s"$sfDir/nation.parquet").collect()
     // listener events deliver asynchronously
@@ -75,7 +75,7 @@ class SpecLoaderSpec extends SparkSpec {
 
   test("observed metrics flush as deterministic 'metric' log rows") {
     import graft.runner.Metrics
-    val logDir = java.nio.file.Files.createTempDirectory("graft_metrics_obs").toString
+    val logDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_metrics_obs").toString
     val c = Metrics.attach(spark, "mjob2")
     spark.range(10).toDF("v")
       .observe("obs_t", count(lit(1)).as("rows"), sum(col("v")).as("v_sum"))

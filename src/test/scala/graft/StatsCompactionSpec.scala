@@ -13,7 +13,7 @@ class StatsCompactionSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(prefix: String): String =
-    s"/tmp/graft/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
 
   test("replaceWhere: doomed partitions drop, batch partitions overwrite, atomically") {
     val table = fresh("rw")

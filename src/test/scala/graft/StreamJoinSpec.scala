@@ -25,7 +25,7 @@ class StreamJoinSpec extends SparkSpec {
       .toDF("tu", "uid").withColumn("__ab", expr("tu div 100000000"))
     val out = StreamJoin.replayedIntervalJoin(spark, left, right,
       "tu", "uid", "__ab",
-      s"/tmp/graft/test_sj_${System.nanoTime()}", "10 seconds", 100L * US, "sj_spec")
+      graft.Scratch.path(s"test_sj_${System.nanoTime()}"), "10 seconds", 100L * US, "sj_spec")
       .select("uid", "l_tu", "r_tu")
     val expected = Seq(
       Seq(1L, 10L * US, 20L * US),
@@ -44,7 +44,7 @@ class StreamJoinSpec extends SparkSpec {
       (10L * US, 1L), (11L * US, 1L), (95L * US, 2L), (101L * US, 2L), (150L * US, 3L))
       .toDF("tu", "id").withColumn("__ab", expr("tu div 100000000"))
     val out = StreamDedup.replayedDedup(spark, rows, "tu", "id", "__ab",
-      s"/tmp/graft/test_sd_${System.nanoTime()}", "60 seconds", "sd_spec")
+      graft.Scratch.path(s"test_sd_${System.nanoTime()}"), "60 seconds", "sd_spec")
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 

@@ -54,7 +54,7 @@ class StreamingFunnelSpec extends SparkSpec {
 
   test("DedupStores: day-2 probes day-1's persisted tables, no rebuild") {
     import graft.ext.DedupStores
-    val base = s"/tmp/graft/dstores_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = graft.Scratch.path(s"dstores_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
     DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx")
     // day 2: an IN-MEMORY increment — if the probe still worked off the
@@ -87,7 +87,7 @@ class StreamingFunnelSpec extends SparkSpec {
 
   test("store-backed novelty equals direct novelty (history never rescanned)") {
     import graft.ext.DedupStores
-    val base = s"/tmp/graft/nvl_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = graft.Scratch.path(s"nvl_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
     DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx")
@@ -103,7 +103,7 @@ class StreamingFunnelSpec extends SparkSpec {
   test("DedupStores rejects probes/appends with mismatched build geometry") {
     import graft.ext.DedupStores
     import spark.implicits._
-    val base = s"/tmp/graft/geom_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = graft.Scratch.path(s"geom_spec_${java.util.UUID.randomUUID().toString.take(8)}")
     val hist = docs.filter(col("doc_id") % 5 =!= 0).limit(20)
     DedupStores.build(spark, hist, "doc_id", "text", s"$base/fp", s"$base/idx",
       shingleN = 3, partitions = 8)

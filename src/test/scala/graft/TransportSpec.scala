@@ -36,7 +36,7 @@ class TransportSpec extends SparkSpec {
   }
 
   test("ftp transport stages and reads a csv end-to-end (Hadoop FTPFileSystem)") {
-    val root = Files.createTempDirectory("graft_ftp")
+    val root = Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_ftp")
     Files.createDirectories(root.resolve("drops"))
     Files.write(root.resolve("drops/ext_20240115.csv"),
       "k,v\n1,alpha\n2,beta\n".getBytes(StandardCharsets.UTF_8))
@@ -73,7 +73,7 @@ class TransportSpec extends SparkSpec {
   }
 
   test("job runner extracts a fixed-width resource over the ftp transport") {
-    val root = Files.createTempDirectory("graft_ftp_fw")
+    val root = Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_ftp_fw")
     val lines = Seq("000001alpha     ", "000002beta      ")
     Files.write(root.resolve("fw_240115.txt"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -101,7 +101,7 @@ class TransportSpec extends SparkSpec {
   }
 
   test("dbf reads through the Hadoop FS API (ftp spool path)") {
-    val root = Files.createTempDirectory("graft_ftp_dbf")
+    val root = Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_ftp_dbf")
     import spark.implicits._
     val local = root.resolve("t_240115.dbf").toString
     Dbf.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), local, charLen = 8)

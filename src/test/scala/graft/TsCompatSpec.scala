@@ -22,7 +22,7 @@ class TsCompatSpec extends SparkSpec {
   import spark.implicits._
 
   private val base = {
-    val p = java.nio.file.Files.createTempDirectory("graft_tscompat")
+    val p = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(graft.Scratch.root), "graft_tscompat")
     // reclaim the fixture dir on JVM exit (LateData.stage's pattern) —
     // otherwise every test run leaks a graft_tscompat* dir into /tmp
     sys.addShutdownHook {

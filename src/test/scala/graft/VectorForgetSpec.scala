@@ -11,7 +11,7 @@ class VectorForgetSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/vforget_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"vforget_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -120,7 +120,11 @@ class VectorForgetSpec extends SparkSpec {
       64, 4, 16, 3)
     val qs = surv.filter(col("vec_id") < 12)
     val wantProbe = probeSet(want, qs)
-    for (fp <- Seq("started", "model", "twin")) {
+    // "opened" is the window the r14 advice flagged: the codebook commit
+    // has opened the fence but the geometry sidecar has NOT yet flipped —
+    // every surface must already refuse (pre-fix, the sidecar flipped
+    // first and a crash there left new-geometry probes passing both checks)
+    for (fp <- Seq("opened", "started", "model", "twin")) {
       val root = fresh()
       buildStore(root)
       val boom = new RuntimeException(s"boom@$fp")

@@ -11,7 +11,7 @@ class VectorLawSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/veclaw_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"veclaw_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 

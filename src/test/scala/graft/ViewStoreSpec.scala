@@ -12,7 +12,7 @@ class ViewStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/viewstore_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"viewstore_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def emptyA = Seq.empty[(Long, Long, String)].toDF("jk", "a_id", "a_val")
   private def emptyB = Seq.empty[(Long, Long, String)].toDF("jk", "b_id", "b_val")

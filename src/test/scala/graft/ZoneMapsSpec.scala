@@ -10,7 +10,7 @@ class ZoneMapsSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(): String =
-    s"/tmp/graft/zmspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"zmspec_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private val rows = (1L to 400L).map(i => (i, i * 3)) // v clustered with id
 

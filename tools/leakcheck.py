@@ -13,7 +13,7 @@ PATTERNS = {
     "internal-import": r"(?i)import\s+(anthropic|claude)",
     "internal-url": r"(?i)https?://[a-z0-9.-]*(anthropic|claude|corp[.-]internal)[a-z0-9.-]*",
     "internal-pkg2": r"(?i)\b(anthropic|claude[-_]?code)\b",
-    "internal-bucket": r"(?i)(s3|gs)://[a-z0-9._-]+",
+    "internal-bucket": r"(?i)(s3|gs)://[a-z0-9._-]*(anthropic|claude|internal|corp|prod-us|stg-us)[a-z0-9._-]*",
     "slack-link": r"(?i)(slack\.com/archives|#[a-z0-9-]*claude[a-z0-9-]*)",
     "api-key": r"(sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})",
     "axon-env": r"(?i)\b(AXON|ANTHROPIC)_[A-Z0-9_]+\b",
@@ -51,7 +51,10 @@ def main(rnd):
     for cat, v in hits.items():
         for h in v:
             print(f"  {cat}: {h}")
+    # a CI wiring must be able to FAIL on a leak (mirrors
+    # correctness_json.py's nonzero-on-failure contract)
+    return 1 if out["n_hits"] else 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    sys.exit(main(sys.argv[1]))
