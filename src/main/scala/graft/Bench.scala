@@ -21,10 +21,25 @@ object Bench {
     // first executions in a fresh JVM (observed 3-10x inflation on the
     // first query to touch each operator family); timed numbers should
     // measure the engine, not the JIT.
+    //
+    // ENGINE queries + a small store-core sample only (r14 post-mortem):
+    // warming all 104 lifecycle gates at sf0.001 cost the driver budget
+    // ~15 min of commit-floor I/O that JIT does not need — their sf0.001
+    // prototype builds aren't even reused at the bench SF — and that
+    // overhead is what pushed the r14 post-close bench past the driver's
+    // wall clock (rc 124). The sample below still JITs the store
+    // machinery the whole lifecycle family shares (manifest merge/read,
+    // streaming upsert, sketch/index/vector/card/sample appends).
+    val lifecycleWarm = Set(
+      "q46_manifest_merge", "x45_stream_upsert", "x88_card_store",
+      "x114_cm_store", "x129_vector_store", "x156_index_store",
+      "x195_sample_store")
     val warmDir = "/root/testdata/sf0.001"
-    benched.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
-    }
+    benched
+      .filter(kv => !SparkEntry.lifecycleQueries.contains(kv._1) || lifecycleWarm(kv._1))
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     // Three timed passes, report the per-query MIN over SUCCESSFUL runs:
     // single-pass numbers in a shared JVM are GC/JIT-noise-dominated
     // (observed 3-10x spread on the same query; totals swung 37-46s with
@@ -60,7 +75,18 @@ object Bench {
       if (totals.isEmpty) Nil
       else { val best = totals.min; totals.map(_ <= 1.5 * best).toSeq }
     }
-    while (timedBuf.size < 5 && verdicts.count(identity) < 3)
+    // WALL-BUDGET STOP (r14 post-mortem): the driver kills the whole
+    // process at its own timeout, losing the artifact entirely (rc 124,
+    // parsed:null) — an artifact from 2 clean passes beats no artifact
+    // from 5. Stop collecting extra passes once the timed wall exceeds
+    // the budget, as long as ≥ 2 passes ran; the pass verdicts still
+    // label anything polluted.
+    val budgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble).getOrElse(2400.0)
+    val tStart = System.nanoTime()
+    def timedWall: Double = (System.nanoTime() - tStart) / 1e9
+    while (timedBuf.size < 5 && verdicts.count(identity) < 3 &&
+        (timedBuf.size < 2 || timedWall < budgetSec))
       timedBuf += ((calibrate(), pass()))
     val (calibs, passes) = (timedBuf.map(_._1).toSeq, timedBuf.map(_._2).toSeq)
     val clean = verdicts

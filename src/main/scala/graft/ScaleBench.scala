@@ -674,6 +674,17 @@ object ScaleBench {
     "x242_ingest_capstone", "x243_lm_forget", "x244_vocab_forget",
     "x245_vector_rebuild")
 
+  /** Round-15 forget-matrix completion: the two linear-sketch forgets
+    * and the card forget are doomed-slice-sized correction passes over
+    * store clones (expect flat-to-linear in the doomed mass), the hh
+    * forget re-summarizes each affected day (expect ~linear — the one
+    * honest corpus-day term), and x217 re-curves with its four new
+    * families aboard.
+    */
+  val R15Family: Seq[String] = Seq(
+    "x246_cm_forget", "x247_hist_forget", "x248_card_forget",
+    "x249_hh_forget", "x217_composed_erasure")
+
   private val IdOffset = 100000000L // > any generator id; multiple of 50
 
   def stage(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
@@ -803,7 +814,8 @@ object ScaleBench {
       "r9c_scale" -> R9cFamily, "r11_scale" -> R11Family,
       "r11b_scale" -> R11bFamily, "r11c_scale" -> R11cFamily,
       "r11d_scale" -> R11dFamily, "r12_scale" -> R12Family,
-      "r13_scale" -> R13Family, "r14_scale" -> R14Family)
+      "r13_scale" -> R13Family, "r14_scale" -> R14Family,
+      "r15_scale" -> R15Family)
       .filter(kv => want(kv._1))
       .map { case (m, fam) => m -> fam.filter(wantEntry) }
       .filter(_._2.nonEmpty)

@@ -362,13 +362,62 @@ object Sketches {
       foldDays = days, epochDay = epochDay)
   }
 
-  /** The full-history cell table from a [[countMinAppendDay]] store. */
+  /** Right-to-be-forgotten over the count-min store — the x205/x243
+    * negative-correction pattern reaching the first LINEAR sketch: CM
+    * cells merge by ADDITION (each cell is an exact sum of per-row
+    * contributions), so unlike HLL/KMV/MG — which genuinely cannot
+    * subtract (the x143 caveat) — erasure here is exact subtraction.
+    * The doomed rows' cells land as ONE NEGATIVE correction day, and
+    * [[countMinCellsFromStore]]'s net-sum (restricted to positive
+    * cells once the store is marked) yields cell-for-cell the sketch a
+    * survivors-only build would hold: every estimate, join-size bound,
+    * and min-over-rows is bit-identical. Re-issuing under the same tag
+    * REPLACES its rows (day-keyed merge) — at-least-once converges;
+    * doomed ⊆ ingested is the net-count ≥ 0 contract. Cost: one pass
+    * over the DOOMED rows + ≤ d×w correction cells of commit I/O.
+    * [[countMinCompact]] folds correction tags WITH days, destroying
+    * the (day, correction) pair that could reconstruct the forgotten
+    * counts (the x225 privacy pattern); the corrections marker stays
+    * set for the store's lifetime because folded epochs retain the
+    * zero-net cells the read filter must keep dropping.
+    */
+  def countMinForget(
+      spark: org.apache.spark.sql.SparkSession,
+      doomed: DataFrame,
+      valueCol: String,
+      tag: String,
+      table: String,
+      depth: Int,
+      width: Int): Unit = {
+    import graft.sources.ManifestStore
+    require(!tag.startsWith("epoch:"),
+      s"countMinForget: tag '$tag' uses the reserved 'epoch:' prefix")
+    if (doomed.isEmpty) return
+    // marker FIRST (StoreSidecar.setMarker contract): readers switch to
+    // the net-sum positive filter before any negative cell can land
+    StoreSidecar.setMarker(spark, table, "has_corrections")
+    val neg = countMinCells(doomed, valueCol, depth, width)
+      .withColumn("cnt", -col("cnt")).withColumn("day", lit(tag))
+    ManifestStore.mergeOrCreate(spark, table, neg, Seq("r", "cell", "day"), "day")
+  }
+
+  /** The full-history cell table from a [[countMinAppendDay]] store.
+    * Forget-marked stores (see [[countMinForget]]) drop zero-net cells —
+    * a cell with no surviving contribution is ABSENT from a survivors-
+    * only build, and presence-with-zero would turn the min-over-rows
+    * estimate of a fully-forgotten value into 0 instead of the
+    * sketch's honest collision floor. Forget-free stores skip the
+    * filter (all counts positive — the common path stays cheap).
+    */
   def countMinCellsFromStore(
       spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
     import graft.sources.ManifestStore
-    ManifestStore.read(spark, table)
+    val cells = ManifestStore.read(spark, table)
       .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+    if (StoreSidecar.hasMarker(spark, table, "has_corrections"))
+      cells.filter(col("cnt") > 0L)
+    else cells
   }
 
   /** Fixed-width histogram cells (bucket = v div bucketWidth, exact
@@ -425,13 +474,47 @@ object Sketches {
       foldDays = days, epochDay = epochDay)
   }
 
-  /** The full-history bucket table from a [[histAppendDay]] store. */
+  /** Right-to-be-forgotten over the histogram store — [[countMinForget]]'s
+    * subtraction applied to the second linear sketch: bucket counts are
+    * exact sums, so the doomed rows' buckets land as one negative
+    * correction day and [[histCellsFromStore]]'s net-sum (positive
+    * filter once marked) is bucket-for-bucket the survivors-only
+    * histogram — every [[histQuantiles]] read is bit-identical to one
+    * over a store that never saw the subject. Same tag-replay, doomed ⊆
+    * ingested, and compaction-privacy contracts as [[countMinForget]].
+    */
+  def histForget(
+      spark: org.apache.spark.sql.SparkSession,
+      doomed: DataFrame,
+      valueCol: String,
+      bucketWidth: Long,
+      tag: String,
+      table: String): Unit = {
+    import graft.sources.ManifestStore
+    require(!tag.startsWith("epoch:"),
+      s"histForget: tag '$tag' uses the reserved 'epoch:' prefix")
+    if (doomed.isEmpty) return
+    StoreSidecar.setMarker(spark, table, "has_corrections")
+    val neg = histCells(doomed, valueCol, bucketWidth)
+      .withColumn("cnt", -col("cnt")).withColumn("day", lit(tag))
+    ManifestStore.mergeOrCreate(spark, table, neg, Seq("bucket", "day"), "day")
+  }
+
+  /** The full-history bucket table from a [[histAppendDay]] store.
+    * Forget-marked stores drop zero-net buckets (see [[histForget]]):
+    * an empty bucket is absent from a survivors-only [[histCells]], and
+    * a zero-weight row would survive into [[histQuantiles]]'s cumsum as
+    * a phantom bucket boundary. Forget-free stores skip the filter.
+    */
   def histCellsFromStore(
       spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
     import graft.sources.ManifestStore
-    ManifestStore.read(spark, table)
+    val cells = ManifestStore.read(spark, table)
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    if (StoreSidecar.hasMarker(spark, table, "has_corrections"))
+      cells.filter(col("cnt") > 0L)
+    else cells
   }
 
   /** Nearest-rank quantile ESTIMATES from histogram cells: for each q,
@@ -860,6 +943,38 @@ object Sketches {
     val doomed = days.toDF("day")
     ManifestStore.delete(spark, s"$table/hh", doomed, Seq("day"), Seq("day"))
     ManifestStore.delete(spark, s"$table/totals", doomed, Seq("day"), Seq("day"))
+  }
+
+  /** Right-to-be-forgotten for the heavy-hitter store — RE-SUMMARIZATION,
+    * not subtraction: a top-m + kth day summary genuinely cannot net a
+    * subject out (removing its counts changes WHICH values make the
+    * day's top-m and what the day's kth bound is — information the
+    * summary discarded), so the honest erasure path is the
+    * re-append-from-the-scrubbed-corpus contract the retention story
+    * (x241) and [[graft.ext.SampleStore.repairEpoch]] already use:
+    * re-run [[hhAppendDay]] on the affected day's SURVIVING rows —
+    * day replays REPLACE wholesale, so the replay leaves the day
+    * bit-identical to one that never saw the subject — or, when the
+    * subject WAS the whole day, drop the day outright ([[hhPruneDays]];
+    * an empty re-append would silently leave the old summary standing).
+    * Cost: O(affected days' surviving rows) — days the subject never
+    * touched are never reread. Crash safety rides the existing fences:
+    * a torn re-append or prune diverges the day sets, which
+    * [[hhFromStore]] refuses loudly, and replaying this call converges
+    * (both paths are wholesale day replaces / keyed deletes).
+    */
+  def hhForgetDay(
+      spark: org.apache.spark.sql.SparkSession,
+      scrubbed: DataFrame,
+      valueCol: String,
+      day: String,
+      table: String,
+      m: Int = 256): Unit = {
+    hhTagNoFold(spark, table)
+    val any = !scrubbed.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).head(1).isEmpty
+    if (any) hhAppendDay(spark, scrubbed, valueCol, day, table, m)
+    else hhPruneDays(spark, table, Seq(day))
   }
 
   /** Heavy hitters above `N / minFractionDen` from the maintained store:

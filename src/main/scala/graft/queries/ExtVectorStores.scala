@@ -28,15 +28,18 @@ private[graft] trait ExtVectorStores extends ExtSketchStores {
     * either). ONE definition, because all three gates share x138's
     * oracle — a drifting copy would silently break that equivalence.
     */
-  protected def hllSource(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .select(concat(lit("ev_"), col("event_type")).as("grp"),
-        col("user_id").cast("string").as("v"))
-    val li = t(spark, dir, "lineitem")
-      .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
-        col("l_orderkey").cast("string").as("v"))
-    Dedup.materialize(ev.unionByName(li).filter(col("v").isNotNull))
-  }
+  protected def hllSource(spark: SparkSession, dir: String): DataFrame =
+    // memoized per JVM: a deterministic fixture slice shared by the
+    // HLL gates and the ingest capstone — one materialization, many reads
+    ProtoStores.df(dir, "hllsource") {
+      val ev = t(spark, dir, "events")
+        .select(concat(lit("ev_"), col("event_type")).as("grp"),
+          col("user_id").cast("string").as("v"))
+      val li = t(spark, dir, "lineitem")
+        .select(concat(lit("li_"), col("l_returnflag")).as("grp"),
+          col("l_orderkey").cast("string").as("v"))
+      ev.unionByName(li).filter(col("v").isNotNull)
+    }
 
   def x138HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val u = hllSource(spark, dir)

@@ -13,7 +13,7 @@ class ForgetMatrixSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(p: String): String =
-    s"/tmp/graft/${p}_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.Scratch.path(s"${p}_${java.util.UUID.randomUUID().toString.take(8)}")
 
   private val corpus = Seq(
     (1L, "alpha beta gamma delta epsilon zeta"),
