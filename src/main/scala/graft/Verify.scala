@@ -17,6 +17,12 @@ object Verify {
       // resolves either encoding by schema.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same local-FS I/O regime as Bench (see the comment there): no
+      // client .crc sidecars, task-commit renames — Verify is untimed
+      // but must exercise the exact session shape the bench runs
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -29,10 +29,13 @@ private[graft] trait ExtCorpusStats extends ExtStreamSample {
     import graft.sources.ManifestStore
     val docs = t(spark, dir, "documents")
     val inc = docs.filter(col("doc_id") % 5 === 0)
-    val hist = docs.filter(col("doc_id") % 5 =!= 0)
-    val fpT = FreshTables.next(spark, dir, "fpstore")
-    val idxT = FreshTables.next(spark, dir, "idxstore")
-    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    // day-1 historical stores: hardlink-clone of the build-once prototype
+    // (r15 bench diet — the per-pass DedupStores.build re-ran the ingest
+    // the prototype's first build already measured); this gate MUTATES
+    // the clone below, so it must own a fresh copy
+    val root = FreshTables.next(spark, dir, "dstoredaily")
+    ProtoStores.cloneTo(spark, dedupHistProto(spark, dir), root)
+    val (fpT, idxT) = (s"$root/fp", s"$root/idx")
     val day1 = DedupStores.probe(spark, inc, "doc_id", "text", fpT, idxT)
       .localCheckpoint()
     val cleanDocs = inc.join(

@@ -243,10 +243,13 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     // hh — hold no per-id rows to probe: their counts are value-keyed
     // nets or re-summarized day tops, so their audit IS the serving
     // equality below, each oracle recomputed from the survivors alone)
-    def hits(table: String, keyCol: String, keys: DataFrame): Long =
-      ManifestStore.read(spark, table)
+    def hits(table: String, keyCol: String, keys: DataFrame): () => Long =
+      () => ManifestStore.read(spark, table)
         .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi").count()
-    val audit = Seq(
+    // the 13 probes are independent read-only counts over disjoint
+    // tables — fan them out like the forget phases instead of paying 13
+    // sequential job floors (r15: 4.8 s → ~1 s wall, same counts)
+    val auditProbes = Seq(
       ("dedup_fp", hits(fpT, "id", doomedDocIds)),
       ("dedup_idx", hits(idxT, "id", doomedDocIds)),
       ("cluster", hits(clT, "id", doomedDocIds)),
@@ -261,6 +264,13 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       ("scd2", hits(scT, "user_id", doomedUsers)),
       ("media_idx", hits(mdT, "media_id",
         doomedDocs.select(col("doc_id").as("media_id")))))
+    val audit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(auditProbes.map { case (n, f) => Future((n, f())) }),
+        scala.concurrent.duration.Duration(20, "min"))
+    }
     for ((name, n) <- audit)
       require(n == 0L, s"x217 blind audit: $n subject rows survived in $name")
     mark("audit")
@@ -903,9 +913,11 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     val docs = t(spark, dir, "documents")
     val inc = docs.filter(col("doc_id") % 5 === 0)
     val hist = docs.filter(col("doc_id") % 5 =!= 0)
-    val fpT = FreshTables.next(spark, dir, "fpidcure")
-    val idxT = FreshTables.next(spark, dir, "idxidcure")
-    DedupStores.build(spark, hist, "doc_id", "text", fpT, idxT)
+    // r15 bench diet: hardlink-clone the build-once historical stores
+    // instead of re-running the ingest per pass (this gate mutates)
+    val root = FreshTables.next(spark, dir, "idcure")
+    ProtoStores.cloneTo(spark, dedupHistProto(spark, dir), root)
+    val (fpT, idxT) = (s"$root/fp", s"$root/idx")
     val doomed = Dedup.materialize(hist.filter(col("doc_id") % 7 === 2))
     require(doomed.count() > 0L, "x228: empty doomed slice")
     // the divergent request: the supplied text is NOT the ingested bytes
@@ -1355,8 +1367,13 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
   def x240StreamRegistry(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.ManifestStore
-    val (regT, docs) = benchRegistryTable(spark, dir, "streamreg")
-    graft.ext.BenchRegistry.retireSuite(spark, "suiteB", regT)
+    // r15 bench diet: probe the build-once steady-state registry (suites
+    // A+B appended, B retired — regProto's exact content) instead of
+    // re-running the ingest per pass. The registry is READ-ONLY here;
+    // its replay-accounting REQUIREs stay gated where the build is the
+    // subject (x222/x223/x231 keep building their own).
+    val regT = regProto(spark, dir)
+    val docs = t(spark, dir, "documents")
     val corpus = Dedup.materialize(
       docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25)
         .select(col("doc_id"), col("text"))
@@ -1494,11 +1511,9 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       DedupStores.build(spark, docs.filter(!incPred(col("doc_id"))),
         "doc_id", "text", s"$root/fp", s"$root/idx")
     }
-    val vecProto = ProtoStores.proto(dir, "capvec") { root =>
-      VectorStore.build(spark, emb.filter(!incPred(col("vec_id"))),
-        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", root,
-        dim = 64, m = 4, k = 16, stride = 3)
-    }
+    // identical content to x129/x137's nightly snapshot — ONE build per
+    // JVM serves all three gates (r15 bench diet)
+    val vecProto = vecHistProto(spark, dir)
     val bmProto = ProtoStores.proto(dir, "capbm") { root =>
       IndexStore.appendDay(spark, docs.filter(!incPred(col("doc_id"))),
         "doc_id", "text", "dh", root, partitions = 8)

@@ -941,6 +941,37 @@ private[graft] trait ExtFoundations {
         partitions = 8)
     }
 
+  /** The HISTORICAL-slice DedupStores pair (docs with doc_id % 5 ≠ 0,
+    * house geometry) under `<root>/fp` + `<root>/idx` as a build-once
+    * prototype — the identical store x57 probes read-only and x65/x228
+    * used to rebuild per pass before mutating it (r15 bench diet: the
+    * rebuilds re-ran the same shingle+index ingest the first build
+    * already measured; mutating gates hardlink-clone instead).
+    */
+  protected def dedupHistProto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "deduphist") { root =>
+      val docs = t(spark, dir, "documents")
+      graft.ext.DedupStores.build(spark, docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", s"$root/fp", s"$root/idx")
+    }
+
+  /** The HISTORICAL-slice VectorStore (corpus minus the x129/x137/x242
+    * increment predicate, cents = vec_id % 50, 64/4/16/3) as a
+    * build-once prototype: the "nightly snapshot" all three gates stage
+    * before their per-pass subject (append/stream/fold). The PQ
+    * codebook training inside build() is deterministic from the fixture
+    * — training it three times per bench pass measured nothing new
+    * (r15 bench diet); mutating gates hardlink-clone.
+    */
+  protected def vecHistProto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "vechist") { root =>
+      val emb = t(spark, dir, "embeddings")
+      graft.ext.VectorStore.build(spark,
+        emb.filter(!(col("vec_id") % 5 === 1 && col("vec_id") % 3 =!= 0)),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", root, dim = 64, m = 4, k = 16, stride = 3)
+    }
+
   def x57StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestStore
     import graft.streaming.{KafkaShaped, StreamUpsert}
@@ -951,10 +982,7 @@ private[graft] trait ExtFoundations {
     // the persisted historical stores the batches probe — MAINTAINED
     // tables (DedupStores fp + LSH index over history; the retired-suite
     // gram registry), built once per JVM, read per batch
-    val dedupT = ProtoStores.proto(dir, "x57dedup") { root =>
-      graft.ext.DedupStores.build(spark, docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", s"$root/fp", s"$root/idx")
-    }
+    val dedupT = dedupHistProto(spark, dir)
     val regT = regProto(spark, dir)
 
     // the day's arrivals as bus records, four arrival batches ALIGNED

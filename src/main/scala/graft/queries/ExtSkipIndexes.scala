@@ -701,26 +701,33 @@ private[graft] trait ExtSkipIndexes extends ExtVectorStores {
   // customer — the oracle is the plain join + rollup.
   def x178ViewStore(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.ViewStore
-    val li = t(spark, dir, "lineitem").select(
-      col("l_orderkey").as("okey"), col("l_linenumber"),
-      col("l_quantity"), col("l_extendedprice"))
-    val ord = t(spark, dir, "orders").select(
-      col("o_orderkey").as("okey"), col("o_custkey"), col("o_orderpriority"))
-    val root = FreshTables.next(spark, dir, "viewstore")
-    def dayA(d: Int) = li.filter(pmod(col("okey"), lit(3L)) === d.toLong)
-    def dayB(d: Int) = ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong)
-    (0 until 3).foreach { d =>
-      ViewStore.appendDay(spark, root, dayA(d), dayB(d), "okey",
+    // build-once prototype (r15 bench diet, the aggViewProto pattern):
+    // the 3 desynced ingest cycles, the d1 replay, and the cardinality
+    // REQUIRE ride the first build; per-pass work is the maintained
+    // view's READ — which is the artifact this gate serves. The store is
+    // never mutated after the build, so gates share it read-only.
+    val root = ProtoStores.proto(dir, "rowview") { root =>
+      val li = t(spark, dir, "lineitem").select(
+        col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      val ord = t(spark, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey"), col("o_orderpriority"))
+      def dayA(d: Int) = li.filter(pmod(col("okey"), lit(3L)) === d.toLong)
+      def dayB(d: Int) = ord.filter(pmod(col("okey") + 1L, lit(3L)) === d.toLong)
+      (0 until 3).foreach { d =>
+        ViewStore.appendDay(spark, root, dayA(d), dayB(d), "okey",
+          Seq("okey", "l_linenumber"), Seq("okey"))
+      }
+      // at-least-once: replay day 1 on both sides — every merge replaces
+      ViewStore.appendDay(spark, root, dayA(1), dayB(1), "okey",
         Seq("okey", "l_linenumber"), Seq("okey"))
+      val v = ViewStore.readView(spark, root)
+      val expected = li.join(ord, Seq("okey")).count()
+      require(v.count() == expected,
+        s"x178: view holds ${v.count()} rows, the one-shot join has $expected")
     }
-    // at-least-once: replay day 1 on both sides — every merge replaces
-    ViewStore.appendDay(spark, root, dayA(1), dayB(1), "okey",
-      Seq("okey", "l_linenumber"), Seq("okey"))
-    val v = ViewStore.readView(spark, root)
-    val expected = li.join(ord, Seq("okey")).count()
-    require(v.count() == expected,
-      s"x178: view holds ${v.count()} rows, the one-shot join has $expected")
-    v.groupBy(col("o_custkey"), col("o_orderpriority"))
+    ViewStore.readView(spark, root)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
       .agg(sum(col("l_quantity")).as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
         count(lit(1)).as("n_items"))
