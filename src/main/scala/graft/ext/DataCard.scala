@@ -114,25 +114,30 @@ object DataCard {
         case _: java.io.FileNotFoundException =>
           ManifestStore.write(spark, batch, path, "day")
       }
-    upsert(s"$root/base",
-      d.groupBy(col(sourceCol).as("source"), col("day"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.wordCount(col(textCol))).as("tok_sum")),
-      Seq("source", "day"))
-    upsert(s"$root/lang",
-      d.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"), col("day"))
-        .agg(count(lit(1)).as("cnt")),
-      Seq("source", "lang", "day"))
-    upsert(s"$root/len",
-      d.filter(col(charsCol).isNotNull)
-        .groupBy(col(sourceCol).as("source"), col(charsCol).as("n_chars"), col("day"))
-        .agg(count(lit(1)).as("cnt")),
-      Seq("source", "n_chars", "day"))
-    upsert(s"$root/fp",
-      d.groupBy(col(sourceCol).as("source"),
-          TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
-        .agg(count(lit(1)).as("cnt")),
-      Seq("source", "fp", "day"))
+    // four DISJOINT subtotal tables with no commit-order contract (a
+    // day replayed after any partial crash upserts identical rows into
+    // each) — commit them concurrently instead of paying 4 sequential
+    // job floors
+    Par.all(
+      () => upsert(s"$root/base",
+        d.groupBy(col(sourceCol).as("source"), col("day"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wordCount(col(textCol))).as("tok_sum")),
+        Seq("source", "day")),
+      () => upsert(s"$root/lang",
+        d.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"), col("day"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("source", "lang", "day")),
+      () => upsert(s"$root/len",
+        d.filter(col(charsCol).isNotNull)
+          .groupBy(col(sourceCol).as("source"), col(charsCol).as("n_chars"), col("day"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("source", "n_chars", "day")),
+      () => upsert(s"$root/fp",
+        d.groupBy(col(sourceCol).as("source"),
+            TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("source", "fp", "day")))
   }
 
   /** Right-to-be-forgotten over the maintained datasheet — the x205/x243
@@ -178,25 +183,29 @@ object DataCard {
         case _: java.io.FileNotFoundException =>
           ManifestStore.write(spark, batch, path, "day")
       }
-    upsert(s"$root/base",
-      d.groupBy(col(sourceCol).as("source"), col("day"))
-        .agg((-count(lit(1))).as("n_docs"),
-          (-sum(TextAnalysis.wordCount(col(textCol)))).as("tok_sum")),
-      Seq("source", "day"))
-    upsert(s"$root/lang",
-      d.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"), col("day"))
-        .agg((-count(lit(1))).as("cnt")),
-      Seq("source", "lang", "day"))
-    upsert(s"$root/len",
-      d.filter(col(charsCol).isNotNull)
-        .groupBy(col(sourceCol).as("source"), col(charsCol).as("n_chars"), col("day"))
-        .agg((-count(lit(1))).as("cnt")),
-      Seq("source", "n_chars", "day"))
-    upsert(s"$root/fp",
-      d.groupBy(col(sourceCol).as("source"),
-          TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
-        .agg((-count(lit(1))).as("cnt")),
-      Seq("source", "fp", "day"))
+    // marker is already committed above; the four correction days land
+    // on DISJOINT tables with tag-keyed replaces — concurrent like
+    // appendDay's (a partial crash replays to convergence either way)
+    Par.all(
+      () => upsert(s"$root/base",
+        d.groupBy(col(sourceCol).as("source"), col("day"))
+          .agg((-count(lit(1))).as("n_docs"),
+            (-sum(TextAnalysis.wordCount(col(textCol)))).as("tok_sum")),
+        Seq("source", "day")),
+      () => upsert(s"$root/lang",
+        d.groupBy(col(sourceCol).as("source"), col(langCol).as("lang"), col("day"))
+          .agg((-count(lit(1))).as("cnt")),
+        Seq("source", "lang", "day")),
+      () => upsert(s"$root/len",
+        d.filter(col(charsCol).isNotNull)
+          .groupBy(col(sourceCol).as("source"), col(charsCol).as("n_chars"), col("day"))
+          .agg((-count(lit(1))).as("cnt")),
+        Seq("source", "n_chars", "day")),
+      () => upsert(s"$root/fp",
+        d.groupBy(col(sourceCol).as("source"),
+            TextAnalysis.fingerprint(col(textCol)).as("fp"), col("day"))
+          .agg((-count(lit(1))).as("cnt")),
+        Seq("source", "fp", "day")))
   }
 
   /** EPOCH COMPACTION of all four day-keyed card stores — the metadata
@@ -224,10 +233,14 @@ object DataCard {
       ManifestStore.compactDays(spark, path, "day",
         groupCols = groupCols, sumCols = sumCols,
         foldDays = days, epochDay = epochDay)
-    fold(s"$root/base", Seq("source"), Seq("n_docs", "tok_sum"))
-    fold(s"$root/lang", Seq("source", "lang"), Seq("cnt"))
-    fold(s"$root/len", Seq("source", "n_chars"), Seq("cnt"))
-    fold(s"$root/fp", Seq("source", "fp"), Seq("cnt"))
+    // "four INDEPENDENT atomic partition replacements" (scaladoc above)
+    // — fold them concurrently; a crash between any subset still leaves
+    // every table individually exact and a replay converges
+    Par.all(
+      () => fold(s"$root/base", Seq("source"), Seq("n_docs", "tok_sum")),
+      () => fold(s"$root/lang", Seq("source", "lang"), Seq("cnt")),
+      () => fold(s"$root/len", Seq("source", "n_chars"), Seq("cnt")),
+      () => fold(s"$root/fp", Seq("source", "fp"), Seq("cnt")))
   }
 
   /** Derive the card from the maintained stores — same schema and exact

@@ -100,10 +100,13 @@ object DedupStores {
       .distinct()
       .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
-    ManifestStore.write(spark, fp, fpTable, "pt")
     val idx = Dedup.minhashIndex(corpus, idCol, textCol, shingleN, bands, rowsPerBand)
       .withColumn("pt", bucket(col("id"), partitions))
-    ManifestStore.write(spark, idx, idxTable, "pt")
+    // disjoint tables, no commit-order contract (replay converges from
+    // any interleaving — the x171 crash-window spec) — write both at once
+    Par.all(
+      () => ManifestStore.write(spark, fp, fpTable, "pt"),
+      () => ManifestStore.write(spark, idx, idxTable, "pt"))
     val g = Geometry(shingleN, bands, rowsPerBand, partitions)
     writeGeometry(spark, fpTable, g)
     writeGeometry(spark, idxTable, g)
@@ -174,11 +177,13 @@ object DedupStores {
       .distinct()
       .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), partitions))
-    ManifestStore.merge(spark, fpTable, fp, Seq("fp", "id"), "pt")
     val idx = prebuiltIdx
       .getOrElse(Dedup.minhashIndex(docs, idCol, textCol, shingleN, bands, rowsPerBand))
       .withColumn("pt", bucket(col("id"), partitions))
-    ManifestStore.merge(spark, idxTable, idx, Seq("id"), "pt")
+    // disjoint tables, keyed replaces — merge both at once (see build)
+    Par.all(
+      () => ManifestStore.merge(spark, fpTable, fp, Seq("fp", "id"), "pt"),
+      () => ManifestStore.merge(spark, idxTable, idx, Seq("id"), "pt"))
   }
 
   /** Right-to-be-forgotten over both dedup stores (the text-side sibling
@@ -220,10 +225,13 @@ object DedupStores {
       .distinct()
       .filter(col("fp").isNotNull)
       .withColumn("pt", bucket(col("fp"), g.partitions))
-    ManifestStore.delete(spark, fpTable, doomedFp, Seq("fp", "id"), Seq("pt"))
     val doomedIds = docs.select(col(idCol).as("id")).distinct()
       .withColumn("pt", bucket(col("id"), g.partitions))
-    ManifestStore.delete(spark, idxTable, doomedIds, Seq("id"), Seq("pt"))
+    // keyed deletes on disjoint tables, idempotent at every crash
+    // position (x157/x171 contract) — delete both at once
+    Par.all(
+      () => ManifestStore.delete(spark, fpTable, doomedFp, Seq("fp", "id"), Seq("pt")),
+      () => ManifestStore.delete(spark, idxTable, doomedIds, Seq("id"), Seq("pt")))
   }
 
   /** [[forget]] BY ID ALONE — the bytes-unavailable deletion path and
@@ -255,9 +263,10 @@ object DedupStores {
       throw new IllegalStateException(
         s"DedupStores.forgetById: $idxTable has no geometry sidecar — not a DedupStores table"))
     val keyed = ids.select(col(idCol).as("id")).distinct()
-    ManifestStore.delete(spark, fpTable, keyed, Seq("id"), Seq("pt"))
-    ManifestStore.delete(spark, idxTable,
-      keyed.withColumn("pt", bucket(col("id"), g.partitions)), Seq("id"), Seq("pt"))
+    Par.all(
+      () => ManifestStore.delete(spark, fpTable, keyed, Seq("id"), Seq("pt")),
+      () => ManifestStore.delete(spark, idxTable,
+        keyed.withColumn("pt", bucket(col("id"), g.partitions)), Seq("id"), Seq("pt")))
   }
 
   /** [[Dedup.noveltyScore]] with history read from the PERSISTED index

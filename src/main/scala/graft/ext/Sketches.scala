@@ -977,6 +977,64 @@ object Sketches {
     else hhPruneDays(spark, table, Seq(day))
   }
 
+  /** [[hhForgetDay]] over EVERY affected day in one pass — the r15 bench
+    * diet for multi-day erasure requests (x217/x249 paid one
+    * count+top-m+2-commit cycle per day; an erasure touching D days is
+    * the common case, and D sequential cycles measured only commit
+    * floors). `scrubbed` carries the surviving rows of ALL affected
+    * days with their day tag in `dayCol`; `days` names the full
+    * affected set — a named day with NO surviving rows takes the prune
+    * path (the subject was the whole day; an empty re-append would
+    * leave the old summary standing, see [[hhForgetDay]]).
+    *
+    * Bit-equal to the per-day loop: the per-day top-m is ranked by
+    * (count DESC, value ASC) — [[graft.ext.Sampling.scoredTopK]]'s
+    * exact ordering — and the day summaries/totals land via the same
+    * wholesale day-keyed replaces, totals first then summaries (ONE
+    * fence-ordered commit pair for all D days instead of D pairs; a
+    * crash between the two still diverges the day sets, which
+    * [[hhFromStore]] refuses, and a replay converges).
+    */
+  def hhForgetDays(
+      spark: org.apache.spark.sql.SparkSession,
+      scrubbed: DataFrame,
+      valueCol: String,
+      dayCol: String,
+      days: Seq[String],
+      table: String,
+      m: Int = 256): Unit = {
+    import graft.sources.ManifestStore
+    import org.apache.spark.sql.expressions.Window
+    require(days.nonEmpty, "hhForgetDays: no days to forget")
+    hhTagNoFold(spark, table)
+    val counts = Dedup.materialize(
+      scrubbed.select(col(dayCol).cast("string").as("day"),
+          col(valueCol).cast("string").as("v"))
+        .filter(col("v").isNotNull && col("day").isin(days: _*))
+        .groupBy(col("day"), col("v")).agg(count(lit(1)).as("c")))
+    val present = counts.select(col("day")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (present.nonEmpty) {
+      val byDay = Window.partitionBy(col("day"))
+        .orderBy(col("c").desc, col("v"))
+      val top = Dedup.materialize(
+        counts.withColumn("__r", row_number().over(byDay))
+          .filter(col("__r") <= m).drop("__r"))
+      val stats = counts.groupBy(col("day"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n"), count(lit(1)).as("nd"))
+        .join(top.groupBy(col("day"))
+          .agg(coalesce(min(col("c")), lit(0L)).as("mc"), count(lit(1)).as("nk")),
+          Seq("day"))
+        .select(col("day"), col("n"),
+          when(col("nd") > col("nk"), col("mc")).otherwise(lit(0L)).as("kth"))
+      // same fence order as hhAppendDay: totals first, summaries second
+      ManifestStore.mergeOrCreate(spark, s"$table/totals", stats, Seq("day"), "day")
+      ManifestStore.mergeOrCreate(spark, s"$table/hh", top, Seq("day"), "day")
+    }
+    val toPrune = days.filterNot(present)
+    if (toPrune.nonEmpty) hhPruneDays(spark, table, toPrune)
+  }
+
   /** Heavy hitters above `N / minFractionDen` from the maintained store:
     * per candidate, `c_lo` (sum of reporting days) and `c_hi` (`c_lo` +
     * every silent day's `kth`), with `decided = c_lo >= threshold`. No

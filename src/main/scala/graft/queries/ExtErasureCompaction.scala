@@ -177,11 +177,16 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     // independent Spark jobs (local scheduler interleaves them; a real
     // cluster runs them from orchestrator workers). The PHASE order is
     // the documented contract and stays sequential.
-    def phase(steps: (() => Unit)*): Unit = {
+    def phase(steps: (String, () => Unit)*): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(
-        Future.sequence(steps.map(st => Future(st()))),
+        Future.sequence(steps.map { case (n, st) => Future {
+          val ts = System.nanoTime()
+          st()
+          if (profile) Console.err.println(
+            f"x217-profile   step:$n ${(System.nanoTime() - ts) / 1e9}%.2f s")
+        } }),
         scala.concurrent.duration.Duration(20, "min"))
       ()
     }
@@ -189,21 +194,21 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       // phase 1: content-consuming forgets (need the subject's bytes,
       // so they run before any lakehouse delete could remove them)
       phase(
-        () => DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT),
-        () => IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
-          forgetSeq = 1L, partitions = 8),
+        "dedup" -> (() => DedupStores.forget(spark, doomedDocs, "doc_id", "text", fpT, idxT)),
+        "bm25" -> (() => IndexStore.forget(spark, doomedDocs, "doc_id", "text", bmT,
+          forgetSeq = 1L, partitions = 8)),
         // null-text docs were never media-ingested (mediaBase filters
         // them), so the media request carries only ingested assets — an
         // unfiltered null blob would NPE inside dHash64
-        () => MediaStore.forget(spark, mediaBlobs(spark,
+        "media" -> (() => MediaStore.forget(spark, mediaBlobs(spark,
           doomedDocs.filter(col("text").isNotNull)
-            .select(col("doc_id").as("media_id"), col("text"))), mdT))
+            .select(col("doc_id").as("media_id"), col("text"))), mdT)))
       // phase 2: id-keyed derived stores
       phase(
-        () => VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT),
-        () => ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8),
-        () => SampleStore.forget(spark, smpT, "doc_id",
-          doomedDocs.select(col("doc_id")), forgetSeq = 1L))
+        "ann" -> (() => VectorStore.forget(spark, doomedVecs.select(col("vec_id")), "vec_id", annT)),
+        "cluster" -> (() => ClusterStore.forget(spark, doomedDocIds, "id", clT, partitions = 8)),
+        "sample" -> (() => SampleStore.forget(spark, smpT, "doc_id",
+          doomedDocs.select(col("doc_id")), forgetSeq = 1L)))
       // phase 3: subtraction-correction stores (the forgets consume the
       // subject's CONTENT like phase 1 — negative counts derive from the
       // doomed text/vectors — but depend on nothing phase 1 deletes),
@@ -212,29 +217,30 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       // subtract — each affected day re-summarizes from its SURVIVING
       // rows, a wholesale day replace; see Sketches.hhForgetDay)
       phase(
-        () => graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
-          "f1", momT),
-        () => ViewStore.forgetA(spark, vwT, doomedLi, "okey",
+        "moments" -> (() => graft.ext.EmbedPost.momentsForget(spark, doomedVecs, "embedding", 64,
+          "f1", momT)),
+        "view" -> (() => ViewStore.forgetA(spark, vwT, doomedLi, "okey",
           Seq("okey", "l_linenumber"), forgetSeq = 1L,
-          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")),
-        () => LangModel.lmForget(spark,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))),
+        "lm" -> (() => LangModel.lmForget(spark,
           doomedDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-          "__forget_1", lmT),
-        () => graft.ext.Bpe.vocabForget(spark, doomedDocs, "doc_id", "text",
-          "__forget_1", vcT),
-        () => Sketches.countMinForget(spark, doomedEv, "k", "__forget_1", cmT,
-          depth = 4, width = 1024),
-        () => Sketches.histForget(spark,
+          "__forget_1", lmT)),
+        "vocab" -> (() => graft.ext.Bpe.vocabForget(spark, doomedDocs, "doc_id", "text",
+          "__forget_1", vcT)),
+        "cm" -> (() => Sketches.countMinForget(spark, doomedEv, "k", "__forget_1", cmT,
+          depth = 4, width = 1024)),
+        "hist" -> (() => Sketches.histForget(spark,
           doomedDocs.select(col("n_chars")), "n_chars", bucketWidth = 32L,
-          "__forget_1", hsT),
-        () => DataCard.forget(spark, doomedDocs, "__forget_1", cdT),
-        () => (0 until 3).foreach { b =>
-          Sketches.hhForgetDay(spark,
-            toks.filter(col("day") === b.toLong && col("id") % 7 =!= 2),
-            "w", s"d$b", hhT)
-        })
+          "__forget_1", hsT)),
+        "card" -> (() => DataCard.forget(spark, doomedDocs, "__forget_1", cdT)),
+        // one batched re-summarization of all three affected days
+        // (hhForgetDays: bit-equal to the per-day loop, one commit pair)
+        "hh" -> (() => Sketches.hhForgetDays(spark,
+          toks.filter(col("id") % 7 =!= 2)
+            .withColumn("__d", concat(lit("d"), col("day"))),
+          "w", "__d", Seq("d0", "d1", "d2"), hhT)))
       // phase 4: the dimension history, last
-      Scd2Store.forget(spark, scT, doomedUsers, "user_id")
+      phase("scd2" -> (() => Scd2Store.forget(spark, scT, doomedUsers, "user_id")))
     }
     runRequest()
     mark("forgets")
@@ -1575,6 +1581,7 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
         .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
         .withColumn("__b", pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))
     }
+    val profile = sys.env.contains("SPARK_GRAFT_X242_PROFILE")
     def fold(batch: DataFrame, scrubViews: Boolean)
         : Seq[(String, scala.util.Try[Unit])] = {
       val b = batch.agg(min(col("__b"))).head().getLong(0)
@@ -1591,7 +1598,11 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       // folds it into `clean` — x57's funnel semantics exactly: a
       // contaminated doc is NOT clean (the r14 advice found the oracle
       // already said so while the Scala judge did not).
-      val probeAll = Dedup.materialize(graft.ext.BenchRegistry
+      // LAZY (r15): only the judge and contam steps consume it, so the
+      // first of the two to run computes it INSIDE the parallel fan-out
+      // (thread-safe lazy; the other blocks on the same value) — eagerly
+      // materializing it here serialized ~1s ahead of all 13 streams.
+      lazy val probeAll = Dedup.materialize(graft.ext.BenchRegistry
         .probe(spark, bd, "doc_id", "text", regT))
       val steps: Seq[(String, () => Unit)] = Seq(
         // judge: quality gate + probe against the FROZEN nightly stores
@@ -1656,9 +1667,19 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       // ONE store's refusal while its neighbors proceed
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(steps.map { case (n, st) =>
-        Future((n, scala.util.Try(st())))
+      val t0 = System.nanoTime()
+      val res = Await.result(Future.sequence(steps.map { case (n, st) =>
+        Future {
+          val ts = System.nanoTime()
+          val r = scala.util.Try(st())
+          if (profile) Console.err.println(
+            f"x242-profile   step:$n ${(System.nanoTime() - ts) / 1e9}%.2f s")
+          (n, r)
+        }
       }), scala.concurrent.duration.Duration(20, "min"))
+      if (profile) Console.err.println(
+        f"x242-profile fold:$day ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      res
     }
     def foldAll(batch: DataFrame, scrubViews: Boolean = false): Unit = {
       val bad = fold(batch, scrubViews)
@@ -1725,20 +1746,35 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     // bit-identical on replay; the view re-delivers the SCRUBBED day,
     // whose keyed anti-join finds nothing new)
     foldAll(inc.filter(col("__b") === 1L), scrubViews = true)
-    // row accounting: the replay duplicated nothing, the day is whole
-    val fpRows = ManifestStore.read(spark, s"$ddT/fp").count()
-    val fpWant = docs.filter(col("text").isNotNull).count()
+    // row accounting: the replay duplicated nothing, the day is whole —
+    // ten independent read-only counts, fanned out (r15) instead of ten
+    // sequential job floors; the REQUIREs check the same pairs
+    val acct = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs: Seq[() => Long] = Seq(
+        () => ManifestStore.read(spark, s"$ddT/fp").count(),
+        () => docs.filter(col("text").isNotNull).count(),
+        () => ManifestStore.read(spark, s"$annT/codes").count(),
+        () => emb.count(),
+        () => ManifestStore.read(spark, s"$bmT/lens").count(),
+        () => docs.count(),
+        () => ManifestStore.read(spark, mdT).count(),
+        () => mediaBase(spark, dir).count(),
+        () => ManifestStore.read(spark, judgeT).count(),
+        () => inc.count())
+      Await.result(Future.sequence(fs.map(f => Future(f()))),
+        scala.concurrent.duration.Duration(20, "min"))
+    }
+    val Seq(fpRows, fpWant, annRows, embN, lensRows, docsN,
+      mdRows, mediaN, judgeRows, incN) = acct
     require(fpRows == fpWant, s"x242: fp store holds $fpRows rows for $fpWant docs")
-    val annRows = ManifestStore.read(spark, s"$annT/codes").count()
-    require(annRows == emb.count() * 4,
+    require(annRows == embN * 4,
       s"x242: ann store holds $annRows code rows, expected corpus x m")
-    val lensRows = ManifestStore.read(spark, s"$bmT/lens").count()
-    require(lensRows == docs.count(), s"x242: bm25 lens holds $lensRows rows")
-    val mdRows = ManifestStore.read(spark, mdT).count()
-    val mdWant = mediaBase(spark, dir).count() * 4
-    require(mdRows == mdWant, s"x242: media index holds $mdRows rows, expected $mdWant")
-    val judgeRows = ManifestStore.read(spark, judgeT).count()
-    require(judgeRows == inc.count(), s"x242: judge table holds $judgeRows rows")
+    require(lensRows == docsN, s"x242: bm25 lens holds $lensRows rows")
+    require(mdRows == mediaN * 4,
+      s"x242: media index holds $mdRows rows, expected ${mediaN * 4}")
+    require(judgeRows == incN, s"x242: judge table holds $judgeRows rows")
     // --- the serving reads, one fingerprint row per store ---
     // Memoized per JVM (ProtoStores.df): the drained store state is
     // REQUIREd identical every pass (replay-convergent folds over the
@@ -2163,17 +2199,16 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     ProtoStores.cloneTo(spark, hh3Proto(spark, dir), table)
     // d3: a day consisting ENTIRELY of the subject's docs
     Sketches.hhAppendDay(spark, toks.filter(col("id") % 7 === 2), "w", "d3", table)
-    val scrub: Int => DataFrame = b =>
-      toks.filter(col("day") === b.toLong && col("id") % 7 =!= 2)
-    def runForget(): Unit = {
-      (0 until 3).foreach { b =>
-        Sketches.hhForgetDay(spark, scrub(b), "w", s"d$b", table)
-      }
-      // d3 scrubbed is EMPTY — must take the prune path
-      Sketches.hhForgetDay(spark,
-        toks.filter(col("id") % 7 === 2 && col("id") % 7 =!= 2),
-        "w", "d3", table)
-    }
+    // ONE batched request across all four affected days (r15:
+    // hhForgetDays — bit-equal per-day semantics, one fence-ordered
+    // commit pair): d0-d2 re-summarize from survivors; d3's surviving
+    // slice is EMPTY (the day was entirely the subject), so naming it
+    // in the request takes the prune path
+    def runForget(): Unit =
+      Sketches.hhForgetDays(spark,
+        toks.filter(col("id") % 7 =!= 2)
+          .withColumn("__d", concat(lit("d"), col("day"))),
+        "w", "__d", Seq("d0", "d1", "d2", "d3"), table)
     // torn window: d3's summary rows deleted, its totals row not — the
     // monitor's fence must refuse mid-erasure
     ManifestStore.delete(spark, s"$table/hh",
