@@ -32,5 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] holds driver + all 32 executor task slots in ONE JVM, so
+  // the heap plays the role a whole cluster's executor memory plays:
+  // 8g gave ~250 MB/task-slot — far under the ~1-2 GB/core Spark
+  // deployments size for — and the 297-query bench JVM spent its late
+  // passes GC-bound (x242 read 45 s in-suite vs 30 s isolated in an
+  // 8g fresh JVM; see OPTIMIZATION_r15.md). 24g ≈ 750 MB/slot on a
+  // 128 GiB box. Still env-overridable for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

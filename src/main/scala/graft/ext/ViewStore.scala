@@ -105,9 +105,19 @@ object ViewStore {
     if (!hasA && !hasB) return None
     // base merges first: the delta terms below join the POST-merge
     // bases, so a crash before the view merge replays into the same
-    // delta (keyed replaces make every re-run converge)
-    if (hasA) ManifestStore.mergeOrCreate(spark, aT(root), dA, aKeys, "__jpt")
-    if (hasB) ManifestStore.mergeOrCreate(spark, bT(root), dB, bKeys, "__jpt")
+    // delta (keyed replaces make every re-run converge). The two bases
+    // are DISJOINT tables with no commit-order contract between them
+    // (the pinned fence is bases-before-view, which the fan-out keeps;
+    // an a-committed/b-lost crash replays exactly like the sequential
+    // version's) — so their commits fan out (Par.all, guide §2.6).
+    (hasA, hasB) match {
+      case (true, true) => Par.all(
+        () => ManifestStore.mergeOrCreate(spark, aT(root), dA, aKeys, "__jpt"),
+        () => ManifestStore.mergeOrCreate(spark, bT(root), dB, bKeys, "__jpt"))
+      case (true, false) => ManifestStore.mergeOrCreate(spark, aT(root), dA, aKeys, "__jpt")
+      case (false, true) => ManifestStore.mergeOrCreate(spark, bT(root), dB, bKeys, "__jpt")
+      case _ => ()
+    }
     def leafsOf(d: DataFrame): Seq[String] = d
       .select(col("__jpt")).distinct()
       .collect().map(r => s"__jpt=${r.getLong(0)}").sorted.toSeq

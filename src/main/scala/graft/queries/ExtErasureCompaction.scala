@@ -814,10 +814,9 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     val emb = Dedup.materialize(t(spark, dir, "embeddings")
       .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
     val table = FreshTables.next(spark, dir, "momcompact")
-    (0 until 3).foreach { b =>
-      graft.ext.EmbedPost.momentsAppendDay(spark,
-        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
-    }
+    // scaffold: clone the shared 3-day prototype (mom3Proto); the gate's
+    // subject — forget + double compaction + accounting — stays per-pass
+    ProtoStores.cloneTo(spark, mom3Proto(spark, dir), table)
     val doomed = emb.filter(col("vec_id") % 7 === 0)
     graft.ext.EmbedPost.momentsForget(spark, doomed, "embedding", 64, "f1", table)
     graft.ext.EmbedPost.momentsCompact(spark, table,
@@ -844,15 +843,26 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
   // and the estimate read is bit-identical (max-merge is associative
   // AND idempotent, so even a double fold converges). Row accounting
   // REQUIREd; oracle = x138's estimate, x143's verbatim.
+  /** The 3-day HLL register store as a build-once prototype — x226's
+    * scaffold (its subject is the fold); the append/replay accounting
+    * stays gated at x143/x146, which keep building their own.
+    */
+  protected def hll3Proto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "hll3day") { root =>
+      val u = hllSource(spark, dir).withColumn("day",
+        concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3))))
+      (0 until 3).foreach { b =>
+        Sketches.hllAppendDay(spark, u.filter(col("day") === s"d$b"),
+          "grp", "v", s"d$b", root)
+      }
+    }
+
   def x226HllCompaction(spark: SparkSession, dir: String): DataFrame = {
     val u = Dedup.materialize(hllSource(spark, dir)
       .withColumn("day",
         concat(lit("d"), pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))))
     val table = FreshTables.next(spark, dir, "hllcompact")
-    (0 until 3).foreach { b =>
-      Sketches.hllAppendDay(spark, u.filter(col("day") === s"d$b"),
-        "grp", "v", s"d$b", table)
-    }
+    ProtoStores.cloneTo(spark, hll3Proto(spark, dir), table)
     Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
     // replay — the max fold is idempotent
     Sketches.hllCompact(spark, table, "grp", Seq("d0", "d1", "d2"), "epoch:all")
@@ -1288,12 +1298,18 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
       .select(col("doc_id"))
     SampleStore.forget(spark, table, "doc_id", d2, forgetSeq = 2L)
     SampleStore.compactDays(spark, table, "doc_id", Seq("epoch:01", "d2"), "epoch:02")
-    // the refusal fence, on a sacrificial store: slack=2, 3 forgets
+    // the refusal fence, on a sacrificial store: slack=2, 3 forgets.
+    // The one-day k=5/slack=2 build is scaffolding (appendDay's own
+    // REQUIREs are gated at x195) — build once per JVM, clone, then
+    // run the gate's subject (the over-budget forget + refusal) per pass
+    val breachProto = ProtoStores.proto(dir, "samplebreach1day") { root =>
+      SampleStore.appendDay(spark,
+        t(spark, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("wc")),
+        "doc_id", col("wc"), "d0", k = 5, slack = 2, table = root)
+    }
     val mini = FreshTables.next(spark, dir, "samplebreach")
-    SampleStore.appendDay(spark,
-      t(spark, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("wc")),
-      "doc_id", col("wc"), "d0", k = 5, slack = 2, table = mini)
+    ProtoStores.cloneTo(spark, breachProto, mini)
     SampleStore.forget(spark, mini, "doc_id",
       SampleStore.sampleFromStore(spark, mini, "doc_id", 3).select(col("doc_id")),
       forgetSeq = 1L)

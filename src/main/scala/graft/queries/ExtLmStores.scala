@@ -761,15 +761,28 @@ private[graft] trait ExtLmStores extends ExtSkipIndexes {
   // yields exactly the survivors' moments — the direction is
   // bit-identical to a from-scratch build over the surviving corpus,
   // which is what the oracle computes.
+  /** The 3-day moment store (x199's exact content) as a build-once
+    * prototype — the scaffold the moment-family MUTATING gates (x205
+    * forget, x211 streaming forget, x225 compaction) clone; x199/x200
+    * keep building their own, because the append + replay accounting IS
+    * their subject (r15 bench diet, the cm3Proto/lm3Proto convention).
+    */
+  protected def mom3Proto(spark: SparkSession, dir: String): String =
+    ProtoStores.proto(dir, "mom3day") { root =>
+      val emb = t(spark, dir, "embeddings")
+        .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long"))
+      (0 until 3).foreach { b =>
+        graft.ext.EmbedPost.momentsAppendDay(spark,
+          emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", root)
+      }
+    }
+
   def x205MomentForget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Dedup.materialize(t(spark, dir, "embeddings")
       .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
     val table = FreshTables.next(spark, dir, "momforget")
-    (0 until 3).foreach { b =>
-      graft.ext.EmbedPost.momentsAppendDay(spark,
-        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
-    }
+    ProtoStores.cloneTo(spark, mom3Proto(spark, dir), table)
     // erasure: every 7th vector; re-issue the forget (tag replay) —
     // the tag-keyed merge must REPLACE, not double-subtract
     val doomed = emb.filter(col("vec_id") % 7 === 0)
@@ -1057,10 +1070,9 @@ private[graft] trait ExtLmStores extends ExtSkipIndexes {
     val emb = Dedup.materialize(t(spark, dir, "embeddings")
       .withColumn("day", pmod(col("vec_id"), lit(3)).cast("long")))
     val table = FreshTables.next(spark, dir, "smomforget")
-    (0 until 3).foreach { b =>
-      graft.ext.EmbedPost.momentsAppendDay(spark,
-        emb.filter(col("day") === b.toLong), "embedding", 64, s"d$b", table)
-    }
+    // scaffold: the 3-day store clones from the shared prototype; the
+    // gate's subject — the streaming erasure feed below — stays per-pass
+    ProtoStores.cloneTo(spark, mom3Proto(spark, dir), table)
     // the erasure queue: every 7th vector, split into 2 request batches
     val doomed = Dedup.materialize(emb.filter(col("vec_id") % 7 === 0)
       .withColumn("req", pmod(expr("vec_id div 7"), lit(2)).cast("long")))
