@@ -1037,6 +1037,39 @@ object ScaleBench {
       }
       println(s"""{"metric":"registry_probe_scale","reps":$reps,"unit":"sec","x1":{"build":${j(b1)},"probe":${j(p1)},"funnel":${j(f1)}},"x$reps":{"build":${j(bN)},"probe":${j(pN)},"funnel":${j(fN)}},"growth":{"build":${jr(bN, b1)},"probe":${jr(pN, p1)},"funnel":${jr(fN, f1)}}}""")
     }
+    // x242 DECOMPOSED per store family (r14 verdict #7): the capstone's
+    // aggregate 3.11×-at-10× curve attributed by parts — for each of the
+    // thirteen fold streams, the day FOLD (the append, day-sized by
+    // contract) and the serving PROBE/read (which must stay increment-
+    // or metadata-sized) timed separately via
+    // ExtQueries.x242FoldProbeCycle (sequential steps, min of 2 cycles;
+    // the nightly-snapshot protos build once per JVM per dir and are the
+    // untimed scaffold, exactly as in the gate).
+    if (want("capstone_fold_scale")) {
+      def cyc(dir: String): Seq[(String, Double, Double)] =
+        graft.queries.ExtQueries.x242FoldProbeCycle(spark, dir)
+      def minCyc(dir: String): Seq[(String, Double, Double)] = {
+        val (a, b) = (cyc(dir), cyc(dir))
+        a.zip(b).map { case ((n, f1, p1), (_, f2, p2)) =>
+          (n, math.min(f1, f2), math.min(p1, p2)) }
+      }
+      minCyc(d1) // warm
+      val m1 = minCyc(d1)
+      val mN = minCyc(dN)
+      def j(v: Double): String =
+        if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+      def jr(n: Double, d: Double): String = {
+        val r = n / d
+        if (r.isNaN || r.isInfinite) "null" else f"$r%.2f"
+      }
+      def sect(m: Seq[(String, Double, Double)]): String =
+        m.map { case (n, f, p) =>
+          s""""$n":{"fold":${j(f)},"probe":${j(p)}}""" }.mkString("{", ",", "}")
+      val growth = m1.zip(mN).map { case ((n, f1, p1), (_, fN, pN)) =>
+        s""""$n":{"fold":${jr(fN, f1)},"probe":${jr(pN, p1)}}""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"capstone_fold_scale","reps":$reps,"unit":"sec","x1":${sect(m1)},"x$reps":${sect(mN)},"growth":$growth}""")
+    }
     if (want("vec_sqrt_scale")) {
       import graft.ext.VectorStore
       def cycle(dir: String, tag: String): (Double, Double, Double, Long) = {

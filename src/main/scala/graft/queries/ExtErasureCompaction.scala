@@ -1915,6 +1915,219 @@ private[graft] trait ExtErasureCompaction extends ExtLmStores {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** r14-VERDICT #7 instrument: ONE capstone day-fold + serving-probe
+    * cycle, timed PER STORE FAMILY — the x242 decomposition that
+    * ScaleBench's `capstone_fold_scale` reports at 1× and 10×, so
+    * "day-sized by contract" is rows, not prose. Mirrors x242's fold
+    * exactly (same nightly-snapshot protos, same memoized day slices,
+    * same primitives on the b=0 batch) but runs the steps SEQUENTIALLY:
+    * each family's wall is its own, not the 12-way scheduler
+    * interleaving's. The gate itself is untouched — this measures the
+    * primitives the gate composes; their correctness stays pinned at
+    * the family gates and x242's own oracle.
+    *
+    * Returns (family, foldSec, probeSec): fold = the day append into
+    * the maintained store; probe = the serving read x242 fingerprints
+    * (probe INPUTS — query sets, exact-count fixtures — are built
+    * outside the timed region).
+    */
+  def x242FoldProbeCycle(spark: SparkSession, dir: String)
+      : Seq[(String, Double, Double)] = {
+    import graft.ext.{DedupStores, IndexStore, VectorStore, ViewStore}
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val incPred: Column => Column = id => id % 5 === 1 && id % 3 =!= 0
+    // identical proto keys to x242 — the per-JVM build is shared
+    val dedupProto = ProtoStores.proto(dir, "capdedup") { root =>
+      DedupStores.build(spark, docs.filter(!incPred(col("doc_id"))),
+        "doc_id", "text", s"$root/fp", s"$root/idx")
+    }
+    val vecProto = vecHistProto(spark, dir)
+    val bmProto = ProtoStores.proto(dir, "capbm") { root =>
+      IndexStore.appendDay(spark, docs.filter(!incPred(col("doc_id"))),
+        "doc_id", "text", "dh", root, partitions = 8)
+    }
+    val mediaProto = ProtoStores.proto(dir, "capmedia") { root =>
+      MediaStore.append(spark, mediaBlobs(spark,
+        mediaBase(spark, dir).filter(!incPred(col("media_id")))), root)
+    }
+    val regT = regProto(spark, dir)
+    def cloneFresh(kind: String, proto: String): String = {
+      val dst = FreshTables.next(spark, dir, kind)
+      ProtoStores.cloneTo(spark, proto, dst); dst
+    }
+    val ddT = cloneFresh("capsddf", dedupProto)
+    val annT = cloneFresh("capsannf", vecProto)
+    val bmT = cloneFresh("capsbmf", bmProto)
+    val mdT = cloneFresh("capsmdf", mediaProto)
+    val judgeT = FreshTables.next(spark, dir, "capsjudge")
+    val contamT = FreshTables.next(spark, dir, "capscontam")
+    val vwT = FreshTables.next(spark, dir, "capsvw")
+    val cardT = FreshTables.next(spark, dir, "capscard")
+    val cmT = FreshTables.next(spark, dir, "capscm")
+    val hsT = FreshTables.next(spark, dir, "capshist")
+    val hlT = FreshTables.next(spark, dir, "capshll")
+    val kvT = FreshTables.next(spark, dir, "capskmv")
+    val inc = ProtoStores.df(dir, "capinc") {
+      docs.filter(incPred(col("doc_id")))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .withColumn("__b",
+          pmod(xxhash64(col("doc_id").cast("string")), lit(3L)))
+    }
+    val embInc = ProtoStores.df(dir, "capembinc") {
+      emb.filter(incPred(col("vec_id")))
+        .withColumn("__b",
+          pmod(xxhash64(col("vec_id").cast("string")), lit(3L)))
+    }
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val ord = t(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("k"))
+    val hllU = hllSource(spark, dir)
+      .withColumn("__b", pmod(TextAnalysis.md5Bucket(col("v")), lit(3)))
+    val kmvBg = ProtoStores.df(dir, "capkmvbg") {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      docs.select(col("lang"), col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("__w1", lead(col("w"), 1).over(byDoc))
+        .filter(col("__w1").isNotNull)
+        .select(col("lang"), concat_ws(" ", col("w"), col("__w1")).as("bg"))
+        .withColumn("__b", pmod(TextAnalysis.md5Bucket(col("bg")), lit(3)))
+    }
+    // the b=0 batch, exactly as the drain's first foreachBatch sees it
+    val bd = Dedup.materialize(inc.filter(col("__b") === 0L).drop("__b"))
+    val day = "d0"
+    // probe inputs, built OUTSIDE the timed probes
+    val qs = Seq(
+      ("q_hash_join", Seq("hash", "join")),
+      ("q_stream", Seq("stream", "window", "batch")),
+      ("q_vector", Seq("vector", "data"))).toDF("query_id", "terms")
+    val cmKeys = Dedup.materialize(Sampling.scoredTopK(
+      events.groupBy(col("k")).agg(count(lit(1)).as("cnt")),
+      "k", col("cnt"), k = 20).drop("sel_rank"))
+    val annQs = Dedup.materialize(emb.filter(col("vec_id") < 8))
+    val mediaProbeBlobs =
+      mediaBlobs(spark, Dedup.materialize(mediaTwins(mediaBase(spark, dir))))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // the shared registry probe (the judge/contam input), timed as its
+    // own row — in the gate it is a thread-safe lazy computed inside the
+    // fan-out; sequentially it is simply first
+    var probeAll: DataFrame = null
+    val regFold = timed {
+      probeAll = Dedup.materialize(
+        graft.ext.BenchRegistry.probe(spark, bd, "doc_id", "text", regT))
+    }
+    // view scaffold: seed days d1/d2 UNTIMED so the timed d0 fold joins
+    // against accumulated bases — any SINGLE day's a⋈b delta is empty by
+    // fixture construction (okey ≡ b vs ≡ b-1 mod 3; the view's rows are
+    // cross-day pairs), so an unseeded d0 fold would measure a no-op
+    // while the gate's later folds pay the real join. This mirrors the
+    // drain's LAST fold, the one the capstone's view wall lives in.
+    (1 until 3).foreach { b =>
+      ViewStore.appendDayAgg(spark, vwT,
+        li.filter(pmod(col("okey"), lit(3L)) === b.toLong),
+        ord.filter(pmod(col("okey") + 1L, lit(3L)) === b.toLong),
+        "okey", Seq("okey", "l_linenumber"), Seq("okey"), day = s"d$b",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity"))
+    }
+    val steps: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("judge",
+        () => {
+          val ct = probeAll.filter(col("n_contaminated") > 0L)
+            .select(col("id").as("doc_id")).withColumn("__ct", lit(1))
+          val judged = TextAnalysis.qualityGate(bd, "text", "lang")
+            .select(col("doc_id"), col("source"), col("keep"))
+            .join(DedupStores.probe(spark, bd, "doc_id", "text",
+              s"$dedupProto/fp", s"$dedupProto/idx")
+              .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup")),
+              Seq("doc_id"))
+            .join(ct, Seq("doc_id"), "left")
+            .withColumn("is_near_dup", col("keep") && col("is_near_dup"))
+            .withColumn("is_contaminated", col("keep") && col("__ct").isNotNull)
+            .withColumn("clean",
+              col("keep") && !col("is_exact_dup") && !col("is_near_dup") &&
+                !col("is_contaminated"))
+            .drop("__ct")
+            .withColumn("pt", pmod(col("doc_id"), lit(8L)))
+          ManifestStore.mergeOrCreate(spark, judgeT, judged, Seq("doc_id"), "pt")
+        },
+        () => ManifestStore.read(spark, judgeT).count()),
+      ("contam",
+        () => {
+          val out = probeAll.withColumn("pt", pmod(col("id"), lit(8L)))
+          if (!out.head(1).isEmpty)
+            ManifestStore.mergeOrCreate(spark, contamT, out, Seq("id"), "pt")
+        },
+        // one batch may carry zero contamination hits (the gate's hits
+        // REQUIRE is over the whole drain) — an absent table reads as 0
+        () => if (ManifestStore.hasData(spark, contamT))
+          ManifestStore.read(spark, contamT).count() else ()),
+      ("dedup",
+        () => DedupStores.append(spark, bd, "doc_id", "text",
+          s"$ddT/fp", s"$ddT/idx"),
+        () => DedupStores.probe(spark, bd, "doc_id", "text",
+          s"$ddT/fp", s"$ddT/idx").count()),
+      ("media",
+        () => MediaStore.append(spark, mediaBlobs(spark,
+          bd.filter(col("text").isNotNull)
+            .select(col("doc_id").as("media_id"), col("text"))), mdT),
+        () => MediaStore.probe(spark, mediaProbeBlobs, mdT, maxDist = 3).count()),
+      ("vector",
+        () => VectorStore.appendDay(spark,
+          embInc.filter(col("__b") === 0L).drop("__b"),
+          "vec_id", "embedding", annT, dim = 64, m = 4, k = 16, stride = 3),
+        () => VectorStore.probe(spark, annQs, "vec_id", "embedding", annT,
+          dim = 64, m = 4, k = 16, stride = 3, nprobe = 3, topK = 10).count()),
+      ("bm25",
+        () => IndexStore.appendDay(spark, bd, "doc_id", "text",
+          day, bmT, partitions = 8),
+        () => IndexStore.bm25Probe(spark, bmT, qs, "doc_id",
+          topK = 15, partitions = 8).count()),
+      ("view",
+        () => ViewStore.appendDayAgg(spark, vwT,
+          li.filter(pmod(col("okey"), lit(3L)) === 0L),
+          ord.filter(pmod(col("okey") + 1L, lit(3L)) === 0L),
+          "okey", Seq("okey", "l_linenumber"), Seq("okey"), day = day,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")),
+        () => ViewStore.readAgg(spark, vwT,
+          groupCols = Seq("o_orderpriority"), sumCols = Seq("l_quantity")).count()),
+      ("card",
+        () => DataCard.appendDay(spark,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), day, cardT),
+        () => DataCard.cardFromStore(spark, cardT).count()),
+      ("cm",
+        () => Sketches.countMinAppendDay(spark,
+          events.filter(col("event_id") % 3 === 0L).select(col("k")),
+          "k", day, cmT, depth = 4, width = 1024),
+        () => Sketches.countMinEstimate(
+          Sketches.countMinCellsFromStore(spark, cmT), cmKeys,
+          "k", depth = 4, width = 1024).count()),
+      ("hist",
+        () => Sketches.histAppendDay(spark,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L).select(col("n_chars")),
+          "n_chars", bucketWidth = 32L, day = day, table = hsT),
+        () => ManifestStore.read(spark, hsT).count()),
+      ("hll",
+        () => Sketches.hllAppendDay(spark, hllU.filter(col("__b") === 0),
+          "grp", "v", day, hlT),
+        () => Sketches.hllEstimate(
+          Sketches.hllRegistersFromStore(spark, hlT, "grp"), "grp").count()),
+      ("kmv",
+        () => Sketches.kmvAppendDay(spark, kmvBg.filter(col("__b") === 0),
+          "lang", "bg", day, kvT),
+        () => Sketches.kmvDistinctFromStore(spark, kvT, "lang").count()))
+    ("regprobe", regFold, 0.0) +: steps.map { case (n, foldF, probeF) =>
+      (n, timed(foldF()), timed(probeF()))
+    }
+  }
+
   // --- x243: LM-store forget (the forget matrix reaches the LM family) ------
   // The x205 negative-correction pattern applied to x207's store: the
   // doomed reference docs' bigram/unigram counts land as ONE negative

@@ -1122,11 +1122,17 @@ private[graft] trait ExtLmStores extends ExtSkipIndexes {
         TextAnalysis.wordCount(col("text")).as("wc"))
       .withColumn("day", pmod(col("doc_id"), lit(3)).cast("long")))
     val table = FreshTables.next(spark, dir, "stratsample")
-    (0 until 3).foreach { b =>
-      SampleStore.appendDay(spark, docs.filter(col("day") === b.toLong),
-        "doc_id", col("wc"), s"d$b", k = 40, slack = 4, table = table,
-        byCols = Seq("lang"))
-    }
+    // scaffold: the 3-day stratified store as a build-once prototype
+    // (r15 bench diet, the mom3Proto convention); the gate's subject —
+    // the d1 REPLAY through the stratified append path, the per-stratum
+    // forget, the stratified read — stays per-pass
+    ProtoStores.cloneTo(spark, ProtoStores.proto(dir, "strat3day") { root =>
+      (0 until 3).foreach { b =>
+        SampleStore.appendDay(spark, docs.filter(col("day") === b.toLong),
+          "doc_id", col("wc"), s"d$b", k = 40, slack = 4, table = root,
+          byCols = Seq("lang"))
+      }
+    }, table)
     // replay day 1: the (lang, doc_id, day) merge must REPLACE its rows
     SampleStore.appendDay(spark, docs.filter(col("day") === 1L),
       "doc_id", col("wc"), "d1", k = 40, slack = 4, table = table,
